@@ -1,0 +1,97 @@
+"""Mirror of the driver's correctness gate, run locally at sf0.001.
+
+For every catalog query that declares a DuckDB oracle: run the Spark
+query and the oracle SQL, then compare row count, sorted column names,
+and an order-insensitive canonicalized value multiset. Strictly exact —
+no float tolerance — so any query that passes here is deterministic
+enough for the driver's value-hash check.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import pytest
+
+from shippai_knowledge_etl_spark.catalog import load_catalog
+
+
+def _canon(v):
+    """Canonicalize a value so Spark and DuckDB collect() forms compare."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _canon(v.asDict())
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, [tuple(_canon(r[c]) for c in cols) for r in df.collect()]
+
+
+def _duck_rows(duck, sql):
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(_canon(row[i]) for i in order) for row in res.fetchall()]
+    return sorted(names), rows
+
+
+_SPECS = load_catalog()
+_WITH_ORACLE = [s for s in _SPECS.values() if s.oracle is not None]
+_ROWS_ONLY = [s for s in _SPECS.values() if s.oracle is None]
+
+
+@pytest.mark.parametrize("spec", _WITH_ORACLE, ids=lambda s: s.name)
+def test_oracle_parity(spark, duck, sf_dir, spec):
+    scols, srows = _spark_rows(spec.fn(spark, sf_dir))
+    dcols, drows = _duck_rows(duck, spec.oracle)
+    assert scols == dcols, f"{spec.name}: column mismatch {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{spec.name}: row count {len(srows)} != {len(drows)}"
+    )
+    sset, dset = sorted(map(repr, srows)), sorted(map(repr, drows))
+    mism = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+    assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
+
+
+@pytest.mark.parametrize("spec", _ROWS_ONLY, ids=lambda s: s.name)
+def test_rows_only_queries_run(spark, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 1
