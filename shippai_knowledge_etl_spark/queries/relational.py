@@ -1,1 +1,551 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational surface: joins, aggregations, windows, set ops, top-k.
+
+SURVEY.md §2.4–§2.7: the reference's join-shaped computations (J1–J3)
+plus the standard relational demonstrations the engine needs (semi/anti,
+multiway, range, as-of, rollup/cube/grouping sets, rank/lead/cumsum,
+union/intersect/except, top-k). All built-in Catalyst operators — no
+UDFs — so every query here is whole-stage-codegen'd.
+
+Scale notes applied throughout:
+  - dimension sides are explicitly ``broadcast()`` (no shuffle of the
+    fact table for dim joins);
+  - money aggregates run on exact DECIMAL inputs (order-independent,
+    hash-stable at any parallelism — float sums are neither);
+  - every window / top-k carries a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.tables import load
+
+
+def _money(col: str) -> F.Column:
+    """Exact money input: parquet doubles carry 2-decimal values."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _rate(col: str) -> F.Column:
+    """Exact rate input (discount/tax, 2-decimal)."""
+    return F.col(col).cast("decimal(5,2)")
+
+
+# --------------------------------------------------------------------------
+# Headline aggregations (bench)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    survey_ref="A1-family agg; TPC-H Q1 shape (SURVEY §2.4 built-ins)",
+    bench=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(5,2)))
+               * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem. Single shuffle on a low-cardinality
+    key (≤6 groups) with map-side partial aggregation; the shipdate
+    predicate pushes into the parquet scan, and only 7 of 11 columns are
+    read (column pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + _rate("l_tax"))).alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue",
+    survey_ref="top-k + multiway join (SURVEY §2.5/§2.6 built-ins)",
+    bench=True,
+    oracle="""
+    SELECT o.o_orderkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered customer (small after filter → broadcast)
+    ⋈ orders ⋈ lineitem, agg by orderkey, top-10. Catalyst plans
+    TakeOrderedAndProject for the limit — no full sort at scale.
+    Deterministic tie-break on o_orderkey."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_lookup_join",
+    survey_ref="J1 (src/extract.py:197-215): per-row enrichment as left join",
+    oracle="""
+    SELECT n.n_name,
+           count(c.c_custkey) AS n_customers,
+           sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scenario-enrichment lookup as a broadcast left
+    join: nation is a fixed 25-row dim — broadcast at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(_money("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "j2_semi_join",
+    survey_ref="J2 (src/extract.py:14-20,264): membership as left-semi join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having a large order — left_semi keeps the build side
+    out of the output (no duplicate-row blowup, smaller shuffle)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j3_anti_join",
+    survey_ref="J3-adjacent; anti join (SURVEY §2.6 built-ins)",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j4_multiway_region_revenue",
+    survey_ref="multiway dim chain (SURVEY §2.6); TPC-H Q5 shape",
+    bench=True,
+    oracle="""
+    SELECT r.r_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j4_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ three dim levels: customer/nation/region all broadcast, so
+    the only shuffle is lineitem⋈orders (both huge at 100 TB → sort-merge
+    on orderkey, AQE-skew-safe) plus the final 5-group agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "j5_range_join_buckets",
+    survey_ref="range join (SURVEY §2.6 'not present → built-in demo')",
+    oracle="""
+    WITH buckets(bucket, lo, hi) AS (
+      VALUES ('small', 0, 10), ('medium', 10, 25), ('large', 25, 51)
+    )
+    SELECT b.bucket, count(*) AS n_items,
+           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket
+    """,
+)
+def j5_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny literal dim: Spark plans a
+    BroadcastNestedLoopJoin — correct strategy when one side is rows-of-
+    constants; never shuffles the fact side."""
+    li = load(spark, sf_dir, "lineitem").select("l_quantity")
+    buckets = spark.createDataFrame(
+        [("small", 0, 10), ("medium", 10, 25), ("large", 25, 51)],
+        "bucket string, lo int, hi int",
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "j6_asof_latest_order",
+    survey_ref="as-of join (SURVEY §2.6 'not present → built-in demo')",
+    oracle="""
+    SELECT event_id, asof_orderkey FROM (
+      SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def j6_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order at or before its
+    timestamp. Spark-first strategy: equi-join on the key, then a
+    per-left-row window picks the latest match — one shuffle on the join
+    key, no per-row scans. (An O(1)-memory merge-asof over co-bucketed
+    sorted partitions is the 100 TB upgrade path; same result.)"""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct aggregates (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a_rollup_region_nation",
+    survey_ref="rollup (SURVEY §2.4 'not present → built-in demo')",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "a_cube_status_priority",
+    survey_ref="cube (SURVEY §2.4 'not present → built-in demo')",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).alias("sum_total"),
+    )
+
+
+@register(
+    "a_grouping_sets",
+    survey_ref="grouping sets (SURVEY §2.4 'not present → built-in demo')",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "a_distinct_agg",
+    survey_ref="distinct aggregates (SURVEY §2.4 'not present → built-in demo')",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates: Catalyst plans expand + two-phase
+    agg; at scale prefer approx_count_distinct (demoed rows-only in
+    ext_approx_distinct) when exactness isn't required."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.8 W5/W7 + ranking built-ins)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w5_cumulative_sum",
+    survey_ref="W5 (src/render_pdf.py:217-227): running position as cumsum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM orders
+    """,
+)
+def w5_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's running-y-position accumulator as the canonical
+    cumulative window frame. Partitioned by customer → parallel across
+    the cluster; no global sort."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money("o_totalprice")).over(w).alias("running_total"),
+    )
+
+
+@register(
+    "w7_lead_lag",
+    survey_ref="W7 (src/render_pdf.py:285-299): lead-dependent placement",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           CAST(epoch(lead(o_orderdate) OVER w) AS BIGINT)
+             - CAST(epoch(o_orderdate) AS BIGINT) AS sec_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def w7_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        (
+            F.unix_timestamp(F.lead("o_orderdate").over(w))
+            - F.unix_timestamp("o_orderdate")
+        ).alias("sec_to_next"),
+    )
+
+
+@register(
+    "o1_rank_in_nation",
+    survey_ref="O1 + ranking built-ins (SURVEY §2.5/§2.8)",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           rank()       OVER w AS bal_rank,
+           dense_rank() OVER w AS bal_dense_rank,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rownum
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def o1_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank tolerate ties; row_number carries an explicit
+    c_custkey tie-break (SURVEY §7.4: never rely on implicit order)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wn = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.row_number().over(wn).alias("bal_rownum"),
+    )
+
+
+@register(
+    "o2_topk_orders",
+    survey_ref="O2 limit pushdown (src/extract.py:404-406) + top-k",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject: per-partition top-k then a
+    k-row merge on the driver; the reference's in-scan `break` is the
+    degenerate single-partition case of the same pushdown."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_worklists",
+    survey_ref="U1 (src/run.py:66-77): worklist union",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def u1_union_worklists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "u3_intersect",
+    survey_ref="U3/intersect (SURVEY §2.7 built-ins)",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "u4_except",
+    survey_ref="U4 (src/render_pdf.py:187-201): set subtraction",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)  # EXCEPT (distinct) semantics, matches SQL EXCEPT

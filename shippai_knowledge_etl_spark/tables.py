@@ -31,10 +31,24 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; session TZ pinned to UTC first so
-    timestamp-derived values are independent of the caller's locale."""
+    timestamp-derived values are independent of the caller's locale.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long and rebuild a microsecond
+    timestamp with integer division — the same ns→µs truncation DuckDB
+    applies, so oracle comparisons stay exact.
+    """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
