@@ -1,0 +1,178 @@
+"""Golden tests for the scalar/fold function library.
+
+Expected values come from independent pure-Python implementations of the
+reference's documented behavior (requirements.md + SURVEY.md §2.3) —
+not from the Spark code under test — so these catch semantic drift the
+SQL oracles can't (continuation-line merging, degenerate inputs).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.functions import listparse, scalar
+
+
+# --- pure-python goldens (behavior per src/extract.py:149-180 spec) ------
+
+def golden_bullet(text: str) -> list[str]:
+    items: list[str] = []
+    for line in (l.strip() for l in text.split("\n")):
+        if not line:
+            continue
+        if line.startswith("・"):
+            items.append(line[1:].strip())
+        elif items:
+            items[-1] += line
+    return items
+
+
+def golden_numbered(text: str) -> list[str]:
+    items: list[str] = []
+    current: list[str] = []
+    for line in (l.strip() for l in text.split("\n")):
+        if not line:
+            continue
+        if re.match(r"^[0-9０-９]+[．.]\s*", line):
+            if current:
+                items.append("".join(current))
+            current = [re.sub(r"^[0-9０-９]+[．.]\s*", "", line)]
+        elif current:
+            current.append(line)
+    if current:
+        items.append("".join(current))
+    return items
+
+
+def golden_knowledge(text: str) -> list[str]:
+    text = text.strip()
+    if "・" in text:
+        return golden_bullet(text)
+    if re.search(r"^[0-9０-９]+[．.]\s*", text, re.MULTILINE):
+        return golden_numbered(text)
+    return [text] if text else []
+
+
+def golden_paragraphs(text: str) -> str:
+    lines = [line.strip() for line in text.split("\n")]
+    paragraphs, current = [], []
+    for line in lines:
+        if line:
+            current.append(line)
+        elif current:
+            paragraphs.append("\n".join(current))
+            current = []
+    if current:
+        paragraphs.append("\n".join(current))
+    return "\n\n".join(paragraphs)
+
+
+KNOWLEDGE_CASES = [
+    "・first item\n・second item\ncontinuation merged\n・third",
+    "continuation before any item is dropped\n・only item",
+    "1. one\nmerged\n2. two\n3. three",
+    "１．full width\nふた続き\n２．second",
+    "12．multi digit\n1.dot no space",
+    "plain single item text",
+    "  \n  ",
+    "",
+    "・",
+    "0. zero\n\n\n1. one after blanks",
+]
+
+PARAGRAPH_CASES = [
+    "line one\nline two\n\npara two\n",
+    "\n\n  \n a \n\n\n b \n\n",
+    "single",
+    "",
+    "  spaced  \n\ttabbed\t\n\nnext",
+]
+
+
+@pytest.fixture(scope="module")
+def run_expr(spark):
+    def _run(values: list[str], expr):
+        df = spark.createDataFrame([(v,) for v in values], "t string")
+        return [r["out"] for r in df.select(expr(F.col("t")).alias("out")).collect()]
+
+    return _run
+
+
+def test_parse_knowledge_golden(run_expr):
+    got = run_expr(KNOWLEDGE_CASES, listparse.parse_knowledge)
+    want = [golden_knowledge(t) for t in KNOWLEDGE_CASES]
+    assert got == want
+
+
+def test_paragraphs_golden(run_expr):
+    got = run_expr(PARAGRAPH_CASES, scalar.paragraphs)
+    want = [golden_paragraphs(t) for t in PARAGRAPH_CASES]
+    assert got == want
+
+
+def test_date_normalize_golden(run_expr):
+    cases = [
+        "2006年06月15日",
+        "2006年6月5日",
+        "平成18年",
+        "1999年12月31日 ごろ",
+        "",
+        "2020年13月40日",  # reference does not range-check — formats anyway
+    ]
+
+    def golden(t: str) -> str:
+        m = re.search(r"(\d{4})年(\d{1,2})月(\d{1,2})日", t)
+        if m:
+            return f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
+        return t
+
+    got = run_expr(cases, scalar.normalize_jp_date)
+    assert got == [golden(t) for t in cases]
+
+
+def test_leading_int_golden(run_expr):
+    cases = ["3名", "約12名が負傷", "なし", "", "0人", "12345"]
+    got = run_expr(cases, scalar.leading_int)
+    want = [int(m.group()) if (m := re.search(r"\d+", t)) else 0 for t in cases]
+    assert got == want
+
+
+def test_split_filename_limit2(run_expr):
+    cases = ["CZ0001_name_with_under", "a_b", "nounderscore"]
+    got = run_expr(cases, lambda c: F.array(*scalar.split_filename(c)))
+    assert got[0] == ["CZ0001", "name_with_under"]
+    assert got[1] == ["a", "b"]
+    assert got[2] == ["nounderscore", None]
+
+
+def test_scale_to_fit_never_upscales(run_expr):
+    out = run_expr(
+        ["x"],
+        lambda c: F.array(
+            *scalar.scale_to_fit(F.lit(100.0), F.lit(50.0), 480.0, 360.0)
+        ),
+    )
+    assert out[0] == [100.0, 50.0]
+    out2 = run_expr(
+        ["x"],
+        lambda c: F.array(
+            *scalar.scale_to_fit(F.lit(960.0), F.lit(360.0), 480.0, 360.0)
+        ),
+    )
+    assert out2[0] == [480.0, 180.0]
+
+
+def test_separator_decode_examples(run_expr):
+    # width 15 → first group (items 1-3); width 35 → after item 6.
+    out = run_expr(
+        ["x"],
+        lambda c: F.array(
+            scalar.separator_item_after(F.lit(15)),
+            scalar.separator_item_after(F.lit(35)),
+            scalar.separator_item_after(F.lit(55)),
+        ),
+    )
+    assert out[0] == [3, 6, 9]
