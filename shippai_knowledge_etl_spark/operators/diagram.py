@@ -1,0 +1,253 @@
+"""Diagonal-diagram layout math as columnar DataFrame transforms.
+
+Re-expresses ``build_diagonal_diagram`` (src/render_pdf.py:141-321) —
+the reference's most computation-dense function — as pure expressions
+and window functions over an exploded items table (SURVEY.md §2.8
+W3–W7). The output is a ``draw_ops`` table (rect / string / line rows);
+actual PDF emission is an edge sink (SURVEY §7.2 step 9), deliberately
+separated from the layout math so the math is testable and distributed.
+
+Units: integer tenth-millimetres (the reference uses float mm·pt); all
+arithmetic is exact, halving goes through doubles (exact for ints).
+Every transform partitions by the case id — one case's diagram never
+crosses an executor boundary, so the whole layer scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Layout constants, tenth-mm (reference src/render_pdf.py:204-213).
+BAR_W = 420
+BAR_H = 55
+STEP_X = 38
+STEP_Y = 72
+SEP_EXTRA = 30
+DSEP_EXTRA = 50
+MARGIN_LEFT = 20
+MARGIN_TOP = 80
+BOTTOM_PAD = 50
+BRACE_GAP = 20
+
+CATEGORY_COLORS = {
+    "cause": "#dce6f1",
+    "action": "#e2efda",
+    "result": "#fce4d6",
+}
+
+
+def _tagged(scenario: Column, cat: str) -> Column:
+    return F.transform(
+        F.flatten(scenario.getField(cat)),
+        lambda x: F.struct(x.alias("text"), F.lit(cat).alias("category")),
+    )
+
+
+def flatten_renumber(df: DataFrame, id_col: str, scenario_col: str = "scenario") -> DataFrame:
+    """W3: nested category groups → flat (idx0, num, text, category) with
+    a dense global numbering 1..N across cause→action→result
+    (src/render_pdf.py:149-172). Pure posexplode — position comes from
+    array order, never row order (SURVEY §7.4 item 1).
+
+    Also carries ``cause_count`` / ``action_end`` / ``total_items`` —
+    the reference's category-boundary scalars.
+    """
+    s = F.col(scenario_col)
+    all_items = F.concat(_tagged(s, "cause"), _tagged(s, "action"), _tagged(s, "result"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.flatten(s.getField("cause"))).alias("cause_count"),
+            (
+                F.size(F.flatten(s.getField("cause")))
+                + F.size(F.flatten(s.getField("action")))
+            ).alias("action_end"),
+            F.posexplode(all_items).alias("idx0", "item"),
+        )
+        .select(
+            id_col,
+            "cause_count",
+            "action_end",
+            "idx0",
+            (F.col("idx0") + 1).alias("num"),
+            F.col("item.text").alias("text"),
+            F.col("item.category").alias("category"),
+        )
+        .withColumn(
+            "total_items",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)),
+        )
+    )
+
+
+def _running_ends(sizes: Column, offset: Column) -> Column:
+    """Cumulative group-end indices (0-based) for one category's groups,
+    shifted by the category's absolute start offset (A4,
+    src/render_pdf.py:176-201)."""
+    cum = F.aggregate(
+        F.transform(sizes, lambda g: F.size(g)),
+        F.expr("CAST(array() AS ARRAY<INT>)"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x)
+        ),
+    )
+    return F.transform(cum, lambda e: e + offset - 1)
+
+
+def boundary_markers(df: DataFrame, id_col: str, scenario_col: str = "scenario") -> DataFrame:
+    """W4: per case, the 0-indexed item positions that get a single
+    separator line (group ends) and a double line (category ends, which
+    override singles; the last item gets none) —
+    src/render_pdf.py:176-201 + U4 set subtraction.
+    Output: (id, singles array<int>, doubles array<int>).
+    """
+    s = F.col(scenario_col)
+    cause_n = F.size(F.flatten(s.getField("cause")))
+    action_n = F.size(F.flatten(s.getField("action")))
+    result_n = F.size(F.flatten(s.getField("result")))
+    total = cause_n + action_n + result_n
+    ends = F.concat(
+        _running_ends(s.getField("cause"), F.lit(0)),
+        _running_ends(s.getField("action"), cause_n),
+        _running_ends(s.getField("result"), cause_n + action_n),
+    )
+    doubles = F.concat(
+        F.when(cause_n > 0, F.array(cause_n - 1)).otherwise(
+            F.expr("CAST(array() AS ARRAY<INT>)")
+        ),
+        F.when(action_n > 0, F.array(cause_n + action_n - 1)).otherwise(
+            F.expr("CAST(array() AS ARRAY<INT>)")
+        ),
+    )
+    singles = F.array_except(F.array_except(ends, doubles), F.array(total - 1))
+    # NB: a double at the final index stays in the set — it still widens
+    # the canvas (y-extra loop, src/render_pdf.py:222-226) even though
+    # the draw loop stops before it; separator_line_ops filters it.
+    return df.select(
+        F.col(id_col),
+        total.alias("total_items"),
+        F.array_sort(singles).alias("singles"),
+        F.array_sort(doubles).alias("doubles"),
+    )
+
+
+def with_y_positions(items: DataFrame, markers: DataFrame, id_col: str) -> DataFrame:
+    """W5: running y position with data-dependent spacing — the
+    cumulative-window form of the reference's y accumulation loop
+    (src/render_pdf.py:217-227):
+      y[i] = margin_top + i*step_y + Σ_{j<i} extra[j]
+    plus the per-case total height (drawing canvas extent).
+    """
+    j = items.join(markers.drop("total_items"), on=id_col)
+    extra = (
+        F.when(F.array_contains("doubles", F.col("idx0")), F.lit(DSEP_EXTRA))
+        .when(F.array_contains("singles", F.col("idx0")), F.lit(SEP_EXTRA))
+        .otherwise(F.lit(0))
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("idx0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(id_col)
+    out = j.withColumn("extra", extra).withColumn(
+        "y",
+        F.lit(MARGIN_TOP)
+        + F.col("idx0") * STEP_Y
+        + F.coalesce(F.sum("extra").over(w_prev), F.lit(0)),
+    )
+    return out.withColumn(
+        "total_h",
+        F.lit(MARGIN_TOP)
+        + F.col("total_items") * STEP_Y
+        + F.sum("extra").over(w_all)
+        + F.lit(BOTTOM_PAD),
+    )
+
+
+def category_ranges(items: DataFrame, id_col: str) -> DataFrame:
+    """W6/A5: per category present, first/last item index and the mid
+    index used for brace-label placement (src/render_pdf.py:257-269)."""
+    return items.groupBy(id_col, "category").agg(
+        F.min("idx0").alias("first_idx"),
+        F.max("idx0").alias("last_idx"),
+        F.floor((F.min("idx0") + F.max("idx0")) / 2).cast("int").alias("mid_idx"),
+    )
+
+
+def rect_ops(positioned: DataFrame, id_col: str) -> DataFrame:
+    """Item bars + their numbered labels (src/render_pdf.py:238-255).
+    PDF y grows upward: y_pdf = total_h - y - bar_h."""
+    color = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in CATEGORY_COLORS.items() for x in kv]
+        ),
+        F.col("category"),
+    )
+    return positioned.select(
+        F.col(id_col),
+        F.col("idx0"),
+        F.lit("rect").alias("op"),
+        (F.lit(MARGIN_LEFT) + F.col("idx0") * STEP_X).alias("x"),
+        (F.col("total_h") - F.col("y") - BAR_H).alias("y_pdf"),
+        F.lit(BAR_W).alias("w"),
+        F.lit(BAR_H).alias("h"),
+        color.alias("fill"),
+        F.format_string("%02d. %s", F.col("num"), F.col("text")).alias("label"),
+    )
+
+
+def separator_line_ops(positioned: DataFrame, id_col: str) -> DataFrame:
+    """W7: separator lines between item i and i+1, placed from item i's
+    position (src/render_pdf.py:285-299). Double lines are a ±1-unit
+    pair; singles a single thin line. Emitted only for i < total-1
+    (guaranteed by boundary_markers dropping the last index)."""
+    is_double = F.array_contains("doubles", F.col("idx0"))
+    is_single = F.array_contains("singles", F.col("idx0"))
+    mid = F.when(is_double, F.lit(DSEP_EXTRA / 2.0)).otherwise(F.lit(SEP_EXTRA / 2.0))
+    y_line = F.col("total_h") - (F.col("y") + STEP_Y + mid) - BAR_H / 2.0
+    x_start = F.when(
+        is_double, F.lit(MARGIN_LEFT) + (F.col("idx0") + 1) * STEP_X - 10
+    ).otherwise(F.lit(MARGIN_LEFT) + (F.col("idx0") + 1) * STEP_X)
+    x_end = F.when(is_double, x_start + BAR_W + BRACE_GAP).otherwise(x_start + BAR_W)
+    return (
+        positioned.filter(
+            (is_double | is_single) & (F.col("idx0") < F.col("total_items") - 1)
+        )
+        .select(
+            F.col(id_col),
+            F.col("idx0"),
+            F.when(is_double, F.lit("double")).otherwise(F.lit("single")).alias(
+                "line_type"
+            ),
+            x_start.alias("x_start"),
+            x_end.alias("x_end"),
+            y_line.alias("y_line"),
+        )
+    )
+
+
+def brace_ops(positioned: DataFrame, id_col: str) -> DataFrame:
+    """Category braces: vertical extent spans the category's first/last
+    bar; the label sits at the vertical midpoint
+    (src/render_pdf.py:257-283)."""
+    per_cat = positioned.groupBy(id_col, "category").agg(
+        F.min("idx0").alias("first_idx"),
+        F.max("idx0").alias("last_idx"),
+        F.max("total_h").alias("total_h"),
+        F.min_by("y", "idx0").alias("y_first"),
+        F.max_by("y", "idx0").alias("y_last"),
+    )
+    y_top = F.col("total_h") - F.col("y_first")
+    y_bot = F.col("total_h") - F.col("y_last") - BAR_H
+    return per_cat.select(
+        F.col(id_col),
+        "category",
+        (F.lit(MARGIN_LEFT) + F.col("last_idx") * STEP_X + BAR_W + BRACE_GAP).alias(
+            "brace_x"
+        ),
+        y_top.cast("double").alias("y_top"),
+        y_bot.cast("double").alias("y_bot"),
+        ((y_top + y_bot) / 2.0).alias("label_y"),
+    )
