@@ -1,0 +1,200 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11 [EXT]).
+
+Exact (content-hash), n-gram Jaccard (relational all-pairs within a
+blocking key), MinHash+LSH banding, and SimHash. The Jaccard path uses
+the explode-join-count form — the shape that scales (shuffle on shingle,
+then on pair) — rather than array-ops over materialized pairs, which
+would be quadratic per partition.
+
+Scale notes:
+  - exact dedup: one shuffle on the 256-bit hash; skew-free.
+  - shingle join: prefix filtering / df-pruning is the 100 TB upgrade;
+    blocking keys (here: ``source``) bound the candidate space.
+  - MinHash LSH: band buckets shuffle only signatures (16 longs/doc),
+    not text; candidate verification re-joins shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+
+def content_hash(col: Column) -> Column:
+    return F.sha2(col, 256)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map every row to its canonical (lowest-id) duplicate-group
+    representative. Window-min over the hash partition — deterministic,
+    single shuffle."""
+    h = content_hash(F.col(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def shingles(col: Column, n: int = 3, max_tokens: int = 12) -> Column:
+    """Distinct n-gram (word) shingles over the first ``max_tokens``
+    tokens. Bounding token count keeps shingle cardinality per doc O(1)
+    for the demo; production drops the bound."""
+    toks = F.slice(tokenize(col), 1, max_tokens)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, block_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing a blocking key.
+
+    Relational form: explode shingles → self-join on (block, shingle)
+    → per-pair intersection count → join per-doc shingle counts →
+    jaccard = |∩| / (|A|+|B|-|∩|). Every step is a hash join/agg on a
+    bounded key — no quadratic array work, no driver collect.
+    """
+    rows = shingle_rows(df, id_col, text_col, block_col)
+    counts = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = rows.select(
+        F.col("block"), F.col("shingle"), F.col(id_col).alias("id_a")
+    )
+    b = rows.select(
+        F.col("block").alias("block_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.block == b.block_b)
+            & (a.shingle == b.shingle_b)
+            & (a.id_a < b.id_b),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (no SQL oracle — hash functions are engine-specific;
+# the driver records a rows-only check and pytest validates the invariants)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+BAND_SIZE = 4
+
+
+def minhash_signature(col: Column) -> Column:
+    """16-permutation MinHash signature: min over shingles of
+    xxhash64(seed_i ++ shingle). Pure expressions — signatures compute
+    in the scan stage, only 16 longs/doc ever shuffle."""
+    sh = shingles(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
+        ),
+    )
+
+
+def lsh_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Signature → band rows (band_idx, band_hash). Docs agreeing on any
+    band are candidate pairs (b=4 bands × r=4 rows → s-curve threshold
+    ≈ (1/4)^(1/4) ≈ 0.71 Jaccard)."""
+    sig = minhash_signature(F.col(text_col))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.md5(F.concat_ws("_", F.slice(sig, b * BAND_SIZE + 1, BAND_SIZE))).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct candidate pairs from LSH bucket collisions."""
+    rows = lsh_band_rows(df, id_col, text_col)
+    a = rows.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
+    b = rows.select(
+        F.col("band_idx").alias("bi"),
+        F.col("band_hash").alias("bh"),
+        F.col(id_col).alias("id_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band_idx == b.bi) & (a.band_hash == b.bh) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit demo width; 64-bit is the same expression with a wider
+# sequence). Spark-only hashes → rows-only check.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(col: Column) -> Column:
+    """Per-bit majority vote over token hashes, packed into a long.
+    Bit positions are Python-level (shift amounts must be literals), so
+    this unrolls to 16 independent fold expressions — still pure
+    codegen'd columns, no UDF."""
+    toks = tokenize(col)
+
+    def _votes(b: int) -> Column:
+        def step(acc: Column, t: Column) -> Column:
+            bit = F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), step)
+
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(_votes(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out

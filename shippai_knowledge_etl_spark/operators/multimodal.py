@@ -1,0 +1,114 @@
+"""Multimodal (binary) column plumbing (SURVEY.md §2.11 [EXT]; S4).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs; decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` UDFs. The decode libraries (PIL / torchaudio / ffmpeg)
+are NOT in this container, so the decode step is STUBBED: when the
+library import fails we fall back to a deterministic fake decoder so
+the Spark-side plumbing — schema, batching, partitioning, UDF
+signature — is real and tested end-to-end. The real-decode branch
+raises NotImplementedError loudly rather than silently faking.
+
+Reference analog: ``download_image`` returning None on failure
+(src/render_pdf.py:90-98) — failure tolerance as nullable columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, width int, height int, channels int, ok boolean"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulated ingestion: a binary payload column + metadata struct
+    (mime/size), as a binaryFile-source scan would produce. The payload
+    is the UTF-8 encoding of the text — deterministic and content-sized."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for image decode: dimensions derived from
+    the byte length. Mirrors what a real decoder returns (w, h, c)."""
+    n = len(payload)
+    return (n % 640 + 16, (n // 640) % 480 + 16, 3)
+
+
+def decode_image_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Image decode → feature columns via Arrow-batched mapInPandas.
+
+    Batch shape: one pandas DataFrame per Arrow batch; output rows are
+    independent per input row (narrow map — scales linearly). Failures
+    become ok=false rows, never task failures (errors-are-data rule).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if use_real_decoder:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image decode needs Pillow, which is not in this "
+                    "container; use use_real_decoder=False (deterministic fake)"
+                ) from e
+            raise NotImplementedError("real decode path not wired yet")
+        for pdf in it:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c = _fake_decode(bytes(payload))
+                    feats.append((int(doc_id), len(payload), w, h, c, True))
+                except Exception:
+                    feats.append((int(doc_id), None, None, None, None, False))
+            yield pd.DataFrame(
+                feats,
+                columns=["doc_id", "byte_len", "width", "height", "channels", "ok"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Video-style frame sampling stub: split the payload into n equal
+    byte windows ("frames") and fingerprint each — the UDTF-shaped
+    one-row→many-rows pattern over binary columns."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step]
+                    rows.append(
+                        (int(doc_id), i, hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash"])
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -1,1 +1,119 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication query surface (SURVEY.md §2.11 [EXT]).
+
+Exact and n-gram-Jaccard dedup carry full DuckDB oracles (the exact
+oracle groups by raw text — ground truth that hashing ≡ equality).
+MinHash/SimHash use engine hashes (xxhash64) with no DuckDB equivalent,
+so the driver records rows-only checks; their invariants (planted
+duplicates are found; LSH candidates ⊇ high-jaccard pairs) are pytest-
+verified in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import dedup
+from shippai_knowledge_etl_spark.tables import load
+
+
+def documents_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 25th doc (id + 100000) — so
+    dedup results are non-trivially non-empty and fully predictable."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    return d.unionByName(copies)
+
+
+_PLANTED_SQL = """
+    planted AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 25 = 0)
+"""
+
+
+@register(
+    "dedup_exact",
+    survey_ref="[EXT] exact dedup: sha2 grouping, canonical = min id",
+    bench=True,
+    oracle=f"""
+    WITH {_PLANTED_SQL}
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM planted
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-group dedup. The oracle partitions by raw text, proving the
+    sha2-256 grouping is equivalent to content equality on this corpus."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    return dedup.exact_dedup(df, "doc_id", "text").select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey_ref="[EXT] n-gram Jaccard all-pairs within a blocking key",
+    bench=True,
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM (SELECT doc_id, source,
+                     list_slice(list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
+                       x -> x <> ''), 1, 12) AS toks
+              FROM documents))),
+    counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter, ca.n_shingles AS n_a, cb.n_shingles AS n_b,
+           n_inter / CAST(ca.n_shingles + cb.n_shingles - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_inter / CAST(ca.n_shingles + cb.n_shingles - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational all-pairs Jaccard (explode→join→count), blocked by
+    ``source``. The join keys are (block, shingle) — bounded fanout,
+    no quadratic array work; prefix filtering is the 100 TB upgrade."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", "source", threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey_ref="[EXT] MinHash+LSH banding (engine hashes → rows-only check)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from 16-hash signatures in 4 bands of 4.
+    Only signatures shuffle; candidates verified downstream by
+    dedup_ngram_jaccard's exact pass."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    return dedup.minhash_candidate_pairs(df, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash",
+    survey_ref="[EXT] SimHash per-doc signature (engine hashes → rows-only)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = documents_with_planted_dups(spark, sf_dir)
+    return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))

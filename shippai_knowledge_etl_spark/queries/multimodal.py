@@ -1,1 +1,52 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column query surface (SURVEY.md §2.11 [EXT]; S4).
+
+The decode step is a deterministic fake (decode libs absent in this
+container — see operators.multimodal), so the Arrow-batched mapInPandas
+plumbing is fully oracle-checkable: the oracle restates the fake's
+arithmetic over byte lengths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import multimodal
+from shippai_knowledge_etl_spark.tables import load
+
+
+@register(
+    "mm_image_features",
+    survey_ref="[EXT] binary payload → mapInPandas feature extraction (S4)",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(strlen(text) % 640 + 16 AS INT) AS width,
+           CAST((strlen(text) // 640) % 480 + 16 AS INT) AS height,
+           3 AS channels,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    return multimodal.decode_image_features(payloads)
+
+
+@register(
+    "mm_frame_sample",
+    survey_ref="[EXT] binary payload → frame sampling (1 row → n rows)",
+    oracle="""
+    WITH n AS (SELECT doc_id, text, greatest(1, strlen(text) // 3) AS step
+               FROM documents),
+    f AS (SELECT doc_id, text, step, unnest([0, 1, 2]) AS frame_idx FROM n)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, frame_idx * step + 1, step)) AS frame_hash
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    return multimodal.sample_frames(payloads, n_frames=3)

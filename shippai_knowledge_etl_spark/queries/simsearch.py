@@ -1,1 +1,79 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search query surface (SURVEY.md §2.11 [EXT])."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import simsearch
+from shippai_knowledge_etl_spark.tables import load
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+# DuckDB cosine over double-promoted lists; round(6) on both sides
+# absorbs last-ulp summation-order differences.
+_COS = (
+    "round(list_inner_product(a.emb_d, q.emb_d) / "
+    "(sqrt(list_inner_product(a.emb_d, a.emb_d)) * "
+    "sqrt(list_inner_product(q.emb_d, q.emb_d))), 6)"
+)
+
+
+@register(
+    "simsearch_topk_cosine",
+    survey_ref="[EXT] brute-force cosine top-k (exactness baseline)",
+    bench=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb_d FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT q.query_id, a.vec_id, {_COS} AS sim
+    FROM e a, q WHERE a.vec_id <> q.query_id
+    ORDER BY sim DESC, a.vec_id ASC LIMIT {TOP_K}
+    """,
+)
+def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    return simsearch.topk_cosine(e, q, TOP_K)
+
+
+@register(
+    "simsearch_ivf_bucket",
+    survey_ref="[EXT] IVF-style bucket-pruned top-k (scale path)",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, emb_d
+          FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT q.query_id, a.vec_id, {_COS} AS sim
+    FROM e a, q WHERE a.vec_id <> q.query_id AND a.label = q.qlabel
+    ORDER BY sim DESC, a.vec_id ASC LIMIT {TOP_K}
+    """,
+)
+def simsearch_ivf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search only the query's coarse bucket (label = cluster id stand-
+    in). With bucket-partitioned storage this is partition pruning —
+    the scan shrinks by the bucket count."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    return simsearch.topk_cosine_bucketed(e, q, TOP_K, "label")
+
+
+@register(
+    "simsearch_near_dup",
+    survey_ref="[EXT] embedding-cosine near-dup with planted duplicates",
+    oracle="""
+    -- Ground truth: the planted copies are the ONLY pairs with
+    -- cosine ≥ 0.999 (max organic pair sim in this corpus < 0.6).
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def simsearch_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(copies)
+    return simsearch.near_dup_pairs(corpus, threshold=0.999, bucket_col="label")

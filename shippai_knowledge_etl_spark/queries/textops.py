@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis query surface (SURVEY.md §2.11 [EXT])."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import textops
+from shippai_knowledge_etl_spark.tables import load
+
+# DuckDB-side mirror of textops.tokenize (RE2 shares Java's \p classes).
+_TOKS = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@register(
+    "ext_token_counts",
+    survey_ref="[EXT] token counting (whitespace + BPE-ish regex)",
+    bench=True,
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '[\\p{{L}}\\p{{Nd}}]+|[^\\p{{L}}\\p{{Nd}}\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws, bpe = textops.token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "ext_quality_score",
+    survey_ref="[EXT] quality scoring (length/punct/stopword ratios)",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(regexp_extract_all(text, '[^\\p{{L}}\\p{{Nd}}\\s]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','is')))
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len
+    FROM t
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = textops.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+_LANG_SCORE_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, '{lang}' AS lang,
+        len(list_filter({_TOKS}, x -> x IN ({", ".join("'" + w + "'" for w in words)})))
+          AS score FROM documents"""
+    for lang, words in sorted(textops.LANG_MARKERS.items())
+)
+
+
+@register(
+    "ext_langid_scores",
+    survey_ref="[EXT] language-ID: per-language marker-hit scores",
+    oracle=f"SELECT doc_id, lang, CAST(score AS INT) AS score FROM ({_LANG_SCORE_SQL})",
+)
+def ext_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return textops.langid_scores(d, "doc_id", "text").select(
+        "doc_id", "lang", F.col("score").cast("int")
+    )
+
+
+@register(
+    "ext_langid_predict",
+    survey_ref="[EXT] language-ID: argmax with deterministic tie-break",
+    oracle=f"""
+    SELECT doc_id, lang AS pred_lang, CAST(score AS INT) AS score
+    FROM ({_LANG_SCORE_SQL})
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang ASC) = 1
+    """,
+)
+def ext_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scores = textops.langid_scores(d, "doc_id", "text")
+    return textops.langid_predict(scores, "doc_id").select(
+        "doc_id", "pred_lang", F.col("score").cast("int")
+    )
+
+
+@register(
+    "ext_fingerprint",
+    survey_ref="[EXT] document fingerprinting (md5 whole + rolling windows)",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 greatest(1, CAST((len(toks) - 8) // 4 + 1 AS INT)) AS n_win
+          FROM t)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS doc_fp,
+           list_transform(range(0, n_win),
+             i -> md5(array_to_string(list_slice(toks, i*4 + 1, i*4 + 8), ' '))
+           ) AS window_fps
+    FROM n
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.fingerprint(F.col("text")).alias("doc_fp"),
+        textops.window_fingerprints(F.col("text")).alias("window_fps"),
+    )

@@ -1,0 +1,66 @@
+"""Invariant tests for the engine-hash dedup ops (no SQL oracle).
+
+MinHash/SimHash use xxhash64 — DuckDB can't replicate them, so the
+driver only rows-checks those queries. These tests pin the semantic
+invariants instead: planted exact duplicates MUST collide.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators import dedup, simsearch
+from shippai_knowledge_etl_spark.queries.dedup import documents_with_planted_dups
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    return documents_with_planted_dups(spark, sf_dir).cache()
+
+
+def test_minhash_finds_planted_duplicates(planted):
+    expected = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in planted.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(planted, "doc_id", "text").collect()
+    }
+    # Identical docs have identical signatures → every band collides.
+    assert expected <= got
+
+
+def test_simhash_identical_docs_equal_signature(planted):
+    sigs = planted.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    for doc_id, sig in by_id.items():
+        if doc_id >= 100000:
+            assert sig == by_id[doc_id - 100000]
+    assert 0 <= min(by_id.values()) and max(by_id.values()) < (1 << dedup.SIMHASH_BITS)
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f g h",), ("a b c d e f g h",), ("x y z w v u t s",)],
+        "text string",
+    )
+    rows = df.select(dedup.minhash_signature(F.col("text")).alias("sig")).collect()
+    assert all(len(r.sig) == dedup.N_HASHES for r in rows)
+    assert rows[0].sig == rows[1].sig
+    assert rows[0].sig != rows[2].sig
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").limit(5)
+    sims = e.select(
+        F.round(simsearch.cosine(F.col("embedding"), F.col("embedding")), 6).alias("s")
+    ).collect()
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sims)
