@@ -40,6 +40,8 @@ def canon(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "asDict"):  # pyspark Row (a tuple subclass - check first)
+        return canon(v.asDict())
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):

@@ -1,1 +1,234 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time window demos + edge-source demos (SURVEY.md §2.10, §2.9).
+
+The window functions are the SAME code the streaming pipelines use
+(streaming/windows.py) — run here in batch mode so the driver's DuckDB
+oracle can check them. True streaming execution (watermarks advancing,
+foreachBatch manifests, dropDuplicatesWithinWatermark) is exercised in
+tests/test_streaming.py with availableNow triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.schemas import CASE_SCHEMA
+from shippai_knowledge_etl_spark.streaming import windows as W
+from shippai_knowledge_etl_spark.tables import load
+
+
+@register(
+    "stream_tumbling_window",
+    survey_ref="§2.10 tumbling window over events (batch=streaming code)",
+    bench=True,
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_window",
+    survey_ref="§2.10 sliding window (10m width / 5m slide)",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)]) AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n FROM starts GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in exactly two 10m/5m windows; the oracle
+    derives both starts arithmetically."""
+    return W.sliding_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    survey_ref="§2.10 session windows (30m gap) per user",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window vs an independent gaps-and-islands oracle — the
+    strongest cross-check in the streaming cluster."""
+    return W.session_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dead_letter_manifest",
+    survey_ref="§2.10 fault isolation + A1 manifest over a batch "
+    "(src/run.py:93-131)",
+    oracle="""
+    SELECT count(*) AS total,
+           count(CASE WHEN NOT (event_type = 'error' OR value < 0.1)
+                 THEN 1 END) AS n_success,
+           count(CASE WHEN event_type <> 'error' AND value < 0.1
+                 THEN 1 END) AS n_excluded,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+    FROM events
+    """,
+)
+def stream_dead_letter_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.status_manifest(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Edge sources: HTML parse (S1/P2) and the assembled nested case model
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s1_html_parse",
+    survey_ref="S1/P2 (src/extract.py:34-38,57-82): HTML→tall rows edge UDF",
+    oracle="""
+    -- Oracle restates the EXPECTED parse of the generated page: three
+    -- label rows (one with the wrong bgcolor, which the parser keeps
+    -- but the P2 filter drops → only 2 survive) + the /mf/ anchor row.
+    WITH expected AS (
+      SELECT o_orderkey, r.*
+      FROM orders, LATERAL (VALUES
+        (0, '事例名称', o_orderpriority, '#DFE9F2', NULL),
+        (2, '事例概要', 'img' || o_orderstatus, '#DFE9F2',
+             printf('/mf/m%d.jpg', o_orderkey % 9))
+      ) r(row_idx, label, value, bgcolor, href))
+    SELECT o_orderkey AS case_key, row_idx, label, value,
+           upper(bgcolor) AS bgcolor, href
+    FROM expected
+    """,
+)
+def s1_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate a reference-shaped case page per order, parse it with
+    the stdlib-HTML edge UDF, filter on the bgcolor sentinel. The
+    middle row has bgcolor #FFFFFF and must be dropped by P2."""
+    from shippai_knowledge_etl_spark.sources.html_parse import label_rows
+
+    o = load(spark, sf_dir, "orders")
+    page = F.format_string(
+        "<table>"
+        '<tr><td bgcolor="#DFE9F2">事例名称</td><td>%s</td></tr>'
+        '<tr><td bgcolor="#FFFFFF">無視</td><td>skipped</td></tr>'
+        '<tr><td bgcolor="#dfe9f2">事例概要</td>'
+        '<td><a href="/mf/m%d.jpg">img</a>%s</td></tr>'
+        "</table>",
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 9).cast("int"),
+        F.col("o_orderstatus"),
+    )
+    rows = label_rows(page)
+    return (
+        o.select(F.col("o_orderkey").alias("case_key"), F.explode(rows).alias("r"))
+        .select(
+            "case_key",
+            "r.row_idx",
+            "r.label",
+            "r.value",
+            F.upper("r.bgcolor").alias("bgcolor"),
+            "r.href",
+        )
+    )
+
+
+@register(
+    "case_assembly",
+    survey_ref="full nested case model (requirements.md:107-142; §3.2 "
+    "end-to-end assembly)",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             str_split(text, ' ') AS t,
+             CAST(4 + doc_id % 9 AS INT) AS n_items
+      FROM documents)
+    SELECT printf('CZ%07d', doc_id) AS case_id,
+           t[1] AS case_name,
+           printf('https://www.shippai.org/fkd/cf/CZ%07d.html', doc_id) AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'June 2006'
+                ELSE printf('%04d-%02d-%02d', 1995 + doc_id % 7,
+                            1 + doc_id % 12, 1 + doc_id % 28) END AS date_str,
+           CASE WHEN doc_id % 5 <> 0
+                THEN CAST(printf('%04d-%02d-%02d', 1995 + doc_id % 7,
+                                 1 + doc_id % 12, 1 + doc_id % 28) AS DATE)
+           END AS date,
+           CAST(doc_id % 4 AS INT) AS deaths,
+           CAST(doc_id % 7 AS INT) AS injuries,
+           CASE WHEN doc_id % 3 = 2 THEN [t[2] || ' ' || t[3]]
+                ELSE [t[2], t[3]] END AS knowledge,
+           list_slice(t, 1, 3) AS sources_list,
+           true AS has_scenario
+    FROM tok
+    """,
+)
+def case_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end nested assembly using the engine's own operators:
+    F1 date normalize (with passthrough), F2 casualty ints, F6
+    knowledge parse, F7 source split, W1/W2 scenario chunking, P11
+    presence — the §3.2 extract pipeline minus the network edge.
+    Output keeps SQL-comparable columns; the full CASE_SCHEMA
+    round-trip (incl. scenario struct) is pytest-checked via
+    sinks.json_roundtrip_check."""
+    from shippai_knowledge_etl_spark.functions import listparse, nested, scalar
+    from shippai_knowledge_etl_spark.queries.nested import (
+        scenario_source,
+        scenario_struct,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    date_raw = F.when(F.col("doc_id") % 5 == 0, F.lit("June 2006")).otherwise(
+        F.format_string(
+            "%04d年%d月%d日",
+            (F.lit(1995) + F.col("doc_id") % 7).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 12).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 28).cast("int"),
+        )
+    )
+    knowledge_text = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.concat(F.get(t, 1), F.lit(" "), F.get(t, 2)),
+    ).otherwise(F.concat(F.lit("・"), F.get(t, 1), F.lit("\n・"), F.get(t, 2)))
+    scenario = scenario_struct(scenario_source(spark, sf_dir)).select(
+        "doc_id", "scenario"
+    )
+    assembled = d.join(scenario, "doc_id").select(
+        "doc_id",
+        F.format_string("CZ%07d", F.col("doc_id")).alias("case_id"),
+        F.get(t, 0).alias("case_name"),
+        F.format_string(
+            "https://www.shippai.org/fkd/cf/CZ%07d.html", F.col("doc_id")
+        ).alias("url"),
+        scalar.normalize_jp_date(date_raw).alias("date_str"),
+        scalar.try_date(date_raw).alias("date"),
+        # casualties kept flat here: the driver's value-hash treatment of
+        # struct columns is unspecified; the nested form round-trips in
+        # tests/test_sinks.py under CASE_SCHEMA.
+        (F.col("doc_id") % 4).cast("int").alias("deaths"),
+        (F.col("doc_id") % 7).cast("int").alias("injuries"),
+        listparse.parse_knowledge(knowledge_text).alias("knowledge"),
+        F.slice(scalar.split_nonblank(F.col("text"), " "), 1, 3).alias("sources_list"),
+        nested.scenario_presence(F.col("scenario")).alias("has_scenario"),
+    )
+    return assembled.drop("doc_id")

@@ -42,14 +42,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# events as the nanos-as-long reader sees it (streaming sources must
+# declare a schema up front).
+EVENTS_RAW_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """bigint nanos → microsecond TimestampType (truncating like
+    DuckDB's ns→µs read); no-op if ts is already a timestamp."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming file source over the events parquet with the
+    same ts normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file source wants a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_events_ts(raw)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -34,6 +34,8 @@ def _canon(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "asDict"):  # pyspark Row (a tuple subclass - check first)
+        return _canon(v.asDict())
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):

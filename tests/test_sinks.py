@@ -1,0 +1,86 @@
+"""Sink/re-source tests: JSON case write/read-back, manifest sequencing,
+to_json/from_json round-trip, PDF-stub behavior."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.schemas import CASE_SCHEMA
+from shippai_knowledge_etl_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def cases_df(spark):
+    rows = [
+        {
+            "case_id": "CZ0000001",
+            "case_name": "テスト事例",
+            "url": "https://www.shippai.org/fkd/cf/CZ0000001.html",
+            "date_str": "2006-06-15",
+            "date": None,
+            "summary": "概要",
+            "knowledge": ["a", "b"],
+            "scenario": {"cause": [["x", "y", "z"]], "action": [], "result": [["w"]]},
+            "images": {"representative": "r.jpg", "multimedia": [
+                {"id": "m1", "caption": "c1"}]},
+            "sources": ["s1"],
+            "casualties": {"deaths": 0, "injuries": 2},
+            "authors": ["author_1"],
+        },
+        {"case_id": "CZ0000002", "case_name": "second", "knowledge": []},
+    ]
+    return spark.createDataFrame(rows, CASE_SCHEMA)
+
+
+def test_json_sink_roundtrip(spark, cases_df, tmp_path):
+    out = str(tmp_path / "cases")
+    sinks.write_cases_json(cases_df, out)
+    back = sinks.read_cases_json(spark, out)
+    assert back.count() == 2
+    a = {r.case_id: r for r in back.collect()}
+    assert a["CZ0000001"].case_name == "テスト事例"  # UTF-8 preserved
+    assert a["CZ0000001"].scenario.cause == [["x", "y", "z"]]
+    assert a["CZ0000001"].casualties.injuries == 2
+    assert a["CZ0000002"].date is None
+
+
+def test_manifest_sequencing(tmp_path):
+    d = str(tmp_path / "m")
+    assert sinks.next_manifest_name(d) == "results_001.json"
+    p1 = sinks.write_manifest({"run": 1, "note": "日本語"}, d)
+    assert p1.endswith("results_001.json")
+    p2 = sinks.write_manifest({"run": 2}, d)
+    assert p2.endswith("results_002.json")
+    raw = open(p1, encoding="utf-8").read()
+    assert "日本語" in raw  # ensure_ascii=False per spec
+    assert json.loads(raw)["run"] == 1
+
+
+def test_to_from_json_roundtrip(cases_df):
+    out = sinks.json_roundtrip_check(cases_df).collect()
+    assert all(r.roundtrip_ok for r in out)
+
+
+def test_pdf_sink_raises_without_reportlab(cases_df):
+    with pytest.raises(Exception) as ei:
+        sinks.render_pdf_sink(cases_df.limit(1), "/tmp/never")
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_html_parser_edge_cases(spark):
+    from shippai_knowledge_etl_spark.sources.html_parse import parse_page
+
+    rows = parse_page(
+        '<table><tr><td bgcolor="#DFE9F2">名称</td><td>A<br>B</td></tr>'
+        "<tr><td>only-one-td</td></tr>"
+        '<tr><td bgcolor="#dfe9f2">リンク</td>'
+        '<td><a href="/mf/x.jpg">img</a> cap</td></tr></table>'
+    )
+    assert rows[0][1] == "名称" and rows[0][2] == "A\nB"
+    assert len(rows) == 2  # single-td row dropped (needs >= 2 tds)
+    assert rows[1][4] == "/mf/x.jpg"
