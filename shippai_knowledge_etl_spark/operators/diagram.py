@@ -176,6 +176,114 @@ def category_ranges(items: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def positioned_items(df: DataFrame, id_col: str, scenario_col: str = "scenario") -> DataFrame:
+    """Fused zero-shuffle layout: every per-case quantity (numbering,
+    markers, extras, y positions, canvas height) is computed ARRAY-SIDE
+    within the case's row, then exploded once.
+
+    The staged forms above (flatten_renumber → boundary_markers →
+    with_y_positions) are semantically identical but cost a count
+    window + a join + a running-sum window — three shuffles of purely
+    per-case data. One case = one row, so none of them are needed: this
+    is the plan you want at 100 TB (a narrow map + generator; scales
+    embarrassingly). Kept alongside the staged forms because the driver
+    oracles pin both to the same answers.
+    """
+    # Generate barrier: CollapseProject would otherwise re-inline the
+    # (HOF-heavy, CSE-exempt) scenario expression into every column that
+    # references it below — evaluating it ~8× per row. explode(array(x))
+    # materializes it once per row and costs no shuffle.
+    df = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.col(scenario_col))).alias("__scn"),
+    )
+    s = F.col("__scn")
+    all_items = F.concat(
+        _tagged(s, "cause"), _tagged(s, "action"), _tagged(s, "result")
+    )
+    cause_n = F.size(F.flatten(s.getField("cause")))
+    action_n = F.size(F.flatten(s.getField("action")))
+    total = F.size(all_items)
+    ends = F.concat(
+        _running_ends(s.getField("cause"), F.lit(0)),
+        _running_ends(s.getField("action"), cause_n),
+        _running_ends(s.getField("result"), cause_n + action_n),
+    )
+    doubles = F.concat(
+        F.when(cause_n > 0, F.array(cause_n - 1)).otherwise(
+            F.expr("CAST(array() AS ARRAY<INT>)")
+        ),
+        F.when(action_n > 0, F.array(cause_n + action_n - 1)).otherwise(
+            F.expr("CAST(array() AS ARRAY<INT>)")
+        ),
+    )
+    singles = F.array_except(F.array_except(ends, doubles), F.array(total - 1))
+
+    base = df.select(
+        F.col(id_col),
+        all_items.alias("_items"),
+        cause_n.alias("cause_count"),
+        (cause_n + action_n).alias("action_end"),
+        total.alias("total_items"),
+        F.array_sort(singles).alias("singles"),
+        F.array_sort(doubles).alias("doubles"),
+    )
+    extras = F.transform(
+        F.sequence(F.lit(0), F.col("total_items") - 1),
+        lambda i: F.when(F.array_contains("doubles", i), F.lit(DSEP_EXTRA))
+        .when(F.array_contains("singles", i), F.lit(SEP_EXTRA))
+        .otherwise(F.lit(0)),
+    )
+    # y[i] = margin + i*step + prefix-sum(extras[<i]) — fold builds the
+    # prefix sums array-side (A4/W5 without a window).
+    prefix = F.aggregate(
+        F.col("_extras"),
+        F.expr("CAST(array(0) AS ARRAY<INT>)"),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    with_arrays = (
+        base.withColumn("_extras", extras)
+        .withColumn("_prefix", prefix)
+        .withColumn(
+            "total_h",
+            F.lit(MARGIN_TOP)
+            + F.col("total_items") * STEP_Y
+            + F.element_at("_prefix", -1)
+            + F.lit(BOTTOM_PAD),
+        )
+    )
+    exploded = with_arrays.select(
+        id_col,
+        "cause_count",
+        "action_end",
+        "total_items",
+        "singles",
+        "doubles",
+        "total_h",
+        "_prefix",
+        F.posexplode("_items").alias("idx0", "item"),
+    )
+    return exploded.select(
+        id_col,
+        "cause_count",
+        "action_end",
+        "total_items",
+        "singles",
+        "doubles",
+        "total_h",
+        "idx0",
+        (F.col("idx0") + 1).alias("num"),
+        F.col("item.text").alias("text"),
+        F.col("item.category").alias("category"),
+        (
+            F.lit(MARGIN_TOP)
+            + F.col("idx0") * STEP_Y
+            # _prefix[i] (0-based) = Σ extras[j<i]; element_at is 1-based
+            + F.element_at("_prefix", F.col("idx0") + 1)
+        ).alias("y"),
+    )
+
+
 def rect_ops(positioned: DataFrame, id_col: str) -> DataFrame:
     """Item bars + their numbered labels (src/render_pdf.py:238-255).
     PDF y grows upward: y_pdf = total_h - y - bar_h."""

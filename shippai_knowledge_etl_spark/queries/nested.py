@@ -261,9 +261,7 @@ def w4_boundary_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w5_y_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scenario_struct(scenario_source(spark, sf_dir))
-    items = diagram.flatten_renumber(df, "doc_id")
-    markers = diagram.boundary_markers(df, "doc_id")
-    pos = diagram.with_y_positions(items, markers, "doc_id")
+    pos = diagram.positioned_items(df, "doc_id")
     return pos.select(
         "doc_id",
         F.col("idx0").cast("int"),
@@ -369,9 +367,7 @@ def p11_scenario_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def diagram_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scenario_struct(scenario_source(spark, sf_dir))
-    items = diagram.flatten_renumber(df, "doc_id")
-    markers = diagram.boundary_markers(df, "doc_id")
-    pos = diagram.with_y_positions(items, markers, "doc_id")
+    pos = diagram.positioned_items(df, "doc_id")
     out = diagram.rect_ops(pos, "doc_id")
     return out.select(
         "doc_id",
@@ -404,9 +400,7 @@ def diagram_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def diagram_separator_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scenario_struct(scenario_source(spark, sf_dir))
-    items = diagram.flatten_renumber(df, "doc_id")
-    markers = diagram.boundary_markers(df, "doc_id")
-    pos = diagram.with_y_positions(items, markers, "doc_id")
+    pos = diagram.positioned_items(df, "doc_id")
     out = diagram.separator_line_ops(pos, "doc_id")
     return out.select(
         "doc_id",
@@ -433,9 +427,7 @@ def diagram_separator_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def diagram_braces(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scenario_struct(scenario_source(spark, sf_dir))
-    items = diagram.flatten_renumber(df, "doc_id")
-    markers = diagram.boundary_markers(df, "doc_id")
-    pos = diagram.with_y_positions(items, markers, "doc_id")
+    pos = diagram.positioned_items(df, "doc_id")
     out = diagram.brace_ops(pos, "doc_id")
     return out.select(
         "doc_id",
