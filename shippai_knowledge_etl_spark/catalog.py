@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.simsearch",
     "shippai_knowledge_etl_spark.queries.multimodal",
     "shippai_knowledge_etl_spark.queries.windows",
+    "shippai_knowledge_etl_spark.queries.coverage",
 )
 
 

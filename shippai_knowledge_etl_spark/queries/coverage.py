@@ -1,0 +1,205 @@
+"""Remaining SURVEY.md §2 coverage: S2, P12, A3, tf-idf, approx-distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.tables import load
+
+
+@register(
+    "s2_worklist_expand",
+    survey_ref="S2/O2 (src/extract.py:396-407, src/run.py:70-73): list-page "
+    "expansion with limit pushdown",
+    oracle="""
+    WITH lists AS (
+      SELECT n_nationkey AS list_id, 3 + n_nationkey % 5 AS n_links FROM nation),
+    expanded AS (
+      SELECT list_id,
+             printf('https://www.shippai.org/fkd/cf/CZ%d_%d.html',
+                    list_id, CAST(i AS INT)) AS case_url,
+             CAST(i AS INT) AS pos
+      FROM lists, LATERAL unnest(range(0, n_links)) AS t(i))
+    SELECT list_id, case_url, pos FROM expanded
+    WHERE pos < 4
+    """,
+)
+def s2_worklist_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One list URL → many case URLs (UDTF-shaped: an array-returning
+    expression + posexplode; a Python @udtf is the row-based alternative
+    when the expansion needs imperative parsing). The per-list ``limit``
+    is a filter on the exploded position — the reference's in-scan break
+    (src/extract.py:404-406) expressed declaratively so Catalyst can
+    push it below anything downstream."""
+    n = load(spark, sf_dir, "nation")
+    links = F.transform(
+        F.sequence(F.lit(0), F.lit(2) + F.col("n_nationkey") % 5),
+        lambda i: F.format_string(
+            "https://www.shippai.org/fkd/cf/CZ%d_%d.html",
+            F.col("n_nationkey"),
+            i.cast("int"),
+        ),
+    )
+    return (
+        n.select(
+            F.col("n_nationkey").alias("list_id"),
+            F.posexplode(links).alias("pos", "case_url"),
+        )
+        .filter(F.col("pos") < 4)
+        .select("list_id", "case_url", F.col("pos").cast("int"))
+    )
+
+
+@register(
+    "p12_conditional_sections",
+    survey_ref="P12 (src/render_pdf.py:376-390,443-466): emit a section "
+    "only when its value is truthy",
+    oracle="""
+    WITH fields AS (
+      SELECT o_orderkey AS case_key, s.*
+      FROM orders, LATERAL (VALUES
+        ('summary', o_orderpriority),
+        ('response', CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE o_orderstatus END),
+        ('notes', CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'note' END)
+      ) s(section, value))
+    SELECT case_key, section, value FROM fields
+    WHERE value IS NOT NULL AND length(value) > 0
+    """,
+)
+def p12_conditional_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sectioned-report emission as a filter over (section, value) rows —
+    empty and null sections disappear, mirroring the reference's
+    ``if value:`` guards around each flowable block."""
+    o = load(spark, sf_dir, "orders")
+    sections = F.array(
+        F.struct(F.lit("summary").alias("section"), F.col("o_orderpriority").alias("value")),
+        F.struct(
+            F.lit("response").alias("section"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("")).otherwise(
+                F.col("o_orderstatus")
+            ).alias("value"),
+        ),
+        F.struct(
+            F.lit("notes").alias("section"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("note"))
+            .alias("value"),
+        ),
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("case_key"), F.explode(sections).alias("s"))
+        .select("case_key", "s.section", "s.value")
+        .filter(F.col("value").isNotNull() & (F.length("value") > 0))
+    )
+
+
+@register(
+    "a3_manifest_collect",
+    survey_ref="A3/U2 (src/run.py:86-132): per-case records collected into "
+    "the manifest array",
+    oracle="""
+    WITH validated AS (
+      SELECT o.o_orderkey,
+             CASE
+               WHEN o.o_orderstatus = 'P' THEN 'error'
+               WHEN c.c_custkey IS NULL
+                 OR o.o_totalprice IS NULL OR o.o_totalprice <= 0
+                 OR o.o_orderpriority IS NULL OR o.o_orderpriority = ''
+                 OR c.c_acctbal < 0
+               THEN 'excluded'
+               ELSE 'success'
+             END AS status
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT status,
+           count(*) AS n,
+           array_agg(printf('CZ%07d', o_orderkey) ORDER BY o_orderkey)
+             FILTER (o_orderkey % 97 = 0) AS sample_cases
+    FROM validated GROUP BY status
+    """,
+)
+def a3_manifest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with a deterministic sort — the manifest's ``cases``
+    array per status (sampled so the array stays manifest-sized; at
+    scale the full per-case records go to the JSON sink, not into one
+    aggregated row)."""
+    from shippai_knowledge_etl_spark.queries.manifest import validated_orders
+
+    df = validated_orders(spark, sf_dir)
+    return df.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("o_orderkey") % 97 == 0,
+                    F.format_string("CZ%07d", F.col("o_orderkey")),
+                )
+            )
+        ).alias("sample_cases"),
+    )
+
+
+@register(
+    "ext_tfidf",
+    survey_ref="[EXT] tf-idf via term/doc-frequency joins (SURVEY §2.11)",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(lower(text),
+               '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms)
+    SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+           tf.tf * ln((n.n_docs + 1.0) / (df_.df + 1.0)) AS tfidf
+    FROM tf JOIN df_ USING (term) CROSS JOIN n
+    WHERE tf.doc_id % 50 = 0
+    """,
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic two-aggregation tf-idf: term frequencies and document
+    frequencies are separate groupBys joined on term (df side is
+    vocabulary-sized → broadcast at any corpus scale). Output restricted
+    to every 50th doc to keep the gate result small."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = terms.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "a_approx_distinct",
+    survey_ref="approx_count_distinct (SURVEY §2.4 scale path) — sketch "
+    "values are engine-specific → rows-only check",
+)
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB substitute for exact
+    countDistinct (no expand, single pass, mergeable partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
