@@ -203,3 +203,109 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "run_pipeline_e2e",
+    survey_ref="§3.1 entry point 1 end-to-end: expand (S2) → fetch/parse "
+    "(S1/P2) → pivot (P3) → validate (P10) → summarize (A1)",
+    bench=True,
+    oracle="""
+    -- Same generated page corpus as s1_html_parse, taken through the
+    -- whole run loop: pivot label rows wide, validate required labels,
+    -- classify, summarize. 概要 is absent when o_orderkey % 13 = 0 →
+    -- those cases are 'excluded' with that missing field.
+    WITH parsed AS (
+      SELECT o_orderkey AS case_key, r.*
+      FROM orders, LATERAL (VALUES
+        (0, '事例名称', o_orderpriority),
+        (1, '事例概要', CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                            ELSE 'img' || o_orderstatus END)
+      ) r(row_idx, label, value)),
+    wide AS (
+      SELECT case_key,
+             coalesce(arg_min(value, row_idx) FILTER (label = '事例名称'), '') AS case_name,
+             coalesce(arg_min(value, row_idx) FILTER (label = '事例概要'), '') AS summary
+      FROM parsed GROUP BY case_key),
+    validated AS (
+      SELECT *, CASE WHEN summary = '' THEN 'excluded' ELSE 'success' END AS status
+      FROM wide)
+    SELECT count(*) AS total,
+           count(CASE WHEN status = 'success' THEN 1 END) AS n_success,
+           count(CASE WHEN status = 'excluded' THEN 1 END) AS n_excluded,
+           CAST(0 AS BIGINT) AS n_error
+    FROM validated
+    """,
+)
+def run_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `run.py` loop as ONE declarative plan: generate a
+    case page per order (the offline stand-in for fetch), parse with the
+    real HTML edge UDF, bgcolor-filter, first-wins pivot, required-field
+    validation, status summary. Every stage after the UDF is
+    whole-stage-codegen'd; the only shuffle is the pivot's groupBy."""
+    from shippai_knowledge_etl_spark.operators import quality
+    from shippai_knowledge_etl_spark.sources.html_parse import label_rows
+
+    o = load(spark, sf_dir, "orders")
+    page = F.format_string(
+        "<table>"
+        '<tr><td bgcolor="#DFE9F2">事例名称</td><td>%s</td></tr>'
+        '<tr><td bgcolor="#FFFFFF">無視</td><td>skipped</td></tr>'
+        "%s"
+        "</table>",
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("")).otherwise(
+            F.format_string(
+                '<tr><td bgcolor="#dfe9f2">事例概要</td>'
+                '<td><a href="/mf/m%d.jpg">img</a>%s</td></tr>',
+                (F.col("o_orderkey") % 9).cast("int"),
+                F.col("o_orderstatus"),
+            )
+        ),
+    )
+    tall = o.select(
+        F.col("o_orderkey").alias("case_key"), F.explode(label_rows(page)).alias("r")
+    ).select("case_key", "r.row_idx", "r.label", "r.value")
+    wide = (
+        tall.groupBy("case_key")
+        .pivot("label", ["事例名称", "事例概要"])
+        .agg(F.min_by("value", "row_idx"))
+        .select(
+            "case_key",
+            F.coalesce(F.col("`事例名称`"), F.lit("")).alias("case_name"),
+            F.coalesce(F.col("`事例概要`"), F.lit("")).alias("summary"),
+        )
+    )
+    validated = quality.with_status(
+        wide, {"summary": F.col("summary") == ""}, F.lit(False)
+    )
+    return quality.status_summary(validated)
+
+
+@register(
+    "agg_salted_skew",
+    survey_ref="skew mitigation: salted two-phase aggregation "
+    "(SURVEY §4.2 / BASELINE 'salting for skew')",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial agg on (key, salt) spreads
+    a hot key over 16 reducers, final agg merges the partials. The
+    result is EXACTLY the plain groupBy (the oracle); the plan trades
+    one extra (tiny) shuffle for immunity to single-key skew. AQE's
+    skew-join handling covers joins; this is the agg-side equivalent.
+    (events has only 15 users at this SF — the 16× salt fanout IS the
+    skewed-world shape.)"""
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("psum"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.sum("psum").alias("sum_value")
+    )
