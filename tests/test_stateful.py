@@ -1,0 +1,49 @@
+"""applyInPandasWithState: custom stateful streaming operator test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.slow
+def test_running_user_totals(spark, sf_dir, tmp_path):
+    from shippai_knowledge_etl_spark.streaming.stateful import running_user_totals
+    from shippai_knowledge_etl_spark.tables import load, stream_events
+
+    out = running_user_totals(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            "SELECT user_id, n_events, sum_value, last_seen FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id "
+            "         ORDER BY n_events DESC) AS rn FROM user_totals"
+            ") WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: r
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max(F.unix_timestamp("ts")).alias("last"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g.n_events == w.n
+        assert abs(g.sum_value - w.s) < 1e-6
+        assert g.last_seen == w.last
