@@ -309,3 +309,48 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("user_id").agg(
         F.sum("pn").alias("n"), F.sum("psum").alias("sum_value")
     )
+
+
+@register(
+    "a_percentiles",
+    survey_ref="percentile/median aggregates (SURVEY §2.4 built-in demo)",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (quantities are small integers, so
+    interpolation arithmetic is engine-stable). approx_percentile is the
+    100 TB substitute — demoed rows-only in a_approx_distinct's family."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "p3b_unpivot",
+    survey_ref="unpivot/melt — inverse of P3 (wide record → tall label/value)",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def p3b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wide-record→field-table direction: melt numeric
+    columns back to (key, metric, value) rows — the exact inverse of the
+    P3 pivot, via the native unpivot operator (no explode needed)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
