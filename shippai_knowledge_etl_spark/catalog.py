@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.multimodal",
     "shippai_knowledge_etl_spark.queries.windows",
     "shippai_knowledge_etl_spark.queries.coverage",
+    "shippai_knowledge_etl_spark.queries.udfsurface",
 )
 
 

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 
 @register(
@@ -166,7 +166,7 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every 50th doc to keep the gate result small."""
     from shippai_knowledge_etl_spark.operators.textops import tokenize
 
-    d = load(spark, sf_dir, "documents")
+    d = scale_out(load(spark, sf_dir, "documents"))
     terms = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
     )
@@ -246,7 +246,9 @@ def run_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators import quality
     from shippai_knowledge_etl_spark.sources.html_parse import label_rows
 
-    o = load(spark, sf_dir, "orders")
+    # the parse edge is per-row Python: make sure the stage has as many
+    # tasks as the cluster has slots (no-op on real multi-split layouts)
+    o = scale_out(load(spark, sf_dir, "orders"))
     page = F.format_string(
         "<table>"
         '<tr><td bgcolor="#DFE9F2">事例名称</td><td>%s</td></tr>'

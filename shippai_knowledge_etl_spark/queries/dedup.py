@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import dedup
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 
 def documents_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +94,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational all-pairs Jaccard (explode→join→count), blocked by
     ``source``. The join keys are (block, shingle) — bounded fanout,
     no quadratic array work; prefix filtering is the 100 TB upgrade."""
-    d = load(spark, sf_dir, "documents")
+    d = scale_out(load(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(d, "doc_id", "text", "source", threshold=0.2)
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.schemas import CASE_SCHEMA
 from shippai_knowledge_etl_spark.streaming import windows as W
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 
 @register(
@@ -127,7 +127,7 @@ def s1_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle row has bgcolor #FFFFFF and must be dropped by P2."""
     from shippai_knowledge_etl_spark.sources.html_parse import label_rows
 
-    o = load(spark, sf_dir, "orders")
+    o = scale_out(load(spark, sf_dir, "orders"))
     page = F.format_string(
         "<table>"
         '<tr><td bgcolor="#DFE9F2">事例名称</td><td>%s</td></tr>'

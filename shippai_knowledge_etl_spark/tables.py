@@ -47,6 +47,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan produced fewer splits
+    than the cluster has slots. Place this in front of compute-heavy
+    stages (Python parse edges, shingling, per-row regex) whose cost is
+    per-row work rather than I/O.
+
+    On a real 100 TB layout the input has thousands of splits, the
+    condition is false, and this is a no-op — no shuffle is added. The
+    local testdata is one single-row-group parquet file per table, so a
+    scan yields 1 split and every downstream map stage would otherwise
+    run on 1 of 32 cores; AQE cannot fix scan-side underparallelism
+    (it only coalesces/splits *post-shuffle* partitions).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # events as the nanos-as-long reader sees it (streaming sources must
 # declare a schema up front).
 EVENTS_RAW_DDL = (
