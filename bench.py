@@ -17,6 +17,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 REPO = str(Path(__file__).resolve().parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -39,6 +41,19 @@ def main() -> None:
     next(iter(names.values()))(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Also spin up the Python/Arrow workers (one per core): the first
+    # pandas-UDF query would otherwise absorb ~2s of worker fork/init
+    # that is session startup, not query cost.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in names.items():

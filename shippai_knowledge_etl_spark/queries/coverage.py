@@ -265,18 +265,37 @@ def run_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    tall = o.select(
-        F.col("o_orderkey").alias("case_key"), F.explode(label_rows(page)).alias("r")
-    ).select("case_key", "r.row_idx", "r.label", "r.value")
-    wide = (
-        tall.groupBy("case_key")
-        .pivot("label", ["事例名称", "事例概要"])
-        .agg(F.min_by("value", "row_idx"))
-        .select(
-            "case_key",
-            F.coalesce(F.col("`事例名称`"), F.lit("")).alias("case_name"),
-            F.coalesce(F.col("`事例概要`"), F.lit("")).alias("summary"),
+    # First-wins label lookup straight on the parsed array — the
+    # reference's per-page dict build (src/extract.py:58,82) is per-row
+    # local, so the wide record needs NO shuffle at any scale. (A row
+    # pivot here would force SortAggregate: min_by carries a string
+    # buffer, which is not hash-aggregatable — measured 3x slower.)
+    # The relational pivot operator itself is demonstrated by
+    # p3_label_pivot; parse output order is document order, so
+    # element_at(..., 1) IS the first occurrence.
+    # Generate barrier (same trick as diagram.py): both lookups below
+    # reference the parse result, and without the barrier the Python UDF
+    # is extracted into TWO ArrowEvalPython nodes — every page parsed
+    # twice. explode(array(x)) pins one evaluation, costs no shuffle.
+    parsed = o.select(
+        F.col("o_orderkey").alias("case_key"),
+        F.explode(F.array(label_rows(page))).alias("__rows"),
+    )
+
+    def first_val(label: str) -> F.Column:
+        hits = F.filter(
+            F.col("__rows"), lambda r: r.getField("label") == F.lit(label)
         )
+        # try_element_at: missing label → null → '' (ANSI element_at
+        # would throw on the empty array)
+        return F.coalesce(
+            F.try_element_at(hits, F.lit(1)).getField("value"), F.lit("")
+        )
+
+    wide = parsed.select(
+        "case_key",
+        first_val("事例名称").alias("case_name"),
+        first_val("事例概要").alias("summary"),
     )
     validated = quality.with_status(
         wide, {"summary": F.col("summary") == ""}, F.lit(False)
