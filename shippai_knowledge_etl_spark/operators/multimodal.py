@@ -89,6 +89,63 @@ def decode_image_features(df: DataFrame, use_real_decoder: bool = False) -> Data
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, duration_ms long, payload_md5 string, ok boolean"
+)
+
+
+def decode_audio_features(
+    df: DataFrame, sample_rate: int = 16000, use_real_decoder: bool = False
+) -> DataFrame:
+    """Audio decode → feature columns via Arrow-batched mapInPandas.
+
+    The fake decoder treats the payload as 16-bit mono PCM at
+    ``sample_rate`` (n_samples = bytes//2) and fingerprints the raw
+    payload; the real branch (torchaudio/soundfile) is gated and raises
+    loudly since those libs are absent here. Same batch/partitioning
+    contract as decode_image_features: narrow per-row map, failures are
+    ok=false rows.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        if use_real_decoder:
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real audio decode needs soundfile/torchaudio, not in "
+                    "this container; use use_real_decoder=False"
+                ) from e
+            raise NotImplementedError("real decode path not wired yet")
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    n_samples = len(raw) // 2
+                    rows.append(
+                        (
+                            int(doc_id),
+                            n_samples,
+                            n_samples * 1000 // sample_rate,
+                            hashlib.md5(raw).hexdigest(),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "duration_ms", "payload_md5", "ok"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
     """Video-style frame sampling stub: split the payload into n equal
     byte windows ("frames") and fingerprint each — the UDTF-shaped

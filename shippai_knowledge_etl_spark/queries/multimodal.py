@@ -35,6 +35,25 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_features",
+    survey_ref="[EXT] binary payload as 16-bit PCM audio → mapInPandas "
+    "duration/fingerprint features (decode stubbed, plumbing real)",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+           CAST((strlen(text) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           md5(text) AS payload_md5,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    return multimodal.decode_audio_features(payloads)
+
+
+@register(
     "mm_frame_sample",
     survey_ref="[EXT] binary payload → frame sampling (1 row → n rows)",
     oracle="""
