@@ -232,3 +232,30 @@ def case_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.scenario_presence(F.col("scenario")).alias("has_scenario"),
     )
     return assembled.drop("doc_id")
+
+
+@register(
+    "stream_interval_join",
+    survey_ref="§2.10 [EXT] stream-stream interval join (batch=streaming "
+    "code; true streaming execution in tests/test_streaming.py)",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase correlation within a 10-minute horizon — the SAME
+    function the streaming test runs with watermarks on both sides.
+    (floor(epoch) per side in the oracle mirrors unix_timestamp's
+    sub-second truncation.)"""
+    from shippai_knowledge_etl_spark.streaming.joins import click_purchase_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -63,3 +63,47 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     good, bad = W.dead_letter_split(deduped)
     assert good.isStreaming and bad.isStreaming
     assert bad.filter(F.col("event_type") != "error").schema is not None
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """True stream-stream inner join with watermarks on both sides must
+    produce exactly the batch answer (availableNow drains the corpus, so
+    no pairs are lost to late-data eviction)."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.streaming.joins import click_purchase_pairs
+    from shippai_knowledge_etl_spark.tables import load, stream_events
+
+    def side(df, event_type):
+        return df.filter(F.col("event_type") == event_type).withWatermark(
+            "ts", "1 hour"
+        )
+
+    stream = stream_events(spark, sf_dir)
+    joined = click_purchase_pairs(
+        side(stream, "click"), side(stream, "purchase")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_s)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    expected = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_s)
+        for r in click_purchase_pairs(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert expected, "corpus should contain at least one pair"
+    assert got == expected
