@@ -117,3 +117,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = documents_with_planted_dups(spark, sf_dir)
     return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_clusters",
+    survey_ref="[EXT] dedup clustering: connected components over the "
+    "near-dup pair graph (iterative min-label propagation)",
+    oracle="""
+    WITH RECURSIVE
+    planted AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 25 = 0),
+    sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM (SELECT doc_id, source,
+                     list_slice(list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
+                       x -> x <> ''), 1, 12) AS toks
+              FROM planted))),
+    counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.block = b.block AND a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) i
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE n_inter / CAST(ca.n_shingles + cb.n_shingles - n_inter AS DOUBLE)
+            >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, node) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups. The oracle computes the same
+    components via a recursive reachability CTE — an iterative Spark
+    algorithm checked exactly against declarative SQL."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")

@@ -64,3 +64,30 @@ def test_cosine_self_similarity(spark, sf_dir):
         F.round(simsearch.cosine(F.col("embedding"), F.col("embedding")), 6).alias("s")
     ).collect()
     assert all(abs(r.s - 1.0) < 1e-9 for r in sims)
+
+
+def test_connected_components_planted_copies(spark, sf_dir):
+    """Every planted exact copy (doc_id + 100000) must share a component
+    with its original, and components are canonical minima."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators import dedup
+    from shippai_knowledge_etl_spark.queries.dedup import (
+        documents_with_planted_dups,
+    )
+
+    df = documents_with_planted_dups(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    label = {r.node: r.component for r in comp.collect()}
+    planted = [
+        r.doc_id
+        for r in df.filter(F.col("doc_id") >= 100000).select("doc_id").collect()
+    ]
+    assert planted
+    for copy_id in planted:
+        assert label[copy_id] == label[copy_id - 100000]
+    # component ids are the min of their members
+    for node, c in label.items():
+        assert c <= node
+        assert label[c] == c
