@@ -77,3 +77,41 @@ def simsearch_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select("vec_id", "embedding", "label").unionByName(copies)
     return simsearch.near_dup_pairs(corpus, threshold=0.999, bucket_col="label")
+
+
+@register(
+    "simsearch_quantize_int8",
+    survey_ref="[EXT] embedding int8 quantization (ANN-at-scale memory "
+    "compression: 4x smaller vectors, scan stays JVM-side)",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127 + CAST(0.5 AS DOUBLE))
+                         AS INT)) AS q8,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings)
+    SELECT vec_id, q8,
+           list_max(list_transform(range(1, len(q8) + 1),
+             i -> abs(q8[i] / CAST(127 AS DOUBLE) - xd[i]))) AS max_err
+    FROM q
+    """,
+)
+def simsearch_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column plus per-vector
+    max reconstruction error. floor(x*127 + 0.5) instead of round():
+    identical IEEE-double arithmetic on both engines, no tie-rule
+    divergence. At 100 TB this is the memory lever that keeps an ANN
+    index resident (4 bytes -> 1 byte per dim); distances on int8 stay
+    whole-stage-codegen'd."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q8 = F.transform(
+        xd, lambda x: F.floor(x * F.lit(127) + F.lit(0.5)).cast("int")
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            q8, xd, lambda qi, x: F.abs(qi / F.lit(127.0).cast("double") - x)
+        )
+    )
+    return e.select("vec_id", q8.alias("q8"), max_err.alias("max_err"))
