@@ -240,9 +240,10 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `run.py` loop as ONE declarative plan: generate a
     case page per order (the offline stand-in for fetch), parse with the
-    real HTML edge UDF, bgcolor-filter, first-wins pivot, required-field
-    validation, status summary. Every stage after the UDF is
-    whole-stage-codegen'd; the only shuffle is the pivot's groupBy."""
+    real HTML edge UDF, bgcolor-filter, first-wins array label lookup,
+    required-field validation, status summary. Every stage after the UDF
+    is whole-stage-codegen'd and per-row local; the only shuffles are
+    the edge-stage repartition and the final status aggregation."""
     from shippai_knowledge_etl_spark.operators import quality
     from shippai_knowledge_etl_spark.sources.html_parse import label_rows
 

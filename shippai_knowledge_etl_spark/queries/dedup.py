@@ -168,7 +168,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup groups. The oracle computes the same
     components via a recursive reachability CTE — an iterative Spark
     algorithm checked exactly against declarative SQL."""
-    df = documents_with_planted_dups(spark, sf_dir)
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
     pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
     comp = dedup.connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")

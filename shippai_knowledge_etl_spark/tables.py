@@ -61,7 +61,7 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (it only coalesces/splits *post-shuffle* partitions).
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    target = min_partitions if min_partitions is not None else sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -22,7 +22,7 @@ def test_foreach_batch_manifest(spark, sf_dir, tmp_path):
     q = W.streaming_pipeline(
         spark, sf_dir, str(tmp_path / "ckpt"), manifest_dir
     ).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming query did not finish"
     files = sorted(os.listdir(manifest_dir))
     assert files, "no manifest emitted"
     first = json.loads(open(os.path.join(manifest_dir, files[0])).read())
@@ -45,7 +45,7 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming query did not finish"
     got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
     distinct_keys = (
         load(spark, sf_dir, "events")
@@ -91,7 +91,10 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(300), "streaming query did not finish"
+    finally:
+        q.stop()
     got = {
         (r.click_id, r.purchase_id, r.user_id, r.lag_s)
         for r in spark.sql("SELECT * FROM ssj_out").collect()
