@@ -188,3 +188,38 @@ def w8_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w_ties).alias("pr_nation"),
         F.cume_dist().over(w_ties).alias("cd_nation"),
     )
+
+
+def _cogroup_stats(key, clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    """Per-user two-sided stats; either side may be empty (cogroup emits
+    the union of keys)."""
+    return pd.DataFrame(
+        [(key[0], len(clicks), len(purchases))],
+        columns=["user_id", "n_clicks", "n_purchases"],
+    )
+
+
+@register(
+    "p14_cogroup_stats",
+    survey_ref="§2.9 cogroup().applyInPandas: two-sided grouped-map "
+    "(per-key pandas over aligned click/purchase groups)",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def p14_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides shuffle once on user_id, then each key's two pandas
+    frames arrive aligned in one Python call — the extension point for
+    per-key logic that needs BOTH groups at once (alignment, as-of
+    matching, per-user reconciliation). Count-based output keeps the
+    oracle exact."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").groupBy("user_id")
+    return clicks.cogroup(purchases).applyInPandas(
+        _cogroup_stats, schema="user_id long, n_clicks long, n_purchases long"
+    )
