@@ -114,8 +114,9 @@ def p12_conditional_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
     SELECT status,
            count(*) AS n,
-           array_agg(printf('CZ%07d', o_orderkey) ORDER BY o_orderkey)
-             FILTER (o_orderkey % 97 = 0) AS sample_cases
+           CAST(to_json(coalesce(
+             array_agg(printf('CZ%07d', o_orderkey) ORDER BY o_orderkey)
+               FILTER (o_orderkey % 97 = 0), [])) AS VARCHAR) AS sample_cases
     FROM validated GROUP BY status
     """,
 )
@@ -129,11 +130,14 @@ def a3_manifest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = validated_orders(spark, sf_dir)
     return df.groupBy("status").agg(
         F.count(F.lit(1)).alias("n"),
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("o_orderkey") % 97 == 0,
-                    F.format_string("CZ%07d", F.col("o_orderkey")),
+        # gate boundary: to_json the collected array (driver can't hash lists)
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("o_orderkey") % 97 == 0,
+                        F.format_string("CZ%07d", F.col("o_orderkey")),
+                    )
                 )
             )
         ).alias("sample_cases"),
@@ -154,7 +158,7 @@ def a3_manifest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms)
     SELECT tf.doc_id, tf.term, tf.tf, df_.df,
-           tf.tf * ln((n.n_docs + 1.0) / (df_.df + 1.0)) AS tfidf
+           round(tf.tf * ln((n.n_docs + 1.0) / (df_.df + 1.0)), 6) AS tfidf
     FROM tf JOIN df_ USING (term) CROSS JOIN n
     WHERE tf.doc_id % 50 = 0
     """,
@@ -182,9 +186,12 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            (
+            # rounded to 6dp on both sides: Spark's and DuckDB's ln()
+            # differ in the last ulp, which the driver's exact hash sees
+            F.round(
                 F.col("tf")
-                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
             ).alias("tfidf"),
         )
     )
@@ -310,7 +317,8 @@ def run_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SURVEY §4.2 / BASELINE 'salting for skew')",
     oracle="""
     SELECT user_id, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS sum_value
     FROM events GROUP BY user_id
     """,
 )
@@ -329,7 +337,9 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).alias("psum"),
     )
     return partial.groupBy("user_id").agg(
-        F.sum("pn").alias("n"), F.sum("psum").alias("sum_value")
+        F.sum("pn").alias("n"),
+        # DECIMAL merge stays exact; gate boundary casts to rounded DOUBLE
+        F.round(F.sum("psum").cast("double"), 4).alias("sum_value"),
     )
 
 

@@ -75,12 +75,12 @@ def a1_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="P10 (src/extract.py:262-279)",
     oracle="""
     SELECT o.o_orderkey,
-           list_filter(
+           CAST(to_json(list_filter(
              [CASE WHEN c.c_custkey IS NULL THEN 'customer' END,
               CASE WHEN o.o_totalprice IS NULL OR o.o_totalprice <= 0 THEN 'totalprice' END,
               CASE WHEN o.o_orderpriority IS NULL OR o.o_orderpriority = '' THEN 'priority' END,
               CASE WHEN c.c_acctbal < 0 THEN 'acctbal' END],
-             x -> x IS NOT NULL) AS missing_fields
+             x -> x IS NOT NULL)) AS VARCHAR) AS missing_fields
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE len(list_filter(
              [CASE WHEN c.c_custkey IS NULL THEN 'customer' END,
@@ -92,10 +92,12 @@ def a1_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p10_missing_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excluded rows with their reasons — the MissingFieldsError payload
-    as data (reference src/extract.py:23-31)."""
+    as data (reference src/extract.py:23-31). The reasons array is
+    emitted as to_json: the driver's pandas canonicalizer can't hash
+    list cells."""
     df = validated_orders(spark, sf_dir)
     return df.filter(F.size("missing_fields") > 0).select(
-        "o_orderkey", "missing_fields"
+        "o_orderkey", F.to_json("missing_fields").alias("missing_fields")
     )
 
 

@@ -129,15 +129,18 @@ def scenario_struct(src: DataFrame) -> DataFrame:
     oracle=f"""
     WITH {_SCN_SQL}
     SELECT doc_id, CAST((ord - 1) // 3 AS INT) AS grp_idx,
-           array_agg(item ORDER BY ord) AS grp
+           CAST(to_json(array_agg(item ORDER BY ord)) AS VARCHAR) AS grp
     FROM exploded GROUP BY doc_id, (ord - 1) // 3
     """,
 )
 def w1_chunk3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output arrays are serialized with to_json at the gate boundary: the
+    # driver's pandas canonicalizer cannot hash list cells. Arrays stay
+    # arrays internally (nested.chunk); only the final select stringifies.
     src = scenario_source(spark, sf_dir)
     return src.select(
         "doc_id", F.posexplode(nested.chunk(F.col("items"))).alias("grp_idx", "grp")
-    )
+    ).withColumn("grp", F.to_json("grp"))
 
 
 @register(
@@ -178,14 +181,16 @@ def w2_boundary_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SCN_SQL}
     SELECT doc_id,
-           array_agg(item ORDER BY ((ord - 1) * 13) % n_items) AS sorted_items
+           CAST(to_json(array_agg(item ORDER BY ((ord - 1) * 13) % n_items))
+                AS VARCHAR) AS sorted_items
     FROM exploded GROUP BY doc_id
     """,
 )
 def o1_sort_by_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Items arrive with shuffled ordinals ((pos*13) mod n is a
     permutation since 13 is coprime to n≤12); sorting by num must
-    recover a deterministic order."""
+    recover a deterministic order. Output array is to_json'd for the
+    driver gate (pandas canonicalizer can't hash lists)."""
     src = scenario_source(spark, sf_dir)
     structs = F.transform(
         F.col("items"),
@@ -194,7 +199,8 @@ def o1_sort_by_num(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return src.select(
-        "doc_id", nested.sort_items_by_num(structs).alias("sorted_items")
+        "doc_id",
+        F.to_json(nested.sort_items_by_num(structs)).alias("sorted_items"),
     )
 
 
@@ -300,9 +306,9 @@ def w6_category_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SCN_SQL}
     SELECT DISTINCT doc_id,
-           CASE WHEN n_doubles >= 2 THEN [3, 6]
+           CAST(to_json(CASE WHEN n_doubles >= 2 THEN [3, 6]
                 WHEN n_doubles = 1 THEN [3]
-                ELSE CAST([] AS INT[]) END AS boundaries,
+                ELSE CAST([] AS INT[]) END) AS VARCHAR) AS boundaries,
            CAST(least(n_doubles, 2) AS INT) AS n_boundaries,
            CASE WHEN n_doubles >= 1 THEN 3 END AS b1,
            CASE WHEN n_doubles >= 2 THEN 6 END AS b2
@@ -310,12 +316,13 @@ def w6_category_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a6_boundary_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted boundary set + the ≥2/==1/0 case analysis as columns."""
+    """Sorted boundary set + the ≥2/==1/0 case analysis as columns.
+    The set itself is emitted as to_json (driver gate can't hash lists)."""
     src = scenario_source(spark, sf_dir)
     b = F.array_sort("boundaries")
     return src.select(
         "doc_id",
-        b.alias("boundaries"),
+        F.to_json(b).alias("boundaries"),
         F.size(b).cast("int").alias("n_boundaries"),
         F.get(b, 0).alias("b1"),
         F.get(b, 1).alias("b2"),
@@ -696,15 +703,17 @@ def o3_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(toks, 1) AS ord FROM tok),
     firsts AS (
       SELECT doc_id, item, min(ord) AS first_ord FROM e GROUP BY doc_id, item)
-    SELECT doc_id, array_agg(item ORDER BY first_ord) AS deduped
+    SELECT doc_id,
+           CAST(to_json(array_agg(item ORDER BY first_ord)) AS VARCHAR) AS deduped
     FROM firsts GROUP BY doc_id
     """,
 )
 def o3_array_distinct_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle computes first-occurrence order from scratch — proving
-    array_distinct's order-preservation, not assuming it."""
+    array_distinct's order-preservation, not assuming it. Output array
+    is to_json'd for the driver gate (pandas can't hash list cells)."""
     d = load(spark, sf_dir, "documents")
     toks = F.slice(F.split("text", " "), 1, 20)
     return d.select(
-        "doc_id", nested.dedup_preserving_order(toks).alias("deduped")
+        "doc_id", F.to_json(nested.dedup_preserving_order(toks)).alias("deduped")
     )

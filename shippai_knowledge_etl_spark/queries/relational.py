@@ -33,6 +33,16 @@ def _rate(col: str) -> F.Column:
     return F.col(col).cast("decimal(5,2)")
 
 
+def _out(col: F.Column, alias: str) -> F.Column:
+    """Gate-interface cast for DECIMAL aggregates: the driver's value hash
+    compares Spark ``toPandas`` (Decimal objects) against DuckDB's pandas
+    conversion (float64), so numerically-equal DECIMAL results hash
+    differently. Aggregate exactly in DECIMAL (order-independent), then
+    emit ``round(cast double, 2)`` — mirrored as
+    ``round(CAST(... AS DOUBLE), 2)`` in every oracle."""
+    return F.round(col.cast("double"), 2).alias(alias)
+
+
 # --------------------------------------------------------------------------
 # Headline aggregations (bench)
 # --------------------------------------------------------------------------
@@ -44,15 +54,19 @@ def _rate(col: str) -> F.Column:
     bench=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS sum_disc_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(5,2)))
-               * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               / count(*) AS avg_qty,
+               * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE), 2)
+               AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 2) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -70,13 +84,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (F.lit(1) + _rate("l_tax"))).alias("sum_charge"),
-            (
+            _out(F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum_qty"),
+            _out(F.sum(_money("l_extendedprice")), "sum_base_price"),
+            _out(F.sum(disc_price), "sum_disc_price"),
+            _out(F.sum(disc_price * (F.lit(1) + _rate("l_tax"))), "sum_charge"),
+            F.round(
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                2,
             ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -88,17 +103,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="top-k + multiway join (SURVEY §2.5/§2.6 built-ins)",
     bench=True,
     oracle="""
-    SELECT o.o_orderkey,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS revenue,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
-    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderkey
-    LIMIT 10
+    SELECT o_orderkey, round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM (
+      SELECT o.o_orderkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o.o_orderkey
+      LIMIT 10
+    )
     """,
 )
 def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,9 +136,16 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        # top-10 is selected on the EXACT decimal revenue (rounding first
+        # could flip ties); the gate-interface cast happens after the limit.
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            _out(F.col("revenue"), "revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -134,7 +160,8 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name,
            count(c.c_custkey) AS n_customers,
-           sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_acctbal
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -149,7 +176,7 @@ def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            F.sum(_money("c_acctbal")).alias("sum_acctbal"),
+            _out(F.sum(_money("c_acctbal")), "sum_acctbal"),
         )
     )
 
@@ -195,8 +222,9 @@ def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT r.r_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE), 2)
+               AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -224,7 +252,7 @@ def j4_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+        .agg(_out(F.sum(revenue), "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
     )
 
 
@@ -236,7 +264,8 @@ def j4_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       VALUES ('small', 0, 10), ('medium', 10, 25), ('large', 25, 51)
     )
     SELECT b.bucket, count(*) AS n_items,
-           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty
     FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.bucket
     """,
@@ -258,7 +287,7 @@ def j5_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            _out(F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum_qty"),
         )
     )
 
@@ -328,7 +357,8 @@ def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="cube (SURVEY §2.4 'not present → built-in demo')",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -336,7 +366,7 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_money("o_totalprice")).alias("sum_total"),
+        _out(F.sum(_money("o_totalprice")), "sum_total"),
     )
 
 
@@ -394,9 +424,10 @@ def a_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="W5 (src/render_pdf.py:217-227): running position as cumsum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 2) AS running_total
     FROM orders
     """,
 )
@@ -413,7 +444,7 @@ def w5_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_money("o_totalprice")).over(w).alias("running_total"),
+        _out(F.sum(_money("o_totalprice")).over(w), "running_total"),
     )
 
 

@@ -109,9 +109,9 @@ def f2_leading_int(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN '１．' || t1 || chr(10) || t2 || chr(10) || '２．' || t3
                        ELSE '1. ' || t1 || chr(10) || t2 || chr(10) || '2. ' || t3 END
                 ELSE t1 || ' ' || t2 || ' ' || t3 END AS knowledge_text,
-           CASE WHEN m = 0 THEN [t1, t2 || t3]
+           CAST(to_json(CASE WHEN m = 0 THEN [t1, t2 || t3]
                 WHEN m = 1 THEN [t1 || t2, t3]
-                ELSE [t1 || ' ' || t2 || ' ' || t3] END AS items
+                ELSE [t1 || ' ' || t2 || ' ' || t3] END) AS VARCHAR) AS items
     FROM tok
     """,
 )
@@ -151,7 +151,8 @@ def f6_knowledge_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select(
         "doc_id",
         text.alias("knowledge_text"),
-        listparse.parse_knowledge(text).alias("items"),
+        # gate boundary: to_json the parsed array (driver can't hash lists)
+        F.to_json(listparse.parse_knowledge(text)).alias("items"),
     )
 
 
@@ -160,8 +161,8 @@ def f6_knowledge_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="F7 (src/extract.py:230-237,254-260)",
     oracle="""
     SELECT doc_id,
-           list_filter(list_transform(str_split(text, ' '), x -> trim(x)),
-                       x -> x <> '') AS parts,
+           CAST(to_json(list_filter(list_transform(str_split(text, ' '), x -> trim(x)),
+                       x -> x <> '')) AS VARCHAR) AS parts,
            len(list_filter(list_transform(str_split(text, ' '), x -> trim(x)),
                            x -> x <> '')) AS n_parts
     FROM documents
@@ -170,7 +171,9 @@ def f6_knowledge_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f7_split_nonblank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     parts = scalar.split_nonblank(F.col("text"), " ")
-    return d.select("doc_id", parts.alias("parts"), F.size(parts).alias("n_parts"))
+    return d.select(
+        "doc_id", F.to_json(parts).alias("parts"), F.size(parts).alias("n_parts")
+    )
 
 
 @register(

@@ -91,7 +91,7 @@ def simsearch_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS INT)) AS q8,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
       FROM embeddings)
-    SELECT vec_id, q8,
+    SELECT vec_id, CAST(to_json(q8) AS VARCHAR) AS q8,
            list_max(list_transform(range(1, len(q8) + 1),
              i -> abs(q8[i] / CAST(127 AS DOUBLE) - xd[i]))) AS max_err
     FROM q
@@ -114,4 +114,5 @@ def simsearch_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q8, xd, lambda qi, x: F.abs(qi / F.lit(127.0).cast("double") - x)
         )
     )
-    return e.select("vec_id", q8.alias("q8"), max_err.alias("max_err"))
+    # gate boundary: to_json the quantized array (driver can't hash lists)
+    return e.select("vec_id", F.to_json(q8).alias("q8"), max_err.alias("max_err"))

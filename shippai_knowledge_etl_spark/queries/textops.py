@@ -116,9 +116,9 @@ def ext_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t)
     SELECT doc_id,
            md5(array_to_string(toks, ' ')) AS doc_fp,
-           list_transform(range(0, n_win),
+           CAST(to_json(list_transform(range(0, n_win),
              i -> md5(array_to_string(list_slice(toks, i*4 + 1, i*4 + 8), ' '))
-           ) AS window_fps
+           )) AS VARCHAR) AS window_fps
     FROM n
     """,
 )
@@ -127,5 +127,6 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         textops.fingerprint(F.col("text")).alias("doc_fp"),
-        textops.window_fingerprints(F.col("text")).alias("window_fps"),
+        # gate boundary: to_json the fingerprint array (driver can't hash lists)
+        F.to_json(textops.window_fingerprints(F.col("text"))).alias("window_fps"),
     )

@@ -25,12 +25,16 @@ from shippai_knowledge_etl_spark.tables import load, scale_out
     oracle="""
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
            event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.tumbling_counts(load(spark, sf_dir, "events"))
+    # The shared streaming op aggregates in exact DECIMAL; the gate
+    # boundary casts to rounded DOUBLE (driver hashes Decimal != float64).
+    out = W.tumbling_counts(load(spark, sf_dir, "events"))
+    return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
 
 
 @register(
@@ -175,9 +179,9 @@ def s1_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS date,
            CAST(doc_id % 4 AS INT) AS deaths,
            CAST(doc_id % 7 AS INT) AS injuries,
-           CASE WHEN doc_id % 3 = 2 THEN [t[2] || ' ' || t[3]]
-                ELSE [t[2], t[3]] END AS knowledge,
-           list_slice(t, 1, 3) AS sources_list,
+           CAST(to_json(CASE WHEN doc_id % 3 = 2 THEN [t[2] || ' ' || t[3]]
+                ELSE [t[2], t[3]] END) AS VARCHAR) AS knowledge,
+           CAST(to_json(list_slice(t, 1, 3)) AS VARCHAR) AS sources_list,
            true AS has_scenario
     FROM tok
     """,
@@ -227,8 +231,12 @@ def case_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tests/test_sinks.py under CASE_SCHEMA.
         (F.col("doc_id") % 4).cast("int").alias("deaths"),
         (F.col("doc_id") % 7).cast("int").alias("injuries"),
-        listparse.parse_knowledge(knowledge_text).alias("knowledge"),
-        F.slice(scalar.split_nonblank(F.col("text"), " "), 1, 3).alias("sources_list"),
+        # gate boundary: arrays to_json'd (driver can't hash list cells);
+        # the typed nested form round-trips under CASE_SCHEMA in tests.
+        F.to_json(listparse.parse_knowledge(knowledge_text)).alias("knowledge"),
+        F.to_json(
+            F.slice(scalar.split_nonblank(F.col("text"), " "), 1, 3)
+        ).alias("sources_list"),
         nested.scenario_presence(F.col("scenario")).alias("has_scenario"),
     )
     return assembled.drop("doc_id")
