@@ -101,9 +101,72 @@ def case_id_from_url(col: Column) -> Column:
     return F.regexp_extract(col, r"/cf/(\w+)\.html", 1)
 
 
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_ORIGIN_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+
+
+def _remove_dot_segments(url: Column) -> Column:
+    """RFC 3986 dot-segment removal over the path portion of an absolute
+    URL, as a pure fold — no UDF. ``..`` pops one segment (never past
+    the root); ``.`` disappears; a trailing ``.``/``..`` leaves the
+    directory slash, matching ``urllib.parse.urljoin``."""
+    origin = F.regexp_extract(url, _ORIGIN_RE, 0)
+    path = F.regexp_replace(url, _ORIGIN_RE, "")
+    # final "." / ".." keep their directory semantics once exploded
+    path = F.regexp_replace(path, r"/\.$", "/./")
+    path = F.regexp_replace(path, r"/\.\.$", "/../")
+    segs = F.filter(F.split(path, "/"), lambda x: x != ".")
+    folded = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            x == "..",
+            # pop, but never the leading '' root marker
+            F.when(F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.concat(origin, F.array_join(folded, "/"))
+
+
+def resolve_url(base: Column | str, href: Column) -> Column:
+    """F10: reference-faithful ``urljoin(base_page_url, href)``
+    (src/extract.py:206,210) as built-in expressions:
+
+      - scheme-absolute hrefs pass through;
+      - ``//host/...`` takes the base's scheme;
+      - ``/abs/path`` resolves against the base's origin;
+      - ``?query`` / ``#frag`` attach to the base's path;
+      - anything else joins the base page's directory, then ``.``/``..``
+        segments are normalized RFC-3986-style.
+    """
+    if isinstance(base, str):
+        base = F.lit(base)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, _ORIGIN_RE, 0)
+    path = F.regexp_replace(base, _ORIGIN_RE, "")
+    base_dir = F.regexp_replace(path, r"[^/]*$", "")
+    joined = (
+        F.when(href.rlike(_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href == "", base)
+        .when(href.startswith("?") | href.startswith("#"), F.concat(origin, path, href))
+        .otherwise(
+            F.concat(
+                origin,
+                F.when(base_dir == "", F.lit("/")).otherwise(base_dir),
+                href,
+            )
+        )
+    )
+    return _remove_dot_segments(joined)
+
+
 def build_url(base: str, col: Column) -> Column:
-    """F10: absolute URL construction (src/render_pdf.py:364,418)."""
-    return F.concat(F.lit(base), col)
+    """F10 legacy shape: absolute URL from an origin-like base + href
+    (src/render_pdf.py:364,418). Now urljoin-faithful via resolve_url —
+    a base with no path behaves as the site origin."""
+    return resolve_url(base, col)
 
 
 def output_filename(case_id: Column, case_name: Column, ext: str) -> Column:

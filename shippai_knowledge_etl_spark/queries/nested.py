@@ -623,29 +623,47 @@ def p7_multimedia_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p8_link_fallback",
-    survey_ref="P8+O4 (src/extract.py:197-210): field link else first /sf/ anchor",
+    survey_ref="P8+O4+F10 (src/extract.py:197-210): field link else first /sf/ "
+    "anchor, resolved with real urljoin semantics (src/extract.py:206,210)",
     oracle="""
-    WITH src AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 4 = 0 THEN NULL
-                  ELSE printf('/sf/field%d.html', doc_id) END AS field_link,
-             ['/cf/case.html', printf('/sf/anchor%d.html', doc_id % 5),
-              '/sf/second.html'] AS anchors
-      FROM documents)
+    -- Expected urljoin results stated per href shape, with the page at
+    -- https://www.shippai.org/fkd/cf/CZ{id}.html (directory /fkd/cf/):
+    --   %4=0  no field link -> first /sf/ anchor, root-absolute
+    --   %4=1  '../sf/x'     -> ../ resolves out of /cf/ into /fkd/sf/
+    --   %4=2  '/fkd/sf/x'   -> root-absolute against the origin
+    --   %4=3  absolute href -> passes through untouched
     SELECT doc_id,
-           'https://www.shippai.org/fkd' ||
-             coalesce(field_link,
-                      list_filter(anchors, x -> x LIKE '/sf/%')[1]) AS scenario_url,
-           field_link IS NULL AS used_fallback
-    FROM src
+           CASE doc_id % 4
+             WHEN 0 THEN printf('https://www.shippai.org/sf/anchor%d.html',
+                                doc_id % 5)
+             WHEN 1 THEN printf('https://www.shippai.org/fkd/sf/field%d.html',
+                                doc_id)
+             WHEN 2 THEN printf('https://www.shippai.org/fkd/sf/field%d.html',
+                                doc_id)
+             ELSE printf('https://cdn.example.org/sf/field%d.html', doc_id)
+           END AS scenario_url,
+           doc_id % 4 = 0 AS used_fallback
+    FROM documents
     """,
 )
 def p8_link_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """coalesce(explicit link, first /sf/ anchor in document order) —
-    O4 first-match via element_at(filter(...), 1), then absolutized."""
+    O4 first-match via element_at(filter(...), 1) — then resolved
+    against the page URL with urljoin semantics (relative, ``../``,
+    root-absolute, and already-absolute hrefs all behave like
+    urllib.parse.urljoin)."""
     d = load(spark, sf_dir, "documents")
-    field_link = F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string")).otherwise(
-        F.format_string("/sf/field%d.html", F.col("doc_id"))
+    page_url = F.format_string(
+        "https://www.shippai.org/fkd/cf/CZ%07d.html", F.col("doc_id")
+    )
+    m = F.col("doc_id") % 4
+    field_link = (
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 1, F.format_string("../sf/field%d.html", F.col("doc_id")))
+        .when(m == 2, F.format_string("/fkd/sf/field%d.html", F.col("doc_id")))
+        .otherwise(
+            F.format_string("https://cdn.example.org/sf/field%d.html", F.col("doc_id"))
+        )
     )
     anchors = F.array(
         F.lit("/cf/case.html"),
@@ -657,9 +675,9 @@ def p8_link_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        scalar.build_url(
-            "https://www.shippai.org/fkd", F.coalesce(field_link, first_sf)
-        ).alias("scenario_url"),
+        scalar.resolve_url(page_url, F.coalesce(field_link, first_sf)).alias(
+            "scenario_url"
+        ),
         field_link.isNull().alias("used_fallback"),
     )
 

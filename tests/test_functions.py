@@ -176,3 +176,39 @@ def test_separator_decode_examples(run_expr):
         ),
     )
     assert out[0] == [3, 6, 9]
+
+
+URLJOIN_CASES = [
+    # (base page url, href) — golden is urllib.parse.urljoin itself
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "CZ0000002.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "../sf/x.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "../../mf/m1.jpg"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "../../../too/far.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "/fkd/sf/y.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "http://other.org/a.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "https://other.org/a.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "//cdn.example.org/img.png"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "./same/dir.html"),
+    ("https://www.shippai.org/fkd/cf/CZ0000001.html", "a/./b/../c.html"),
+    ("https://www.shippai.org/fkd/cf/", "sub/page.html"),
+    ("https://www.shippai.org/fkd/cf/", ".."),
+    ("https://www.shippai.org/fkd/cf/", "../"),
+    ("https://www.shippai.org", "page.html"),
+    ("https://www.shippai.org/", "page.html"),
+]
+
+
+def test_resolve_url_matches_urljoin(spark):
+    """F10: resolve_url must agree with urllib.parse.urljoin on every
+    href shape the reference can encounter (src/extract.py:206,210)."""
+    from urllib.parse import urljoin
+
+    df = spark.createDataFrame(URLJOIN_CASES, "base string, href string")
+    got = [
+        r["out"]
+        for r in df.select(
+            scalar.resolve_url(F.col("base"), F.col("href")).alias("out")
+        ).collect()
+    ]
+    want = [urljoin(b, h) for b, h in URLJOIN_CASES]
+    assert got == want, list(zip(URLJOIN_CASES, got, want))

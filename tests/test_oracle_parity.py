@@ -65,7 +65,16 @@ _ROWS_ONLY = [s for s in _SPECS.values() if s.oracle is None]
 
 @pytest.mark.parametrize("spec", _WITH_ORACLE, ids=lambda s: s.name)
 def test_oracle_parity(spark, duck, sf_dir, spec):
-    scols, srows = _spark_rows(spec.fn(spark, sf_dir))
+    df = spec.fn(spark, sf_dir)
+    # Gate-interface contract (round-1 lesson): the driver hashes
+    # oracle-checked results through pandas, where array cells crash the
+    # canonicalizer and Decimal-vs-float64 always mismatches. Any
+    # hash-checked query must serialize/cast those at the boundary.
+    from scripts.driver_sim import forbidden_output_types
+
+    bad = forbidden_output_types(df)
+    assert not bad, f"{spec.name}: driver-unhashable output columns {bad}"
+    scols, srows = _spark_rows(df)
     dcols, drows = _duck_rows(duck, spec.oracle)
     assert scols == dcols, f"{spec.name}: column mismatch {scols} != {dcols}"
     assert len(srows) == len(drows), (
@@ -97,3 +106,16 @@ def test_contract_shape():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 1
+
+
+def test_driver_window_contract():
+    """The driver verifies exactly the first 50 registered queries; pin
+    that window to DRIVER_WINDOW and require every one oracle-checked."""
+    import __spark_entry__ as e
+    from shippai_knowledge_etl_spark.catalog import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    q, o = e.queries(), e.oracle_sql()
+    assert list(q)[:50] == list(DRIVER_WINDOW)
+    missing = [n for n in DRIVER_WINDOW if n not in o]
+    assert not missing, f"window queries without oracle: {missing}"
