@@ -336,6 +336,120 @@ def separator_line_ops(positioned: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def draw_ops(positioned: DataFrame, id_col: str, title_col: Column | None = None) -> DataFrame:
+    """All of a case's drawable geometry as ONE ordered row set, in the
+    reference's section order (src/render_pdf.py:324-471): title text,
+    item bars (+labels), separator lines (doubles as a ±4-unit pair),
+    category braces (+labels). Uniform schema feeds the S6 PDF sink:
+
+      (id, section, seq, op, x, y, x2, y2, w, h, fill, label,
+       total_h, page_w)
+
+    Everything stays per-case relational rows — the sink only ever sees
+    a sorted partition, never a collected document."""
+    dims = positioned.groupBy(id_col).agg(
+        F.max("total_h").cast("long").alias("total_h"),
+        (
+            F.lit(MARGIN_LEFT)
+            + F.max("idx0") * STEP_X
+            + BAR_W
+            + BRACE_GAP
+            + F.lit(200)
+        ).cast("long").alias("page_w"),
+    )
+    nul = F.lit(None).cast("double")
+
+    title = dims.select(
+        F.col(id_col),
+        F.lit(0).alias("section"),
+        F.lit(0).alias("seq"),
+        F.lit("text").alias("op"),
+        F.lit(float(MARGIN_LEFT)).alias("x"),
+        (F.col("total_h") - 40).cast("double").alias("y"),
+        nul.alias("x2"),
+        nul.alias("y2"),
+        nul.alias("w"),
+        nul.alias("h"),
+        F.lit(None).cast("string").alias("fill"),
+        (title_col if title_col is not None else F.col(id_col).cast("string")).alias(
+            "label"
+        ),
+    )
+    rects = rect_ops(positioned, id_col).select(
+        F.col(id_col),
+        F.lit(1).alias("section"),
+        F.col("idx0").alias("seq"),
+        F.col("op"),
+        F.col("x").cast("double"),
+        F.col("y_pdf").cast("double").alias("y"),
+        nul.alias("x2"),
+        nul.alias("y2"),
+        F.col("w").cast("double"),
+        F.col("h").cast("double"),
+        F.col("fill"),
+        F.col("label"),
+    )
+    # double separators render as a parallel pair, singles as one line
+    seps = separator_line_ops(positioned, id_col)
+    seps = seps.select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("line_type") == "double", F.array(F.lit(-4), F.lit(4))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("dy"),
+    ).select(
+        F.col(id_col),
+        F.lit(2).alias("section"),
+        (F.col("idx0") * 2 + (F.col("dy") > 0).cast("int")).alias("seq"),
+        F.lit("line").alias("op"),
+        F.col("x_start").cast("double").alias("x"),
+        (F.col("y_line") + F.col("dy")).cast("double").alias("y"),
+        F.col("x_end").cast("double").alias("x2"),
+        (F.col("y_line") + F.col("dy")).cast("double").alias("y2"),
+        nul.alias("w"),
+        nul.alias("h"),
+        F.lit(None).cast("string").alias("fill"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    braces = brace_ops(positioned, id_col)
+    brace_lines = braces.select(
+        F.col(id_col),
+        F.lit(3).alias("section"),
+        F.lit(0).alias("seq"),
+        F.lit("line").alias("op"),
+        F.col("brace_x").cast("double").alias("x"),
+        F.col("y_bot").alias("y"),
+        F.col("brace_x").cast("double").alias("x2"),
+        F.col("y_top").alias("y2"),
+        nul.alias("w"),
+        nul.alias("h"),
+        F.lit(None).cast("string").alias("fill"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    brace_labels = braces.select(
+        F.col(id_col),
+        F.lit(3).alias("section"),
+        F.lit(1).alias("seq"),
+        F.lit("text").alias("op"),
+        (F.col("brace_x") + 10).cast("double").alias("x"),
+        F.col("label_y").alias("y"),
+        nul.alias("x2"),
+        nul.alias("y2"),
+        nul.alias("w"),
+        nul.alias("h"),
+        F.lit(None).cast("string").alias("fill"),
+        F.col("category").alias("label"),
+    )
+    ops = title.unionByName(rects).unionByName(seps).unionByName(brace_lines).unionByName(
+        brace_labels
+    )
+    # plain equi-join on the case id (no broadcast hint: dims has one row
+    # PER CASE, which at 100 TB is far too large to broadcast; AQE may
+    # still choose broadcast at small SF)
+    return ops.join(dims, on=id_col)
+
+
 def brace_ops(positioned: DataFrame, id_col: str) -> DataFrame:
     """Category braces: vertical extent spans the category's first/last
     bar; the label sits at the vertical midpoint

@@ -32,6 +32,36 @@ def write_cases_json(cases: DataFrame, out_dir: str) -> None:
     cases.write.mode("overwrite").json(out_dir)
 
 
+def write_cases_json_named(cases: DataFrame, out_dir: str) -> None:
+    """S5 with the reference's naming contract: one
+    ``{case_id}_{case_name}.json`` file per case
+    (src/extract.py:417; requirements.md:85-90).
+
+    Spark's native writer controls part-file names, not per-row names,
+    so the contract is honored with a foreachPartition writer: serialize
+    each case to a JSON document JVM-side (``to_json``), repartition on
+    case_id so a case is written exactly once, and stream rows to
+    individually named files. Path separators in case_name are
+    sanitized; everything else (incl. UTF-8) passes through."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = cases.select(
+        F.col("case_id"),
+        F.regexp_replace(F.col("case_name"), r"[/\\\x00]", "_").alias("_fname"),
+        F.to_json(F.struct(*[F.col(f.name) for f in cases.schema.fields])).alias(
+            "_js"
+        ),
+    )
+
+    def emit(rows) -> None:
+        for r in rows:
+            path = os.path.join(out_dir, f"{r['case_id']}_{r['_fname']}.json")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(r["_js"])
+                f.write("\n")
+
+    payload.repartition(F.col("case_id")).foreachPartition(emit)
+
+
 def read_cases_json(spark: SparkSession, path: str) -> DataFrame:
     """S8: schema-pinned read-back (never infer — at 100 TB inference
     is a full extra pass)."""
@@ -61,21 +91,54 @@ def write_manifest(manifest_row: dict, out_dir: str) -> str:
     return path
 
 
-def render_pdf_sink(cases: DataFrame, out_dir: str) -> None:
-    """S6: per-partition PDF emission. reportlab is absent here, so this
-    raises; the distributed shape (foreachPartition, one PDF per row,
-    no driver collect) is what matters architecturally."""
+def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -> None:
+    """S6: per-case PDF emission from the draw-ops table
+    (operators/diagram.py ``draw_ops``), matching the reference's
+    section order (src/render_pdf.py:324-471: title → bars → separator
+    lines → braces). Distributed shape: repartition on the case id so
+    one case's ops land contiguous in one task, sortWithinPartitions
+    pins draw order, then foreachPartition streams each case's rows
+    into a hand-rolled single-page PDF — no reportlab, no driver
+    collect, no whole-case materialization beyond one case's op rows."""
+    os.makedirs(out_dir, exist_ok=True)
 
-    def emit(rows) -> None:  # pragma: no cover - requires reportlab
-        try:
-            import reportlab  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "PDF rendering needs reportlab (not in this container); "
-                "use operators.diagram draw-ops + write_cases_json instead"
-            ) from e
+    def emit(rows) -> None:
+        from shippai_knowledge_etl_spark.sources.pdf_writer import minimal_pdf
 
-    cases.foreachPartition(emit)
+        cur_id, cur_ops, cur_dims = None, [], (1000, 1000)
+
+        def flush() -> None:
+            if cur_id is None:
+                return
+            path = os.path.join(out_dir, f"{cur_id}.pdf")
+            with open(path, "wb") as f:
+                f.write(minimal_pdf(cur_ops, cur_dims[0], cur_dims[1]))
+
+        for r in rows:
+            if r[id_col] != cur_id:
+                flush()
+                cur_id, cur_ops = r[id_col], []
+            cur_dims = (r["page_w"], r["total_h"])
+            cur_ops.append(
+                {
+                    "op": r["op"],
+                    "x": r["x"],
+                    "y": r["y"],
+                    "x2": r["x2"],
+                    "y2": r["y2"],
+                    "w": r["w"],
+                    "h": r["h"],
+                    "fill": r["fill"],
+                    "label": r["label"],
+                }
+            )
+        flush()
+
+    (
+        draw_ops.repartition(F.col(id_col))
+        .sortWithinPartitions(id_col, "section", "seq", "op")
+        .foreachPartition(emit)
+    )
 
 
 def json_roundtrip_check(cases: DataFrame) -> DataFrame:

@@ -64,12 +64,72 @@ def test_to_from_json_roundtrip(cases_df):
     assert all(r.roundtrip_ok for r in out)
 
 
-def test_pdf_sink_raises_without_reportlab(cases_df):
-    with pytest.raises(Exception) as ei:
-        sinks.render_pdf_sink(cases_df.limit(1), "/tmp/never")
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+def test_named_json_sink_roundtrip(spark, cases_df, tmp_path):
+    """S5 naming contract (src/extract.py:417): exact
+    {case_id}_{case_name}.json filenames that round-trip through S8."""
+    out = tmp_path / "named"
+    sinks.write_cases_json_named(cases_df, str(out))
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["CZ0000001_テスト事例.json", "CZ0000002_second.json"]
+    back = sinks.read_cases_json(spark, str(out))
+    a = {r.case_id: r for r in back.collect()}
+    assert len(a) == 2
+    assert a["CZ0000001"].scenario.cause == [["x", "y", "z"]]
+    assert a["CZ0000001"].casualties.injuries == 2
+
+
+def test_pdf_sink_renders_real_per_case_artifacts(spark, sf_dir, tmp_path):
+    """S6 (src/render_pdf.py:324-471): one openable PDF per case, with
+    title → bars → separator lines → braces in the reference's section
+    order, emitted without reportlab."""
+    from shippai_knowledge_etl_spark.operators import diagram
+    from shippai_knowledge_etl_spark.queries.nested import (
+        scenario_source,
+        scenario_struct,
     )
+
+    src = scenario_struct(scenario_source(spark, sf_dir)).filter(
+        F.col("doc_id") < 6
+    )
+    pos = diagram.positioned_items(src, "doc_id")
+    expected = {
+        r["doc_id"]: (r["n"], r["n_lines"])
+        for r in pos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.array_contains("doubles", F.col("idx0"))
+                    | F.array_contains("singles", F.col("idx0"))
+                ).cast("int")
+                * F.when(F.col("idx0") < F.col("total_items") - 1, 1).otherwise(0)
+            ).alias("n_lines"),
+        )
+        .collect()
+    }
+    ops = diagram.draw_ops(pos, "doc_id")
+    sinks.render_pdf_sink(ops, str(tmp_path / "pdf"), id_col="doc_id")
+
+    files = sorted((tmp_path / "pdf").iterdir())
+    assert len(files) == len(expected)
+    for p in files:
+        doc_id = int(p.stem)
+        raw = p.read_bytes()
+        assert raw.startswith(b"%PDF-1.4")
+        assert raw.rstrip().endswith(b"%%EOF")
+        n_rects = raw.count(b" re f")
+        assert n_rects == expected[doc_id][0], f"doc {doc_id} rect count"
+        # every bar carries its numbered label; labels render after their
+        # rect and before the first separator line (section order)
+        assert raw.count(b"(01. ") == 1
+        first_line = raw.find(b" l S")
+        last_rect = raw.rfind(b" re f")
+        if first_line != -1:
+            assert last_rect < first_line, "rects must precede lines"
+        # braces: one vertical line + text label per category present
+        assert raw.count(b"(cause) Tj") + raw.count(b"(action) Tj") + raw.count(
+            b"(result) Tj"
+        ) >= 1
 
 
 def test_html_parser_edge_cases(spark):
