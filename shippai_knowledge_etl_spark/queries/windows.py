@@ -158,6 +158,88 @@ def s1_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_list_page_scan",
+    survey_ref="S2 (src/extract.py:396-407): REAL ul.list_all anchor parse "
+    "→ /cf/ filter → per-list limit → urljoin absolutize",
+    oracle="""
+    -- Expected walk of the generated page: anchors i in 0..n_links-1
+    -- inside ul.list_all (a decoy ul precedes it); /cf/ hrefs are the
+    -- i%4<>3 ones; the reference keeps the first 4 matches per list.
+    WITH lists AS (
+      SELECT n_nationkey AS list_id, 5 + n_nationkey % 6 AS n_links FROM nation),
+    links AS (
+      SELECT list_id, CAST(i AS INT) AS i
+      FROM lists, LATERAL unnest(range(0, n_links)) t(i)
+      WHERE i % 4 <> 3),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY list_id ORDER BY i) - 1
+                     AS INT) AS pos
+      FROM links)
+    SELECT list_id, pos,
+           printf('https://www.shippai.org/fkd/cf/CZ%d_%d.html', list_id, i)
+             AS case_url,
+           printf('case %d', i) AS link_text
+    FROM ranked WHERE pos < 4
+    """,
+)
+def s2_list_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real S2 edge: a reference-shaped list page is generated per
+    nation (a decoy ``<ul>`` plus ``<ul class="list_all">`` holding a
+    mix of /cf/ case links and /sf/ noise), parsed with the stdlib
+    anchor-list UDF, filtered to /cf/ hrefs, limited to 4 per list
+    (the reference's in-scan break), and absolutized against the list
+    page's URL with urljoin semantics."""
+    from shippai_knowledge_etl_spark.functions import scalar as fscalar
+    from shippai_knowledge_etl_spark.sources.html_parse import list_page_links
+
+    n = load(spark, sf_dir, "nation")
+    list_id = F.col("n_nationkey")
+    n_links = F.lit(5) + list_id % 6
+    items = F.transform(
+        F.sequence(F.lit(0), n_links - 1),
+        lambda i: F.format_string(
+            '<li><a href="%s">case %d</a></li>',
+            F.when(
+                i % 4 == 3, F.format_string("../sf/skip%d.html", i.cast("int"))
+            ).otherwise(
+                F.format_string(
+                    "../cf/CZ%d_%d.html", list_id, i.cast("int")
+                )
+            ),
+            i.cast("int"),
+        ),
+    )
+    page = F.concat(
+        F.lit('<ul class="other"><li><a href="/cf/DECOY.html">no</a></li></ul>'),
+        F.lit('<ul class="list_all">'),
+        F.array_join(items, ""),
+        F.lit("</ul>"),
+    )
+    page_url = F.format_string(
+        "https://www.shippai.org/fkd/lis/lis%d.html", list_id
+    )
+    links = list_page_links(page)
+    kept = F.slice(
+        F.filter(links, lambda r: r.getField("href").contains("/cf/")), 1, 4
+    )
+    return (
+        n.select(
+            list_id.alias("list_id"),
+            page_url.alias("_page_url"),
+            F.posexplode(kept).alias("pos", "r"),
+        )
+        .select(
+            "list_id",
+            F.col("pos").cast("int"),
+            fscalar.resolve_url(F.col("_page_url"), F.col("r.href")).alias(
+                "case_url"
+            ),
+            F.col("r.text").alias("link_text"),
+        )
+    )
+
+
+@register(
     "case_assembly",
     survey_ref="full nested case model (requirements.md:107-142; §3.2 "
     "end-to-end assembly)",

@@ -87,6 +87,67 @@ def html_to_rows(pages: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series([parse_page(h) if h else [] for h in batch])
 
 
+LINK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+LINKS_TYPE = T.ArrayType(LINK_ROW_SCHEMA)
+
+
+class _AnchorListParser(HTMLParser):
+    """S2: anchors inside ``<ul class="list_all">`` in document order —
+    the reference's list-page walk (src/extract.py:396-407). Anchors in
+    other lists (or outside any list) are ignored, nested uls inside the
+    target list are included, and the class attribute may contain
+    multiple names."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[int, str, str]] = []
+        self._depth = 0  # >0 while inside a list_all ul
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        a = dict(attrs)
+        if tag == "ul":
+            if self._depth > 0 or "list_all" in (a.get("class") or "").split():
+                self._depth += 1
+        elif tag == "a" and self._depth > 0:
+            self._href, self._text = a.get("href"), []
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._text.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "ul" and self._depth > 0:
+            self._depth -= 1
+        elif tag == "a" and self._href is not None:
+            self.links.append(
+                (len(self.links), self._href, "".join(self._text).strip())
+            )
+            self._href = None
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def parse_list_page(html: str) -> list[tuple[int, str, str]]:
+    p = _AnchorListParser()
+    p.feed(html)
+    return p.links
+
+
+@pandas_udf(LINKS_TYPE)
+def list_page_links(pages: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in pages:
+        yield pd.Series([parse_list_page(h) if h else [] for h in batch])
+
+
 def label_rows(html_col: Column) -> Column:
     """Page HTML → exploded-ready tall rows, pre-filtered on the label
     bgcolor sentinel like the reference's in-scan predicate

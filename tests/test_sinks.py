@@ -132,6 +132,25 @@ def test_pdf_sink_renders_real_per_case_artifacts(spark, sf_dir, tmp_path):
         ) >= 1
 
 
+def test_anchor_list_parser_edge_cases():
+    from shippai_knowledge_etl_spark.sources.html_parse import parse_list_page
+
+    html = (
+        '<ul><li><a href="/cf/out.html">out</a></li></ul>'  # not list_all
+        '<ul class="menu list_all"><li><a href="a.html">A</a></li>'
+        '<ul><li><a href="b.html">B</a></li></ul>'  # nested in target
+        '<li><a href="c.html">C</a></li></ul>'
+        '<a href="/cf/stray.html">stray</a>'  # outside any list
+    )
+    assert parse_list_page(html) == [
+        (0, "a.html", "A"),
+        (1, "b.html", "B"),
+        (2, "c.html", "C"),
+    ]
+    assert parse_list_page("") == []
+    assert parse_list_page('<ul class="list_all"></ul>') == []
+
+
 def test_html_parser_edge_cases(spark):
     from shippai_knowledge_etl_spark.sources.html_parse import parse_page
 
