@@ -39,11 +39,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column, n: int = 3, max_tokens: int = 12) -> Column:
-    """Distinct n-gram (word) shingles over the first ``max_tokens``
-    tokens. Bounding token count keeps shingle cardinality per doc O(1)
-    for the demo; production drops the bound."""
-    toks = F.slice(tokenize(col), 1, max_tokens)
+def shingles(col: Column, n: int = 3, max_tokens: int | None = None) -> Column:
+    """Distinct n-gram (word) shingles over the full token stream.
+    ``max_tokens`` optionally bounds very long documents (a recall
+    trade-off some production dedup pipelines take); default is
+    unbounded — the round-1 demo cap of 12 is lifted."""
+    toks = tokenize(col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -71,13 +74,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing a blocking key.
 
-    Relational form: explode shingles → self-join on (block, shingle)
-    → per-pair intersection count → join per-doc shingle counts →
-    jaccard = |∩| / (|A|+|B|-|∩|). Every step is a hash join/agg on a
-    bounded key — no quadratic array work, no driver collect.
+    Relational form: explode shingles → df-prune → self-join on
+    (block, shingle) → per-pair intersection count → join per-doc
+    shingle counts → jaccard = |∩| / (|A|+|B|-|∩|). Every step is a
+    hash join/agg on a bounded key — no quadratic array work, no driver
+    collect.
+
+    The df-pruning step drops (block, shingle) keys held by a single
+    document BEFORE the self-join: a one-owner shingle can never
+    contribute to an intersection, so the result is exactly unchanged
+    while the join's input shrinks by whatever fraction of shingles is
+    locally unique (the overwhelming majority in natural corpora — this
+    is the relational analog of prefix filtering). Denominator counts
+    are taken before pruning, so Jaccard values are unaffected.
     """
+    # Denominators come straight off the doc row — shingles() is
+    # array_distinct'd, so size() == the exploded per-doc count, without
+    # scanning/shuffling the exploded rows a second time.
+    counts = df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col))).alias("n_shingles")
+    )
     rows = shingle_rows(df, id_col, text_col, block_col)
-    counts = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    w_bs = Window.partitionBy("block", "shingle")
+    rows = (
+        rows.withColumn("_df", F.count(F.lit(1)).over(w_bs))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
     a = rows.select(
         F.col("block"), F.col("shingle"), F.col(id_col).alias("id_a")
     )

@@ -62,8 +62,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     survey_ref="[EXT] n-gram Jaccard all-pairs within a blocking key",
     bench=True,
-    oracle="""
-    WITH sh AS (
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    sh AS (
       SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
       FROM (
         SELECT doc_id, source,
@@ -72,10 +73,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
                ELSE [array_to_string(toks, ' ')] END AS sh0
         FROM (SELECT doc_id, source,
-                     list_slice(list_filter(str_split(trim(regexp_replace(
-                       lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
-                       x -> x <> ''), 1, 12) AS toks
-              FROM documents))),
+                     list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM planted))),
     counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -91,10 +92,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational all-pairs Jaccard (explode→join→count), blocked by
-    ``source``. The join keys are (block, shingle) — bounded fanout,
-    no quadratic array work; prefix filtering is the 100 TB upgrade."""
-    d = scale_out(load(spark, sf_dir, "documents"))
+    """Relational all-pairs Jaccard (explode→df-prune→join→count),
+    blocked by ``source``, over the FULL shingle sets (round-1's
+    12-token demo cap is lifted) and the planted-duplicate corpus so
+    matches are guaranteed. The join keys are (block, shingle) —
+    bounded fanout, no quadratic array work; shingles unique to one
+    doc within a block are pruned before the join."""
+    d = scale_out(documents_with_planted_dups(spark, sf_dir))
     return dedup.jaccard_pairs(d, "doc_id", "text", "source", threshold=0.2)
 
 
@@ -139,9 +143,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
                ELSE [array_to_string(toks, ' ')] END AS sh0
         FROM (SELECT doc_id, source,
-                     list_slice(list_filter(str_split(trim(regexp_replace(
+                     list_filter(str_split(trim(regexp_replace(
                        lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
-                       x -> x <> ''), 1, 12) AS toks
+                       x -> x <> '') AS toks
               FROM planted))),
     counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
     pairs AS (
