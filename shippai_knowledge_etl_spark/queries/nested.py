@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.functions import nested, scalar
 from shippai_knowledge_etl_spark.operators import diagram
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 # Shared oracle CTEs (DuckDB). `cat` assigns each 1-based ord its
 # category per the three boundary branches; `marks` adds the flat-case-
@@ -90,8 +90,15 @@ _SCN_SQL = """
 
 
 def scenario_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthesized scenario corpus (see module docstring)."""
-    d = load(spark, sf_dir, "documents")
+    """The synthesized scenario corpus (see module docstring).
+
+    scale_out matters here: the corpus feeds the diagram layer's fused
+    HOF expressions, whose cost is per-row compute, and the local
+    single-file parquet scans as ONE split — without the conditional
+    repartition every downstream narrow stage runs on 1 of 32 cores
+    (measured: diagram_rects 1.8 s on one task vs ~0.4 s spread). On a
+    real multi-split layout this is a no-op."""
+    d = scale_out(load(spark, sf_dir, "documents"))
     n_items = (F.lit(4) + F.col("doc_id") % 9).cast("int")
     n_doubles = (F.col("doc_id") % 3).cast("int")
     items = F.slice(F.split("text", " "), 1, n_items)
