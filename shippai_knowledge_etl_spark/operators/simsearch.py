@@ -93,6 +93,151 @@ def topk_cosine_bucketed(
     )
 
 
+def topk_cosine_blas(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB form of ``topk_cosine``: per-Arrow-batch matrix·vector
+    scoring in numpy (BLAS dgemv) via ``mapInPandas``, then the same
+    TakeOrderedAndProject top-k. One Python worker call scores a whole
+    batch (~10k vectors) — versus one fold per row — so the Python
+    boundary amortizes to noise while the heavy math runs vectorized.
+
+    Same ids as the HOF version; similarity values can differ in the
+    last ulp (pairwise vs sequential summation), which is why this
+    registers as a rows-only check with a pytest id-set cross-check."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = query.select(id_col, vec_col).collect()  # 1-row query side
+    q_id = q_rows[0][id_col]
+    q_vec = np.asarray(q_rows[0][vec_col], dtype=np.float64)
+    q_unit = q_vec / np.linalg.norm(q_vec)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ q_unit) / np.where(norms == 0, 1.0, norms)
+            out = pd.DataFrame(
+                {
+                    "query_id": q_id,
+                    id_col: pdf[id_col].to_numpy(),
+                    "sim": np.round(sims, 6),
+                }
+            )
+            yield out[out[id_col] != q_id]
+
+    schema = f"query_id long, {id_col} long, sim double"
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, schema)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table
+    against every vector, argmin via min_by with a deterministic
+    cluster-id tie-break. One narrow pass over the corpus — the corpus
+    itself never shuffles."""
+    scored = corpus.crossJoin(F.broadcast(centroids))
+    d = _sq_dist(F.col(vec_col), F.col("centroid"))
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster"),
+            F.round(d, 9).alias("dist"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cluster"), F.col(vec_col).alias("vec")),
+                F.struct("dist", "cluster"),
+            ).alias("_m"),
+            F.min("dist").alias("dist"),
+        )
+        .select(
+            id_col,
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.vec").alias(vec_col),
+            "dist",
+        )
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's iterations for IVF coarse quantization —
+    the real version of the ``label``-as-bucket stand-in.
+
+    Per round: assignment is a broadcast-join argmin (narrow over the
+    corpus); the centroid update explodes (cluster, dim, value) and
+    averages per (cluster, dim) — a shuffle of corpus×dims scalar rows
+    with map-side combine, the standard MapReduce k-means shape. The
+    centroid table (k×dims) is localCheckpoint'ed each round so lineage
+    stays O(1); at cluster scale swap in reliable checkpoint(). Returns
+    (assignments, centroids).
+
+    Deterministic: seeds are the k lowest-id vectors, ties in argmin
+    break on cluster id, and per-dim means use exact double sums over a
+    fixed grouping — same result at any parallelism up to FP summation
+    order in avg() (bounded by shuffle determinism of groupBy keys)."""
+    from pyspark.sql import Window
+
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+        centroids = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s.getField("x"),
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select(id_col, "cluster", "dist"), centroids
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float,

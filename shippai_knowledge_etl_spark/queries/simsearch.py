@@ -80,6 +80,40 @@ def simsearch_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simsearch_topk_blas",
+    survey_ref="[EXT] ANN scale path: Arrow-batched numpy (BLAS) scoring via "
+    "mapInPandas — same ids as simsearch_topk_cosine (pytest cross-checks); "
+    "sims differ in the last ulp (pairwise vs sequential sums) → rows-only",
+)
+def simsearch_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shippai_knowledge_etl_spark.operators.simsearch import topk_cosine_blas
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return topk_cosine_blas(e, q, k=10)
+
+
+@register(
+    "simsearch_ivf_kmeans",
+    survey_ref="[EXT] IVF coarse quantizer TRAINED in-engine: distributed "
+    "Lloyd's iterations (broadcast-argmin assignment + per-dim mean update), "
+    "then bucket-pruned search on the learned clusters — iterative algorithm, "
+    "engine-specific FP → rows-only; invariants pytest-checked",
+)
+def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shippai_knowledge_etl_spark.operators.simsearch import (
+        kmeans_fit,
+        topk_cosine_bucketed,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(e, k=8, n_iter=3)
+    corpus = e.join(assigned.select("vec_id", "cluster"), "vec_id")
+    q = corpus.filter(F.col("vec_id") == 0)
+    return topk_cosine_bucketed(corpus, q, k=10, bucket_col="cluster")
+
+
+@register(
     "simsearch_quantize_int8",
     survey_ref="[EXT] embedding int8 quantization (ANN-at-scale memory "
     "compression: 4x smaller vectors, scan stays JVM-side)",
