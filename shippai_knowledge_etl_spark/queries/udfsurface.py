@@ -223,3 +223,42 @@ def p14_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.cogroup(purchases).applyInPandas(
         _cogroup_stats, schema="user_id long, n_clicks long, n_purchases long"
     )
+
+
+@register(
+    "j6_asof_merge_scale",
+    survey_ref="as-of join, merge-asof form (SURVEY §2.6 scale path; same "
+    "semantics + oracle as j6_asof_latest_order's window form)",
+    oracle="""
+    SELECT event_id, asof_orderkey FROM (
+      SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def j6_asof_merge_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(nL+nR) merge-asof form of j6_asof_latest_order: cogroup on
+    the key, sorted two-pointer merge per key (pandas.merge_asof inside
+    applyInPandas) — no (event, earlier-order) candidate set is ever
+    materialized. Hash-checked against the SAME oracle as the window
+    form, proving the two plans agree row-for-row."""
+    from shippai_knowledge_etl_spark.operators.asof import merge_asof_latest
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return merge_asof_latest(
+        e,
+        o,
+        key_left="user_id",
+        key_right="o_custkey",
+        ts_left="ts",
+        ts_right="o_orderdate",
+        id_left="event_id",
+        id_right="o_orderkey",
+        out_col="asof_orderkey",
+    )
