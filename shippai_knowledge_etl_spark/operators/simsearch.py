@@ -238,6 +238,59 @@ def kmeans_fit(
     return assigned.select(id_col, "cluster", "dist"), centroids
 
 
+N_PLANES = 8
+_PLANE_SEED = 42
+
+
+def _planes(dims: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, rounded to 6dp so the
+    identical constants can be stated in a DuckDB oracle)."""
+    import numpy as np
+
+    rng = np.random.default_rng(_PLANE_SEED)
+    return [
+        [round(float(x), 6) for x in rng.uniform(-1.0, 1.0, dims)]
+        for _ in range(n_planes)
+    ]
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-cosine) bucket id: bit p is the
+    sign of vec·plane_p, packed into an int. Pure expressions — the
+    bucket computes in the scan stage; cosine-similar vectors agree on
+    most signs, so near-dups collide while the corpus spreads over
+    2^n_planes buckets."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(w) for w in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding near-dup at scale: bucket by hyperplane signs, exact
+    cosine verify only within buckets. Unlike ``near_dup_pairs`` (which
+    needs a caller-supplied blocking column), the blocking key here is
+    LEARNED from geometry — candidate count is driven by collision
+    probability (1 - θ/π per plane), not by any label."""
+    dims = len(corpus.select(vec_col).first()[0])
+    planes = _planes(dims, n_planes)
+    with_bucket = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    return near_dup_pairs(
+        with_bucket, threshold, bucket_col="bucket", id_col=id_col, vec_col=vec_col
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -80,6 +80,26 @@ def simsearch_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simsearch_near_dup_lsh",
+    survey_ref="[EXT] embedding near-dup, LSH form: blocking key LEARNED from "
+    "geometry (random-hyperplane sign bucket) instead of a label column — "
+    "the 100 TB path named in round 1. Identical ground-truth oracle: exact "
+    "copies always agree on every sign, so LSH recall on them is 1.0",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def simsearch_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(copies)
+    return simsearch.near_dup_pairs_lsh(corpus, threshold=0.999)
+
+
+@register(
     "simsearch_topk_blas",
     survey_ref="[EXT] ANN scale path: Arrow-batched numpy (BLAS) scoring via "
     "mapInPandas — same ids as simsearch_topk_cosine (pytest cross-checks); "

@@ -69,3 +69,33 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     }
     assert len(pruned) == 10
     assert len(truth & pruned) >= 2
+
+
+def test_lsh_buckets_spread_and_collide(spark, emb):
+    """Sign-LSH buckets must (a) give identical ids to identical
+    vectors, (b) spread a random corpus over many buckets, and (c) keep
+    a slightly perturbed copy in the same bucket most of the time."""
+    planes = simsearch._planes(64)
+    bucketed = emb.select(
+        "vec_id",
+        simsearch.sign_lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert n_buckets >= 32  # 500 random vectors over 256 buckets
+
+    # perturb: nudge the first component; signs should survive mostly
+    perturbed = emb.select(
+        "vec_id",
+        simsearch.sign_lsh_bucket(
+            F.concat(
+                F.array(F.get("embedding", 0).cast("double") + F.lit(0.001)),
+                F.transform(
+                    F.slice("embedding", 2, 63), lambda x: x.cast("double")
+                ),
+            ),
+            planes,
+        ).alias("bucket_p"),
+    )
+    joined = bucketed.join(perturbed, "vec_id")
+    same = joined.filter(F.col("bucket") == F.col("bucket_p")).count()
+    assert same / joined.count() >= 0.9
