@@ -106,12 +106,16 @@ _ORIGIN_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
 
 
 def _remove_dot_segments(url: Column) -> Column:
-    """RFC 3986 dot-segment removal over the path portion of an absolute
+    """RFC 3986 dot-segment removal over the PATH portion of an absolute
     URL, as a pure fold — no UDF. ``..`` pops one segment (never past
     the root); ``.`` disappears; a trailing ``.``/``..`` leaves the
-    directory slash, matching ``urllib.parse.urljoin``."""
+    directory slash, matching ``urllib.parse.urljoin``. Query string and
+    fragment are split off first and re-attached untouched (a ``/..``
+    inside ``?q=a/..`` is data, not a path segment)."""
     origin = F.regexp_extract(url, _ORIGIN_RE, 0)
-    path = F.regexp_replace(url, _ORIGIN_RE, "")
+    rest = F.regexp_replace(url, _ORIGIN_RE, "")
+    suffix = F.regexp_extract(rest, r"([?#].*)$", 1)
+    path = F.regexp_replace(rest, r"[?#].*$", "")
     # final "." / ".." keep their directory semantics once exploded
     path = F.regexp_replace(path, r"/\.$", "/./")
     path = F.regexp_replace(path, r"/\.\.$", "/../")
@@ -125,7 +129,7 @@ def _remove_dot_segments(url: Column) -> Column:
             F.when(F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return F.concat(origin, F.array_join(folded, "/"))
+    return F.concat(origin, F.array_join(folded, "/"), suffix)
 
 
 def resolve_url(base: Column | str, href: Column) -> Column:
@@ -143,14 +147,21 @@ def resolve_url(base: Column | str, href: Column) -> Column:
         base = F.lit(base)
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     origin = F.regexp_extract(base, _ORIGIN_RE, 0)
-    path = F.regexp_replace(base, _ORIGIN_RE, "")
-    base_dir = F.regexp_replace(path, r"[^/]*$", "")
+    # base path WITHOUT its query/fragment: relative resolution joins
+    # against the page's directory, and '?q' hrefs REPLACE the query
+    base_path = F.regexp_replace(
+        F.regexp_replace(base, _ORIGIN_RE, ""), r"[?#].*$", ""
+    )
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     joined = (
         F.when(href.rlike(_SCHEME_RE), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
         .when(href == "", base)
-        .when(href.startswith("?") | href.startswith("#"), F.concat(origin, path, href))
+        .when(
+            href.startswith("?") | href.startswith("#"),
+            F.concat(origin, base_path, href),
+        )
         .otherwise(
             F.concat(
                 origin,

@@ -219,7 +219,6 @@ def kmeans_fit(
         )
     )
     centroids = seeds.localCheckpoint(eager=True)
-    assigned = None
     for _ in range(n_iter):
         assigned = assign_clusters(corpus, centroids, id_col, vec_col)
         centroids = (
@@ -235,6 +234,10 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)
         )
+    # final assignment runs against the RETURNED centroids — otherwise a
+    # caller routing query vectors by centroid searches buckets the
+    # corpus was never assigned to (and n_iter=0 stays well-defined)
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
     return assigned.select(id_col, "cluster", "dist"), centroids
 
 

@@ -133,7 +133,11 @@ class _AnchorListParser(HTMLParser):
             self._href = None
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:
+        # a self-closing tag opens AND closes: without the end-tag half,
+        # '<ul class="list_all"/>' would leak _depth for the rest of the
+        # document and '<a ... />' would leave _href dangling
         self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
 
 def parse_list_page(html: str) -> list[tuple[int, str, str]]:

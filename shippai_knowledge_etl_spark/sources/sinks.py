@@ -53,6 +53,10 @@ def write_cases_json_named(cases: DataFrame, out_dir: str) -> None:
     )
 
     def emit(rows) -> None:
+        # executors run on other machines in cluster mode: out_dir must
+        # be a SHARED filesystem (NFS/fuse mount), and each task creates
+        # it locally — driver-side makedirs alone doesn't reach here
+        os.makedirs(out_dir, exist_ok=True)
         for r in rows:
             path = os.path.join(out_dir, f"{r['case_id']}_{r['_fname']}.json")
             with open(path, "w", encoding="utf-8") as f:
@@ -99,12 +103,17 @@ def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -
     one case's ops land contiguous in one task, sortWithinPartitions
     pins draw order, then foreachPartition streams each case's rows
     into a hand-rolled single-page PDF — no reportlab, no driver
-    collect, no whole-case materialization beyond one case's op rows."""
+    collect, no whole-case materialization beyond one case's op rows.
+    ``out_dir`` must be storage every executor can reach (local mode:
+    any dir; cluster mode: a shared mount)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def emit(rows) -> None:
         from shippai_knowledge_etl_spark.sources.pdf_writer import minimal_pdf
 
+        # see write_cases_json_named.emit: out_dir must be shared storage
+        # in cluster mode, and each task ensures it exists locally
+        os.makedirs(out_dir, exist_ok=True)
         cur_id, cur_ops, cur_dims = None, [], (1000, 1000)
 
         def flush() -> None:

@@ -195,6 +195,12 @@ URLJOIN_CASES = [
     ("https://www.shippai.org/fkd/cf/", "../"),
     ("https://www.shippai.org", "page.html"),
     ("https://www.shippai.org/", "page.html"),
+    # query/fragment shapes (reference list pages carry ?page= params)
+    ("https://www.shippai.org/fkd/cf/CZ1.html?v=a/b", "x.html"),
+    ("https://www.shippai.org/fkd/cf/CZ1.html?old=1", "?new=2"),
+    ("https://www.shippai.org/fkd/cf/CZ1.html", "y.html?page=2"),
+    ("https://www.shippai.org/fkd/lis/l.html?p=1", "../cf/CZ2.html"),
+    ("https://www.shippai.org/fkd/cf/CZ1.html", "z.html#frag"),
 ]
 
 

@@ -92,18 +92,22 @@ def test_pdf_sink_renders_real_per_case_artifacts(spark, sf_dir, tmp_path):
         F.col("doc_id") < 6
     )
     pos = diagram.positioned_items(src, "doc_id")
+    # expected " l S" strokes: separators (a double renders as a ±4
+    # pair) for marked non-final items, plus one brace line per category
+    sep_weight = F.when(
+        F.col("idx0") >= F.col("total_items") - 1, 0
+    ).otherwise(
+        F.when(F.array_contains("doubles", F.col("idx0")), 2)
+        .when(F.array_contains("singles", F.col("idx0")), 1)
+        .otherwise(0)
+    )
     expected = {
-        r["doc_id"]: (r["n"], r["n_lines"])
+        r["doc_id"]: (r["n"], r["n_lines"] + r["n_cats"])
         for r in pos.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.array_contains("doubles", F.col("idx0"))
-                    | F.array_contains("singles", F.col("idx0"))
-                ).cast("int")
-                * F.when(F.col("idx0") < F.col("total_items") - 1, 1).otherwise(0)
-            ).alias("n_lines"),
+            F.sum(sep_weight).alias("n_lines"),
+            F.countDistinct("category").alias("n_cats"),
         )
         .collect()
     }
@@ -119,6 +123,7 @@ def test_pdf_sink_renders_real_per_case_artifacts(spark, sf_dir, tmp_path):
         assert raw.rstrip().endswith(b"%%EOF")
         n_rects = raw.count(b" re f")
         assert n_rects == expected[doc_id][0], f"doc {doc_id} rect count"
+        assert raw.count(b" l S") == expected[doc_id][1], f"doc {doc_id} line count"
         # every bar carries its numbered label; labels render after their
         # rect and before the first separator line (section order)
         assert raw.count(b"(01. ") == 1
