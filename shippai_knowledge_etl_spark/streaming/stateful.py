@@ -33,7 +33,10 @@ def _update(
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+        # Timestamp.timestamp() is unit-agnostic (pandas may hand the
+        # Arrow batch over as datetime64[us] or [ns]; a raw int64 view
+        # would silently change scale with the pandas/Arrow version).
+        last = max(last, int(pd.Timestamp(pdf["ts"].max()).timestamp()))
     state.update((n, total, last))
     state.setTimeoutDuration(60 * 60 * 1000)  # 1h idle → state dropped
     yield pd.DataFrame(

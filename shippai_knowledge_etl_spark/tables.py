@@ -9,6 +9,9 @@ the optimizer push them into the scan.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -47,11 +50,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Parse Spark size confs ("134217728b", "128MB", "1g", "42")."""
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", v.strip())
+    if not m:
+        return 128 * 1024 * 1024
+    n, unit = int(m.group(1)), m.group(2).lower()
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit, 1)
+    return n * mult
+
+
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ONLY when the scan produced fewer splits
-    than the cluster has slots. Place this in front of compute-heavy
-    stages (Python parse edges, shingling, per-row regex) whose cost is
-    per-row work rather than I/O.
+    """Round-robin repartition ONLY when the scan would produce fewer
+    splits than the cluster has slots. Place this in front of
+    compute-heavy stages (Python parse edges, shingling, per-row regex)
+    whose cost is per-row work rather than I/O.
 
     On a real 100 TB layout the input has thousands of splits, the
     condition is false, and this is a no-op — no shuffle is added. The
@@ -59,12 +73,46 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scan yields 1 split and every downstream map stage would otherwise
     run on 1 of 32 cores; AQE cannot fix scan-side underparallelism
     (it only coalesces/splits *post-shuffle* partitions).
+
+    The split count is ESTIMATED driver-side from the leaf files
+    (``df.inputFiles()`` + file sizes vs ``files.maxPartitionBytes``) —
+    never via ``df.rdd.getNumPartitions()``, which under AQE forces
+    execution of every upstream shuffle stage just to answer the
+    question (measured: a full extra run of the query).  Non-local /
+    unstat-able files are assumed to be a real multi-split layout and
+    left alone.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions if min_partitions is not None else sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    max_bytes = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = re.sub(r"^file:/*", "/", f)
+            try:
+                size = os.stat(path).st_size
+            except OSError:
+                return df
+            splits += max(1, -(-size // max_bytes))
+        else:
+            # remote storage: trust the layout (hdfs/s3 listings are not
+            # free driver-side, and production layouts are multi-split)
+            return df
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 # events as the nanos-as-long reader sees it (streaming sources must
@@ -76,12 +124,28 @@ EVENTS_RAW_DDL = (
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """bigint nanos → microsecond TimestampType (truncating like
-    DuckDB's ns→µs read); no-op if ts is already a timestamp."""
+    """bigint epoch → microsecond TimestampType (truncating like
+    DuckDB's ns→µs read); no-op if ts is already a timestamp.
+
+    Readers disagree on the unit a parquet TIMESTAMP(NANOS) column
+    surfaces as when forced to long: the batch reader under
+    ``nanosAsLong`` yields true nanos, while the streaming file source
+    hands over micros (measured — assuming nanos there shifted every
+    streaming timestamp 1000x). Epoch magnitudes make the unit
+    unambiguous for any timestamp after ~1971: ns ≥ 3e16, µs ≥ 3e13,
+    ms ≥ 3e10, else seconds — so detect per row in one codegen'd CASE
+    instead of trusting the reader.
+    """
     from pyspark.sql import functions as F
 
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        micros = F.expr(
+            "CASE WHEN abs(ts) >= 30000000000000000 THEN ts DIV 1000 "
+            "WHEN abs(ts) >= 30000000000000 THEN ts "
+            "WHEN abs(ts) >= 30000000000 THEN ts * 1000 "
+            "ELSE ts * 1000000 END"
+        )
+        df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
 
 
