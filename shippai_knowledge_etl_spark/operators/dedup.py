@@ -65,70 +65,142 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, block_col: str) -> D
     )
 
 
+def shingle_structs(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as structs — same set semantics as
+    :func:`shingles` (concat_ws(' ') over space-free tokens is
+    injective, so struct equality ≡ joined-string equality) but built
+    from zero lambda higher-order functions.
+
+    Why a second form exists: HOFs (`transform`/`filter`/`aggregate`)
+    are CodegenFallback — evaluated through the shared interpreter
+    classes, whose megamorphic call sites get profile-polluted once a
+    session has run several different lambda expressions, and then run
+    ~10x slower (measured: 152 s CPU vs ~15 s for the identical stage).
+    `split`/`slice`/`arrays_zip`/`array_distinct` all have real
+    codegen, so this form stays inside WholeStageCodegen — fresh
+    per-query generated classes with direct calls, immune to interpreter
+    profile state. The dedup hot path uses this; the string form remains
+    for the operators whose downstream hashes are defined over joined
+    strings (MinHash/SimHash demos).
+    """
+    t = F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd}]+", " "))
+    # split on single space never yields empty tokens (the regex
+    # collapsed separator runs; trim removed the edges) except for the
+    # all-separator/empty document, handled by the CASE.
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+    sz = F.size(toks)
+    win = F.greatest(sz - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, win).alias(f"t{i}") for i in range(n)]
+    )
+    short = F.array(
+        F.struct(
+            F.concat_ws(" ", toks).alias("t0"),
+            *[F.lit("").alias(f"t{i}") for i in range(1, n)],
+        )
+    )
+    return F.array_distinct(F.when(sz >= n, zipped).otherwise(short))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     block_col: str,
     threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing a blocking key.
 
-    Relational form: explode shingles → df-prune → self-join on
-    (block, shingle) → per-pair intersection count → join per-doc
-    shingle counts → jaccard = |∩| / (|A|+|B|-|∩|). Every step is a
-    hash join/agg on a bounded key — no quadratic array work, no driver
-    collect.
+    Single-pass relational form: ONE evaluation of the shingle
+    expression per document (pinned by a Generate barrier), exploded to
+    (block, shingle, id, n_shingles) rows → groupBy (block, shingle)
+    into the owner list → expand each list's i<j pairs with array HOFs
+    (narrow, no join) → per-pair intersection count → jaccard =
+    |∩| / (|A|+|B|-|∩|) from the carried denominators.
 
-    The df-pruning step drops (block, shingle) keys held by a single
-    document BEFORE the self-join: a one-owner shingle can never
-    contribute to an intersection, so the result is exactly unchanged
-    while the join's input shrinks by whatever fraction of shingles is
-    locally unique (the overwhelming majority in natural corpora — this
-    is the relational analog of prefix filtering). Denominator counts
-    are taken before pruning, so Jaccard values are unaffected.
+    Why this shape and not a shingle self-join + per-doc counts joins:
+    that form evaluates the scan→tokenize→shingle pipeline THREE times
+    (two join sides + denominators) and adds two joins; worse, the
+    per-doc-count inner joins make Catalyst infer an
+    ``isnotnull(size(shingles(...)))`` constraint and push the whole
+    interpreted-HOF expression beneath the repartition, serializing it
+    onto the scan's few splits (measured: ~7 s/task on the 2-split
+    local layout). Carrying ``n_shingles`` through the shuffle costs 8
+    bytes/row and deletes both joins and all duplicate evaluation.
+
+    Single-owner shingles (the overwhelming majority in natural
+    corpora) drop out via the ``size >= 2`` filter before any pair is
+    materialized — the relational analog of prefix filtering.
+
+    Per-key pair expansion is quadratic in the key's document frequency,
+    exactly like a self-join's per-key fanout — neither form escapes
+    that math. ``max_df`` is the standard scale knob: drop
+    (block, shingle) keys owned by more than ``max_df`` docs before
+    expansion. A too-common shingle carries almost no similarity signal
+    but dominates pair work; at the 100 TB end a cap of a few hundred
+    bounds worst-case fanout. It is a recall trade-off (intersection
+    counts shrink for pairs sharing only common shingles), so the
+    oracle-checked demos leave it None (exact).
     """
-    # Denominators come straight off the doc row — shingles() is
-    # array_distinct'd, so size() == the exploded per-doc count, without
-    # scanning/shuffling the exploded rows a second time.
-    counts = df.select(
-        F.col(id_col), F.size(shingles(F.col(text_col))).alias("n_shingles")
+    # explode(array(...)) pins exactly one evaluation of the shingle
+    # expression per row (Generate barrier — CollapseProject cannot
+    # inline it into the derived columns below). shingle_structs is the
+    # lambda-free form: the whole tokenize→n-gram pipeline stays inside
+    # WholeStageCodegen (see its docstring for why that matters).
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.explode(F.array(shingle_structs(F.col(text_col)))).alias("sh"),
     )
-    rows = shingle_rows(df, id_col, text_col, block_col)
-    w_bs = Window.partitionBy("block", "shingle")
-    rows = (
-        rows.withColumn("_df", F.count(F.lit(1)).over(w_bs))
-        .filter(F.col("_df") >= 2)
-        .drop("_df")
+    rows = base.select(
+        F.col(id_col),
+        F.col("block"),
+        F.size("sh").alias("n_shingles"),
+        F.explode("sh").alias("shingle"),
     )
-    a = rows.select(
-        F.col("block"), F.col("shingle"), F.col(id_col).alias("id_a")
+    owners = (
+        rows.groupBy("block", "shingle")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col), F.col("n_shingles"))).alias(
+                "ids"
+            )
+        )
+        .filter(F.size("ids") >= 2)
     )
-    b = rows.select(
-        F.col("block").alias("block_b"),
-        F.col("shingle").alias("shingle_b"),
-        F.col(id_col).alias("id_b"),
+    if max_df is not None:
+        owners = owners.filter(F.size("ids") <= max_df)
+    ids = F.col("ids")
+    # all i<j position pairs of the key's owner list; least/greatest
+    # canonicalizes to id_a < id_b (ids within a key are distinct — each
+    # doc contributes a shingle once). Denominators ride along.
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(
+                    F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+                ),
+            ),
+        )
     )
     inter = (
-        a.join(
-            b,
-            (a.block == b.block_b)
-            & (a.shingle == b.shingle_b)
-            & (a.id_a < b.id_b),
+        owners.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col(f"p.x.{id_col}").alias("id_a"),
+            F.col(f"p.y.{id_col}").alias("id_b"),
+            F.col("p.x.n_shingles").alias("n_a"),
+            F.col("p.y.n_shingles").alias("n_b"),
         )
-        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    out = (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
