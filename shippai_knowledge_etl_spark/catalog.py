@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.combined",
     "shippai_knowledge_etl_spark.queries.textops",
     "shippai_knowledge_etl_spark.queries.dedup",
+    "shippai_knowledge_etl_spark.queries.curation",
     "shippai_knowledge_etl_spark.queries.simsearch",
     "shippai_knowledge_etl_spark.queries.multimodal",
     "shippai_knowledge_etl_spark.queries.windows",
