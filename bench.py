@@ -61,12 +61,19 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        # second run measures steady-state latency (codegen cached):
-        # reported alongside, NOT in the headline value, so totals stay
+        # Steady-state latency (codegen + JIT warmed): min of two
+        # post-cold runs. A single repeat occasionally lands on a JIT
+        # compile-queue stall (all 32 cores busy → C2 starved → the
+        # whole single-wave stage runs interpreted, 5-10x slower), which
+        # says nothing about the plan; min-of-2 filters that tail.
+        # Reported alongside, NOT in the headline value, so totals stay
         # methodology-compatible with earlier rounds.
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 4)
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        warm[name] = round(min(reps), 4)
 
     total = round(sum(timings.values()), 4)
     print(
