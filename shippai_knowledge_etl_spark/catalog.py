@@ -87,7 +87,11 @@ DRIVER_WINDOW = (
     "s2_p6_worklist_route",
     "p7_multimedia_merge",
     "p8_link_fallback",
-    "o3_first_occurrence_dedup",
+    # O3's dedicated row-form demo (o3_first_occurrence_dedup) sits just
+    # outside the window; O3 stays witnessed in-window by
+    # p7_multimedia_merge (P7+J3+O3). The freed slot pins the curation
+    # flagship, which composes the whole [EXT] pipeline family.
+    "curation_pipeline_e2e",
     "s1_html_parse",
     "case_assembly",
     "p12_conditional_sections",
