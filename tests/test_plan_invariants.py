@@ -1,0 +1,97 @@
+"""Plan-shape regression gate over the whole catalog (plan-time only).
+
+The scale posture lives in the physical plan: a query can stay
+hash-correct while silently regressing to a cartesian product, an
+un-broadcast dimension join, or an inferred-constraint pushdown that
+serializes an expensive expression into the scan stage (round-4's
+n-gram-Jaccard regression: Catalyst inferred
+``isnotnull(size(shingles(...)))`` from an inner join and dragged the
+whole interpreted shingle pipeline beneath the repartition). These
+checks run on ``optimizedPlan``/``executedPlan`` strings without
+executing anything, so the gate is cheap enough for every run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shippai_knowledge_etl_spark.catalog import load_catalog
+
+# Expression heads that are expensive per row; an inferred isnotnull
+# over any of them means Catalyst is re-evaluating a heavy expression
+# just to prove non-nullness (see module docstring).
+_HEAVY_HEADS = (
+    "isnotnull(size(",
+    "isnotnull(filter(",
+    "isnotnull(transform(",
+    "isnotnull(aggregate(",
+    "isnotnull(arrays_zip(",
+    "isnotnull(array_distinct(",
+)
+
+# The one allowed occurrence: diagram_separator_lines' semantic
+# ``line_type IS NOT NULL`` filter (mirrored in its oracle) is a user
+# predicate over a derived column, not an inferred constraint.
+_ALLOWED_HEAVY_NULLCHECK = {"diagram_separator_lines"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in load_catalog().items():
+        qe = spec.fn(spark, sf_dir)._jdf.queryExecution()
+        out[name] = (qe.optimizedPlan().toString(), qe.executedPlan().toString())
+    return out
+
+
+# BroadcastNestedLoopJoin is the CORRECT plan when one side is a
+# broadcast of a tiny relation and the predicate is non-equi (or there
+# is none): these queries deliberately broadcast a 1-row/handful-row
+# side (the query vector, the learned centroid set, the corpus doc
+# count, the range-bucket boundary table). A BNLJ anywhere else — or
+# any non-broadcast CartesianProduct — is a scale bug.
+_ALLOWED_TINY_BROADCAST_BNLJ = {
+    "j5_range_join_buckets",  # ≤ handful of buckets, non-equi bounds
+    "ext_tfidf",  # 1-row total-doc-count factor
+    "simsearch_topk_cosine",  # 1-row query embedding
+    "simsearch_ivf_kmeans",  # k centroid rows
+}
+
+
+def test_no_cartesian_products(plans):
+    offenders = [
+        n for n, (_, phys) in plans.items()
+        if "CartesianProduct" in phys
+        or (
+            "BroadcastNestedLoopJoin" in phys
+            and n not in _ALLOWED_TINY_BROADCAST_BNLJ
+        )
+    ]
+    assert not offenders, f"unbounded join shapes in: {offenders}"
+
+
+def test_no_inferred_heavy_nullchecks(plans):
+    offenders = {
+        n: sum(opt.count(h) for h in _HEAVY_HEADS)
+        for n, (opt, _) in plans.items()
+        if n not in _ALLOWED_HEAVY_NULLCHECK
+        and any(h in opt for h in _HEAVY_HEADS)
+    }
+    assert not offenders, (
+        "heavy expressions re-evaluated inside inferred null checks "
+        f"(make them non-nullable or restructure the join): {offenders}"
+    )
+
+
+def test_dimension_joins_broadcast(plans):
+    # multiway dim chain must broadcast region/nation/customer sides,
+    # never shuffle them into a sort-merge join at any SF
+    _, phys = plans["j4_multiway_region_revenue"]
+    assert "BroadcastHashJoin" in phys, phys[:1500]
+
+
+def test_scans_prune_columns(plans):
+    # q1 projects 7 of lineitem's 16 columns; the scan must not read all
+    _, phys = plans["q1_pricing_summary"]
+    scan = phys.split("Scan parquet", 1)[1][:800]
+    assert "l_comment" not in scan, scan
