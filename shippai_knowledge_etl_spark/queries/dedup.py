@@ -116,11 +116,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    survey_ref="[EXT] SimHash per-doc signature (engine hashes → rows-only)",
+    survey_ref="[EXT] SimHash 64-bit per-doc signature (engine hashes → rows-only)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = documents_with_planted_dups(spark, sf_dir)
-    return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+    return dedup.simhash_signatures(df, "doc_id", "text")
 
 
 @register(

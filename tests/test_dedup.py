@@ -35,14 +35,28 @@ def test_minhash_finds_planted_duplicates(planted):
 
 
 def test_simhash_identical_docs_equal_signature(planted):
-    sigs = planted.select(
-        "doc_id", dedup.simhash(F.col("text")).alias("sig")
-    ).collect()
-    by_id = {r.doc_id: r.sig for r in sigs}
+    sigs = dedup.simhash_signatures(planted, "doc_id", "text").collect()
+    by_id = {r.doc_id: r.simhash for r in sigs}
     for doc_id, sig in by_id.items():
         if doc_id >= 100000:
             assert sig == by_id[doc_id - 100000]
-    assert 0 <= min(by_id.values()) and max(by_id.values()) < (1 << dedup.SIMHASH_BITS)
+    # full-width long signature: bit 63 participates, so values span
+    # the signed-long range rather than [0, 2^16)
+    assert dedup.SIMHASH_BITS == 64
+    assert any(s < 0 for s in by_id.values()) or max(by_id.values()) >= (1 << 16)
+
+
+def test_simhash_near_dup_small_hamming(planted, spark):
+    """A one-token edit must move few signature bits; unrelated docs
+    should differ in many — the property SimHash banding relies on."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank zone"),
+            (3, "completely different content about spark shuffles and parquet footers")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+    assert ham(sig[1], sig[2]) <= 16
 
 
 def test_minhash_signature_shape(spark):
