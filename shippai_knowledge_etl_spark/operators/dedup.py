@@ -212,57 +212,92 @@ def jaccard_pairs(
 # the driver records a rows-only check and pytest validates the invariants)
 # ---------------------------------------------------------------------------
 
-N_HASHES = 16
-BAND_SIZE = 4
+N_HASHES = 128
+BAND_SIZE = 8  # 16 bands x 8 rows -> s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
 
 
-def minhash_signature(col: Column) -> Column:
-    """16-permutation MinHash signature: min over shingles of
-    xxhash64(seed_i ++ shingle). Pure expressions — signatures compute
-    in the scan stage, only 16 longs/doc ever shuffle."""
-    sh = shingles(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
-        ),
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Production-width 128-permutation MinHash: one row per document
+    with columns m0..m127 = min over shingles of xxhash64(seed_i, gram).
+
+    Relational, lambda-free form: explode the codegen'd shingle structs
+    once, compute the 128 seeded hashes per shingle row inside one
+    whole-stage-codegen project, then a single groupBy with 128 min()
+    aggregates. Map-side partial aggregation collapses each partition to
+    one 128-long buffer per document, so the shuffle carries ~1 KB/doc —
+    signatures, never text. (The earlier 16-hash array form was a nested
+    lambda HOF: interpreted evaluation, and 8x the per-element
+    tree-walking if widened to 128.)
+    """
+    rows = df.select(
+        F.col(id_col), F.explode(shingle_structs(F.col(text_col))).alias("g")
+    )
+    hashed = rows.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.lit(i), "g.t0", "g.t1", "g.t2").alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(N_HASHES)]
     )
 
 
 def lsh_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Signature → band rows (band_idx, band_hash). Docs agreeing on any
-    band are candidate pairs (b=4 bands × r=4 rows → s-curve threshold
-    ≈ (1/4)^(1/4) ≈ 0.71 Jaccard)."""
-    sig = minhash_signature(F.col(text_col))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1)),
-        lambda b: F.struct(
-            b.alias("band_idx"),
-            F.md5(F.concat_ws("_", F.slice(sig, b * BAND_SIZE + 1, BAND_SIZE))).alias(
-                "band_hash"
-            ),
-        ),
+    band are candidate pairs; b=16 bands × r=8 rows puts the s-curve
+    midpoint at ≈ 0.71 Jaccard. Bands are built by a plain Python loop
+    over the 128 signature columns — literal band indexes, no lambdas."""
+    sig = minhash_signatures(df, id_col, text_col)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_hash"
     )
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct candidate pairs from LSH bucket collisions."""
+    """Distinct candidate pairs from LSH bucket collisions.
+
+    Same single-pass shape as :func:`jaccard_pairs`: group band rows
+    into per-bucket owner lists and expand i<j pairs — the band rows
+    (and the whole signature pipeline above them) are computed once,
+    where a self-join would compute them per side."""
     rows = lsh_band_rows(df, id_col, text_col)
-    a = rows.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
-    b = rows.select(
-        F.col("band_idx").alias("bi"),
-        F.col("band_hash").alias("bh"),
-        F.col(id_col).alias("id_b"),
+    owners = (
+        rows.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+                ),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (a.band_idx == b.bi) & (a.band_hash == b.bh) & (a.id_a < b.id_b),
-        )
-        .select("id_a", "id_b")
+        owners.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

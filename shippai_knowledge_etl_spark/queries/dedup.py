@@ -107,8 +107,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="[EXT] MinHash+LSH banding (engine hashes → rows-only check)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs from 16-hash signatures in 4 bands of 4.
-    Only signatures shuffle; candidates verified downstream by
+    """LSH candidate pairs from 128-permutation signatures in 16 bands
+    of 8 (s-curve midpoint ≈ 0.71 Jaccard). Only signatures shuffle
+    (~1 KB/doc); candidates verified downstream by
     dedup_ngram_jaccard's exact pass."""
     df = documents_with_planted_dups(spark, sf_dir)
     return dedup.minhash_candidate_pairs(df, "doc_id", "text")

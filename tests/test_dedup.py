@@ -61,13 +61,14 @@ def test_simhash_near_dup_small_hamming(planted, spark):
 
 def test_minhash_signature_shape(spark):
     df = spark.createDataFrame(
-        [("a b c d e f g h",), ("a b c d e f g h",), ("x y z w v u t s",)],
-        "text string",
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        "doc_id long, text string",
     )
-    rows = df.select(dedup.minhash_signature(F.col("text")).alias("sig")).collect()
-    assert all(len(r.sig) == dedup.N_HASHES for r in rows)
-    assert rows[0].sig == rows[1].sig
-    assert rows[0].sig != rows[2].sig
+    sig = dedup.minhash_signatures(df, "doc_id", "text")
+    assert len(sig.columns) == dedup.N_HASHES + 1
+    rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
 
 
 def test_cosine_self_similarity(spark, sf_dir):
