@@ -57,14 +57,6 @@ def shingles(col: Column, n: int = 3, max_tokens: int | None = None) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, block_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.explode(shingles(F.col(text_col))).alias("shingle"),
-    )
-
-
 def shingle_structs(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams as structs — same set semantics as
     :func:`shingles` (concat_ws(' ') over space-free tokens is
@@ -79,17 +71,11 @@ def shingle_structs(col: Column, n: int = 3) -> Column:
     `split`/`slice`/`arrays_zip`/`array_distinct` all have real
     codegen, so this form stays inside WholeStageCodegen — fresh
     per-query generated classes with direct calls, immune to interpreter
-    profile state. The dedup hot path uses this; the string form remains
-    for the operators whose downstream hashes are defined over joined
-    strings (MinHash/SimHash demos).
+    profile state. The dedup hot paths use this; the string form remains
+    as the oracle-facing semantic definition (and its ``max_tokens``
+    knob documents the long-document recall trade-off).
     """
-    t = F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd}]+", " "))
-    # split on single space never yields empty tokens (the regex
-    # collapsed separator runs; trim removed the edges) except for the
-    # all-separator/empty document, handled by the CASE.
-    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, " ")
-    )
+    toks = tokenize(col)
     sz = F.size(toks)
     win = F.greatest(sz - (n - 1), F.lit(0))
     zipped = F.arrays_zip(

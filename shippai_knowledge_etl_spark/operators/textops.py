@@ -29,9 +29,21 @@ BPE_TOKEN_RE = r"[\p{L}\p{Nd}]+|[^\p{L}\p{Nd}\s]"
 
 def tokenize(col: Column) -> Column:
     """Lowercase, strip non-letter/digit runs to single spaces, split,
-    drop blanks. Unicode classes so CJK/full-width text survives."""
-    cleaned = F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd}]+", " ")
-    return F.filter(F.split(F.trim(cleaned), " "), lambda x: x != "")
+    drop blanks. Unicode classes so CJK/full-width text survives.
+
+    Lambda-free on purpose: after the regex collapses separator runs
+    and trim removes the edges, a single-space split can only produce
+    an empty token for the empty/all-separator document — the CASE
+    handles that one case, so no ``filter`` lambda is needed. HOF
+    lambdas are CodegenFallback and their shared interpreter call sites
+    degrade ~10x once a session has run many different lambdas (see
+    dedup.shingle_structs); tokenize sits under every text query, so it
+    must stay inside whole-stage codegen.
+    """
+    t = F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd}]+", " "))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
 
 
 def token_counts(col: Column) -> tuple[Column, Column]:
