@@ -27,6 +27,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = r"[\p{L}\p{Nd}]+|[^\p{L}\p{Nd}\s]"
 
 
+def marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Total occurrences of ``words`` in the token array, lambda-free:
+    occurrences(w) == size(toks) - size(array_remove(toks, w)) —
+    array_remove drops every copy, so the size delta counts them. A
+    handful of codegen'd array passes beats one interpreted ``filter``
+    lambda walk (see tokenize's docstring for why lambdas are avoided
+    in per-row hot paths)."""
+    sz = F.size(toks)
+    out = F.lit(0)
+    for w in words:
+        out = out + (sz - F.size(F.array_remove(toks, w)))
+    return out
+
+
 def tokenize(col: Column) -> Column:
     """Lowercase, strip non-letter/digit runs to single spaces, split,
     drop blanks. Unicode classes so CJK/full-width text survives.
@@ -61,11 +75,10 @@ def quality_metrics(col: Column) -> dict[str, Column]:
     n_chars = F.length(col)
     n_tokens = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\p{L}\p{Nd}\s]"), 0))
-    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
-    total_tok_len = F.aggregate(
-        toks, F.lit(0), lambda acc, x: acc + F.length(x)
-    )
+    n_stop = marker_hits(toks, LANG_MARKERS["en"])
+    # total token chars == length of the separator-less concat: the
+    # lambda-free form of aggregate(toks, 0, acc + length(x))
+    total_tok_len = F.length(F.concat_ws("", toks))
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
@@ -81,14 +94,12 @@ def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     marker-hit count. Relational on purpose — argmax is then a window,
     and the 5× row expansion is trivial next to the text itself."""
     toks = tokenize(F.col(text_col))
-
-    def _hits(words: tuple[str, ...]) -> Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
     scores = F.array(
         *[
-            F.struct(F.lit(lang).alias("lang"), _hits(words).alias("score"))
+            F.struct(
+                F.lit(lang).alias("lang"),
+                marker_hits(toks, words).alias("score"),
+            )
             for lang, words in sorted(LANG_MARKERS.items())
         ]
     )

@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
-from shippai_knowledge_etl_spark.operators.textops import LANG_MARKERS, tokenize
+from shippai_knowledge_etl_spark.operators.textops import (
+    LANG_MARKERS,
+    marker_hits,
+    tokenize,
+)
 from shippai_knowledge_etl_spark.queries.dedup import (
     _PLANTED_SQL,
     documents_with_planted_dups,
@@ -109,16 +113,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.col("toks")
 
-    def hits(words: tuple[str, ...]) -> F.Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
     # per-row argmax: min of (-score, lang) == max score, ties → lang asc
     best = F.sort_array(
         F.array(
             *[
                 F.struct(
-                    (-hits(words)).alias("neg_score"),
+                    (-marker_hits(toks, words)).alias("neg_score"),
                     F.lit(lang).alias("lang"),
                 )
                 for lang, words in sorted(LANG_MARKERS.items())
@@ -130,7 +130,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "h",
         F.size(toks).cast("long").alias("n_tokens"),
-        hits(LANG_MARKERS["en"]).cast("long").alias("n_stop"),
+        marker_hits(toks, LANG_MARKERS["en"]).cast("long").alias("n_stop"),
         best.getField("lang").alias("pred_lang"),
     )
 
