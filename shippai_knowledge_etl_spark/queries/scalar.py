@@ -301,6 +301,10 @@ def f14_numbered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     n = load(spark, sf_dir, "nation")
+    # global (unpartitioned) window is intentional: F14 numbers one
+    # bounded per-report list — nation is a fixed-size dim, so the
+    # SinglePartition exchange moves 25 rows at any corpus scale
+    # (allowlisted in tests/test_plan_invariants.py)
     num = F.row_number().over(Window.orderBy("n_name", "n_nationkey"))
     return n.select(
         "n_nationkey", scalar.numbered_label(num, F.col("n_name")).alias("label")

@@ -83,6 +83,23 @@ def test_no_inferred_heavy_nullchecks(plans):
     )
 
 
+# Global label numbering (F14) over the fixed-size nation dim: the
+# SinglePartition exchange moves 25 rows at any scale. Any OTHER query
+# funneling a window through one partition is a scale bug.
+_ALLOWED_GLOBAL_WINDOW = {"f14_f17_label_json", "f14_numbered_label"}
+
+
+def test_no_unpartitioned_windows(plans):
+    offenders = [
+        n for n, (_, phys) in plans.items()
+        if "Exchange SinglePartition" in phys and "Window" in phys
+        and n not in _ALLOWED_GLOBAL_WINDOW
+    ]
+    assert not offenders, (
+        f"window funneled through a single partition in: {offenders}"
+    )
+
+
 def test_dimension_joins_broadcast(plans):
     # multiway dim chain must broadcast region/nation/customer sides,
     # never shuffle them into a sort-merge join at any SF
