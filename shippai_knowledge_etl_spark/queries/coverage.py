@@ -368,6 +368,31 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_approx_percentile",
+    survey_ref="approx_percentile (SURVEY §2.4 scale path for quantiles)",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS apx_median_qty,
+           quantile_disc(l_quantity, 0.9) AS apx_p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: approx_percentile's mergeable GK
+    sketch (single pass, no sort, bounded memory) vs a_percentiles'
+    exact sort-based form. Oracle-checkable rather than rows-only
+    because the sketch is EXACT while the observed value count stays
+    under the accuracy parameter (default 10000; l_quantity has ~50
+    distinct values), where it returns the same discrete quantile
+    DuckDB's quantile_disc picks — verified at sf0.001 and sf0.01."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", 0.5).alias("apx_median_qty"),
+        F.approx_percentile("l_quantity", 0.9).alias("apx_p90_qty"),
+    )
+
+
+@register(
     "p3b_unpivot",
     survey_ref="unpivot/melt — inverse of P3 (wide record → tall label/value)",
     oracle="""
