@@ -92,12 +92,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational all-pairs Jaccard (explode→df-prune→join→count),
-    blocked by ``source``, over the FULL shingle sets (round-1's
-    12-token demo cap is lifted) and the planted-duplicate corpus so
-    matches are guaranteed. The join keys are (block, shingle) —
-    bounded fanout, no quadratic array work; shingles unique to one
-    doc within a block are pruned before the join."""
+    """Relational all-pairs Jaccard, blocked by ``source``, over the
+    FULL shingle sets (round-1's 12-token demo cap is lifted) and the
+    planted-duplicate corpus so matches are guaranteed. Single-pass
+    shape: one codegen'd shingle evaluation per doc, groupBy
+    (block, shingle) owner lists (single-owner keys — the vast
+    majority — drop before any pair exists), i<j pair expansion,
+    pair-count agg; see ``dedup.jaccard_pairs`` for the full scale
+    argument and the ``max_df`` fanout knob."""
     d = scale_out(documents_with_planted_dups(spark, sf_dir))
     return dedup.jaccard_pairs(d, "doc_id", "text", "source", threshold=0.2)
 
