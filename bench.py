@@ -57,6 +57,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # per-query min over all three runs: the machine occasionally hits
+    # multi-minute external-contention windows (observed: the identical
+    # bench at 179 s and 26 s back-to-back with zero guest-side load) —
+    # best_total_sec is the contention-robust signal when the cold pass
+    # lands in one.
+    best: dict[str, float] = {}
     for name, fn in names.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -74,6 +80,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         warm[name] = round(min(reps), 4)
+        best[name] = round(min([timings[name], *reps]), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -85,6 +92,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total_sec": round(sum(warm.values()), 4),
+                "queries_best": best,
+                "best_total_sec": round(sum(best.values()), 4),
                 "sf": sf,
             }
         )
