@@ -54,3 +54,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same running snapshot on Spark 4's transformWithStateInPandas —
+    the successor stateful API (SPARK-49564): typed state handles
+    (value/list/map + TTL + timers) on an object-oriented processor
+    instead of applyInPandasWithState's single state tuple. Kept
+    alongside the classic form so both engine surfaces stay exercised;
+    the test pins both to the identical batch answer.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). In THIS
+    container the feature's separate Python "driver worker" crashes on
+    the canonical upstream example too (state-server handshake), so the
+    test skips with that reason — the operator is exercised wherever
+    the runtime supports it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                # unit-agnostic, same as _update above
+                last = max(last, int(pd.Timestamp(pdf["ts"].max()).timestamp()))
+            self._totals.update((n, total, last))
+            yield pd.DataFrame(
+                [(key[0], n, total, last)],
+                columns=["user_id", "n_events", "sum_value", "last_seen"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
