@@ -288,6 +288,66 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
     )
 
 
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The production two-stage near-dup pipeline: MinHash-LSH candidate
+    generation (recall, signatures-only shuffle) → exact n-gram Jaccard
+    computed ONLY on candidate pairs (precision).
+
+    Why two stages at 100 TB: all-pairs Jaccard is quadratic without a
+    blocking key, and LSH banding gives a tunable candidate set whose
+    size tracks the true near-dup rate, not the corpus size. The
+    verification stage re-joins shingles for just the docs that appear
+    in ≥1 candidate pair (a semi join prunes the rest before any text
+    is re-tokenized), so its cost is candidate-bounded.
+
+    Recall follows the 16x8 banding s-curve (midpoint ≈ 0.71 Jaccard):
+    pairs far below it can be missed — that is the knob, not a bug.
+    Exact duplicates always collide on every band, so recall on them is
+    1.0 (pytest-pinned).
+    """
+    cand = minhash_candidate_pairs(df, id_col, text_col)
+    members = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.join(members, id_col, "semi")
+    base = docs.select(
+        F.col(id_col),
+        F.explode(F.array(shingle_structs(F.col(text_col)))).alias("sh"),
+    )
+    rows = base.select(
+        F.col(id_col),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("g"),
+    )
+    a = rows.select(
+        F.col(id_col).alias("id_a"), F.col("n").alias("n_a"), "g"
+    )
+    b = rows.select(
+        F.col(id_col).alias("id_b"), F.col("n").alias("n_b"), "g"
+    )
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (full 64-bit signature). Spark-only hashes → rows-only check.
 # ---------------------------------------------------------------------------

@@ -118,6 +118,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_verified",
+    survey_ref="[EXT] two-stage near-dup: MinHash-LSH candidates → exact "
+    "Jaccard verification on candidate pairs only (engine hashes pick the "
+    "candidates → rows-only; invariants pytest-pinned)",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape at 100 TB: candidate set sized by
+    the banding s-curve, exact Jaccard only where it matters."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    return dedup.verified_near_dup_pairs(df, "doc_id", "text", threshold=0.2)
+
+
+@register(
     "dedup_simhash",
     survey_ref="[EXT] SimHash 64-bit per-doc signature (engine hashes → rows-only)",
 )

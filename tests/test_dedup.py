@@ -59,6 +59,39 @@ def test_simhash_near_dup_small_hamming(planted, spark):
     assert ham(sig[1], sig[2]) <= 16
 
 
+def test_minhash_verified_two_stage(planted):
+    """LSH→exact-verify pipeline: planted exact duplicates survive both
+    stages with jaccard 1.0, every output passes the threshold, and any
+    verified pair that shares a blocking key agrees exactly with the
+    blocked all-pairs operator's jaccard value."""
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.verified_near_dup_pairs(
+            planted, "doc_id", "text", threshold=0.2
+        ).collect()
+    }
+    expected = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in planted.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    for pair in expected:
+        assert verified.get(pair) == 1.0, (pair, verified.get(pair))
+    assert all(j >= 0.2 for j in verified.values())
+
+    blocked = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            planted, "doc_id", "text", "source", threshold=0.2
+        ).collect()
+    }
+    overlap = set(verified) & set(blocked)
+    assert expected <= overlap
+    for pair in overlap:
+        assert verified[pair] == blocked[pair]
+
+
 def test_minhash_signature_shape(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
