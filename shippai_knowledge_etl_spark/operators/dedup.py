@@ -468,3 +468,109 @@ def connected_components(
             "raise max_iter (or switch to large-star/small-star for deep graphs)"
         )
     return labels.select(F.col("src").alias("node"), "component")
+
+
+def connected_components_lss(
+    pairs: DataFrame, left: str, right: str, max_iter: int = 30
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the deep-graph
+    form of :func:`connected_components`, shipped rather than cited.
+
+    Min-label propagation needs O(diameter) rounds; a 100 TB pair graph
+    with chained near-dups (adversarial or templated corpora) can be
+    deep. Star alternation contracts the graph toward min-rooted stars
+    in O(log² n) rounds regardless of diameter:
+
+      large-star: per node u, hook every LARGER neighbor to
+        m = min(N(u) ∪ {u});
+      small-star: per directed edge set (v < u), hook u and its
+        smaller neighbors to that minimum.
+
+    Each round is two groupBy-min + join passes over the edge set, the
+    edge set only shrinks toward one edge per non-root node, and the
+    driver loop inspects a two-value checksum per round (no data
+    collected). Convergence = edge set fixpoint; at fixpoint the graph
+    is a star forest and component(v) = min(N(v) ∪ {v}).
+
+    Output contract matches connected_components exactly: (node,
+    component = min reachable node) — dedup_clusters' recursive-CTE
+    oracle verifies both implementations.
+    """
+    base = (
+        pairs.select(
+            F.col(left).cast("long").alias("u"),
+            F.col(right).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if base.isEmpty():
+        return base.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def canonical_checksum(e: DataFrame) -> tuple:
+        c = e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+        # decimal sum: ANSI long sum would overflow on summed hashes
+        row = c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    edges = base.localCheckpoint(eager=True)
+    prev = canonical_checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        nbr = sym(edges)
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over edges directed to the smaller endpoint
+        d = sym(large).filter(F.col("v") < F.col("u"))
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        cur = canonical_checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iter} rounds"
+        )
+    s = sym(edges)
+    return (
+        s.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"), F.least("mv", "u").alias("component")
+        )
+    )

@@ -139,11 +139,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(df, "doc_id", "text")
 
 
-@register(
-    "dedup_clusters",
-    survey_ref="[EXT] dedup clustering: connected components over the "
-    "near-dup pair graph (iterative min-label propagation)",
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE
     planted AS (
       SELECT doc_id, text, source FROM documents
@@ -182,7 +178,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node)
     SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    survey_ref="[EXT] dedup clustering: connected components over the "
+    "near-dup pair graph (iterative min-label propagation)",
+    oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup groups. The oracle computes the same
@@ -191,4 +194,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scale_out(documents_with_planted_dups(spark, sf_dir))
     pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
     comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_clusters_lss",
+    survey_ref="[EXT] dedup clustering, large-star/small-star form "
+    "(O(log^2 n) rounds regardless of graph diameter — the 100 TB "
+    "deep-graph path); same recursive-CTE oracle as dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical contract to dedup_clusters via star alternation —
+    BOTH iterative implementations hash-match the same declarative
+    reachability oracle."""
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
+    comp = dedup.connected_components_lss(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")

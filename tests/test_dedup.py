@@ -92,6 +92,46 @@ def test_minhash_verified_two_stage(planted):
         assert verified[pair] == blocked[pair]
 
 
+def test_lss_matches_label_propagation_on_random_graphs(spark):
+    """Large-star/small-star must produce byte-identical components to
+    min-label propagation on arbitrary graphs."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(3):
+        n = rng.randint(5, 120)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(1, 2 * n))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        a = {
+            (r.node, r.component)
+            for r in dedup.connected_components(df, "id_a", "id_b").collect()
+        }
+        b = {
+            (r.node, r.component)
+            for r in dedup.connected_components_lss(df, "id_a", "id_b").collect()
+        }
+        assert a == b
+
+
+def test_lss_converges_on_deep_chain(spark):
+    """Diameter-200 path graph: label propagation needs 200 rounds;
+    star alternation converges in O(log^2 n) — the reason it exists."""
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components_lss(
+            df, "id_a", "id_b", max_iter=30
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(201)}
+
+
 def test_minhash_signature_shape(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
