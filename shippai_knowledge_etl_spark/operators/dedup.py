@@ -372,6 +372,14 @@ def simhash_signatures(
 
     The per-token hash is evaluated once per token; shift/mask reuse it
     64 times inside one codegen'd project.
+
+    Documents whose text tokenizes to nothing get signature 0 (the
+    all-bits-lose vote) instead of vanishing: explode over an empty
+    token array yields no rows, so the aggregated signatures are
+    left-joined back onto the full id set — same contract as the
+    MinHash path, which covers empty docs via its short-shingle
+    fallback. The join's left side is id-only (no text), so the extra
+    shuffle carries one key column per document.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
@@ -391,7 +399,11 @@ def simhash_signatures(
         sig = sig + F.when(
             F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    sigs = agg.select(F.col(id_col), sig.alias("simhash"))
+    return df.select(id_col).join(sigs, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+    )
 
 
 # ---------------------------------------------------------------------------

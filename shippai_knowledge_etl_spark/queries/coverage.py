@@ -381,14 +381,17 @@ def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB quantile path: approx_percentile's mergeable GK
     sketch (single pass, no sort, bounded memory) vs a_percentiles'
     exact sort-based form. Oracle-checkable rather than rows-only
-    because the sketch is EXACT while the observed value count stays
-    under the accuracy parameter (default 10000; l_quantity has ~50
-    distinct values), where it returns the same discrete quantile
-    DuckDB's quantile_disc picks — verified at sf0.001 and sf0.01."""
+    ONLY because the explicit accuracy parameter (1e6) exceeds the
+    row count at every verified SF, making the sketch exact — the
+    default 10000 is smaller than sf0.01's ~60k lineitem rows, and
+    with l_quantity near-uniform over 1..50 the 0.9 quantile rank
+    lands on the 45/46 value boundary, so partial-merge order could
+    flip the answer. Exactness here is load-bearing, not incidental."""
     li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(1_000_000)
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", 0.5).alias("apx_median_qty"),
-        F.approx_percentile("l_quantity", 0.9).alias("apx_p90_qty"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("apx_median_qty"),
+        F.approx_percentile("l_quantity", F.lit(0.9), acc).alias("apx_p90_qty"),
     )
 
 

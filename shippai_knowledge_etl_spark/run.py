@@ -85,9 +85,20 @@ def expand_worklist(
     )
     if limit is not None:
         links = F.slice(links, 1, limit)
+    fetched = lists.select(
+        "url", fetched_pages(F.col("url")).alias("page")
+    ).cache()
+    # a failed list fetch must be LOUD, not an empty expansion: the
+    # explode over [] below would silently drop the whole list page
+    # (reference surfaces list-expansion failures, src/run.py:66-77)
+    for r in fetched.filter(F.col("page.error").isNotNull()).collect():
+        print(
+            f"warning: list page fetch failed ({r.page.error}), "
+            f"0 cases expanded: {r.url}",
+            file=sys.stderr,
+        )
     expanded = (
-        lists.select("url", fetched_pages(F.col("url")).alias("page"))
-        .select("url", F.explode(links).alias("r"))
+        fetched.select("url", F.explode(links).alias("r"))
         .select(scalar.resolve_url(F.col("url"), F.col("r.href")).alias("case_url"))
     )
     return direct.unionByName(expanded)

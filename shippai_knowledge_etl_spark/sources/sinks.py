@@ -3,10 +3,10 @@
   - S5 JSON case sink: one JSON document per case (distributed write;
     per-case filenames are a driver-side rename concern, kept out of
     executors).
-  - S6 PDF report sink: foreachPartition emitter, STUBBED — reportlab
-    is not in this container; the layout math lives in
-    operators/diagram.py and renders to draw-ops rows instead. The
-    reportlab branch raises NotImplementedError loudly.
+  - S6 PDF report sink: foreachPartition emitter producing REAL,
+    openable single-page PDFs via the dependency-free writer in
+    sources/pdf_writer.py (no reportlab needed); the layout math lives
+    in operators/diagram.py and feeds it as draw-ops rows.
   - S7 run-manifest sink: max+1 numbered results_NNN.json; sequencing
     is inherently single-writer → computed on the driver
     (SURVEY §7.4 item 4). The streaming analog is foreachBatch batchId

@@ -75,12 +75,18 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (it only coalesces/splits *post-shuffle* partitions).
 
     The split count is ESTIMATED driver-side from the leaf files
-    (``df.inputFiles()`` + file sizes vs ``files.maxPartitionBytes``) —
-    never via ``df.rdd.getNumPartitions()``, which under AQE forces
-    execution of every upstream shuffle stage just to answer the
-    question (measured: a full extra run of the query).  Non-local /
-    unstat-able files are assumed to be a real multi-split layout and
-    left alone.
+    (``df.inputFiles()`` + file sizes) — never via
+    ``df.rdd.getNumPartitions()``, which under AQE forces execution of
+    every upstream shuffle stage just to answer the question (measured:
+    a full extra run of the query). The estimate mirrors Spark's own
+    partitioning math (``FilePartition.maxSplitBytes`` + bin-packing):
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism))`` and partitions ≈
+    ceil(Σ(size + openCost) / maxSplitBytes) — a per-file ceil would
+    overestimate on many-small-file layouts (each file rounds up to 1)
+    and skip the repartition exactly in the low-parallelism case this
+    helper exists to fix. Non-local / unstat-able files are assumed to
+    be a real multi-split layout and left alone.
     """
     spark = df.sparkSession
     target = (
@@ -94,24 +100,28 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     if not files:
         return df
-    max_bytes = _parse_bytes_conf(
+    max_part = _parse_bytes_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    splits = 0
+    open_cost = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    total = 0
     for f in files:
-        if f.startswith("file:"):
-            path = re.sub(r"^file:/*", "/", f)
-            try:
-                size = os.stat(path).st_size
-            except OSError:
-                return df
-            splits += max(1, -(-size // max_bytes))
-        else:
+        if not f.startswith("file:"):
             # remote storage: trust the layout (hdfs/s3 listings are not
             # free driver-side, and production layouts are multi-split)
             return df
-        if splits >= target:
+        path = re.sub(r"^file:/*", "/", f)
+        try:
+            total += os.stat(path).st_size + open_cost
+        except OSError:
             return df
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, -(-total // parallelism)))
+    splits = max(1, -(-total // max(1, max_split)))
+    if splits >= target:
+        return df
     return df.repartition(target)
 
 
@@ -123,28 +133,32 @@ EVENTS_RAW_DDL = (
 )
 
 
-def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """bigint epoch → microsecond TimestampType (truncating like
-    DuckDB's ns→µs read); no-op if ts is already a timestamp.
+def normalize_events_ts(df: DataFrame, unit: str = "ns") -> DataFrame:
+    """bigint epoch in the given ``unit`` → microsecond TimestampType
+    (truncating like DuckDB's ns→µs read); no-op if ts is already a
+    timestamp.
 
     Readers disagree on the unit a parquet TIMESTAMP(NANOS) column
     surfaces as when forced to long: the batch reader under
     ``nanosAsLong`` yields true nanos, while the streaming file source
     hands over micros (measured — assuming nanos there shifted every
-    streaming timestamp 1000x). Epoch magnitudes make the unit
-    unambiguous for any timestamp after ~1971: ns ≥ 3e16, µs ≥ 3e13,
-    ms ≥ 3e10, else seconds — so detect per row in one codegen'd CASE
-    instead of trusting the reader.
+    streaming timestamp 1000x). The unit is therefore an EXPLICIT
+    per-call-site option, set once for the whole dataset by the reader
+    that knows its own convention — never detected per row from value
+    magnitude, which silently misclassifies legitimate outliers
+    (a pre-1971 nanosecond epoch reads as micros; one outlier row would
+    get a different unit than the rest of the column, a 1000x shift).
     """
     from pyspark.sql import functions as F
 
+    factors = {"ns": None, "us": 1, "ms": 1_000, "s": 1_000_000}
+    if unit not in factors:
+        raise ValueError(f"unknown epoch unit {unit!r}; expected ns/us/ms/s")
     if dict(df.dtypes).get("ts") == "bigint":
-        micros = F.expr(
-            "CASE WHEN abs(ts) >= 30000000000000000 THEN ts DIV 1000 "
-            "WHEN abs(ts) >= 30000000000000 THEN ts "
-            "WHEN abs(ts) >= 30000000000 THEN ts * 1000 "
-            "ELSE ts * 1000000 END"
-        )
+        if unit == "ns":
+            micros = F.expr("ts DIV 1000")  # truncate toward zero like DuckDB
+        else:
+            micros = F.col("ts") * F.lit(factors[unit])
         df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
 
@@ -161,7 +175,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return normalize_events_ts(raw)
+    # the streaming file source hands TIMESTAMP(NANOS) over as MICROS
+    # when read through a long schema (measured; see normalize_events_ts)
+    return normalize_events_ts(raw, unit="us")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
