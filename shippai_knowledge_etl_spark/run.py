@@ -15,30 +15,43 @@ skipped. An empty worklist exits 1 (src/run.py:79-81).
 
 Where the reference loops sequentially with 30 s timeouts per fetch,
 the worklist here is a DataFrame: fetches fan out partition-parallel
-(errors are data, never task failures), the parse edge is the
-Arrow-batched HTML UDF, and validation/status partitioning is the same
-column logic the driver-verified queries use (P10/U2/A1). Artifacts
-match the reference's contract: one ``{case_id}_{case_name}.json`` per
-success (src/extract.py:417), a ``results_NNN.json`` run manifest with
-per-case entries + summary (src/run.py:122-146), and optionally one
-PDF per success via the dependency-free emitter (``--pdf``).
+(errors are data, never task failures), the parse edges are
+Arrow-batched HTML UDFs — ONE parse per page via a Generate barrier —
+and everything downstream is column expressions: the scenario sub-page
+(S3) is fetched per case and decoded Spark-side (F19 separator decode →
+O1 ordinal sort → W2 boundary slice → W1 chunk-by-3), multimedia links
+are merged and order-preserving-deduped (P7/J3/O3), dates normalize via
+F1, casualty counts via F2, knowledge via the F6 fold, and validation /
+status partitioning is the same column logic the driver-verified
+queries use (P10/U2/A1).
+
+Artifacts match the reference's contract: one full NESTED case record
+per success as ``{case_id}_{case_name}.json`` (requirements.md:107-142,
+src/extract.py:417), a ``results_NNN.json`` run manifest with per-case
+entries + summary (src/run.py:122-146) written with the entries
+STREAMED from a distributed Spark write (no per-case driver collect),
+and optionally one PDF per success via the dependency-free emitter
+(``--pdf``).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import shutil
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shippai_knowledge_etl_spark.functions import scalar
+from shippai_knowledge_etl_spark.functions import listparse, nested, scalar
 from shippai_knowledge_etl_spark.operators import quality
 from shippai_knowledge_etl_spark.sources import sinks
-from shippai_knowledge_etl_spark.sources.fetch import fetched_pages
+from shippai_knowledge_etl_spark.sources.fetch import fetch_html, fetched_pages
 from shippai_knowledge_etl_spark.sources.html_parse import (
-    label_rows,
+    case_page_facets,
     list_page_links,
+    scenario_page_facts,
 )
 
 # src/extract.py:14-20 — HTML label → JSON key for required fields
@@ -50,15 +63,35 @@ REQUIRED_FIELDS = {
     "シナリオ": "scenario",
 }
 CASE_NAME_LABEL = "事例名称"  # src/extract.py:132
-# optional fields default to "" without excluding the case
-# (requirements.md:37-41)
-OPTIONAL_FIELDS = {"対処": "response", "知識化": "knowledge"}
+
+# get_text fields (single-line prose, src/extract.py:100-107) vs
+# get_html_text fields (paragraph re-segmented, src/extract.py:109-130)
+_TEXT_FIELDS = {
+    "case_name": CASE_NAME_LABEL,
+    "location": "事例発生地",
+    "facility": "事例発生場所",
+    "summary": "事例概要",
+    "phenomenon": "事象",
+    "financial_damage": "被害金額",
+    "social_impact": "社会への影響",
+    "notes": "備考",
+    "field": "分野",
+}
+_PARA_FIELDS = {
+    "process": "経過",
+    "cause": "原因",
+    "response": "対処",
+    "countermeasure": "対策",
+    "background": "背景",
+}
 
 
 def expand_worklist(
     spark: SparkSession, urls: list[str], limit: int | None
 ) -> DataFrame:
-    """argv URLs → one row per case URL (column ``case_url``)."""
+    """argv URLs → one row per case URL (``case_url`` + input-order
+    ``seq``, so the manifest lists cases in worklist order like the
+    reference's sequential loop)."""
     routed = spark.createDataFrame(
         [(u,) for u in urls], "url string"
     ).select(
@@ -77,7 +110,7 @@ def expand_worklist(
     )
     lists = routed.filter(F.col("route") == "list")
     if lists.isEmpty():
-        return direct
+        return direct.withColumn("seq", F.monotonically_increasing_id())
 
     links = F.filter(
         list_page_links(F.col("page.body")),
@@ -101,84 +134,328 @@ def expand_worklist(
         fetched.select("url", F.explode(links).alias("r"))
         .select(scalar.resolve_url(F.col("url"), F.col("r.href")).alias("case_url"))
     )
-    return direct.unionByName(expanded)
+    return direct.unionByName(expanded).withColumn(
+        "seq", F.monotonically_increasing_id()
+    )
+
+
+def _first_val(rows: F.Column, label: str) -> F.Column:
+    """First occurrence of a label among the bgcolor-sentinel rows —
+    raw value (``<br>`` already mapped to newline by the parser)."""
+    hits = F.filter(rows, lambda r: r.getField("label") == F.lit(label))
+    return F.coalesce(
+        F.try_element_at(hits, F.lit(1)).getField("value"), F.lit("")
+    )
+
+
+def _single_line(col: F.Column) -> F.Column:
+    """``get_text`` analog (src/extract.py:100-107): join the value's
+    lines without separators (bs4's strip=True drops the whitespace-only
+    fragments the <br> substitution produced)."""
+    return scalar.trim_ws(F.regexp_replace(col, r"[ \t]*\n[ \t]*", ""))
+
+
+def _scenario_struct(facts: F.Column) -> F.Column:
+    """Scenario-page facts → the nested scenario value
+    (requirements.md:126-131) entirely in column expressions:
+    F19 decodes each double-line separator's spacer width into a
+    1-based item boundary, O1 sorts items by ordinal, W2 slices at the
+    boundaries into (cause, action, result), W1 chunks each category
+    into groups of 3 (src/extract.py:343-377)."""
+    items = nested.sort_items_by_num(facts.getField("items"))
+    doubles = F.array_sort(
+        F.transform(
+            F.filter(
+                facts.getField("seps"),
+                lambda s: s.getField("kind") == "double",
+            ),
+            lambda s: scalar.separator_item_after(s.getField("width")),
+        )
+    )
+    cats = nested.slice_categories(items, doubles)
+    return F.struct(
+        nested.chunk(cats.getField("cause")).alias("cause"),
+        nested.chunk(cats.getField("action")).alias("action"),
+        nested.chunk(cats.getField("result")).alias("result"),
+    )
 
 
 def process_cases(cases_urls: DataFrame) -> DataFrame:
-    """case URL → parsed, validated record with status (never throws:
-    fetch failures → status 'error', missing fields → 'excluded')."""
+    """case URL → full nested, validated record with status (never
+    throws: fetch failures → status 'error', missing required fields →
+    'excluded'). Column order of the produced record follows the output
+    contract (requirements.md:107-142)."""
     page = cases_urls.select(
+        "seq",
         F.col("case_url"),
         scalar.case_id_from_url(F.col("case_url")).alias("case_id"),
         fetched_pages(F.col("case_url")).alias("page"),
     )
-    # Generate barrier: one parse per page (same pattern as
+    # Generate barrier: ONE parse per page (same pattern as
     # run_pipeline_e2e); fetch errors carry through as null body
     parsed = page.select(
+        "seq",
         "case_url",
         "case_id",
         F.col("page.error").alias("fetch_error"),
-        F.explode(F.array(label_rows(F.col("page.body")))).alias("__rows"),
+        F.explode(F.array(case_page_facets(F.col("page.body")))).alias("__p"),
     )
 
-    def first_val(label: str) -> F.Column:
-        # label_rows pre-filtered on the bgcolor sentinel; parse output
-        # order is document order, so element 1 IS the first occurrence
-        hits = F.filter(
-            F.col("__rows"), lambda r: r.getField("label") == F.lit(label)
-        )
-        return F.coalesce(
-            F.try_element_at(hits, F.lit(1)).getField("value"), F.lit("")
-        )
-
-    fields = {"case_name": first_val(CASE_NAME_LABEL)}
-    for label, key in {**REQUIRED_FIELDS, **OPTIONAL_FIELDS}.items():
-        fields[key] = first_val(label)
-    wide = parsed.select(
-        "case_url", "case_id", "fetch_error",
-        *[c.alias(name) for name, c in fields.items()],
+    rows = F.filter(
+        F.col("__p.rows"),
+        lambda r: F.upper(r.getField("bgcolor")) == "#DFE9F2",
     )
 
-    # with_status wants "is missing" predicates (reference scans for
-    # absent/blank values, src/extract.py:262-279)
+    # scenario sub-page: labeled-row link first, page-wide /sf/ anchor
+    # as fallback (O4 first-match, src/extract.py:197-210); fetch is the
+    # S3 edge, then a second Generate barrier pins one scenario parse
+    scen_href = F.coalesce(
+        F.col("__p.scenario_row_href"), F.col("__p.sf_href")
+    )
+    scen_url = F.when(
+        scen_href.isNotNull(),
+        scalar.resolve_url(F.col("case_url"), scen_href),
+    )
+    staged = parsed.select(
+        "seq", "case_url", "case_id", "fetch_error", "__p",
+        rows.alias("__rows"),
+        scen_href.alias("__scen_href"),
+        fetch_html(scen_url).alias("__scen_page"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(scenario_page_facts(F.col("__scen_page.body")))
+        ).alias("__s"),
+    )
+
+    # multimedia: labeled-row links ++ page-wide /mf/ scan, first-
+    # occurrence dedup on (href, caption) pairs (P7/J3 merge + O3,
+    # src/extract.py:73-97,217-227), then id = stem(basename) (P9)
+    mm_pairs = nested.dedup_preserving_order(
+        F.concat(F.col("__p.mm_label_links"), F.col("__p.mf_links"))
+    )
+    multimedia = F.transform(
+        mm_pairs,
+        lambda l: F.struct(
+            scalar.stem(l.getField("href")).alias("id"),
+            l.getField("caption").alias("caption"),
+        ),
+    )
+    images = F.struct(
+        F.coalesce(
+            scalar.basename(F.col("__p.rep_image_src")), F.lit("")
+        ).alias("representative"),
+        multimedia.alias("multimedia"),
+    )
+
+    fields: dict[str, F.Column] = {}
+    for name, label in _TEXT_FIELDS.items():
+        fields[name] = _single_line(_first_val(rows, label))
+    for name, label in _PARA_FIELDS.items():
+        fields[name] = scalar.paragraphs(_first_val(rows, label))
+    fields["date"] = scalar.normalize_jp_date(
+        _single_line(_first_val(rows, "事例発生日付"))
+    )
+    fields["knowledge"] = listparse.parse_knowledge(_first_val(rows, "知識化"))
+    fields["scenario"] = _scenario_struct(F.col("__s"))
+    fields["images"] = images
+    fields["sources"] = scalar.split_nonblank(_first_val(rows, "情報源"))
+    fields["casualties"] = F.struct(
+        scalar.leading_int(_first_val(rows, "死者数")).alias("deaths"),
+        scalar.leading_int(_first_val(rows, "負傷者数")).alias("injuries"),
+    )
+    fields["authors"] = scalar.split_nonblank(
+        scalar.normalize_nbsp(scalar.paragraphs(_first_val(rows, "データ作成者")))
+    )
+
+    # output-contract column order (requirements.md:107-142)
+    record_order = (
+        "case_id", "case_name", "url", "date", "location", "facility",
+        "summary", "phenomenon", "process", "cause", "response",
+        "countermeasure", "knowledge", "background", "scenario",
+        "images", "sources", "casualties", "financial_damage",
+        "social_impact", "notes", "field", "authors",
+    )
+    named = dict(fields)
+    named["url"] = F.col("case_url")
+    named["case_id"] = F.col("case_id")
+    # a present-but-failed scenario fetch aborts the case like the
+    # reference's raise_for_status inside parse_scenario_page
+    # (src/extract.py:284-286 → run.py:113-120 generic error)
+    scen_error = F.when(
+        F.col("__scen_href").isNotNull(), F.col("__scen_page.error")
+    )
+    wide = staged.select(
+        "seq",
+        F.col("case_url"),
+        F.col("fetch_error"),
+        scen_error.alias("scen_error"),
+        *[named[c].alias(c) for c in record_order],
+    )
+
+    # required-field validation (src/extract.py:262-279): text fields
+    # must be non-empty; scenario needs any populated category (P11).
+    # Missing entries are reported as the reference's HTML labels.
+    required = {}
+    for label, key in REQUIRED_FIELDS.items():
+        if key == "scenario":
+            required[label] = ~nested.scenario_presence(F.col("scenario"))
+        else:
+            required[label] = F.col(key) == ""
     return quality.with_status(
         wide,
-        {key: F.col(key) == "" for key in REQUIRED_FIELDS.values()},
-        error_when=F.col("fetch_error").isNotNull(),
+        required,
+        error_when=F.col("fetch_error").isNotNull()
+        | F.col("scen_error").isNotNull(),
+    )
+
+
+RECORD_COLUMNS = (
+    "case_id", "case_name", "url", "date", "location", "facility",
+    "summary", "phenomenon", "process", "cause", "response",
+    "countermeasure", "knowledge", "background", "scenario", "images",
+    "sources", "casualties", "financial_damage", "social_impact",
+    "notes", "field", "authors",
+)
+
+
+_PAGE_W, _PAGE_H = 2100, 2970  # tenth-mm, A4
+
+
+def _pdf_op(page, section: int, seq, opname: str, x: float, y, **kw) -> F.Column:
+    """One draw-op struct in the uniform sink schema. ``page`` and
+    ``seq``/``y`` accept Columns for data-dependent placement."""
+    nd = F.lit(None).cast("double")
+    as_col = lambda v, t: (  # noqa: E731
+        v if isinstance(v, F.Column) else F.lit(v).cast(t)
+    )
+    return F.struct(
+        as_col(page, "int").alias("page"),
+        F.lit(section).alias("section"),
+        as_col(seq, "int").alias("seq"),
+        F.lit(opname).alias("op"),
+        F.lit(float(x)).alias("x"),
+        as_col(float(y) if not isinstance(y, F.Column) else y, "double").alias("y"),
+        kw.get("x2", nd).alias("x2"),
+        kw.get("y2", nd).alias("y2"),
+        kw.get("w", nd).alias("w"),
+        kw.get("h", nd).alias("h"),
+        kw.get("fill", F.lit(None).cast("string")).alias("fill"),
+        kw.get("label", F.lit(None).cast("string")).alias("label"),
+        kw.get("img", F.lit(None).cast("binary")).alias("img"),
     )
 
 
 def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
-    """Sectioned per-case report (title + field sections) through the
-    draw-ops path of the S6 emitter; the diagram ops join this same
-    table when scenario structure is present (operators/diagram.py)."""
-    row_h, page_w, page_h = 120, 2100, 2970  # tenth-mm, A4-ish
-    ops = []
-    labels = ["case_name", *REQUIRED_FIELDS.values(), *OPTIONAL_FIELDS.values()]
+    """Per-case composite report through the S6 emitter, mirroring the
+    reference's section flow (src/render_pdf.py:324-471):
+
+      page 0 — title + prose sections + the representative image
+               (S4-fetched, scale-to-fit, failure placeholder,
+               src/render_pdf.py:361-365,96-118);
+      page 1 — the diagonal scenario diagram (bars, separator lines,
+               category braces) when scenario structure is present
+               (src/render_pdf.py:393-408, operators/diagram.py);
+      pages 2+ — one multimedia image per page with its caption,
+               URL guessed as ``../mf/{id}.jpg`` like the reference
+               (src/render_pdf.py:411-420).
+
+    All geometry is relational draw-ops rows; image bytes ride a binary
+    column fetched partition-parallel inside the sink's single action.
+    """
+    from shippai_knowledge_etl_spark.operators import diagram
+    from shippai_knowledge_etl_spark.sources.fetch import fetch_binary
+
+    row_h = 120
+
+    # --- page 0: title + prose + representative image ---
+    ops = [_pdf_op(0, 0, 0, "text", 100, _PAGE_H - 150,
+                   label=F.col("case_name"))]
+    labels = ["summary", *_PARA_FIELDS.keys()]
     for i, key in enumerate(labels):
-        y = page_h - (i + 1) * (row_h + 20) - 100
-        null_i = F.lit(None).cast("int")
+        y = _PAGE_H - (i + 2) * (row_h + 20) - 100
         ops.append(
-            F.struct(
-                F.lit(0).alias("section"),
-                F.lit(i).alias("seq"),
-                F.lit("text").alias("op"),
-                F.lit(100).alias("x"),
-                F.lit(y).alias("y"),
-                null_i.alias("x2"),
-                null_i.alias("y2"),
-                null_i.alias("w"),
-                null_i.alias("h"),
-                F.lit(None).cast("string").alias("fill"),
-                F.concat(F.lit(f"{key}: "), F.substring(F.col(key), 1, 120)
-                         ).alias("label"),
-                F.lit(page_w).alias("page_w"),
-                F.lit(page_h).alias("total_h"),
-            )
+            _pdf_op(0, 0, i + 1, "text", 100, y,
+                    label=F.concat(F.lit(f"{key}: "),
+                                   F.substring(F.col(key), 1, 120)))
         )
-    draw = successes.select(
-        F.col("case_id").alias("doc_id"), F.explode(F.array(*ops)).alias("o")
-    ).select("doc_id", "o.*")
+    has_rep = F.col("images.representative") != ""
+    rep_url = F.when(
+        has_rep,
+        scalar.resolve_url(
+            F.col("url"),
+            F.concat(F.lit("../df/"), F.col("images.representative")),
+        ),
+    )
+    rep_op = F.when(
+        has_rep,
+        _pdf_op(0, 1, 0, "image", 100, 200,
+                w=F.lit(1600.0), h=F.lit(1100.0),
+                img=fetch_binary(rep_url).getField("content"),
+                label=F.lit("代表図")),
+    )
+    dims = [
+        F.lit(_PAGE_W).cast("long").alias("page_w"),
+        F.lit(_PAGE_H).cast("long").alias("total_h"),
+    ]
+    text_ops = successes.select(
+        F.col("case_id").alias("doc_id"),
+        F.explode(
+            F.filter(F.array(*ops, rep_op), lambda o: o.isNotNull())
+        ).alias("o"),
+    ).select("doc_id", "o.*", *dims)
+
+    # --- page 1: the diagonal diagram (scenario cases only) ---
+    scen = successes.filter(nested.scenario_presence(F.col("scenario"))).select(
+        F.col("case_id").alias("doc_id"), "scenario"
+    )
+    pos = diagram.positioned_items(scen, "doc_id")
+    diag_ops = diagram.draw_ops(pos, "doc_id").select(
+        "doc_id",
+        F.lit(1).cast("int").alias("page"),
+        "section",
+        F.col("seq").cast("int").alias("seq"),
+        "op",
+        F.col("x").cast("double"),
+        F.col("y").cast("double"),
+        F.col("x2").cast("double"),
+        F.col("y2").cast("double"),
+        F.col("w").cast("double"),
+        F.col("h").cast("double"),
+        "fill",
+        "label",
+        F.lit(None).cast("binary").alias("img"),
+        F.col("page_w").cast("long"),
+        F.col("total_h").cast("long"),
+    )
+
+    # --- pages 2+: one multimedia image per page ---
+    mm = successes.select(
+        F.col("case_id").alias("doc_id"),
+        "url",
+        F.posexplode("images.multimedia").alias("i", "m"),
+    )
+    mm_img = fetch_binary(
+        scalar.resolve_url(
+            F.col("url"),
+            F.concat(F.lit("../mf/"), F.col("m.id"), F.lit(".jpg")),
+        )
+    ).getField("content")
+    page_col = (F.col("i") + 2).cast("int")
+    mm_ops = mm.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                _pdf_op(page_col, 0, 0, "text", 100, _PAGE_H - 150,
+                        label=F.col("m.caption")),
+                _pdf_op(page_col, 0, 1, "image", 100, 300,
+                        w=F.lit(1900.0), h=F.lit(2300.0),
+                        img=mm_img, label=F.col("m.caption")),
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.*", *dims)
+
+    draw = text_ops.unionByName(diag_ops).unionByName(mm_ops)
     sinks.render_pdf_sink(draw, out_dir, id_col="doc_id")
 
 
@@ -207,37 +484,44 @@ def main(argv: list[str] | None = None) -> int:
     successes = records.filter(F.col("status") == quality.STATUS_SUCCESS)
 
     out = args.output_dir
-    sinks.write_cases_json_named(
-        successes.drop("fetch_error", "missing_fields", "status"), out
-    )
+    sinks.write_cases_json_named(successes.select(*RECORD_COLUMNS), out)
     if args.pdf:
         _render_pdfs(successes, out)
 
     # manifest: per-case entries with status-dependent payloads +
-    # summary (src/run.py:122-146); run-manifest cardinality, so the
-    # driver-side collect is one small row per case
+    # summary (src/run.py:95-132). The entries flow through a
+    # DISTRIBUTED json write ordered by worklist position; the driver
+    # streams them into the manifest one at a time — no per-case collect
+    json_name = scalar.output_filename(
+        F.col("case_id"), F.col("case_name"), "json"
+    )
+    if args.pdf:
+        outputs = F.array(json_name, F.concat(F.col("case_id"), F.lit(".pdf")))
+    else:
+        outputs = F.array(json_name)
+    is_err = F.col("status") == quality.STATUS_ERROR
     entries = records.select(
-        "case_url", "case_id", "status",
-        F.when(
-            F.col("status") == quality.STATUS_SUCCESS,
-            scalar.output_filename(F.col("case_id"), F.col("case_name"), "json"),
-        ).alias("output"),
+        "seq",
+        # error entries carry only url/status/message (src/run.py:113-119)
+        F.when(~is_err, F.col("case_id")).alias("case_id"),
+        F.when(~is_err, F.col("case_name")).alias("case_name"),
+        F.col("url"),
+        F.col("status"),
+        F.when(F.col("status") == quality.STATUS_SUCCESS, outputs
+               ).alias("outputs"),
         F.when(
             F.col("status") == quality.STATUS_EXCLUDED, F.col("missing_fields")
         ).alias("missing_fields"),
-        F.when(
-            F.col("status") == quality.STATUS_ERROR, F.col("fetch_error")
-        ).alias("message"),
-    ).collect()
+        F.when(is_err, F.coalesce(F.col("fetch_error"), F.col("scen_error"))
+               ).alias("message"),
+    )
+    tmp = os.path.join(out, ".manifest_entries")
+    entries.orderBy("seq").drop("seq").write.mode("overwrite").json(tmp)
     summary = quality.status_summary(records).collect()[0].asDict()
-    manifest = {
-        "summary": summary,
-        "cases": [
-            {k: v for k, v in r.asDict().items() if v is not None}
-            for r in entries
-        ],
-    }
-    path = sinks.write_manifest(manifest, out)
+    path = sinks.write_manifest_streamed(
+        summary, sinks.iter_json_parts(tmp), out
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
     print(f"manifest: {path}")
     records.unpersist()
     return 0

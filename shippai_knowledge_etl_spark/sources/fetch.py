@@ -46,6 +46,10 @@ TIMEOUT_SEC = 30  # reference: src/extract.py:36
 def _fetch_one(opener, url: str, binary: bool):
     import urllib.error
 
+    if not url:
+        # null URL = "nothing to fetch" (e.g. a case with no scenario
+        # link): pass the null through, never a synthetic error row
+        return None, None, None
     try:
         with opener.open(url, timeout=TIMEOUT_SEC) as resp:
             raw = resp.read()

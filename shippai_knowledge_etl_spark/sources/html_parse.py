@@ -15,6 +15,7 @@ the UDF scales with executors and shuffles nothing.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -150,6 +151,319 @@ def parse_list_page(html: str) -> list[tuple[int, str, str]]:
 def list_page_links(pages: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for batch in pages:
         yield pd.Series([parse_list_page(h) if h else [] for h in batch])
+
+
+# ---------------------------------------------------------------------------
+# Full case-page facets: tall rows PLUS the page-level structures the
+# nested case record needs (representative image, multimedia links,
+# scenario sub-page link) — all from ONE parse pass, so the CLI keeps
+# the single-ArrowEvalPython-per-page plan shape.
+# ---------------------------------------------------------------------------
+
+MM_LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("href", T.StringType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+CASE_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rows", T.ArrayType(PAGE_ROW_SCHEMA)),
+        T.StructField("rep_image_src", T.StringType()),
+        T.StructField("mm_label_links", T.ArrayType(MM_LINK_SCHEMA)),
+        T.StructField("mf_links", T.ArrayType(MM_LINK_SCHEMA)),
+        T.StructField("scenario_row_href", T.StringType()),
+        T.StructField("sf_href", T.StringType()),
+    ]
+)
+
+_LABEL_BG = "#DFE9F2"  # src/extract.py:69-71
+_MULTIMEDIA_LABEL = "マルチメディアファイル"  # src/extract.py:73
+_REP_IMAGE_LABEL = "代表図"  # src/extract.py:185
+_SCENARIO_LABEL = "シナリオ"  # src/extract.py:199
+
+
+class _CasePageParser(HTMLParser):
+    """One-pass extraction of everything parse_main_page reads from the
+    raw markup (src/extract.py:49-227): the tall label/value rows, the
+    representative-figure img src, multimedia links (both the labeled
+    row's first anchor and the page-wide ``/mf/`` anchor scan,
+    src/extract.py:73-97), and the scenario sub-page href (labeled row
+    first, page-wide ``/sf/`` anchor as fallback, src/extract.py:197-210).
+
+    Uses a <tr> STACK (unlike the flat _TableRowParser) so tables nested
+    inside a cell don't corrupt the enclosing row's cells."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[str, str, str, str | None]] = []
+        self.mm_label_links: list[tuple[str, str]] = []
+        self.mf_links: list[tuple[str, str]] = []
+        self.rep_image_src: str | None = None
+        self.scenario_row_href: str | None = None
+        self.sf_href: str | None = None
+        self._trs: list[dict] = []
+        self._a_stack: list[dict] = []
+
+    def _cur_td(self) -> dict | None:
+        if self._trs and self._trs[-1]["tds"]:
+            return self._trs[-1]["tds"][-1]
+        return None
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        a = dict(attrs)
+        if tag == "tr":
+            self._trs.append({"tds": []})
+        elif tag == "td" and self._trs:
+            self._trs[-1]["tds"].append(
+                {"bgcolor": a.get("bgcolor", ""), "text": [],
+                 "links": [], "imgs": []}
+            )
+        elif tag == "a":
+            href = a.get("href")
+            self._a_stack.append({"href": href, "text": []})
+            # page-wide /sf/ fallback scans ALL anchors in document
+            # order, first match wins (src/extract.py:205-210)
+            if href and "/sf/" in href and self.sf_href is None:
+                self.sf_href = href
+        elif tag == "img":
+            td = self._cur_td()
+            if td is not None:
+                td["imgs"].append(a.get("src", ""))
+        elif tag == "br":
+            td = self._cur_td()
+            if td is not None:
+                td["text"].append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if self._a_stack:
+            self._a_stack[-1]["text"].append(data)
+        td = self._cur_td()
+        if td is not None:
+            td["text"].append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._a_stack:
+            link = self._a_stack.pop()
+            td = self._cur_td()
+            if td is not None and link["href"] is not None:
+                td["links"].append(
+                    (link["href"], "".join(link["text"]).strip())
+                )
+        elif tag == "tr" and self._trs:
+            self._close_tr(self._trs.pop())
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def _close_tr(self, ctx: dict) -> None:
+        tds = ctx["tds"]
+        # page-wide /mf/ scan covers every td (incl. rowspan
+        # continuation rows with a single cell), src/extract.py:87-97
+        for td in tds:
+            for href, caption in td["links"]:
+                if "/mf/" in href:
+                    self.mf_links.append((href, caption))
+        if len(tds) < 2:
+            return
+        first, last = tds[0], tds[-1]
+        label = "".join(first["text"]).strip()
+        value = "".join(last["text"]).strip()
+        row_href = next(
+            (h for td in tds for h, _ in td["links"]), None
+        )
+        self.rows.append((label, value, first["bgcolor"], row_href))
+        if first["bgcolor"].upper() != _LABEL_BG:
+            return
+        if label == _MULTIMEDIA_LABEL:
+            if last["links"]:
+                self.mm_label_links.append(last["links"][0])
+        elif label == _REP_IMAGE_LABEL and self.rep_image_src is None:
+            if last["imgs"]:
+                self.rep_image_src = last["imgs"][0]
+        elif label == _SCENARIO_LABEL and self.scenario_row_href is None:
+            if last["links"]:
+                self.scenario_row_href = last["links"][0][0]
+
+
+def parse_case_page(html: str) -> dict:
+    p = _CasePageParser()
+    p.feed(html)
+    return {
+        "rows": [
+            (i, label, value, bgcolor, href)
+            for i, (label, value, bgcolor, href) in enumerate(p.rows)
+        ],
+        "rep_image_src": p.rep_image_src,
+        "mm_label_links": p.mm_label_links,
+        "mf_links": p.mf_links,
+        "scenario_row_href": p.scenario_row_href,
+        "sf_href": p.sf_href,
+    }
+
+
+@pandas_udf(CASE_PAGE_SCHEMA)
+def case_page_facets(pages: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in CASE_PAGE_SCHEMA.fields]
+    empty = parse_case_page("")
+    for batch in pages:
+        rows = [parse_case_page(h) if h else dict(empty) for h in batch]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# Scenario (sf/) page: numbered items + separator-line facts. The
+# LAYOUT-DECODING stays Spark-side (F19 separator_item_after, O1 sort,
+# W2 slice, W1 chunk) — the parser only reports what the markup says.
+# ---------------------------------------------------------------------------
+
+SCENARIO_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "items",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("num", T.IntegerType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "seps",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("kind", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+class _ScenarioPageParser(HTMLParser):
+    """Raw facts from a scenario page (src/extract.py:284-341): numbered
+    items (``<b>N.</b>`` rows — item text from the row's 3rd cell) and
+    separator-line rows (``sinario_line_1/2`` imgs with their row's
+    ``space.gif`` width). Rows inside the main layout cell
+    (valign=top, width⊇60%) are preferred; the page-wide collection is
+    the fallback when that cell is absent (src/extract.py:292-301)."""
+
+    _ITEM_RE = re.compile(r"(\d+)\.")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.main: dict = {"items": [], "seps": []}
+        self.all: dict = {"items": [], "seps": []}
+        self.saw_main = False
+        self._trs: list[dict] = []
+        self._td_depth = 0
+        self._main_depth: int | None = None
+        self._in_b = False
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        a = dict(attrs)
+        if tag == "td":
+            self._td_depth += 1
+            if (
+                self._main_depth is None
+                and a.get("valign", "").lower() == "top"
+                and "60%" in a.get("width", "")
+            ):
+                self._main_depth = self._td_depth
+                self.saw_main = True
+            if self._trs:
+                self._trs[-1]["tds"].append({"text": [], "b": [], "imgs": []})
+        elif tag == "tr":
+            self._trs.append(
+                {"tds": [], "in_main": self._main_depth is not None}
+            )
+        elif tag == "b":
+            self._in_b = True
+            if self._trs and self._trs[-1]["tds"]:
+                self._trs[-1]["tds"][-1]["b"].append([])
+        elif tag == "img":
+            if self._trs and self._trs[-1]["tds"]:
+                self._trs[-1]["tds"][-1]["imgs"].append(
+                    (a.get("src", ""), a.get("width"))
+                )
+
+    def handle_data(self, data: str) -> None:
+        if self._trs and self._trs[-1]["tds"]:
+            td = self._trs[-1]["tds"][-1]
+            td["text"].append(data)
+            if self._in_b and td["b"]:
+                td["b"][-1].append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "b":
+            self._in_b = False
+        elif tag == "td":
+            if self._main_depth is not None and self._td_depth == self._main_depth:
+                self._main_depth = None
+            self._td_depth = max(0, self._td_depth - 1)
+        elif tag == "tr" and self._trs:
+            self._close_tr(self._trs.pop())
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def _close_tr(self, ctx: dict) -> None:
+        sinks = [self.all] + ([self.main] if ctx["in_main"] else [])
+        tds = ctx["tds"]
+        num = None
+        for td in tds:
+            for run in td["b"]:
+                m = self._ITEM_RE.match("".join(run).strip())
+                if m:
+                    num = int(m.group(1))
+                    break
+            if num is not None:
+                break
+        if num is not None and len(tds) >= 3:
+            text = "".join(tds[2]["text"]).strip()
+            for s in sinks:
+                s["items"].append((num, text))
+        kind = None
+        space_w = None
+        for td in tds:
+            for src, w in td["imgs"]:
+                if "sinario_line_1" in src:
+                    kind = kind or "single"
+                elif "sinario_line_2" in src:
+                    kind = kind or "double"
+                elif "space.gif" in src and space_w is None:
+                    try:
+                        space_w = int(w or 0)
+                    except (TypeError, ValueError):
+                        space_w = 0
+        if kind is not None and space_w is not None:
+            for s in sinks:
+                s["seps"].append((space_w, kind))
+
+
+def parse_scenario_page(html: str) -> dict:
+    p = _ScenarioPageParser()
+    p.feed(html)
+    scope = p.main if p.saw_main else p.all
+    return {"items": scope["items"], "seps": scope["seps"]}
+
+
+@pandas_udf(SCENARIO_PAGE_SCHEMA)
+def scenario_page_facts(pages: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for batch in pages:
+        rows = [
+            parse_scenario_page(h) if h else {"items": [], "seps": []}
+            for h in batch
+        ]
+        yield pd.DataFrame(rows, columns=["items", "seps"])
 
 
 def label_rows(html_col: Column) -> Column:

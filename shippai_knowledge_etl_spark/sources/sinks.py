@@ -95,6 +95,50 @@ def write_manifest(manifest_row: dict, out_dir: str) -> str:
     return path
 
 
+def iter_json_parts(path: str):
+    """Yield dicts from a Spark JSON output directory, part files in
+    name order — with an upstream ``orderBy``, Spark's range partitioner
+    makes part-file name order the global sort order, so iteration
+    preserves it. One line in memory at a time."""
+    for part in sorted(os.listdir(path)):
+        if not (part.startswith("part-") and part.endswith(".json")):
+            continue
+        with open(os.path.join(path, part), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+
+def _dump_indented(obj, level: int) -> str:
+    s = json.dumps(obj, ensure_ascii=False, indent=2)
+    pad = "  " * level
+    lines = s.splitlines()
+    return "\n".join([lines[0], *(pad + ln for ln in lines[1:])])
+
+
+def write_manifest_streamed(summary: dict, entries, out_dir: str) -> str:
+    """S7 at scale: the manifest's ``cases`` array is written from an
+    ITERATOR of per-case dicts — the driver never holds more than one
+    entry in memory, so a 100x worklist costs it nothing (the entries
+    come from a distributed Spark JSON write via iter_json_parts).
+    Output formatting matches ``json.dump(..., ensure_ascii=False,
+    indent=2)`` byte for byte."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, next_manifest_name(out_dir))
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{\n  "summary": ')
+        f.write(_dump_indented(summary, 1))
+        f.write(',\n  "cases": ')
+        wrote = False
+        for e in entries:
+            f.write("[\n    " if not wrote else ",\n    ")
+            f.write(_dump_indented(e, 2))
+            wrote = True
+        f.write("\n  ]\n}" if wrote else "[]\n}")
+    return path
+
+
 def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -> None:
     """S6: per-case PDF emission from the draw-ops table
     (operators/diagram.py ``draw_ops``), matching the reference's
@@ -107,45 +151,56 @@ def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -
     ``out_dir`` must be storage every executor can reach (local mode:
     any dir; cluster mode: a shared mount)."""
     os.makedirs(out_dir, exist_ok=True)
+    paged = "page" in draw_ops.columns
 
     def emit(rows) -> None:
-        from shippai_knowledge_etl_spark.sources.pdf_writer import minimal_pdf
+        from shippai_knowledge_etl_spark.sources.pdf_writer import pdf_document
 
         # see write_cases_json_named.emit: out_dir must be shared storage
         # in cluster mode, and each task ensures it exists locally
         os.makedirs(out_dir, exist_ok=True)
-        cur_id, cur_ops, cur_dims = None, [], (1000, 1000)
+        cur_id = None
+        cur_pages: dict[int, dict] = {}
 
         def flush() -> None:
             if cur_id is None:
                 return
             path = os.path.join(out_dir, f"{cur_id}.pdf")
+            pages = [cur_pages[k] for k in sorted(cur_pages)]
             with open(path, "wb") as f:
-                f.write(minimal_pdf(cur_ops, cur_dims[0], cur_dims[1]))
+                f.write(pdf_document(pages))
 
         for r in rows:
             if r[id_col] != cur_id:
                 flush()
-                cur_id, cur_ops = r[id_col], []
-            cur_dims = (r["page_w"], r["total_h"])
-            cur_ops.append(
+                cur_id, cur_pages = r[id_col], {}
+            d = r.asDict()
+            page = cur_pages.setdefault(
+                d.get("page") or 0, {"ops": [], "w": 1000, "h": 1000}
+            )
+            page["w"], page["h"] = d["page_w"], d["total_h"]
+            page["ops"].append(
                 {
-                    "op": r["op"],
-                    "x": r["x"],
-                    "y": r["y"],
-                    "x2": r["x2"],
-                    "y2": r["y2"],
-                    "w": r["w"],
-                    "h": r["h"],
-                    "fill": r["fill"],
-                    "label": r["label"],
+                    "op": d["op"],
+                    "x": d["x"],
+                    "y": d["y"],
+                    "x2": d["x2"],
+                    "y2": d["y2"],
+                    "w": d["w"],
+                    "h": d["h"],
+                    "fill": d["fill"],
+                    "label": d["label"],
+                    # optional binary payload for image ops (callers
+                    # without an img column just never emit op="image")
+                    "img": bytes(d["img"]) if d.get("img") is not None else None,
                 }
             )
         flush()
 
+    sort_cols = [id_col, *(["page"] if paged else []), "section", "seq", "op"]
     (
         draw_ops.repartition(F.col(id_col))
-        .sortWithinPartitions(id_col, "section", "seq", "op")
+        .sortWithinPartitions(*sort_cols)
         .foreachPartition(emit)
     )
 

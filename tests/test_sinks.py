@@ -137,6 +137,54 @@ def test_pdf_sink_renders_real_per_case_artifacts(spark, sf_dir, tmp_path):
         ) >= 1
 
 
+def _tiny_jpeg() -> bytes:
+    """A minimal structurally-valid JPEG (SOI + SOF0 8x4 gray + EOI) —
+    enough for the dimension scanner and DCTDecode embedding path."""
+    sof = b"\xff\xc0" + b"\x00\x0b" + b"\x08" + b"\x00\x04" + b"\x00\x08" + b"\x01" + b"\x01\x11\x00"
+    return b"\xff\xd8" + sof + b"\xff\xd9"
+
+
+def test_pdf_writer_cjk_and_images():
+    """CJK text goes through the reference's own mechanism — a
+    non-embedded Adobe-Japan1 CID font (UnicodeCIDFont analog,
+    src/render_pdf.py:23-24) with UTF-16BE hex strings — and JPEG
+    bytes embed as raw DCTDecode XObjects; unparseable image bytes
+    degrade to the reference's placeholder text
+    (src/render_pdf.py:116-118)."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        jpeg_dimensions,
+        minimal_pdf,
+    )
+
+    jpg = _tiny_jpeg()
+    assert jpeg_dimensions(jpg) == (8, 4, 1)
+    ops = [
+        {"op": "text", "x": 100, "y": 2800, "label": "タンク爆発"},
+        {"op": "text", "x": 100, "y": 2700, "label": "ascii only"},
+        {"op": "image", "x": 100, "y": 2000, "w": 800, "h": 400,
+         "img": jpg, "label": "代表図"},
+        {"op": "image", "x": 100, "y": 1500, "w": 800, "h": 400,
+         "img": b"not a jpeg", "label": "写真1"},
+    ]
+    raw = minimal_pdf(ops, 2100, 2970)
+    assert raw.startswith(b"%PDF-1.4")
+    # CJK string present as UTF-16BE hex under the CID font
+    hex_cjk = "タンク爆発".encode("utf-16-be").hex().encode()
+    assert b"<" + hex_cjk + b"> Tj" in raw
+    assert b"/F2" in raw and b"/HeiseiKakuGo-W5-UniJIS-UCS2-H" in raw
+    assert b"/Registry (Adobe) /Ordering (Japan1)" in raw
+    # Latin text stays on Helvetica literal strings
+    assert b"(ascii only) Tj" in raw
+    # the parseable JPEG is embedded raw under DCTDecode and drawn
+    assert b"/Filter /DCTDecode" in raw
+    assert jpg in raw
+    assert b"/Im0 Do" in raw
+    # the unparseable one became the reference's placeholder text
+    ph = "[画像読み込みエラー: 写真1]".encode("utf-16-be").hex().encode()
+    assert b"<" + ph + b"> Tj" in raw
+    assert raw.count(b"/Subtype /Image") == 1
+
+
 def test_anchor_list_parser_edge_cases():
     from shippai_knowledge_etl_spark.sources.html_parse import parse_list_page
 
