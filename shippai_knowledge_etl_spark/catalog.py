@@ -65,9 +65,15 @@ DRIVER_WINDOW = (
     "j5_range_join_buckets",
     "j6_asof_latest_order",
     "a_cube_status_priority",
-    "w5_cumulative_sum",
+    # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
+    # w3_layout_suite's running-position cumsum); the slot pins the
+    # MinHash→exact-verify dedup flagship, previously driver-unwitnessed
+    "dedup_minhash_verified",
     "w7_lead_lag",
-    "u1_union_worklists",
+    # u1_union_worklists rotated out (union family stays witnessed by
+    # u2_status_partition + u4_except); the slot pins the in-engine
+    # k-means IVF flagship, previously driver-unwitnessed
+    "simsearch_ivf_kmeans",
     "u4_except",
     "f2_f11_casualty_filename",
     "f6_knowledge_parse",
@@ -102,7 +108,12 @@ DRIVER_WINDOW = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "simsearch_topk_cosine",
+    # the BLAS mapInPandas form is the 100 TB scale path AND measured
+    # fastest locally — it is the witnessed + bench headline form
+    # (VERDICT r4 item 5); the HOF exactness baseline keeps its full
+    # DuckDB oracle in tests/test_oracle_parity.py and a pytest id-set
+    # equality ties the two together
+    "simsearch_topk_blas",
     "simsearch_near_dup",
     "stream_tumbling_window",
     "mm_image_features",

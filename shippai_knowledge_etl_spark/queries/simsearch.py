@@ -24,7 +24,6 @@ _COS = (
 @register(
     "simsearch_topk_cosine",
     survey_ref="[EXT] brute-force cosine top-k (exactness baseline)",
-    bench=True,
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings),
     q AS (SELECT vec_id AS query_id, emb_d FROM e WHERE vec_id = {QUERY_VEC_ID})
@@ -34,6 +33,12 @@ _COS = (
     """,
 )
 def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness baseline, oracle-checked. Scoring uses the HOF fold:
+    MEASURED fastest of the three expression strategies at this corpus
+    shape (sf0.1, 2k×64: fold 0.35s, unrolled-codegen 1.42s — the
+    192-element_at tree blows past JIT method limits and pure
+    plan-compile time dominates, see operators.simsearch.dot_fixed).
+    The scale path is simsearch_topk_blas (the bench headline)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
     return simsearch.topk_cosine(e, q, TOP_K)
@@ -103,7 +108,11 @@ def simsearch_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simsearch_topk_blas",
     survey_ref="[EXT] ANN scale path: Arrow-batched numpy (BLAS) scoring via "
     "mapInPandas — same ids as simsearch_topk_cosine (pytest cross-checks); "
-    "sims differ in the last ulp (pairwise vs sequential sums) → rows-only",
+    "sims differ in the last ulp (pairwise vs sequential sums) → rows-only. "
+    "Bench headline + driver-witnessed form: fastest measured even at the "
+    "local corpus (0.29s vs fold 0.35s) and the only strategy whose cost "
+    "stays flat as dim and corpus grow",
+    bench=True,
 )
 def simsearch_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.simsearch import topk_cosine_blas

@@ -112,3 +112,12 @@ def test_scans_prune_columns(plans):
     _, phys = plans["q1_pricing_summary"]
     scan = phys.split("Scan parquet", 1)[1][:800]
     assert "l_comment" not in scan, scan
+
+
+def test_topk_blas_plan_is_python_free_after_scoring(plans):
+    # the witnessed/bench top-k form scores in ONE mapInPandas pass and
+    # tops-k JVM-side: exactly one Python eval node, then
+    # TakeOrderedAndProject (no shuffle, no second Python stage)
+    _, phys = plans["simsearch_topk_blas"]
+    assert phys.count("MapInPandas") == 1, phys[:1500]
+    assert "TakeOrderedAndProject" in phys, phys[:1500]
