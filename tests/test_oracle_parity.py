@@ -108,14 +108,31 @@ def test_contract_shape():
     assert len(q) >= 1
 
 
+# In-window queries the driver checks rows-only, by design: their
+# outputs depend on engine-specific hashing (xxhash64 MinHash perms,
+# k-means init) or float32 BLAS scores with no exact DuckDB twin. Each
+# carries a pytest tying it to an exact form (id-set equality /
+# planted-duplicate recall) — see test_dedup.py / test_simsearch.py.
+ROWS_ONLY_IN_WINDOW = {
+    "dedup_minhash_verified",
+    "simsearch_ivf_kmeans",
+    "simsearch_topk_blas",
+}
+
+
 def test_driver_window_contract():
     """The driver verifies exactly the first 50 registered queries; pin
-    that window to DRIVER_WINDOW and require every one oracle-checked."""
+    that window to DRIVER_WINDOW and require every one oracle-checked
+    except the explicit rows-only allowlist above."""
     import __spark_entry__ as e
     from shippai_knowledge_etl_spark.catalog import DRIVER_WINDOW
 
     assert len(DRIVER_WINDOW) == 50
     q, o = e.queries(), e.oracle_sql()
     assert list(q)[:50] == list(DRIVER_WINDOW)
-    missing = [n for n in DRIVER_WINDOW if n not in o]
+    missing = [
+        n for n in DRIVER_WINDOW if n not in o and n not in ROWS_ONLY_IN_WINDOW
+    ]
     assert not missing, f"window queries without oracle: {missing}"
+    stale = [n for n in ROWS_ONLY_IN_WINDOW if n in o or n not in DRIVER_WINDOW]
+    assert not stale, f"allowlist entries stale: {stale}"
