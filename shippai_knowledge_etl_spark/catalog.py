@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.textops",
     "shippai_knowledge_etl_spark.queries.dedup",
     "shippai_knowledge_etl_spark.queries.curation",
+    "shippai_knowledge_etl_spark.queries.curate_ops",
     "shippai_knowledge_etl_spark.queries.simsearch",
     "shippai_knowledge_etl_spark.queries.multimodal",
     "shippai_knowledge_etl_spark.queries.windows",
@@ -59,7 +60,11 @@ DRIVER_WINDOW = (
     "u2_status_partition",
     "q1_pricing_summary",
     "q3_top_revenue",
-    "j1_lookup_join",
+    # j1_lookup_join rotated out (broadcast-lookup family stays
+    # witnessed in-window by j4_multiway_region_revenue, whose
+    # region→nation→customer chain IS the J1 shape, broadcast dims and
+    # all); the slot pins the new cross-document span-dedup flagship
+    "dedup_spans",
     "j2_semi_join",
     "j4_multiway_region_revenue",
     "j5_range_join_buckets",
@@ -77,7 +82,10 @@ DRIVER_WINDOW = (
     "u4_except",
     "f2_f11_casualty_filename",
     "f6_knowledge_parse",
-    "f7_split_nonblank",
+    # f7_split_nonblank rotated out (F7 stays witnessed in-window by
+    # case_assembly's sources_list split); the slot pins the new
+    # Gopher-style repetition-quality flagship
+    "ext_quality_repetition",
     "f8_f9_cleanup_url",
     "f13_results_sequence",
     "f14_f17_label_json",

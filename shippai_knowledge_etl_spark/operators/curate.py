@@ -1,0 +1,377 @@
+"""Advanced corpus-curation operators for LLM-data pipelines
+(SURVEY.md §2.11 [EXT], second wave).
+
+Beyond the basic textops (token counts / quality ratios / langid),
+these are the filters and transforms a production pretraining-data
+build runs between "raw crawl" and "tokenizer":
+
+  - :func:`repetition_profile` — Gopher-style repetition signals
+    (duplicate-token fraction, most-frequent unigram fraction,
+    most-frequent-bigram character coverage). Excess repetition is the
+    strongest single heuristic for machine-generated / boilerplate
+    text (Rae et al. 2021, "Scaling Language Models", table A1).
+  - :func:`span_dedup_profile` — cross-document duplicated-span
+    detection: fixed-width token spans hashed corpus-wide, per-doc
+    duplicated-span fraction (the cheap relational cousin of
+    suffix-array substring dedup à la Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better").
+  - :func:`pii_redact` — regex PII scrubbing (emails / IPv4 / phone)
+    with per-category match counts; pattern set chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB oracle).
+  - :func:`mix_sample` — deterministic hash-based source re-weighting:
+    every row's keep/drop decision is a pure function of (id, salt),
+    so the sampled mix is reproducible across runs, engines, and
+    partitionings — how training-mix weights are applied when the run
+    must be auditable (no ``rand()``).
+  - :func:`pack_sequences` — token-budget sequence packing in the
+    concat-and-chunk style (running token count per shard, chunk at
+    the budget boundary); :func:`pack_sequences_greedy` is the
+    whole-doc first-fit variant as a grouped Pandas op.
+
+Scale notes (100 TB):
+  - Everything except the greedy packer is built-in expressions +
+    window/groupBy — whole-stage codegen, no Python in the hot path.
+  - repetition/span profiles shuffle token-sized rows once on the
+    document id (AQE-coalesced); counts are map-side partially
+    aggregated.
+  - mix_sample and pii_redact are narrow per-row maps — no shuffle at
+    all until the caller aggregates.
+  - pack_sequences partitions its running sum by an explicit shard
+    column, so the window never degenerates to a single global
+    partition (the classic cumsum-at-scale trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+# ---------------------------------------------------------------------------
+# Repetition profile (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals over one tokenize pass.
+
+    Output columns (exact ints + final double divisions, deterministic
+    at any parallelism):
+      - ``n_tokens``, ``n_token_chars``
+      - ``dup_token_frac``  = (n_tokens - n_distinct) / n_tokens
+      - ``top_unigram``, ``top_unigram_frac`` = occurrences of the most
+        frequent token / n_tokens (ties → greater token string)
+      - ``top_bigram``, ``top_bigram_char_frac`` = chars covered by the
+        most frequent 2-gram / total token chars (ties → greater
+        bigram; coverage = count * length(bigram) — overlapping
+        occurrences double-count, so the score can exceed 1; it is a
+        repetition score ranked against a threshold, not a true
+        coverage fraction)
+
+    Shape: ONE tokenize → posexplode → (a) per-doc count/distinct/char
+    sums, (b) unigram counts, (c) lead-window bigrams — all partial-agg
+    combines on (id[, gram]) keys; three doc-keyed aggregates joined
+    back onto the id universe (left, so empty docs keep zero rows).
+    The bigram lead window and every groupBy share the same id-keyed
+    shuffle exchange target, and no lambda HOF appears anywhere (see
+    dedup.shingle_structs for why that matters in hot paths).
+    """
+    ids = df.select(F.col(id_col))
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    per_doc = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("tok"))).alias(
+            "n_repeat_tokens"
+        ),
+        F.sum(F.length("tok")).alias("n_token_chars"),
+    )
+    uni_top = (
+        ex.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c"), F.col("tok"))).alias("m"))
+        .select(
+            id_col,
+            F.col("m.c").alias("top_unigram_n"),
+            F.col("m.tok").alias("top_unigram"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi_top = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("c") * F.length("bigram")).alias("chars"),
+                    F.col("bigram"),
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.col("m.chars").alias("top_bigram_chars"),
+            F.col("m.bigram").alias("top_bigram"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    joined = (
+        ids.join(per_doc, id_col, "left")
+        .join(uni_top, id_col, "left")
+        .join(bi_top, id_col, "left")
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), zero)
+    n_chars = F.coalesce(F.col("n_token_chars"), zero)
+    return joined.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_token_chars"),
+        F.round(
+            F.coalesce(F.col("n_repeat_tokens"), zero)
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+        F.coalesce(F.col("top_unigram"), F.lit("")).alias("top_unigram"),
+        F.round(
+            F.coalesce(F.col("top_unigram_n"), zero)
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("top_unigram_frac"),
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.round(
+            F.coalesce(F.col("top_bigram_chars"), zero)
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 10
+
+
+def span_dedup_profile(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """Fraction of each document's fixed-width token spans that also
+    appear (verbatim) in at least one OTHER document.
+
+    Spans are non-overlapping ``span_tokens``-wide windows over the
+    token stream; the ragged tail span is profiled too (its width is
+    whatever remains). Output: (id, n_spans, n_dup_spans,
+    dup_span_frac).
+
+    Relational span construction without lambdas OR ordered
+    collect_list: posexplode gives (pos, tok); spans group on
+    ``pos div span_tokens``; within a span each token sits at a unique
+    offset ``pos mod span_tokens``, so ``max(when(offset == j, tok))``
+    for j in 0..span_tokens-1 rebuilds the span as span_tokens
+    conditional-max agg columns, and ``concat_ws(' ', ...)`` (which
+    skips the NULL tail offsets) reassembles the exact text — one
+    codegen'd groupBy, order-safe at any parallelism.
+
+    Corpus-wide duplication is then ONE groupBy on the span text
+    (map-side combined; the shuffle carries ~span-sized keys, the
+    analog of shingle shuffles in the Jaccard path). At the 100 TB end
+    the span text would be xxhash64'd before the shuffle; kept verbatim
+    here so the DuckDB oracle can reproduce it exactly.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    span_cols = [
+        F.max(F.when(F.col("pos") % span_tokens == j, F.col("tok"))).alias(
+            f"t{j}"
+        )
+        for j in range(span_tokens)
+    ]
+    spans = (
+        ex.groupBy(F.col(id_col), (F.col("pos") - F.col("pos") % span_tokens).alias("span_start"))
+        .agg(*span_cols)
+        .select(
+            id_col,
+            "span_start",
+            F.concat_ws(" ", *[f"t{j}" for j in range(span_tokens)]).alias(
+                "span_text"
+            ),
+        )
+    )
+    owners = spans.groupBy("span_text").agg(
+        F.count_distinct(F.col(id_col)).alias("n_owner_docs")
+    )
+    per_doc = (
+        spans.join(owners, "span_text")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_owner_docs") > 1).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    ids = df.select(F.col(id_col))
+    zero = F.lit(0).cast("long")
+    out = ids.join(per_doc, id_col, "left")
+    n_spans = F.coalesce(F.col("n_spans"), zero)
+    return out.select(
+        id_col,
+        n_spans.alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), zero).alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup_spans"), zero)
+            / F.greatest(n_spans, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_span_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark executors) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+# Replacement order matters (an email contains dot-runs an IP pattern
+# could bite into; a phone's digit runs could eat a redacted IP's
+# neighbors) — email → ip → phone, identically on both engines.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", PII_EMAIL, "[EMAIL]"),
+    ("ipv4", PII_IPV4, "[IP]"),
+    ("phone", PII_PHONE, "[PHONE]"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts (pre-redaction)."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat, _ in PII_RULES
+    }
+
+
+def pii_redact(col: Column) -> Column:
+    """Apply every PII rule in order; pure narrow expression."""
+    out = col
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mix sampling
+# ---------------------------------------------------------------------------
+
+
+def keep_hash(id_col: Column, salt: str) -> Column:
+    """The first 4 hex chars of md5(id || ':' || salt) — a uniform
+    16-bit draw that is a pure function of the row id, identical in
+    Spark and DuckDB (both emit lowercase-hex md5)."""
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 4
+    )
+
+
+def mix_keep(id_col: Column, weight: Column, salt: str = "mix") -> Column:
+    """True for rows kept under ``weight`` ∈ [0, 1]: the 16-bit hash
+    draw compared against floor(weight * 65536) as a 4-hex-digit
+    threshold (lexicographic compare == numeric compare at fixed
+    width). weight ≥ 1 short-circuits to keep-all (its threshold would
+    need 5 digits)."""
+    thr = F.lpad(
+        F.conv(F.floor(weight * 65536).cast("string"), 10, 16), 4, "0"
+    )
+    return (weight >= 1.0) | (keep_hash(id_col, salt) < F.lower(thr))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_col: str,
+) -> DataFrame:
+    """Concat-and-chunk packing: within each shard, documents in id
+    order are laid end to end and cut into ``budget``-token sequences;
+    a document belongs to the sequence its first token lands in.
+
+    Adds ``seq_id`` (0-based within shard) and ``tok_start`` (offset of
+    the doc's first token within the shard's stream). The running sum
+    partitions by the shard column — never a global single-partition
+    window. Pretraining packers work exactly this way when documents
+    may be split at sequence boundaries (GPT-style); the no-split
+    variant is :func:`pack_sequences_greedy`.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(F.col(n_tokens_col)).over(w)
+    start = end - F.col(n_tokens_col)
+    return df.select(
+        "*",
+        start.alias("tok_start"),
+        F.floor(start / budget).cast("long").alias("seq_id"),
+    )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_col: str,
+) -> DataFrame:
+    """Whole-document first-fit packing (no doc ever splits): within a
+    shard, walk docs in id order, open a new sequence whenever the
+    current one would overflow ``budget``. Docs longer than the budget
+    get a sequence of their own.
+
+    Sequential by nature (each decision depends on the previous fill),
+    so it runs as a grouped Pandas op per shard — the shard count is
+    the parallelism knob, and each shard's doc list must fit a worker
+    (the same contract as any applyInPandas group).
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema += ", seq_id long, seq_fill long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_ids, fills = [], []
+        seq, fill = 0, 0
+        for n in pdf[n_tokens_col]:
+            if fill > 0 and fill + n > budget:
+                seq, fill = seq + 1, 0
+            fill += int(n)
+            seq_ids.append(seq)
+            fills.append(fill)
+        pdf["seq_id"] = seq_ids
+        pdf["seq_fill"] = fills
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, out_schema)

@@ -284,6 +284,160 @@ def positioned_items(df: DataFrame, id_col: str, scenario_col: str = "scenario")
     )
 
 
+def positioned_items_chunked(
+    df: DataFrame,
+    id_col: str,
+    scenario_col: str = "scenario",
+    chunk_n: int = 3,
+) -> DataFrame:
+    """Same output as :func:`positioned_items`, restricted to scenarios
+    whose groups came from W1 chunk-by-``chunk_n`` (every group full
+    except a category's last) — true of ``scenario_struct`` and the CLI
+    scenario decode, i.e. every production caller.
+
+    Under that contract each group boundary is pure arithmetic:
+      - category ends sit at local index n_c - 1 (doubles for cause/
+        action), interior group ends at local {k-1, 2k-1, ...}
+        (``sequence`` with step k — codegen'd);
+      - the number of separator-extras preceding item i collapses to
+        ``li div k`` own-category ends plus closed-form per-category
+        totals ``ceil(n/k) - 1``, so y positions need no prefix-sum
+        fold at all.
+
+    Why it exists: the general form's ``_tagged`` / ``_running_ends`` /
+    prefix ``aggregate`` are lambda HOFs — CodegenFallback, evaluated
+    on the shared interpreter whose call sites degrade ~10× once
+    profile-polluted (measured on the shingle pipeline; see
+    dedup.shingle_structs). This form is zero-lambda end to end: one
+    narrow codegen'd projection + one Generate, nothing interpreted.
+    Equality with the general form over the scenario corpus is pinned
+    by tests/test_diagram.py::test_chunked_fastpath_equals_general, and
+    the driver oracles check both shapes' answers.
+    """
+    k = chunk_n
+    df = df.select(
+        F.col(id_col), F.explode(F.array(F.col(scenario_col))).alias("__scn")
+    )
+    s = F.col("__scn")
+    cause = F.flatten(s.getField("cause"))
+    action = F.flatten(s.getField("action"))
+    result = F.flatten(s.getField("result"))
+    cause_n, action_n, result_n = F.size(cause), F.size(action), F.size(result)
+    total = cause_n + action_n + result_n
+    empty_i = F.expr("CAST(array() AS ARRAY<INT>)")
+
+    def cat_ends(off: Column, n: Column) -> Column:
+        seq = F.when(
+            n >= k, F.sequence(off + (k - 1), off + n - 1, F.lit(k))
+        ).otherwise(empty_i)
+        last = F.when(n > 0, F.array(off + n - 1)).otherwise(empty_i)
+        return F.array_union(seq, last)  # dedups the n%k==0 overlap
+
+    ends = F.concat(
+        cat_ends(F.lit(0), cause_n),
+        cat_ends(cause_n, action_n),
+        cat_ends(cause_n + action_n, result_n),
+    )
+    doubles = F.concat(
+        F.when(cause_n > 0, F.array(cause_n - 1)).otherwise(empty_i),
+        F.when(action_n > 0, F.array(cause_n + action_n - 1)).otherwise(
+            empty_i
+        ),
+    )
+    singles = F.array_except(F.array_except(ends, doubles), F.array(total - 1))
+
+    def n_singles(n: Column) -> Column:
+        # interior ends of a category = ceil(n/k) - 1 (its last end is a
+        # double or the excluded global last)
+        return F.when(
+            n > 0, F.floor((n + (k - 1)) / k).cast("int") - 1
+        ).otherwise(F.lit(0))
+
+    s_cause, s_action, s_result = (
+        n_singles(cause_n),
+        n_singles(action_n),
+        n_singles(result_n),
+    )
+    d_cause = (cause_n > 0).cast("int")
+    d_action = (action_n > 0).cast("int")
+    base = df.select(
+        F.col(id_col),
+        F.concat(cause, action, result).alias("_texts"),
+        cause_n.alias("cause_count"),
+        (cause_n + action_n).alias("action_end"),
+        total.alias("total_items"),
+        F.array_sort(singles).alias("singles"),
+        F.array_sort(doubles).alias("doubles"),
+        s_cause.alias("_sc"),
+        s_action.alias("_sa"),
+        d_cause.alias("_dc"),
+        d_action.alias("_da"),
+        (
+            F.lit(MARGIN_TOP)
+            + total * STEP_Y
+            + (s_cause + s_action + s_result) * SEP_EXTRA
+            + (d_cause + d_action) * DSEP_EXTRA
+            + F.lit(BOTTOM_PAD)
+        ).alias("total_h"),
+    )
+    ex = base.select(
+        id_col,
+        "cause_count",
+        "action_end",
+        "total_items",
+        "singles",
+        "doubles",
+        "total_h",
+        "_sc",
+        "_sa",
+        "_dc",
+        "_da",
+        F.posexplode("_texts").alias("idx0", "text"),
+    )
+    i = F.col("idx0")
+    in_cause = i < F.col("cause_count")
+    in_action = i < F.col("action_end")
+    local = (
+        i
+        - F.when(in_cause, F.lit(0))
+        .when(in_action, F.col("cause_count"))
+        .otherwise(F.col("action_end"))
+    )
+    prev_singles = (
+        F.when(in_cause, F.lit(0))
+        .when(in_action, F.col("_sc"))
+        .otherwise(F.col("_sc") + F.col("_sa"))
+    )
+    prev_doubles = (
+        F.when(in_cause, F.lit(0))
+        .when(in_action, F.col("_dc"))
+        .otherwise(F.col("_dc") + F.col("_da"))
+    )
+    own_singles = F.floor(local / k).cast("int")
+    return ex.select(
+        id_col,
+        "cause_count",
+        "action_end",
+        "total_items",
+        "singles",
+        "doubles",
+        "total_h",
+        "idx0",
+        (i + 1).alias("num"),
+        "text",
+        F.when(in_cause, F.lit("cause"))
+        .when(in_action, F.lit("action"))
+        .otherwise(F.lit("result"))
+        .alias("category"),
+        (
+            F.lit(MARGIN_TOP)
+            + i * STEP_Y
+            + (prev_singles + own_singles) * SEP_EXTRA
+            + prev_doubles * DSEP_EXTRA
+        ).alias("y"),
+    )
+
+
 def rect_ops(positioned: DataFrame, id_col: str) -> DataFrame:
     """Item bars + their numbered labels (src/render_pdf.py:238-255).
     PDF y grows upward: y_pdf = total_h - y - bar_h."""

@@ -1,0 +1,371 @@
+"""Second-wave curation query surface (SURVEY.md §2.11 [EXT]):
+repetition profiling, cross-document span dedup, PII redaction,
+deterministic mix sampling, sequence packing.
+
+Every oracle follows the catalog's hash-match discipline: exact
+integer counts CAST to BIGINT on both sides, double ratios produced by
+one final round(x, 6), deterministic tie-breaks (count DESC, gram
+DESC) written identically in Spark (max(struct(...))) and DuckDB
+(row_number() ... ORDER BY ... DESC)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import curate
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+from shippai_knowledge_etl_spark.queries.curation import _TOKS
+from shippai_knowledge_etl_spark.queries.dedup import (
+    _PLANTED_SQL,
+    documents_with_planted_dups,
+)
+from shippai_knowledge_etl_spark.tables import load, scale_out
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_quality_repetition",
+    survey_ref=(
+        "[EXT] Gopher-style repetition quality signals: duplicate-token "
+        "fraction, top-unigram fraction, top-bigram char coverage "
+        "(Rae et al. 2021 table A1 heuristics, relationally)"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    per_doc AS (SELECT doc_id, count(*) AS n_tokens,
+                       count(*) - count(DISTINCT tok) AS n_repeat,
+                       sum(length(tok)) AS n_token_chars
+                FROM ex GROUP BY doc_id),
+    uni AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+    uni_top AS (SELECT doc_id, c AS top_n, tok AS top_tok FROM uni
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, tok DESC) = 1),
+    bi0 AS (SELECT doc_id, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM ex),
+    bic AS (SELECT doc_id, tok || ' ' || nxt AS bigram, count(*) AS c
+            FROM bi0 WHERE nxt IS NOT NULL GROUP BY doc_id, bigram),
+    bi_top AS (SELECT doc_id, c * length(bigram) AS top_chars,
+                      bigram AS top_bigram FROM bic
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c * length(bigram) DESC, bigram DESC) = 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_token_chars, 0) AS BIGINT) AS n_token_chars,
+           round(coalesce(p.n_repeat, 0)
+             / CAST(greatest(coalesce(p.n_tokens, 0), 1) AS DOUBLE), 6)
+             AS dup_token_frac,
+           coalesce(u.top_tok, '') AS top_unigram,
+           round(coalesce(u.top_n, 0)
+             / CAST(greatest(coalesce(p.n_tokens, 0), 1) AS DOUBLE), 6)
+             AS top_unigram_frac,
+           coalesce(b.top_bigram, '') AS top_bigram,
+           round(coalesce(b.top_chars, 0)
+             / CAST(greatest(coalesce(p.n_token_chars, 0), 1) AS DOUBLE), 6)
+             AS top_bigram_char_frac
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN uni_top u USING (doc_id)
+    LEFT JOIN bi_top b USING (doc_id)
+    """,
+)
+def ext_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals over the documents corpus — the filter a
+    Gopher-style quality pipeline applies right after langid. Excess
+    values in any column mark boilerplate/templated text for removal."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    return curate.repetition_profile(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_spans",
+    survey_ref=(
+        "[EXT] cross-document duplicated-span profile: non-overlapping "
+        "10-token spans grouped corpus-wide (relational analog of "
+        "substring dedup, Lee et al. 2021); planted full-dup docs must "
+        "show dup_span_frac == 1"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM planted),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    spans AS (SELECT doc_id, pos - pos % 10 AS span_start,
+                     string_agg(tok, ' ' ORDER BY pos) AS span_text
+              FROM ex GROUP BY doc_id, span_start),
+    owners AS (SELECT span_text, count(DISTINCT doc_id) AS n_owner
+               FROM spans GROUP BY span_text),
+    per_doc AS (SELECT s.doc_id, count(*) AS n_spans,
+                       coalesce(sum(CASE WHEN o.n_owner > 1 THEN 1 END), 0)
+                         AS n_dup
+                FROM spans s JOIN owners o USING (span_text)
+                GROUP BY s.doc_id)
+    SELECT pl.doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(coalesce(p.n_dup, 0)
+             / CAST(greatest(coalesce(p.n_spans, 0), 1) AS DOUBLE), 6)
+             AS dup_span_frac
+    FROM planted pl LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup over the planted-duplicate corpus: every doc in
+    a planted (original, copy) pair shares all its spans, so both ends
+    profile at dup_span_frac 1.0; organic span collisions in the small
+    vocabulary show up as partial fractions."""
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
+    return curate.span_dedup_profile(df, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def documents_with_planted_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the corpus
+    itself is letters-only, so planted strings are the only matches):
+    doc_id%4==0 → an email, 1 → an IPv4, 2 → a phone, 3 → untouched."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    m = did % 4
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), s(did),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"), F.lit(" node 10."), s(did % 256),
+                F.lit(".0."), s(did % 100), F.lit(" up"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.col("text"), F.lit(" call +81 3 "),
+                F.lpad(s(did % 10000), 4, "0"), F.lit(" 0199 today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+_PII_SQL = """
+    pii AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+               WHEN 1 THEN text || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+               WHEN 2 THEN text || ' call +81 3 '
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' 0199 today'
+               ELSE text END AS text
+      FROM documents)
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d[\d -]{7,}\d"
+
+
+@register(
+    "ext_pii_redact",
+    survey_ref=(
+        "[EXT] PII scrub: email/IPv4/phone regex redaction with match "
+        "counts; Java-regex/RE2-portable pattern set, narrow per-row map"
+    ),
+    oracle=f"""
+    WITH {_PII_SQL}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_IPV4_RE}', '[IP]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM pii
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact planted PII. The rule order (email → ip →
+    phone) is part of the operator contract — see operators/curate.py
+    PII_RULES."""
+    d = documents_with_planted_pii(spark, sf_dir)
+    t = F.col("text")
+    counts = curate.pii_counts(t)
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ips"),
+        counts["phone"].cast("long").alias("n_phones"),
+        curate.pii_redact(t).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mix sampling
+# ---------------------------------------------------------------------------
+
+# source → sampling weight by numeric suffix mod 4; covers the =1
+# short-circuit, two mid weights, and a heavy down-sample.
+_MIX_CASE = """CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+               WHEN 2 THEN 0.25 ELSE 0.1 END"""
+
+
+@register(
+    "curation_mix_sample",
+    survey_ref=(
+        "[EXT] deterministic training-mix sampling: per-source weights "
+        "applied via a pure md5(id)-based 16-bit draw — reproducible "
+        "across runs/engines/partitionings, no rand()"
+    ),
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_MIX_CASE} AS weight,
+                      {_TOKS} AS toks FROM documents),
+    k AS (SELECT source, weight, len(toks) AS n_tokens,
+                 (weight >= 1.0 OR
+                  substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4)
+                    < printf('%04x', CAST(floor(weight * 65536) AS BIGINT)))
+                   AS kept
+          FROM w)
+    SELECT source, CAST(weight AS DOUBLE) AS weight,
+           count(*) AS n_in,
+           CAST(coalesce(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT)
+             AS kept_tokens
+    FROM k GROUP BY source, weight
+    """,
+)
+def curation_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply per-source mix weights and report achieved counts. The
+    keep decision never touches rand(): identical output for any
+    partitioning, retry, or engine — the property an auditable
+    training-data build needs."""
+    d = load(spark, sf_dir, "documents")
+    sfx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    weight = (
+        F.when(sfx % 4 == 0, F.lit(1.0))
+        .when(sfx % 4 == 1, F.lit(0.5))
+        .when(sfx % 4 == 2, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        weight.alias("weight"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = curate.mix_keep(F.col("doc_id"), F.col("weight"), "mix")
+    zero = F.lit(0).cast("long")
+    return base.groupBy("source", "weight").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(zero)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences_chunk",
+    survey_ref=(
+        "[EXT] token-budget sequence packing (concat-and-chunk): "
+        "sharded running token count, cut every 512 tokens; per-"
+        "sequence doc/token rollup"
+    ),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+                      len({_TOKS}) AS n_tokens FROM documents),
+    packed AS (SELECT doc_id, shard, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+               FROM t)
+    SELECT shard, CAST(floor(tok_start / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY shard, seq_id
+    """,
+)
+def pack_sequences_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-mode packing rollup: which docs land in which 512-token
+    training sequence, per shard. Doc order within a shard is the id —
+    reproducible — and the running sum never sees a global partition."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = curate.pack_sequences(t, "doc_id", "n_tokens", PACK_BUDGET, "shard")
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    survey_ref=(
+        "[EXT] whole-doc first-fit packing via grouped Pandas (no doc "
+        "splits; sequential per shard — rows-only check, invariants "
+        "pinned in tests/test_curate.py)"
+    ),
+    oracle=None,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit packing rollup (same input as chunk mode). No sequence
+    exceeds the budget unless a single document alone does."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = curate.pack_sequences_greedy(
+        t, "doc_id", "n_tokens", PACK_BUDGET, "shard"
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1,0 +1,139 @@
+"""Invariants for the second-wave curation operators
+(operators/curate.py); value-level parity with DuckDB lives in
+test_oracle_parity.py — these pin the semantic contracts the oracles
+can't (greedy packing bounds, PII rule order, hash-sampling
+determinism, planted-duplicate span recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators import curate
+
+
+def test_pii_redact_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-amp.le.org then 192.168.0.1 then +81 3 1234 5678 end"),
+            (2, "clean text with no personal data at all"),
+        ],
+        "id long, text string",
+    )
+    counts = curate.pii_counts(F.col("text"))
+    out = df.select(
+        "id",
+        *[c.alias(n) for n, c in counts.items()],
+        curate.pii_redact(F.col("text")).alias("red"),
+    ).collect()
+    r1 = {r["id"]: r for r in out}[1]
+    assert (r1["email"], r1["ipv4"], r1["phone"]) == (1, 1, 1)
+    assert r1["red"] == "mail [EMAIL] then [IP] then [PHONE] end"
+    r2 = {r["id"]: r for r in out}[2]
+    assert (r2["email"], r2["ipv4"], r2["phone"]) == (0, 0, 0)
+    assert r2["red"] == "clean text with no personal data at all"
+
+
+def test_pii_email_wins_over_ip_and_phone(spark):
+    # rule order contract: the email's host dots must not be re-matched
+    # as an IP, and digits inside a redacted token stay redacted
+    df = spark.createDataFrame([(1, "x 10.0.0.1@example.com y")], "id long, text string")
+    red = df.select(curate.pii_redact(F.col("text")).alias("r")).first()["r"]
+    assert red == "x [EMAIL] y"
+
+
+def test_mix_keep_edge_weights_and_determinism(spark):
+    df = spark.range(2000).select(F.col("id"))
+    kept1 = df.filter(curate.mix_keep(F.col("id"), F.lit(1.0))).count()
+    kept0 = df.filter(curate.mix_keep(F.col("id"), F.lit(0.0))).count()
+    assert kept1 == 2000  # weight >= 1 short-circuits to keep-all
+    assert kept0 == 0
+    a = df.filter(curate.mix_keep(F.col("id"), F.lit(0.25))).count()
+    b = (
+        df.repartition(13)
+        .filter(curate.mix_keep(F.col("id"), F.lit(0.25)))
+        .count()
+    )
+    assert a == b  # partitioning-independent
+    assert abs(a / 2000 - 0.25) < 0.05  # 16-bit draw is ~uniform
+
+
+def test_span_dedup_planted_full_dup(spark, sf_dir):
+    from shippai_knowledge_etl_spark.queries.dedup import (
+        documents_with_planted_dups,
+    )
+
+    prof = curate.span_dedup_profile(
+        documents_with_planted_dups(spark, sf_dir), "doc_id", "text"
+    )
+    planted = prof.filter(F.col("doc_id") >= 100000)
+    n = planted.count()
+    assert n > 0
+    # a verbatim copy shares every span with its original
+    assert planted.filter(F.col("dup_span_frac") < 1.0).count() == 0
+
+
+def test_repetition_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "x y z")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate.repetition_profile(df, "doc_id", "text").collect()
+    }
+    r = rows[1]  # tokens a,a,a,b → 2 repeats; top unigram a (3/4)
+    assert r["n_tokens"] == 4 and r["dup_token_frac"] == 0.5
+    assert r["top_unigram"] == "a" and r["top_unigram_frac"] == 0.75
+    assert r["top_bigram"] == "a a"  # 2 occurrences beat 'a b'
+    e = rows[2]  # empty doc survives with zeroed metrics
+    assert e["n_tokens"] == 0 and e["top_unigram"] == ""
+    u = rows[3]  # all-unique doc
+    assert u["dup_token_frac"] == 0.0 and u["top_unigram_frac"] == 0.333333
+
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    from shippai_knowledge_etl_spark.tables import load
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    budget = 512
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = curate.pack_sequences_greedy(t, "doc_id", "n_tokens", budget, "shard")
+    assert packed.count() == t.count()  # every doc assigned exactly once
+    seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    # a sequence only exceeds the budget when one doc alone does
+    assert seq.filter((F.col("tot") > budget) & (F.col("mx") <= budget)).count() == 0
+    # id order within a shard maps to non-decreasing seq ids
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    mono = packed.withColumn("prev", F.lag("seq_id").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("seq_id") < F.col("prev"))
+    )
+    assert mono.count() == 0
+
+
+def test_pack_chunk_vs_greedy_fill(spark, sf_dir):
+    """Chunk mode bins by start offset: per (shard, seq) token totals
+    hover at the budget (docs straddle boundaries); greedy never
+    overfills. Both modes see the same token mass per shard."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+    from shippai_knowledge_etl_spark.tables import load
+
+    budget = 512
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    chunk = curate.pack_sequences(t, "doc_id", "n_tokens", budget, "shard")
+    g = curate.pack_sequences_greedy(t, "doc_id", "n_tokens", budget, "shard")
+    ctot = chunk.groupBy("shard").agg(F.sum("n_tokens").alias("n")).collect()
+    gtot = g.groupBy("shard").agg(F.sum("n_tokens").alias("n")).collect()
+    assert {(r["shard"], r["n"]) for r in ctot} == {
+        (r["shard"], r["n"]) for r in gtot
+    }
