@@ -289,6 +289,7 @@ def positioned_items_chunked(
     id_col: str,
     scenario_col: str = "scenario",
     chunk_n: int = 3,
+    nested: bool = True,
 ) -> DataFrame:
     """Same output as :func:`positioned_items`, restricted to scenarios
     whose groups came from W1 chunk-by-``chunk_n`` (every group full
@@ -313,15 +314,27 @@ def positioned_items_chunked(
     Equality with the general form over the scenario corpus is pinned
     by tests/test_diagram.py::test_chunked_fastpath_equals_general, and
     the driver oracles check both shapes' answers.
+
+    ``nested=False`` takes the struct's categories as FLAT
+    ``array<string>`` (pre-chunk, e.g. straight out of
+    ``slice_categories``): since chunking is arithmetic under this
+    contract, flatten(chunk(x)) == x means the chunk step can be
+    skipped entirely — which removes the last lambda (chunk's
+    ``transform``) from the whole scenario→layout pipeline.
     """
     k = chunk_n
     df = df.select(
         F.col(id_col), F.explode(F.array(F.col(scenario_col))).alias("__scn")
     )
     s = F.col("__scn")
-    cause = F.flatten(s.getField("cause"))
-    action = F.flatten(s.getField("action"))
-    result = F.flatten(s.getField("result"))
+    if nested:
+        cause = F.flatten(s.getField("cause"))
+        action = F.flatten(s.getField("action"))
+        result = F.flatten(s.getField("result"))
+    else:
+        cause = s.getField("cause")
+        action = s.getField("action")
+        result = s.getField("result")
     cause_n, action_n, result_n = F.size(cause), F.size(action), F.size(result)
     total = cause_n + action_n + result_n
     empty_i = F.expr("CAST(array() AS ARRAY<INT>)")

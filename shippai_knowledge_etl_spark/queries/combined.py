@@ -30,6 +30,7 @@ from shippai_knowledge_etl_spark.functions import nested, scalar
 from shippai_knowledge_etl_spark.operators import diagram
 from shippai_knowledge_etl_spark.queries.nested import (
     _SCN_SQL,
+    scenario_flat,
     scenario_source,
     scenario_struct,
 )
@@ -307,8 +308,9 @@ def w3_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     last item bare), data-dependent running y and canvas height (W5/A4),
     and per-category first/mid/last (W6/A5) via windows — all from the
     fused zero-shuffle ``positioned_items`` plan."""
-    pos = diagram.positioned_items(
-        scenario_struct(scenario_source(spark, sf_dir)), "doc_id"
+    pos = diagram.positioned_items_chunked(
+        scenario_flat(scenario_source(spark, sf_dir)),
+        "doc_id", "__cats", nested=False,
     )
     line_type = (
         F.when(F.array_contains("doubles", F.col("idx0")), F.lit("double"))

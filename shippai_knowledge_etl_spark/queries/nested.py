@@ -130,6 +130,18 @@ def scenario_struct(src: DataFrame) -> DataFrame:
     )
 
 
+def scenario_flat(src: DataFrame) -> DataFrame:
+    """items+boundaries → FLAT (cause, action, result) string arrays:
+    W2 boundary slicing only, W1 chunking skipped. Feed to
+    ``positioned_items_chunked(..., nested=False)``: chunk-by-3 is
+    arithmetic there, so flatten(chunk(x)) == x lets the layout read
+    the flat arrays directly — and slice_categories is lambda-free,
+    which makes the whole scenario→layout pipeline codegen'd with zero
+    interpreted HOFs (chunk's ``transform`` was the last one)."""
+    cats = nested.slice_categories(F.col("items"), F.col("boundaries"))
+    return src.select("doc_id", cats.alias("__cats"))
+
+
 @register(
     "w1_chunk3",
     survey_ref="W1 (src/extract.py:370-371; requirements.md:144)",
@@ -273,8 +285,10 @@ def w4_boundary_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w5_y_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = scenario_struct(scenario_source(spark, sf_dir))
-    pos = diagram.positioned_items(df, "doc_id")
+    pos = diagram.positioned_items_chunked(
+        scenario_flat(scenario_source(spark, sf_dir)),
+        "doc_id", "__cats", nested=False,
+    )
     return pos.select(
         "doc_id",
         F.col("idx0").cast("int"),
@@ -380,8 +394,10 @@ def p11_scenario_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def diagram_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = scenario_struct(scenario_source(spark, sf_dir))
-    pos = diagram.positioned_items(df, "doc_id")
+    pos = diagram.positioned_items_chunked(
+        scenario_flat(scenario_source(spark, sf_dir)),
+        "doc_id", "__cats", nested=False,
+    )
     out = diagram.rect_ops(pos, "doc_id")
     return out.select(
         "doc_id",
@@ -413,8 +429,10 @@ def diagram_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def diagram_separator_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = scenario_struct(scenario_source(spark, sf_dir))
-    pos = diagram.positioned_items(df, "doc_id")
+    pos = diagram.positioned_items_chunked(
+        scenario_flat(scenario_source(spark, sf_dir)),
+        "doc_id", "__cats", nested=False,
+    )
     out = diagram.separator_line_ops(pos, "doc_id")
     return out.select(
         "doc_id",
@@ -440,8 +458,10 @@ def diagram_separator_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def diagram_braces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = scenario_struct(scenario_source(spark, sf_dir))
-    pos = diagram.positioned_items(df, "doc_id")
+    pos = diagram.positioned_items_chunked(
+        scenario_flat(scenario_source(spark, sf_dir)),
+        "doc_id", "__cats", nested=False,
+    )
     out = diagram.brace_ops(pos, "doc_id")
     return out.select(
         "doc_id",

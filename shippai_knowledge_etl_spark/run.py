@@ -409,7 +409,7 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
     scen = successes.filter(nested.scenario_presence(F.col("scenario"))).select(
         F.col("case_id").alias("doc_id"), "scenario"
     )
-    pos = diagram.positioned_items(scen, "doc_id")
+    pos = diagram.positioned_items_chunked(scen, "doc_id")
     diag_ops = diagram.draw_ops(pos, "doc_id").select(
         "doc_id",
         F.lit(1).cast("int").alias("page"),
