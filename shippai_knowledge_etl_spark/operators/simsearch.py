@@ -363,3 +363,219 @@ def near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+
+def subvectors(
+    df: DataFrame, m: int, dims: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, subvec) rows: the vector split into ``m`` equal
+    slices. Pure codegen'd slices + one Generate — no lambda HOFs, no
+    shuffle. ``dims`` must be divisible by ``m``."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    d = dims // m
+    subs = F.array(*[F.slice(F.col(vec_col), j * d + 1, d) for j in range(m)])
+    return df.select(
+        F.col(id_col), F.posexplode(subs).alias("sub_id", "subvec")
+    )
+
+
+def pq_train(
+    corpus: DataFrame, m: int, k: int, dims: int, n_iter: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m per-subspace codebooks (k codes each) — ALL
+    subspaces in one distributed k-means loop: the (id, sub_id, subvec)
+    frame carries every subspace, assignment joins on sub_id against
+    the broadcast codebook table, and the centroid update groups on
+    (sub_id, code, dim). One loop, m codebooks — the shuffle volume per
+    round is corpus×dims scalars with map-side combine, identical to
+    one full-width k-means, never m of them.
+
+    Deterministic: seeds are the k lowest-id vectors per subspace;
+    argmin ties break on code. Returns (sub_id, code, centroid)."""
+    from pyspark.sql import Window
+
+    sub = subvectors(corpus, m, dims, id_col, vec_col).localCheckpoint(
+        eager=True  # the train loop re-reads it n_iter+1 times
+    )
+    w = Window.partitionBy("sub_id").orderBy(id_col)
+    books = (
+        sub.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "sub_id", (F.col("rn") - 1).alias("code"),
+            F.col("subvec").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assigned = _pq_assign(sub, books, id_col)
+        books = (
+            assigned.join(sub, [id_col, "sub_id"])
+            .select("sub_id", "code", F.posexplode("subvec").alias("pos", "x"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s.getField("x"),
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return books
+
+
+def _pq_assign(sub: DataFrame, books: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-code per (id, sub_id): broadcast-join the codebooks on
+    sub_id, argmin via min_by with a code tie-break."""
+    scored = sub.join(F.broadcast(books), "sub_id")
+    d = _sq_dist(F.col("subvec"), F.col("centroid"))
+    return (
+        scored.select(
+            id_col, "sub_id", "code", F.round(d, 9).alias("dist")
+        )
+        .groupBy(id_col, "sub_id")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, books: DataFrame, m: int, dims: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m codebook
+    indices — dims×4 bytes down to m×~1 byte, the at-rest form a
+    100 TB ANN index stores. The codes array is rebuilt lambda-free
+    with m conditional-max agg columns (same order-safe trick as
+    span_dedup_profile)."""
+    assigned = _pq_assign(
+        subvectors(corpus, m, dims, id_col, vec_col), books, id_col
+    )
+    per_sub = [
+        F.max(F.when(F.col("sub_id") == j, F.col("code"))).alias(f"c{j}")
+        for j in range(m)
+    ]
+    return (
+        assigned.groupBy(id_col)
+        .agg(*per_sub)
+        .select(
+            id_col, F.array(*[f"c{j}" for j in range(m)]).alias("codes")
+        )
+    )
+
+
+def pq_search_adc(
+    codes_df: DataFrame, books: DataFrame, query_vec: list[float],
+    top_k: int, m: int, id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision; per (sub_id, code) squared distances to the query's
+    sub-slices are computed DRIVER-side (m×k floats — the same
+    legitimately-tiny driver set as a 1-row query vector) and baked
+    into m literal lookup maps, so scoring is Σ_j map_j[codes[j]] —
+    pure codegen'd expressions over the compressed index, never
+    touching a raw vector. TakeOrderedAndProject gives the k results.
+
+    Output: (id, adc_dist) — approximate L2², ranked ascending with an
+    id tie-break."""
+    rows = books.collect()
+    d = len(query_vec) // m
+    tables: dict[int, dict[int, float]] = {j: {} for j in range(m)}
+    for r in rows:
+        q = query_vec[r["sub_id"] * d : (r["sub_id"] + 1) * d]
+        dist = sum((float(a) - float(b)) ** 2 for a, b in zip(q, r["centroid"]))
+        tables[r["sub_id"]][r["code"]] = round(dist, 9)
+
+    def table_map(j: int) -> Column:
+        items: list[Column] = []
+        for code, dist in sorted(tables[j].items()):
+            items += [F.lit(code), F.lit(dist)]
+        return F.create_map(*items)
+
+    score = F.lit(0.0)
+    for j in range(m):
+        score = score + F.element_at(
+            table_map(j), F.element_at(F.col("codes"), j + 1)
+        )
+    return (
+        codes_df.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame, threshold: float, n_clusters: int = 8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space dedup: k-means buckets the corpus, exact cosine
+    runs only within a bucket, and any vector cosine-≥-threshold to a
+    lower-id bucket-mate is dropped (min-id greedy representative —
+    SemDeDup's per-cluster policy). Composition of shipped pieces:
+    kmeans_fit (broadcast-argmin assign; corpus never shuffles for
+    assignment) + near_dup_pairs (bucket-bounded pair space).
+
+    Returns (id, cluster, is_dropped, drop_against) — drop_against is
+    the smallest lower id that evicted the row (null if kept)."""
+    assigned, _ = kmeans_fit(
+        corpus, n_clusters, n_iter, id_col=id_col, vec_col=vec_col
+    )
+    with_vec = assigned.select(id_col, "cluster").join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    pairs = near_dup_pairs(
+        with_vec, threshold, bucket_col="cluster", id_col=id_col,
+        vec_col=vec_col,
+    )
+    evicted = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("drop_against")
+    )
+    return (
+        with_vec.select(id_col, "cluster")
+        .join(evicted, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("drop_against").isNotNull().alias("is_dropped"),
+            "drop_against",
+        )
+    )
+
+
+def pq_search_rerank(
+    codes_df: DataFrame, books: DataFrame, corpus: DataFrame,
+    query_vec: list[float], top_k: int, m: int, shortlist: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage ANN: ADC over the compressed index
+    produces a ``shortlist`` of candidates (cheap, codes-only scan),
+    then ONLY those rows fetch their raw vectors (semi-join against the
+    corpus — at rest a point-lookup by id) for an exact L2 re-rank.
+    Recall is set by the shortlist size; the expensive exact math runs
+    on ``shortlist`` rows instead of the corpus.
+
+    Output: (id, d2) — exact squared L2, ascending, id tie-break."""
+    short = pq_search_adc(codes_df, books, query_vec, shortlist, m, id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = corpus.join(F.broadcast(short.select(id_col)), id_col)
+    d = _sq_dist(F.col(vec_col), qcol)
+    return (
+        cand.select(F.col(id_col), F.round(d, 6).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -99,3 +99,93 @@ def test_lsh_buckets_spread_and_collide(spark, emb):
     joined = bucketed.join(perturbed, "vec_id")
     same = joined.filter(F.col("bucket") == F.col("bucket_p")).count()
     assert same / joined.count() >= 0.9
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """PQ-ADC top-10 must overlap the exact L2 top-10 far beyond
+    chance (10/N ≈ 2%) — the standard recall@k check for a compressed
+    index. Also: codes are complete (no null slots) and bounded."""
+    from shippai_knowledge_etl_spark.queries.simsearch import (
+        EMB_DIMS,
+        PQ_K,
+        PQ_M,
+    )
+
+    books = simsearch.pq_train(emb, PQ_M, PQ_K, EMB_DIMS)
+    assert books.count() == PQ_M * PQ_K
+    codes = simsearch.pq_encode(emb, books, PQ_M, EMB_DIMS)
+    bad = codes.filter(
+        F.exists("codes", lambda c: c.isNull() | (c < 0) | (c >= PQ_K))
+        | (F.size("codes") != PQ_M)
+    )
+    assert bad.count() == 0
+
+    q = emb.filter(F.col("vec_id") == 0)
+    qvec = [float(x) for x in q.first()["embedding"]]
+    approx = simsearch.pq_search_adc(
+        codes.filter(F.col("vec_id") != 0), books, qvec, 10, PQ_M
+    )
+    approx_ids = {r.vec_id for r in approx.collect()}
+
+    # exact L2 top-10 (same metric ADC approximates)
+    corpus = emb.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(q.select(F.col("embedding").alias("qv")))
+    )
+    d = simsearch._sq_dist(F.col("embedding"), F.col("qv"))
+    exact = (
+        corpus.select("vec_id", d.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in exact.collect()}
+    assert len(approx_ids & exact_ids) >= 3  # ≫ 2% chance overlap
+
+    # the production two-stage form: ADC shortlist → exact re-rank
+    rer = simsearch.pq_search_rerank(
+        codes.filter(F.col("vec_id") != 0),
+        books,
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        10,
+        PQ_M,
+        shortlist=50,
+    )
+    rer_ids = {r.vec_id for r in rer.collect()}
+    assert len(rer_ids & exact_ids) >= 6  # shortlist recall ≫ ADC-only
+
+
+def test_pq_encode_deterministic_across_partitionings(spark, emb):
+    from shippai_knowledge_etl_spark.queries.simsearch import (
+        EMB_DIMS,
+        PQ_K,
+        PQ_M,
+    )
+
+    books = simsearch.pq_train(emb, PQ_M, PQ_K, EMB_DIMS)
+    a = simsearch.pq_encode(emb, books, PQ_M, EMB_DIMS)
+    b = simsearch.pq_encode(emb.repartition(17), books, PQ_M, EMB_DIMS)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_semantic_dedup_evicts_planted_copies(spark, emb):
+    e = emb.select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = simsearch.semantic_dedup(e.unionByName(copies), threshold=0.99)
+    planted = out.filter(F.col("vec_id") >= 100000)
+    n = planted.count()
+    assert n > 0
+    # an exact copy always lands in its original's cluster (identical
+    # vector → identical argmin) and cosine 1.0 ≥ any threshold → the
+    # higher id is evicted, against an id no larger than the original
+    assert planted.filter(~F.col("is_dropped")).count() == 0
+    bad = planted.filter(
+        F.col("drop_against") > F.col("vec_id") - 100000
+    )
+    assert bad.count() == 0
+    # originals are never evicted BY their planted copy (min-id policy)
+    originals = out.filter(
+        (F.col("vec_id") < 100000) & F.col("is_dropped")
+    )
+    assert originals.filter(F.col("drop_against") >= 100000).count() == 0
