@@ -299,6 +299,58 @@ def mix_keep(id_col: Column, weight: Column, salt: str = "mix") -> Column:
     return (weight >= 1.0) | (keep_hash(id_col, salt) < F.lower(thr))
 
 
+def mix_oversample(
+    df: DataFrame, id_col: str, weight: Column, salt: str = "mix"
+) -> DataFrame:
+    """Mix weights ABOVE 1 — repeat factors for high-quality sources
+    (a 2.5 weight emits every doc twice plus half the docs a third
+    time). Adds an ``epoch`` column (0-based copy index): the row
+    explodes over ceil(weight) candidate epochs, every epoch below
+    floor(weight) is kept unconditionally, and the one fractional
+    epoch passes through the same deterministic 16-bit draw as
+    :func:`mix_keep`, salted per epoch so different epochs sample
+    independent subsets.
+
+    Explode-then-filter is narrow (a Generate over a ≤ceil(w)-long
+    sequence, no shuffle) and the emitted multiset is a pure function
+    of (id, salt) — the auditable-mix property, preserved under
+    oversampling. Weights ≤ 1 degenerate to exactly mix_keep's row set
+    with epoch 0."""
+    frac_thr = F.lpad(
+        F.conv(
+            F.floor((weight - F.floor(weight)) * 65536).cast("string"), 10, 16
+        ),
+        4,
+        "0",
+    )
+    out = df.select(
+        "*",
+        weight.alias("__w"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(weight).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("epoch"),
+    )
+    # epoch 0 draws with the plain id — IDENTICAL to mix_keep — so a
+    # weight raised later (0.25 → 2.25) keeps the same base subset and
+    # only adds copies; higher epochs salt with #epoch for independence
+    hash_key = F.when(
+        F.col("epoch") == 0, F.col(id_col).cast("string")
+    ).otherwise(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    kept = (F.col("epoch") < F.floor(F.col("__w"))) | (
+        keep_hash(hash_key, salt) < F.lower(frac_thr)
+    )
+    return out.filter(kept).drop("__w")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -369,3 +369,67 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# oversampling weights by numeric suffix mod 4: a >1 fractional repeat
+# factor, the =1 identity, and two down-samples.
+_MIX_OVER_CASE = """CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+               WHEN 0 THEN 2.5 WHEN 1 THEN 1.0
+               WHEN 2 THEN 0.5 ELSE 0.25 END"""
+
+
+@register(
+    "curation_mix_oversample",
+    survey_ref=(
+        "[EXT] training-mix repeat factors (weights > 1): explode over "
+        "ceil(w) epochs, full epochs kept unconditionally, the "
+        "fractional epoch passes the per-epoch-salted md5 draw — the "
+        "auditable-mix property preserved under oversampling"
+    ),
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_MIX_OVER_CASE} AS weight
+               FROM documents),
+    e AS (SELECT doc_id, source, weight,
+                 unnest(range(CAST(greatest(ceil(weight), 1) AS INT)))
+                   AS epoch
+          FROM w),
+    k AS (SELECT *,
+                 (epoch < floor(weight) OR
+                  substr(md5(CASE WHEN epoch = 0
+                               THEN CAST(doc_id AS VARCHAR)
+                               ELSE CAST(doc_id AS VARCHAR) || '#'
+                                    || CAST(epoch AS VARCHAR)
+                             END || ':mix'), 1, 4)
+                    < printf('%04x',
+                        CAST(floor((weight - floor(weight)) * 65536)
+                             AS BIGINT))) AS kept
+          FROM e)
+    SELECT source, CAST(weight AS DOUBLE) AS weight,
+           CAST(count(DISTINCT CASE WHEN kept THEN doc_id END) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT)
+             AS n_emitted,
+           CAST(coalesce(max(CASE WHEN kept THEN epoch END), -1) AS INT)
+             AS max_epoch
+    FROM k GROUP BY source, weight
+    """,
+)
+def curation_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor sampling rollup: a 2.5-weight source emits every
+    doc twice plus a deterministic half a third time; ≤1 weights
+    down-sample exactly like curation_mix_sample."""
+    d = load(spark, sf_dir, "documents")
+    sfx = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    weight = (
+        F.when(sfx % 4 == 0, F.lit(2.5))
+        .when(sfx % 4 == 1, F.lit(1.0))
+        .when(sfx % 4 == 2, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    base = d.select("doc_id", "source", weight.alias("weight"))
+    out = curate.mix_oversample(base, "doc_id", F.col("weight"), "mix")
+    return out.groupBy("source", "weight").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.max("epoch").cast("int").alias("max_epoch"),
+    )

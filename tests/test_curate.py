@@ -137,3 +137,30 @@ def test_pack_chunk_vs_greedy_fill(spark, sf_dir):
     assert {(r["shard"], r["n"]) for r in ctot} == {
         (r["shard"], r["n"]) for r in gtot
     }
+
+
+def test_mix_oversample_bounds_and_degenerate(spark):
+    df = spark.range(400).select(F.col("id"))
+    # weight 2.5: every row twice unconditionally, ~half a third time
+    out = curate.mix_oversample(df, "id", F.lit(2.5))
+    per = out.groupBy("id").count()
+    assert per.filter(F.col("count") < 2).count() == 0
+    assert per.filter(F.col("count") > 3).count() == 0
+    emitted = out.count()
+    assert 400 * 2 < emitted < 400 * 3
+    assert abs(emitted / 400 - 2.5) < 0.15
+    # partitioning-independent multiset
+    again = curate.mix_oversample(df.repartition(7), "id", F.lit(2.5))
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    # integer weight: exact copies, no fractional epoch
+    two = curate.mix_oversample(df, "id", F.lit(2.0))
+    assert two.count() == 800
+    assert two.groupBy("id").count().filter(F.col("count") != 2).count() == 0
+    # weight <= 1 degenerates to mix_keep's exact row set at epoch 0
+    sub = curate.mix_oversample(df, "id", F.lit(0.25), "s")
+    kept = df.filter(curate.mix_keep(F.col("id"), F.lit(0.25), "s"))
+    assert sub.filter(F.col("epoch") != 0).count() == 0
+    a = {r.id for r in sub.collect()}
+    b = {r.id for r in kept.collect()}
+    assert a == b
