@@ -427,3 +427,73 @@ def pack_sequences_greedy(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (test-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing word n-grams with a held-out
+    evaluation set — GPT-3-style benchmark decontamination (Brown et
+    al. 2020, appendix C uses 13-grams; ``n`` is a knob because the
+    useful width varies with corpus size and tokenizer).
+
+    Output: one row per TRAIN document —
+    ``(id, n_shingles, n_hits, overlap, contaminated)`` where
+    ``n_hits`` counts the document's DISTINCT n-grams that appear
+    anywhere in the test set, ``overlap = n_hits / n_shingles`` and
+    ``contaminated = n_hits > 0``. Row count always equals the train
+    side: clean documents aggregate to 0 hits (every document yields at
+    least one shingle row via the short-document fallback, so none
+    vanish through the explode).
+
+    100 TB shape: the train side is shingled ONCE (Generate barrier,
+    codegen-only ``shingle_structs``) and reaches exactly ONE shuffle —
+    the per-document groupBy. The test side (benchmark suites are MBs,
+    not TBs) collapses to a DISTINCT shingle set and is joined in with
+    an explicit ``broadcast()`` by default, so the 100 TB side never
+    shuffles for the membership probe (a 1M-shingle eval set is tens of
+    MB broadcast — well under executor memory). Pass
+    ``broadcast_test=False`` only if the held-out side is genuinely
+    large; the plan degrades to a shuffle hash join on the shingle key.
+    """
+    from shippai_knowledge_etl_spark.operators.dedup import shingle_structs
+
+    sh_train = train.select(
+        F.col(id_col),
+        F.explode(F.array(shingle_structs(F.col(text_col), n))).alias("__sh"),
+    ).select(
+        id_col,
+        F.size("__sh").alias("n_shingles"),
+        F.explode("__sh").alias("shingle"),
+    )
+    test_sh = test.select(
+        F.explode(shingle_structs(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    if broadcast_test:
+        test_sh = F.broadcast(test_sh)
+    marked = sh_train.join(
+        test_sh.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.max("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.col("n_shingles").cast("double"), 6
+        ).alias("overlap"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )

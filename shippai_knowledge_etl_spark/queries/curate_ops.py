@@ -433,3 +433,60 @@ def curation_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_emitted"),
         F.max("epoch").cast("int").alias("max_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_decontaminate",
+    survey_ref=(
+        "[EXT] benchmark decontamination: train docs sharing word "
+        "3-grams with a held-out eval slice (GPT-3 appendix-C style); "
+        "planted eval copies must show overlap == 1.0"
+    ),
+    oracle=f"""
+    WITH sh0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(0, len(toks) - 2),
+            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM sh0),
+    train_sh AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, shingle FROM sh
+      WHERE doc_id % 97 = 0),
+    test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    agg AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             coalesce(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 END), 0)
+               AS n_hits
+      FROM train_sh s LEFT JOIN test_sh t USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / CAST(n_shingles AS DOUBLE), 6) AS overlap,
+           n_hits > 0 AS contaminated
+    FROM agg
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: every 97th
+    document plays the held-out eval set, the rest (plus planted exact
+    copies of the eval docs at id+200000, which MUST come out
+    contaminated with overlap 1.0) is the training side. See
+    ``curate.decontaminate`` for the broadcast-membership scale shape —
+    the training side is shingled once and shuffles exactly once."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0).unionByName(
+        test.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return curate.decontaminate(scale_out(train), test, "doc_id", "text")

@@ -164,3 +164,47 @@ def test_mix_oversample_bounds_and_degenerate(spark):
     a = {r.id for r in sub.collect()}
     b = {r.id for r in kept.collect()}
     assert a == b
+
+
+def test_decontaminate_planted_and_clean(spark):
+    test_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full copy
+            (2, "a quick brown fox appeared in the garden today"),  # partial
+            (3, "completely unrelated sentence about spark plans"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate.decontaminate(
+            train, test_set, "doc_id", "text"
+        ).collect()
+    }
+    assert len(rows) == 3  # row count == train side, clean docs included
+    assert rows[1]["contaminated"] and rows[1]["overlap"] == 1.0
+    assert rows[2]["contaminated"] and 0 < rows[2]["overlap"] < 1.0
+    assert not rows[3]["contaminated"] and rows[3]["n_hits"] == 0
+    # n_shingles: 9 tokens -> 7 distinct 3-grams
+    assert rows[1]["n_shingles"] == 7
+
+
+def test_decontaminate_short_doc_fallback(spark):
+    # docs under n tokens fall back to a whole-text shingle and still
+    # produce exactly one output row (nothing vanishes in the explode)
+    test_set = spark.createDataFrame([(9, "hi")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "hi"), (2, "bye")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate.decontaminate(
+            train, test_set, "doc_id", "text"
+        ).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["overlap"] == 1.0
+    assert not rows[2]["contaminated"] and rows[2]["n_shingles"] == 1

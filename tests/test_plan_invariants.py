@@ -55,6 +55,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "ext_tfidf",  # 1-row total-doc-count factor
     "simsearch_topk_cosine",  # 1-row query embedding
     "simsearch_ivf_kmeans",  # k centroid rows
+    "dedup_semantic",  # same k-centroid assign as ivf_kmeans
 }
 
 
