@@ -497,3 +497,110 @@ def decontaminate(
         ).alias("overlap"),
         (F.col("n_hits") > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # 2 hex chars of md5 — engine-identical bucket key
+
+
+def _gram_rows(df: DataFrame, id_col: str, carry: tuple[str, ...], text_col: str) -> DataFrame:
+    """(carry..., id, bucket) — one row per unigram/bigram OCCURRENCE,
+    bucketed by the first two hex chars of its md5 (256 buckets,
+    identical in Spark and DuckDB). Lambda-free: unigrams via
+    arrays_zip(toks, '' repeats), bigrams via zipped shifted slices —
+    the whole tokenize→gram→bucket pipeline stays in WholeStageCodegen,
+    and a single explode evaluates it once per row."""
+    toks = tokenize(F.col(text_col))
+    sz = F.size(toks)
+    win = F.greatest(sz - 1, F.lit(0))
+    uni = F.arrays_zip(
+        toks.alias("a"), F.array_repeat(F.lit(""), sz).alias("b")
+    )
+    bi = F.arrays_zip(
+        F.slice(toks, 1, win).alias("a"), F.slice(toks, 2, win).alias("b")
+    )
+    g = df.select(
+        *carry, F.col(id_col), F.explode(F.concat(uni, bi)).alias("__g")
+    )
+    gram_str = F.concat(F.col("__g.a"), F.lit(" "), F.col("__g.b"))
+    return g.select(
+        *carry, id_col, F.substring(F.md5(gram_str), 1, 2).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    df: DataFrame, is_target: Column, id_col: str, text_col: str
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every RAW document (``NOT is_target``) by how target-like its
+    hashed n-gram features are. Bucket b's log-weight is the smoothed
+    log-ratio ln(p_target(b) / p_raw(b)); a document's ``logw`` is the
+    sum over its unigram+bigram occurrences. Selecting top-logw (or
+    sampling ∝ exp(logw)) re-weights the raw pool toward the target
+    domain.
+
+    Output: (id, n_feats, logw) — one row per raw document, including
+    zero-token docs (left join back, logw = 0).
+
+    Determinism / oracle discipline: per-bucket weights are rounded
+    HALF_UP to 6 dp and summed as DECIMAL(18,6) — exact and
+    order-independent, so the result hashes identically at any
+    partitioning; the ratio is formed as one double division of exact
+    integer products (< 2^53) so Spark and the SQL oracle compute the
+    identical double before ln().
+
+    100 TB shape: two corpus passes, like DSIR itself (estimate, then
+    score). The estimation pass partial-aggregates to exactly 256 rows
+    regardless of corpus size — collecting it driver-side is the same
+    legitimately-tiny collect as a PQ codebook — and the learned
+    weights return to the executors as a 256-entry literal map, so the
+    scoring pass is pure codegen expressions plus ONE shuffle (the
+    per-document sum). No join touches the corpus."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), is_target.alias("__t")
+    )
+    counts = (
+        _gram_rows(flagged, id_col, ("__t",), text_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cr"),
+        )
+        .collect()
+    )
+    nt = sum(r["ct"] for r in counts)
+    nr = sum(r["cr"] for r in counts)
+    b = DSIR_BUCKETS
+    items: list[Column] = []
+    for r in sorted(counts, key=lambda r: r["bucket"]):
+        ratio = float((r["ct"] + 1) * (nr + b)) / float((r["cr"] + 1) * (nt + b))
+        lam = Decimal(repr(math.log(ratio))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        items += [F.lit(r["bucket"]), F.lit(lam).cast("decimal(18,6)")]
+    wmap = F.create_map(*items)
+
+    raw = flagged.filter(~F.col("__t"))
+    scored = _gram_rows(raw, id_col, (), text_col).select(
+        id_col, F.element_at(wmap, F.col("bucket")).alias("lam")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"), F.sum("lam").alias("logw")
+    )
+    return (
+        raw.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.round(
+                F.coalesce(F.col("logw").cast("double"), F.lit(0.0)), 6
+            ).alias("logw"),
+        )
+    )

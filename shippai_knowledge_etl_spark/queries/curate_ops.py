@@ -490,3 +490,62 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
     )
     return curate.decontaminate(scale_out(train), test, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_dsir_weights",
+    survey_ref=(
+        "[EXT] DSIR importance weights: hashed unigram+bigram "
+        "log-ratio scores of raw docs against the English slice as "
+        "the target domain (Xie et al. 2023)"
+    ),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS t, {_TOKS} AS toks
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, t,
+             unnest(list_transform(toks, x -> x || ' ')) AS gram
+      FROM toks
+      UNION ALL
+      SELECT doc_id, t,
+             unnest(list_transform(range(0, len(toks) - 1),
+               i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      FROM toks WHERE len(toks) >= 2),
+    g2 AS (SELECT doc_id, t, substring(md5(gram), 1, 2) AS bucket
+           FROM grams),
+    b AS (SELECT bucket,
+                 sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+          FROM g2 GROUP BY bucket),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM b),
+    w AS (SELECT bucket,
+                 CAST(round(ln(CAST((ct + 1) * (nr + 256) AS DOUBLE)
+                      / CAST((cr + 1) * (nt + 256) AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS lam
+          FROM b, tot),
+    sc AS (SELECT g2.doc_id, count(*) AS n_feats, sum(w.lam) AS logw
+           FROM g2 JOIN w USING (bucket) WHERE NOT g2.t
+           GROUP BY g2.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           round(CAST(coalesce(sc.logw, 0) AS DOUBLE), 6) AS logw
+    FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+    LEFT JOIN sc USING (doc_id)
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the documents corpus: the English
+    slice plays the target domain, every non-English doc is scored by
+    the summed log-ratio of its hashed unigram+bigram buckets. High
+    logw = most target-like raw docs (what importance resampling would
+    keep). See ``curate.dsir_logweights`` for the two-pass,
+    256-row-collect, literal-map scale shape."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return curate.dsir_logweights(
+        scale_out(d), F.col("lang") == "en", "doc_id", "text"
+    )

@@ -208,3 +208,33 @@ def test_decontaminate_short_doc_fallback(spark):
     }
     assert rows[1]["contaminated"] and rows[1]["overlap"] == 1.0
     assert not rows[2]["contaminated"] and rows[2]["n_shingles"] == 1
+
+
+def test_dsir_logweights_direction_and_rowcount(spark):
+    # target: fruit-speak; raw pool: one fruit-like doc, one metal doc,
+    # one empty doc. The fruit-like doc must outscore the metal one,
+    # and every raw doc (even the empty) must produce exactly one row.
+    target = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple banana", True),
+            (2, "banana cherry apple cherry", True),
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    raw = spark.createDataFrame(
+        [
+            (10, "apple banana apple", False),
+            (11, "iron copper zinc nickel", False),
+            (12, "", False),
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    out = curate.dsir_logweights(
+        target.unionByName(raw), F.col("t"), "doc_id", "text"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12}  # raw side only, nothing dropped
+    assert rows[10]["logw"] > rows[11]["logw"]
+    assert rows[12]["n_feats"] == 0 and rows[12]["logw"] == 0.0
+    # n_feats = unigram + bigram occurrences (3 + 2 for doc 10)
+    assert rows[10]["n_feats"] == 5
