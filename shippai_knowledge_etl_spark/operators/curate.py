@@ -604,3 +604,133 @@ def dsir_logweights(
             ).alias("logw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter (hashed-bigram language model)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_rows(
+    df: DataFrame, id_col: str, carry: tuple[str, ...], text_col: str
+) -> DataFrame:
+    """(carry..., id, cb, wb) — one row per bigram occurrence, context
+    and word independently bucketed by their md5 prefix (256×256 model
+    cells max). Lambda-free shifted-slice zip, single explode."""
+    toks = tokenize(F.col(text_col))
+    win = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, win).alias("a"), F.slice(toks, 2, win).alias("b")
+    )
+    return df.select(
+        *carry, F.col(id_col), F.explode(zipped).alias("__g")
+    ).select(
+        *carry,
+        id_col,
+        F.substring(F.md5(F.col("__g.a")), 1, 2).alias("cb"),
+        F.substring(F.md5(F.col("__g.b")), 1, 2).alias("wb"),
+    )
+
+
+def ccnet_lm_scores(
+    df: DataFrame, is_target: Column, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style quality filter (Wenzek et al. 2020): train a tiny
+    LM on the target-domain slice, score every RAW document by mean
+    negative log-likelihood — low mean_nll reads as fluent/in-domain,
+    high as noise (CCNet buckets the corpus by this score into
+    head/middle/tail). The KenLM 5-gram stands in for a hashed-bigram
+    model with add-one smoothing: P(w|c) = (count(c,w)+1)/(count(c)+256)
+    over 256-way md5 buckets.
+
+    Output: (id, n_bigrams, mean_nll) — one row per raw document;
+    docs under 2 tokens score 0 with n_bigrams 0 (left join back).
+
+    100 TB shape: the trained model is AT MOST 65,536 (context, word)
+    cells no matter the corpus size — both model tables join back via
+    explicit ``broadcast()``, so the raw side is never shuffled for
+    scoring; its only shuffle is the per-document sum. Per-term nll is
+    one IEEE division of exact small ints then log; terms are rounded
+    to 6 dp and summed as DECIMAL(18,6) so the sum is exact and
+    partitioning-independent (same discipline as ``dsir_logweights``)."""
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), is_target.alias("__t")
+    )
+    bi = _bigram_rows(flagged, id_col, ("__t",), text_col)
+    pairs = (
+        bi.filter(F.col("__t"))
+        .groupBy("cb", "wb")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    ctx = pairs.groupBy("cb").agg(F.sum("pc").alias("cc"))
+    p = (F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("cc"), F.lit(0)) + DSIR_BUCKETS
+    ).cast("double")
+    terms = (
+        bi.filter(~F.col("__t"))
+        .join(F.broadcast(pairs), ["cb", "wb"], "left")
+        .join(F.broadcast(ctx), ["cb"], "left")
+        .select(
+            id_col,
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nll").alias("s")
+    )
+    return (
+        flagged.filter(~F.col("__t"))
+        .select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("n"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (exact-k per stratum)
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling with a reproducible draw: rows
+    are ranked inside their stratum by ``md5(id:salt)`` (id tie-break)
+    and the top k kept. Unlike ``mix_keep``'s Bernoulli draw, this
+    guarantees the per-stratum count — the balanced-subsample primitive
+    (eval-set carving, per-source caps, debiased previews).
+
+    Pure function of (id, salt): same sample at any partitioning, any
+    engine, any run. One shuffle (the per-stratum window); the window
+    is always partitioned by the stratum, never global. Skewed strata
+    cost O(stratum size log k)-ish in the window sort — at 100 TB cap
+    pathological strata upstream (or pre-filter with mix_keep at a
+    generous rate, then exact-rank the survivors: the two-stage form
+    keeps the window input bounded)."""
+    rank_key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(rank_key, F.col(id_col))
+    )
+    return (
+        df.select(F.col(id_col), F.col(stratum_col))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, stratum_col, F.col("rk").cast("long").alias("rk"))
+    )

@@ -549,3 +549,93 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.dsir_logweights(
         scale_out(d), F.col("lang") == "en", "doc_id", "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_lm_quality",
+    survey_ref=(
+        "[EXT] CCNet-style LM quality score: hashed-bigram LM trained "
+        "on the English slice, raw docs ranked by mean negative "
+        "log-likelihood (Wenzek et al. 2020 head/middle/tail buckets)"
+    ),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS t, {_TOKS} AS toks
+                  FROM documents),
+    b2 AS (
+      SELECT doc_id, t,
+             unnest(list_transform(range(0, len(toks) - 1),
+               i -> substring(md5(toks[i + 1]), 1, 2))) AS cb,
+             unnest(list_transform(range(0, len(toks) - 1),
+               i -> substring(md5(toks[i + 2]), 1, 2))) AS wb
+      FROM toks WHERE len(toks) >= 2),
+    pairs AS (SELECT cb, wb, count(*) AS pc FROM b2 WHERE t
+              GROUP BY cb, wb),
+    ctx AS (SELECT cb, sum(pc) AS cc FROM pairs GROUP BY cb),
+    terms AS (
+      SELECT r.doc_id,
+             CAST(round(-ln(CAST(coalesce(p.pc, 0) + 1 AS DOUBLE)
+                  / CAST(coalesce(c.cc, 0) + 256 AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM b2 r
+      LEFT JOIN pairs p ON p.cb = r.cb AND p.wb = r.wb
+      LEFT JOIN ctx c ON c.cb = r.cb
+      WHERE NOT r.t),
+    sc AS (SELECT doc_id, count(*) AS n, sum(nll) AS s FROM terms
+           GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams,
+           round(CAST(coalesce(sc.s, 0) AS DOUBLE)
+                 / CAST(greatest(coalesce(sc.n, 0), 1) AS DOUBLE), 6)
+             AS mean_nll
+    FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+    LEFT JOIN sc USING (doc_id)
+    """,
+)
+def curation_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: hashed-bigram model trained on
+    the English documents, every non-English doc scored by mean
+    negative log-likelihood. See ``curate.ccnet_lm_scores`` for the
+    broadcast-model scale shape (the trained model is ≤ 65,536 cells
+    at any corpus size — the raw side never shuffles for scoring)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return curate.ccnet_lm_scores(
+        scale_out(d), F.col("lang") == "en", "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_stratified_sample",
+    survey_ref=(
+        "[EXT] exact-k-per-stratum deterministic sampling: md5-ranked "
+        "row_number within each source, reproducible at any "
+        "partitioning (balanced-subsample primitive)"
+    ),
+    oracle="""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 documents per source, drawn by the deterministic md5
+    rank — the balanced per-source subsample a mix-debugging or
+    eval-carving step takes. Window is partitioned by source (never
+    global); the draw is a pure function of (doc_id, salt)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return curate.stratified_sample(d, "source", 5, "doc_id")

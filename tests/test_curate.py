@@ -238,3 +238,43 @@ def test_dsir_logweights_direction_and_rowcount(spark):
     assert rows[12]["n_feats"] == 0 and rows[12]["logw"] == 0.0
     # n_feats = unigram + bigram occurrences (3 + 2 for doc 10)
     assert rows[10]["n_feats"] == 5
+
+
+def test_ccnet_lm_scores_direction(spark):
+    # in-domain raw doc must score lower mean_nll than out-of-domain;
+    # sub-2-token docs keep their row with n_bigrams 0
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", True),
+            (2, "the dog sat on the rug", True),
+            (10, "the cat sat on the rug", False),  # in-domain
+            (11, "zebra quantum flux harmonics", False),  # out-of-domain
+            (12, "one", False),  # no bigrams
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate.ccnet_lm_scores(
+            corpus, F.col("t"), "doc_id", "text"
+        ).collect()
+    }
+    assert set(rows) == {10, 11, 12}
+    assert rows[10]["mean_nll"] < rows[11]["mean_nll"]
+    assert rows[12]["n_bigrams"] == 0 and rows[12]["mean_nll"] == 0.0
+
+
+def test_stratified_sample_exact_k_and_determinism(spark, sf_dir):
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = curate.stratified_sample(d, "source", 3, "doc_id")
+    per = {r["source"]: r["n"] for r in
+           s1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = {r["source"]: r["n"] for r in
+             d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(3, total[src])
+    # repartitioning must not change the draw
+    s2 = curate.stratified_sample(d.repartition(7), "source", 3, "doc_id")
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
