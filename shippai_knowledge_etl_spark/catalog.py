@@ -93,8 +93,13 @@ DRIVER_WINDOW = (
     "f18_json_extract",
     "p1_case_id_extract",
     "p4_p5_text_restructure",
-    "w1_w2_chunk_slice",
-    "o1_sort_by_num",
+    # w1_w2_chunk_slice and o1_sort_by_num rotated out (W1/W2/O1 stay
+    # witnessed in-window by case_assembly, whose scenario_struct IS
+    # the O1 ordinal sort → W2 boundary slice → W1 chunk-by-3
+    # composition); the slots pin the two newest curation flagships,
+    # previously driver-unwitnessed
+    "curation_decontaminate",
+    "curation_lm_quality",
     "w3_layout_suite",
     "scenario_profile",
     "p3_label_pivot",
