@@ -122,3 +122,13 @@ def test_topk_blas_plan_is_python_free_after_scoring(plans):
     _, phys = plans["simsearch_topk_blas"]
     assert phys.count("MapInPandas") == 1, phys[:1500]
     assert "TakeOrderedAndProject" in phys, phys[:1500]
+
+
+def test_curation_model_probes_are_broadcast(plans):
+    # the membership/model probes must never shuffle the corpus side:
+    # decontaminate probes the eval-shingle set, the LM scorer probes
+    # its (cb,wb)/(cb) model tables — all explicit broadcast()s
+    _, decon = plans["curation_decontaminate"]
+    assert "BroadcastHashJoin [shingle" in decon, decon[:1500]
+    _, lm = plans["curation_lm_quality"]
+    assert "BroadcastHashJoin [cb" in lm, lm[:1500]
