@@ -579,3 +579,59 @@ def pq_search_rerank(
         .orderBy(F.asc("d2"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus alignment (bitext-mining style best match)
+# ---------------------------------------------------------------------------
+
+
+def align_best_match(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cross-corpus best-match mining (the retrieval core of bitext
+    mining à la LASER / Artetxe & Schwenk 2019): for every vector on
+    side A, find its highest-cosine partner on side B. Both sides are
+    bucketed by the SAME sign-LSH hyperplanes, so candidates are only
+    generated within a bucket — near-identical pairs (translations in
+    an aligned embedding space) agree on every sign and are never
+    missed, while the cross join the naive form needs never exists.
+
+    Output: (id_a, id_b, sim) — one row per side-A vector that found a
+    bucket-mate; ``threshold`` optionally drops weak matches. Argmax is
+    ``max(struct(sim, id_b))`` — deterministic under ties, map-side
+    partially aggregated.
+
+    100 TB shape: one shuffle per side (the bucket hash join; broadcast
+    the smaller side's buckets if lopsided) + the per-id argmax, which
+    partial-aggregates to one row per side-A id before the exchange.
+    Recall is governed by plane count exactly as in
+    :func:`near_dup_pairs_lsh`."""
+    dims = len(side_a.select(vec_col).first()[0])
+    planes = _planes(dims, n_planes)
+    a = side_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    b = side_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    best = (
+        a.join(b, "bucket")
+        .select("id_a", F.struct(sim.alias("sim"), F.col("id_b")).alias("m"))
+        .groupBy("id_a")
+        .agg(F.max("m").alias("m"))
+        .select("id_a", F.col("m.id_b").alias("id_b"), F.col("m.sim").alias("sim"))
+    )
+    if threshold is not None:
+        best = best.filter(F.col("sim") >= threshold)
+    return best

@@ -248,3 +248,37 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "cluster", "is_dropped", "drop_against"
     )
+
+
+@register(
+    "simsearch_align_bitext",
+    survey_ref="[EXT] cross-corpus best-match alignment (bitext-mining "
+    "retrieval, Artetxe & Schwenk 2019): planted translated copies must "
+    "recover their source at sim 1.0 through the shared sign-LSH buckets",
+    oracle="""
+    -- Ground truth: each planted 'translation' (an English doc's
+    -- embedding re-keyed at +300000) is an exact copy, so it agrees
+    -- with its source on every hyperplane sign (same bucket, recall 1)
+    -- and cosine 1.0 beats every organic candidate (corpus max < 0.6).
+    SELECT e.vec_id + 300000 AS id_a, e.vec_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    """,
+)
+def simsearch_align_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style alignment demo: the English documents' embeddings
+    play the target corpus; a planted 'translated' side (same vectors,
+    ids +300000) must mine back its source through the shared sign-LSH
+    buckets. See ``simsearch.align_best_match`` for the
+    bucket-join + map-side-argmax scale shape."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = e.join(
+        F.broadcast(d.filter(F.col("lang") == "en").select("doc_id")),
+        e.vec_id == F.col("doc_id"),
+    ).select("vec_id", "embedding")
+    planted = en.select(
+        (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+    )
+    return simsearch.align_best_match(planted, en)

@@ -189,3 +189,42 @@ def test_semantic_dedup_evicts_planted_copies(spark, emb):
         (F.col("vec_id") < 100000) & F.col("is_dropped")
     )
     assert originals.filter(F.col("drop_against") >= 100000).count() == 0
+
+
+def test_align_best_match_prefers_exact_partner(spark):
+    from shippai_knowledge_etl_spark.operators import simsearch as S
+
+    # side B: two distinct vectors; side A: a copy of each plus a
+    # mild distractor that must map to its closest B vector
+    b = spark.createDataFrame(
+        [(1, [1.0] * 8 + [0.0] * 56), (2, [0.0] * 56 + [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    a = spark.createDataFrame(
+        [
+            (101, [1.0] * 8 + [0.0] * 56),
+            (102, [0.0] * 56 + [1.0] * 8),
+            (103, [1.0] * 7 + [0.5] + [0.0] * 56),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["id_a"]: r for r in S.align_best_match(a, b).collect()}
+    assert rows[101]["id_b"] == 1 and rows[101]["sim"] == 1.0
+    assert rows[102]["id_b"] == 2 and rows[102]["sim"] == 1.0
+    # the distractor lands in vector-1's bucket and matches it
+    assert 103 in rows and rows[103]["id_b"] == 1 and rows[103]["sim"] < 1.0
+
+
+def test_align_best_match_threshold_drops_weak(spark):
+    from shippai_knowledge_etl_spark.operators import simsearch as S
+
+    b = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    a = spark.createDataFrame(
+        [(10, [1.0] * 64), (11, [1.0] * 33 + [-1.0] * 31)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.align_best_match(a, b, threshold=0.9)
+    ids = {r["id_a"] for r in out.collect()}
+    assert 10 in ids and 11 not in ids
