@@ -169,3 +169,76 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash"])
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "pixels binary, pixel_md5 string, ok boolean"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, use_real_decoder: bool = False
+) -> DataFrame:
+    """Image resize via Arrow-batched ``mapInPandas`` — the thumbnail /
+    normalization step a vision-training pipeline runs before feature
+    extraction. The resampling math is REAL nearest-neighbor
+    (vectorized numpy index gather over the pixel grid); only the
+    JPEG/PNG *decode* in front of it is the deterministic fake (payload
+    bytes reshaped to the fake-decode dimensions), because the codec
+    libraries are absent from this container. With a real decoder the
+    numpy kernel is unchanged — swap the grid source.
+
+    Output carries the resized pixel buffer (``binary``, dst_w*dst_h
+    single channel) plus its md5 so tests can pin exact bytes.
+    Failures are ok=false rows, never task failures. Narrow map: no
+    shuffle, linear scale-out; batch memory is bounded by
+    (arrow batch rows) × max(src bytes, dst bytes)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        if use_real_decoder:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image decode needs Pillow, which is not in this "
+                    "container; use use_real_decoder=False (deterministic fake)"
+                ) from e
+            raise NotImplementedError("real decode path not wired yet")
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    w, h, _ = _fake_decode(raw)
+                    # fake decode: tile/truncate payload into an h×w
+                    # single-channel grid (deterministic)
+                    grid = np.frombuffer(
+                        (raw * ((w * h) // max(len(raw), 1) + 1))[: w * h],
+                        dtype=np.uint8,
+                    ).reshape(h, w)
+                    # REAL nearest-neighbor resample (vectorized gather)
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    out = grid[yi][:, xi]
+                    buf = out.tobytes()
+                    rows.append(
+                        (int(doc_id), w, h, target_w, target_h, buf,
+                         hashlib.md5(buf).hexdigest(), True)
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                         "pixels", "pixel_md5", "ok"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)

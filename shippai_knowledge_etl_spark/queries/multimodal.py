@@ -69,3 +69,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_payload(d, "doc_id", "text")
     return multimodal.sample_frames(payloads, n_frames=3)
+
+
+@register(
+    "mm_resize",
+    survey_ref="[EXT] binary payload → nearest-neighbor resize to 32x32 "
+    "(resample math real numpy, decode fake; pixel bytes pinned by "
+    "tests/test_multimodal.py — binary stays out of the hash gate)",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) % 640 + 16 AS INT) AS src_w,
+           CAST((strlen(text) // 640) % 480 + 16 AS INT) AS src_h,
+           CAST(32 AS INT) AS dst_w,
+           CAST(32 AS INT) AS dst_h,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/normalization step over binary image columns: REAL
+    vectorized nearest-neighbor resampling (numpy index gather) behind
+    the deterministic fake decode. The oracle checks the metadata
+    contract; the exact resized pixel buffer is pinned byte-for-byte
+    in pytest (binary columns stay out of the driver's pandas hash)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    return multimodal.resize_images(payloads, 32, 32).select(
+        "doc_id", "src_w", "src_h", "dst_w", "dst_h", "ok"
+    )
