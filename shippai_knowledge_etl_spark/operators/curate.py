@@ -734,3 +734,40 @@ def stratified_sample(
         .filter(F.col("rk") <= k)
         .select(id_col, stratum_col, F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle / resharding
+# ---------------------------------------------------------------------------
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Reproducible global permutation of a corpus WITHOUT a global
+    sort — the training-order randomization step before sequence
+    packing. Every row gets a (shard, pos): shard is the first
+    ``shard_hex_chars`` hex chars of ``md5(id:salt)`` (16^k shards),
+    pos the row's rank within its shard by the full hash (id
+    tie-break). Reading shards in label order, rows within a shard in
+    pos order, yields one fixed pseudo-random permutation — a pure
+    function of (id, salt): same order on any engine, partitioning, or
+    run, and changing the salt is a fresh epoch-level reshuffle.
+
+    100 TB shape: this is the standard way to shuffle a corpus that
+    cannot be globally sorted — ONE hash-partitioned exchange + a
+    shard-local window sort (never `Exchange SinglePartition`); shards
+    are uniform by construction (md5), so no skew. Writers partition
+    the output by ``shard`` and get directly consumable training
+    shards."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    shard = F.substring(h, 1, shard_hex_chars)
+    w = Window.partitionBy(shard).orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

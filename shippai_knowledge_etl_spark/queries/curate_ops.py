@@ -639,3 +639,35 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global); the draw is a pure function of (doc_id, salt)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return curate.stratified_sample(d, "source", 5, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_corpus_shuffle",
+    survey_ref=(
+        "[EXT] deterministic corpus shuffle/reshard: md5-sharded, "
+        "shard-local rank — a reproducible global permutation with no "
+        "global sort (training-order randomization)"
+    ),
+    oracle="""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 2)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)
+               || ':shuffle'), 1, 2)
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def curation_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle of the documents corpus into
+    256 hash shards; see ``curate.corpus_shuffle`` for why this is the
+    no-global-sort 100 TB shape."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return curate.corpus_shuffle(d, "doc_id")

@@ -278,3 +278,24 @@ def test_stratified_sample_exact_k_and_determinism(spark, sf_dir):
     # repartitioning must not change the draw
     s2 = curate.stratified_sample(d.repartition(7), "source", 3, "doc_id")
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_corpus_shuffle_permutation_and_determinism(spark, sf_dir):
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    s1 = curate.corpus_shuffle(d, "doc_id")
+    rows = s1.collect()
+    # a permutation: every doc exactly once, positions contiguous 1..n
+    assert len(rows) == d.count()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # pure function of (id, salt): partitioning-independent...
+    s2 = curate.corpus_shuffle(d.repartition(13), "doc_id")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
+    # ...and the salt is an epoch knob: a different salt reorders
+    s3 = curate.corpus_shuffle(d, "doc_id", salt="epoch1")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, s3.collect()))
