@@ -135,3 +135,77 @@ def window_fingerprints(col: Column, window: int = 8, stride: int = 4) -> Column
         F.sequence(F.lit(0), n_windows - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * stride + 1, window))),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency summary for heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows; P(overest > eps*N) <= (1/2)^depth-ish
+
+
+def _cms_bucket(tok, j: int):
+    """Row-j bucket: 2 hex chars of a salted md5 — 256 buckets,
+    identical in Spark and DuckDB."""
+    return F.substring(
+        F.md5(F.concat(tok, F.lit(f":cms{j}"))), 1, 2
+    )
+
+
+def countmin_sketch(tok_counts: DataFrame, d: int = CMS_DEPTH) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) from a
+    (tok, cnt) table: d salted-hash rows × 256 buckets, counter =
+    sum of counts hashing into the cell. The result is d×256 rows —
+    CONSTANT size at any corpus scale, and mergeable by cell-wise
+    addition (union two sketches → groupBy (j, bucket) sum), which is
+    what makes it the streaming/distributed heavy-hitter summary: at
+    100 TB each partition sketches locally (map-side partial agg does
+    exactly this) and only the fixed-size grid shuffles."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_bucket(F.col("tok"), j).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        tok_counts.select(F.explode(cells).alias("c"), F.col("cnt"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, d: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-query the sketch: est(tok) = min over the d rows of the
+    probed cell — never an underestimate (every cell the token hashes
+    to contains its true count plus collisions). Probe set joins the
+    BROADCAST sketch (the grid is d×256 rows regardless of scale), so
+    estimating is shuffle-free up to the final per-token min, which
+    partial-aggregates map-side."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_bucket(F.col("tok"), j).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    pr = probes.select("tok", "exact", F.explode(cells).alias("c")).select(
+        "tok", "exact", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        pr.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("exact").cast("long"),
+            F.col("cms_est").cast("long"),
+            (F.col("cms_est") >= F.col("exact")).alias("is_overestimate"),
+        )
+    )

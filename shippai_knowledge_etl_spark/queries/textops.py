@@ -130,3 +130,55 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate boundary: to_json the fingerprint array (driver can't hash lists)
         F.to_json(textops.window_fingerprints(F.col("text"))).alias("window_fps"),
     )
+
+
+@register(
+    "ext_countmin_heavy_hitters",
+    survey_ref="[EXT] count-min sketch heavy hitters: d×256 salted-md5 "
+    "grid, constant-size and mergeable (Cormode & Muthukrishnan 2005); "
+    "top-10 exact tokens probed — estimate must never underestimate",
+    oracle="""
+    WITH toks AS (SELECT unnest(list_filter(str_split(trim(regexp_replace(
+           lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok FROM documents),
+    tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    probes AS (SELECT tok, cnt AS exact FROM tc
+               ORDER BY cnt DESC, tok LIMIT 10),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+      SELECT j, substring(md5(tok || ':cms' || CAST(j AS VARCHAR)), 1, 2)
+               AS bucket,
+             sum(cnt) AS counter
+      FROM tc CROSS JOIN js GROUP BY j, bucket),
+    est AS (
+      SELECT p.tok, p.exact, min(c.counter) AS cms_est
+      FROM probes p CROSS JOIN js u
+      JOIN cells c ON c.j = u.j AND c.bucket =
+        substring(md5(p.tok || ':cms' || CAST(u.j AS VARCHAR)), 1, 2)
+      GROUP BY p.tok, p.exact)
+    SELECT tok, CAST(exact AS BIGINT) AS exact,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= exact AS is_overestimate
+    FROM est
+    """,
+)
+def ext_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed with the
+    exact top-10 tokens: the demo verifies the sketch's one-sided error
+    (cms_est >= exact, always) against ground truth. See
+    ``textops.countmin_sketch`` for why the d×256 grid is the
+    mergeable, constant-size, map-side-partial heavy-hitter summary at
+    100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(textops.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = textops.countmin_sketch(tok_counts)
+    probes = (
+        tok_counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(10)
+        .select("tok", F.col("cnt").alias("exact"))
+    )
+    return textops.countmin_estimate(sketch, probes)

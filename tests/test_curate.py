@@ -299,3 +299,32 @@ def test_corpus_shuffle_permutation_and_determinism(spark, sf_dir):
     # ...and the salt is an epoch knob: a different salt reorders
     s3 = curate.corpus_shuffle(d, "doc_id", salt="epoch1")
     assert sorted(map(tuple, rows)) != sorted(map(tuple, s3.collect()))
+
+
+def test_countmin_merge_and_overestimate(spark):
+    # mergeability: sketch(A) cell-add sketch(B) == sketch(A ∪ B);
+    # estimates never underestimate the true count
+    from shippai_knowledge_etl_spark.operators import textops as T
+
+    a = spark.createDataFrame(
+        [("apple", 3), ("pear", 1)], "tok string, cnt long"
+    )
+    b = spark.createDataFrame(
+        [("apple", 2), ("plum", 5)], "tok string, cnt long"
+    )
+    u = spark.createDataFrame(
+        [("apple", 5), ("pear", 1), ("plum", 5)], "tok string, cnt long"
+    )
+    merged = (
+        T.countmin_sketch(a).unionByName(T.countmin_sketch(b))
+        .groupBy("j", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    direct = T.countmin_sketch(u)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = u.select("tok", F.col("cnt").alias("exact"))
+    est = {r["tok"]: r for r in T.countmin_estimate(direct, probes).collect()}
+    for tok, true_cnt in (("apple", 5), ("pear", 1), ("plum", 5)):
+        assert est[tok]["is_overestimate"] and est[tok]["cms_est"] >= true_cnt
