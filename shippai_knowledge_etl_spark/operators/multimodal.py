@@ -217,11 +217,16 @@ def resize_images(
                     raw = bytes(payload)
                     w, h, _ = _fake_decode(raw)
                     # fake decode: tile/truncate payload into an h×w
-                    # single-channel grid (deterministic)
-                    grid = np.frombuffer(
-                        (raw * ((w * h) // max(len(raw), 1) + 1))[: w * h],
-                        dtype=np.uint8,
-                    ).reshape(h, w)
+                    # single-channel grid (deterministic); an empty
+                    # payload decodes to the 16×16 zero grid so ok stays
+                    # true — same contract as decode_image_features
+                    if raw:
+                        grid = np.frombuffer(
+                            (raw * ((w * h) // len(raw) + 1))[: w * h],
+                            dtype=np.uint8,
+                        ).reshape(h, w)
+                    else:
+                        grid = np.zeros((h, w), dtype=np.uint8)
                     # REAL nearest-neighbor resample (vectorized gather)
                     yi = (np.arange(target_h) * h) // target_h
                     xi = (np.arange(target_w) * w) // target_w

@@ -324,7 +324,14 @@ def near_dup_pairs_lsh(
     needs a caller-supplied blocking column), the blocking key here is
     LEARNED from geometry — candidate count is driven by collision
     probability (1 - θ/π per plane), not by any label."""
-    dims = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:  # empty corpus → empty pair set, same schema
+        return corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("sim"),
+        ).limit(0)
+    dims = len(head[0])
     planes = _planes(dims, n_planes)
     with_bucket = corpus.select(
         F.col(id_col),
@@ -611,8 +618,18 @@ def align_best_match(
     the smaller side's buckets if lopsided) + the per-id argmax, which
     partial-aggregates to one row per side-A id before the exchange.
     Recall is governed by plane count exactly as in
-    :func:`near_dup_pairs_lsh`."""
-    dims = len(side_a.select(vec_col).first()[0])
+    :func:`near_dup_pairs_lsh`. The 1-row dims probe at plan-build is
+    the same legitimately-tiny driver action as a query vector; an
+    empty side A short-circuits to an empty result instead of
+    crashing the probe."""
+    head = side_a.select(vec_col).first()
+    if head is None:
+        return side_a.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("sim"),
+        ).limit(0)
+    dims = len(head[0])
     planes = _planes(dims, n_planes)
     a = side_a.select(
         F.col(id_col).alias("id_a"),

@@ -182,9 +182,13 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-query the sketch: est(tok) = min over the d rows of the
     probed cell — never an underestimate (every cell the token hashes
-    to contains its true count plus collisions). Probe set joins the
-    BROADCAST sketch (the grid is d×256 rows regardless of scale), so
-    estimating is shuffle-free up to the final per-token min, which
+    to contains its true count plus collisions). A probed cell absent
+    from the sketch is an EMPTY cell (counter 0) — the left join +
+    coalesce below, not an inner join, or a never-seen token would
+    inherit its colliding cells' counts (or vanish entirely) instead
+    of correctly estimating 0. Probe set joins the BROADCAST sketch
+    (the grid is d×256 rows regardless of scale), so estimating is
+    shuffle-free up to the final per-token min, which
     partial-aggregates map-side."""
     cells = F.array(
         *[
@@ -199,9 +203,11 @@ def countmin_estimate(
         "tok", "exact", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
     )
     return (
-        pr.join(F.broadcast(sketch), ["j", "bucket"])
+        pr.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy("tok", "exact")
-        .agg(F.min("counter").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est")
+        )
         .select(
             "tok",
             F.col("exact").cast("long"),

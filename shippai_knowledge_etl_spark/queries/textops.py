@@ -137,10 +137,8 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="[EXT] count-min sketch heavy hitters: d×256 salted-md5 "
     "grid, constant-size and mergeable (Cormode & Muthukrishnan 2005); "
     "top-10 exact tokens probed — estimate must never underestimate",
-    oracle="""
-    WITH toks AS (SELECT unnest(list_filter(str_split(trim(regexp_replace(
-           lower(text), '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '),
-           x -> x <> '')) AS tok FROM documents),
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
     tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
     probes AS (SELECT tok, cnt AS exact FROM tc
                ORDER BY cnt DESC, tok LIMIT 10),

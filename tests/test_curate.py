@@ -328,3 +328,20 @@ def test_countmin_merge_and_overestimate(spark):
     est = {r["tok"]: r for r in T.countmin_estimate(direct, probes).collect()}
     for tok, true_cnt in (("apple", 5), ("pear", 1), ("plum", 5)):
         assert est[tok]["is_overestimate"] and est[tok]["cms_est"] >= true_cnt
+
+
+def test_countmin_estimate_unseen_token_is_zero(spark):
+    from shippai_knowledge_etl_spark.operators import textops as T
+
+    tc = spark.createDataFrame([("apple", 7)], "tok string, cnt long")
+    sketch = T.countmin_sketch(tc)
+    probes = spark.createDataFrame(
+        [("apple", 7), ("never-seen-gram", 0)], "tok string, exact long"
+    )
+    est = {r["tok"]: r for r in T.countmin_estimate(sketch, probes).collect()}
+    # the unseen token keeps its row; empty cells count as 0, and with
+    # depth 4 over 256 buckets and one stored token, at least one of
+    # its cells is empty -> est exactly 0
+    assert est["never-seen-gram"]["cms_est"] == 0
+    assert est["never-seen-gram"]["is_overestimate"]
+    assert est["apple"]["cms_est"] >= 7

@@ -38,3 +38,14 @@ def test_resize_images_real_decoder_raises(spark):
             M.attach_payload(df, "doc_id", "text"), 8, 8,
             use_real_decoder=True,
         ).collect()
+
+
+def test_resize_images_empty_payload_zero_grid(spark):
+    from shippai_knowledge_etl_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = M.resize_images(
+        M.attach_payload(df, "doc_id", "text"), 4, 4
+    ).collect()[0]
+    assert out["ok"] and (out["src_w"], out["src_h"]) == (16, 16)
+    assert bytes(out["pixels"]) == b"\x00" * 16

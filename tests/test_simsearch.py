@@ -228,3 +228,18 @@ def test_align_best_match_threshold_drops_weak(spark):
     out = S.align_best_match(a, b, threshold=0.9)
     ids = {r["id_a"] for r in out.collect()}
     assert 10 in ids and 11 not in ids
+
+
+def test_lsh_entry_points_tolerate_empty_inputs(spark):
+    from shippai_knowledge_etl_spark.operators import simsearch as S
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    out = S.align_best_match(empty, b)
+    assert out.columns == ["id_a", "id_b", "sim"] and out.count() == 0
+    pairs = S.near_dup_pairs_lsh(empty, threshold=0.9)
+    assert pairs.columns == ["id_a", "id_b", "sim"] and pairs.count() == 0
