@@ -81,11 +81,15 @@ def topk_cosine(
     """Brute-force top-k: broadcast the query row(s), score every
     corpus vector, TakeOrderedAndProject. Tie-break on id.
 
-    Pass ``dim`` when the embedding width is known (it always is in a
-    real corpus): scoring then uses the unrolled codegen'd dot product
-    instead of the interpreted HOF fold — same values, ~an order of
-    magnitude less scoring CPU, and the scan stays inside one
-    WholeStageCodegen span."""
+    ``dim`` switches to the unrolled ``cosine_fixed`` dot product —
+    same values, no lambda HOFs. NB this is NOT automatically faster:
+    at real widths the 3·dim ``element_at`` expression tree exceeds
+    JIT method limits and measured ~4× SLOWER than the fold at 64 dims
+    (1.42 s vs 0.35 s — see ``dot_fixed``'s docstring); it wins only
+    at small dims or on sessions whose interpreter call sites are
+    already lambda-polluted. For the genuinely fast scale path use the
+    BLAS ``mapInPandas`` form (``topk_cosine_blas``), which is the
+    witnessed + benched default."""
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -495,6 +499,10 @@ def pq_search_adc(
 
     Output: (id, adc_dist) — approximate L2², ranked ascending with an
     id tie-break."""
+    if len(query_vec) % m:  # same contract as subvectors() corpus-side
+        raise ValueError(
+            f"query dim {len(query_vec)} not divisible by m {m}"
+        )
     rows = books.collect()
     d = len(query_vec) // m
     tables: dict[int, dict[int, float]] = {j: {} for j in range(m)}

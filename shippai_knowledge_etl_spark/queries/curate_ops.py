@@ -428,10 +428,27 @@ def curation_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", "source", weight.alias("weight"))
     out = curate.mix_oversample(base, "doc_id", F.col("weight"), "mix")
-    return out.groupBy("source", "weight").agg(
+    agg = out.groupBy("source", "weight").agg(
         F.count_distinct(F.col("doc_id")).alias("n_docs"),
         F.count(F.lit(1)).alias("n_emitted"),
         F.max("epoch").cast("int").alias("max_epoch"),
+    )
+    # aggregate against the UNFILTERED (source, weight) universe: a
+    # group whose rows are all dropped by the draw must still appear
+    # (0, 0, -1) exactly as the oracle's coalesce produces — grouping
+    # only emitted rows would lose it and break hash parity whenever a
+    # low-weight source keeps nothing at some scale factor
+    universe = base.select("source", "weight").distinct()
+    return universe.join(agg, ["source", "weight"], "left").select(
+        "source",
+        F.col("weight").cast("double").alias("weight"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_emitted"), F.lit(0)).cast("long").alias(
+            "n_emitted"
+        ),
+        F.coalesce(F.col("max_epoch"), F.lit(-1)).cast("int").alias(
+            "max_epoch"
+        ),
     )
 
 

@@ -134,9 +134,18 @@ def expand_worklist(
         fetched.select("url", F.explode(links).alias("r"))
         .select(scalar.resolve_url(F.col("url"), F.col("r.href")).alias("case_url"))
     )
-    return direct.unionByName(expanded).withColumn(
-        "seq", F.monotonically_increasing_id()
+    # the worklist is small (list-page anchors) — checkpoint it eagerly
+    # so (a) downstream actions (isEmpty + the case pipeline) never
+    # re-trigger the list-page HTTP fetch through lineage, and (b) the
+    # cached page BODIES can be released now instead of pinning
+    # executor memory for the whole run
+    out = (
+        direct.unionByName(expanded)
+        .withColumn("seq", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
+    fetched.unpersist()
+    return out
 
 
 def _first_val(rows: F.Column, label: str) -> F.Column:
@@ -268,14 +277,10 @@ def process_cases(cases_urls: DataFrame) -> DataFrame:
         scalar.normalize_nbsp(scalar.paragraphs(_first_val(rows, "データ作成者")))
     )
 
-    # output-contract column order (requirements.md:107-142)
-    record_order = (
-        "case_id", "case_name", "url", "date", "location", "facility",
-        "summary", "phenomenon", "process", "cause", "response",
-        "countermeasure", "knowledge", "background", "scenario",
-        "images", "sources", "casualties", "financial_damage",
-        "social_impact", "notes", "field", "authors",
-    )
+    # output-contract column order (requirements.md:107-142) — the
+    # single module-level list, so the record builder and the JSON sink
+    # selection can never drift apart
+    record_order = RECORD_COLUMNS
     named = dict(fields)
     named["url"] = F.col("case_url")
     named["case_id"] = F.col("case_id")

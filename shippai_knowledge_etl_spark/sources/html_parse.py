@@ -211,16 +211,33 @@ class _CasePageParser(HTMLParser):
             return self._trs[-1]["tds"][-1]
         return None
 
+    def _flush_dangling_a(self) -> None:
+        """Implicit close of unclosed anchors — bs4 (the reference's
+        parser) recovers an ``<a>`` with a missing end tag at the next
+        anchor or cell/row boundary; without this, a malformed scenario
+        link would silently lose its href (and trailing cell text would
+        keep accumulating into the dead stack entry)."""
+        while self._a_stack:
+            link = self._a_stack.pop()
+            td = self._cur_td()
+            if td is not None and link["href"] is not None:
+                td["links"].append(
+                    (link["href"], "".join(link["text"]).strip())
+                )
+
     def handle_starttag(self, tag: str, attrs: list) -> None:
         a = dict(attrs)
         if tag == "tr":
+            self._flush_dangling_a()
             self._trs.append({"tds": []})
         elif tag == "td" and self._trs:
+            self._flush_dangling_a()
             self._trs[-1]["tds"].append(
                 {"bgcolor": a.get("bgcolor", ""), "text": [],
                  "links": [], "imgs": []}
             )
         elif tag == "a":
+            self._flush_dangling_a()
             href = a.get("href")
             self._a_stack.append({"href": href, "text": []})
             # page-wide /sf/ fallback scans ALL anchors in document
@@ -252,6 +269,7 @@ class _CasePageParser(HTMLParser):
                     (link["href"], "".join(link["text"]).strip())
                 )
         elif tag == "tr" and self._trs:
+            self._flush_dangling_a()
             self._close_tr(self._trs.pop())
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:

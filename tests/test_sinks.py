@@ -216,3 +216,28 @@ def test_html_parser_edge_cases(spark):
     assert rows[0][1] == "名称" and rows[0][2] == "A\nB"
     assert len(rows) == 2  # single-td row dropped (needs >= 2 tds)
     assert rows[1][4] == "/mf/x.jpg"
+
+
+def test_case_parser_recovers_unclosed_anchor():
+    # the legacy site the reference scrapes has malformed pages; bs4
+    # auto-recovers an <a> with a missing end tag, so our parser must
+    # too: implicit close at the next anchor or cell/row boundary
+    from shippai_knowledge_etl_spark.sources.html_parse import (
+        _CasePageParser,
+    )
+
+    html = (
+        "<table>"
+        '<tr><td bgcolor="#DFE9F2">シナリオ</td>'
+        '<td><a href="../sf/SC001.html">シナリオ表示</td></tr>'  # no </a>
+        '<tr><td bgcolor="#DFE9F2">マルチメディアファイル</td>'
+        '<td><a href="../mf/MA1.jpg">図1<a href="../mf/MA2.jpg">図2</a>'
+        "</td></tr>"  # first anchor closed implicitly by the second
+        "</table>"
+    )
+    p = _CasePageParser()
+    p.feed(html)
+    p.close()
+    assert p.scenario_row_href == "../sf/SC001.html"
+    assert ("../mf/MA1.jpg", "図1") in p.mf_links
+    assert ("../mf/MA2.jpg", "図2") in p.mf_links
