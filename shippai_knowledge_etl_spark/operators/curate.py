@@ -767,7 +767,7 @@ def corpus_shuffle(
     shard = F.substring(h, 1, shard_hex_chars)
     w = Window.partitionBy(shard).orderBy(h, F.col(id_col))
     return df.select(
-        F.col(id_col),
+        "*",
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )

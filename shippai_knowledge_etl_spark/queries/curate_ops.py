@@ -688,3 +688,68 @@ def curation_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-global-sort 100 TB shape."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     return curate.corpus_shuffle(d, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Shuffle → pack composition (training-shard build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_shards_e2e",
+    survey_ref=(
+        "[EXT] training-shard build end-to-end: deterministic corpus "
+        "shuffle -> concat-and-chunk packing in SHUFFLED order -> "
+        "per-sequence rollup, one plan"
+    ),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    sh AS (SELECT doc_id,
+                  substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle'),
+                            1, 2) AS shard,
+                  row_number() OVER (
+                    PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)
+                      || ':shuffle'), 1, 2)
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'),
+                             doc_id) AS pos
+           FROM documents),
+    t AS (SELECT sh.shard, sh.pos, tok.n_tokens
+          FROM sh JOIN tok USING (doc_id)),
+    packed AS (SELECT shard, pos, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+               FROM t)
+    SELECT shard, CAST(floor(tok_start / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(max(pos) AS BIGINT) AS last_pos
+    FROM packed GROUP BY shard, seq_id
+    """,
+)
+def curation_shards_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of a pretraining data build as ONE plan: shuffle
+    the corpus reproducibly (md5 shards + shard-local rank), lay the
+    documents end to end in SHUFFLED order, cut 512-token training
+    sequences, and roll up per-sequence stats. Unlike
+    pack_sequences_chunk (which packs in raw id order), packing in
+    shuffle order is what an actual training-shard writer does — and
+    both the permutation and the cuts stay pure functions of
+    (doc_id, salt), so the shards are byte-reproducible. Two window
+    shuffles (shard rank, running sum) on the same shard partitioning;
+    AQE reuses the exchange."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    shuffled = curate.corpus_shuffle(base, "doc_id")
+    packed = curate.pack_sequences(
+        shuffled, "pos", "n_tokens", PACK_BUDGET, "shard"
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )
