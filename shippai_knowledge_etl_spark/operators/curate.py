@@ -771,3 +771,118 @@ def corpus_shuffle(
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic page cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+# Line-level junk markers (C4: the "javascript" line rule) and
+# page-level kill phrases (lorem ipsum placeholder, code-brace pages).
+# Plain substring matches — identical semantics in Spark and DuckDB.
+C4_LINE_JUNK = "javascript"
+C4_PAGE_LOREM = "lorem ipsum"
+C4_PAGE_BRACE = "{"
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 2
+# ≥(MIN_WORDS-1) space-joined tokens then a non-space — RE2-safe (no
+# lookaround), identical under Java regex and DuckDB's RE2.
+_C4_WORDS_RE = r"(\S+\s+){%d}\S" % (C4_MIN_WORDS_PER_LINE - 1)
+_C4_PUNCT_RE = r'[.!?"]$'
+
+
+def _c4_line_kept(line: Column) -> Column:
+    """C4's line filter: terminal punctuation, ≥5 words, no junk
+    marker, no curly brace — one boolean per line."""
+    return (
+        line.rlike(_C4_PUNCT_RE)
+        & line.rlike(_C4_WORDS_RE)
+        & ~line.contains(C4_LINE_JUNK)
+        & ~line.contains(C4_PAGE_BRACE)
+    )
+
+
+def c4_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) as a pure per-row map:
+    split the page into lines, keep lines that end in terminal
+    punctuation with ≥5 words and no junk marker, then keep the PAGE
+    only if ≥``C4_MIN_KEPT_LINES`` lines survive and it carries no
+    placeholder text ("lorem ipsum") and no curly brace.
+
+    Output: id, n_lines, n_kept_lines, has_lorem, has_brace, keep,
+    cleaned_text (the kept lines re-joined).
+
+    100 TB shape: ZERO shuffles — every signal is a function of the
+    single row, so this composes into any scan-side stage for free
+    (predicate pushdown keeps `keep` next to the parquet scan). The
+    line split/filter uses array HOFs, which are interpreted
+    (CodegenFallback) — a measured per-row constant that is still far
+    cheaper than the alternative relational shape (explode lines →
+    groupBy id), whose corpus-wide doc_id shuffle is exactly what a
+    scan-side quality gate cannot afford. Keep this operator's columns
+    in their own projection so the interpreted call sites don't
+    pollute sibling codegen (see dedup.shingle_structs notes).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _c4_line_kept)
+    has_lorem = F.col(text_col).contains(C4_PAGE_LOREM)
+    has_brace = F.col(text_col).contains(C4_PAGE_BRACE)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap with under-cap bypass (skew-aware)
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cap each domain at ``cap`` documents, preferring high
+    ``order_col`` (quality proxy; ``id_col`` breaks ties) — the
+    hot-domain damper every crawl pipeline runs (CCNet/RefinedWeb cap
+    per registrable domain so hub sites don't dominate the mix).
+
+    Two-path plan, unlike the always-shuffle window form
+    (``stratified_sample``): per-domain counts first (map-side partial
+    agg → a tiny domain table), then ONLY the over-cap domains' rows
+    take the window shuffle; every under-cap domain's rows pass
+    through shuffle-free. On a crawl corpus the domain histogram is
+    zipfian — almost all domains sit under the cap, so the expensive
+    per-domain sort touches a small head of hot domains instead of
+    the whole corpus, and the broadcast over-cap list prunes at the
+    scan. Deterministic: pure function of (order_col, id) — same kept
+    set on any partitioning or engine.
+    """
+    over = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(domain_col)
+    )
+    under_docs = df.join(F.broadcast(over), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    capped = (
+        df.join(F.broadcast(over), domain_col, "left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return under_docs.unionByName(capped)

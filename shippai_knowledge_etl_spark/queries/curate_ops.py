@@ -753,3 +753,134 @@ def curation_shards_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("first_pos"),
         F.max("pos").alias("last_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic page cleaning
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is single-line word soup, so the demo PLANTS a
+# deterministic multi-line web-page shape on both sides (same pattern
+# as documents_with_planted_dups): two content lines carved from the
+# text (first punctuated, second not), a junk "javascript" line on
+# doc_id%5, a lorem-ipsum + brace line on doc_id%7, and a third
+# punctuated line for long docs — so every C4 rule fires on a known
+# subset and the keep verdict is mixed, not degenerate.
+_C4_PLANT_SPARK = lambda: F.concat_ws(  # noqa: E731
+    "\n",
+    F.concat(F.substring("text", 1, 80), F.lit(".")),
+    F.substring("text", 81, 60),
+    F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("please enable javascript to view this page."),
+    ),
+    F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("warning lorem ipsum dolor sit amet {template}."),
+    ),
+    F.when(
+        F.col("n_chars") >= 200,
+        F.concat(F.substring("text", 141, 80), F.lit(".")),
+    ),
+)
+
+_C4_PLANT_SQL = """planted AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 80) || '.',
+    substr(text, 81, 60),
+    CASE WHEN doc_id % 5 = 0
+         THEN 'please enable javascript to view this page.' END,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'warning lorem ipsum dolor sit amet {template}.' END,
+    CASE WHEN n_chars >= 200 THEN substr(text, 141, 80) || '.' END
+  ) AS page FROM documents
+)"""
+
+
+@register(
+    "curation_c4_rules",
+    survey_ref=(
+        "[EXT] C4 heuristic cleaning (Raffel et al. 2020 §2.2): "
+        "terminal-punctuation + min-words line filter, javascript "
+        "line rule, lorem-ipsum / curly-brace page kill, min-kept-"
+        "lines page verdict — zero-shuffle scan-side map"
+    ),
+    oracle="WITH "
+    + _C4_PLANT_SQL
+    + """,
+    feat AS (
+      SELECT doc_id, page, str_split(page, chr(10)) AS lines,
+        list_filter(str_split(page, chr(10)), l ->
+          regexp_matches(l, '[.!?"]$')
+          AND regexp_matches(l, '(\\S+\\s+){4}\\S')
+          AND NOT contains(l, 'javascript')
+          AND NOT contains(l, '{')) AS kept
+      FROM planted
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      contains(page, 'lorem ipsum') AS has_lorem,
+      contains(page, '{') AS has_brace,
+      (len(kept) >= 2 AND NOT contains(page, 'lorem ipsum')
+        AND NOT contains(page, '{')) AS keep,
+      array_to_string(kept, chr(10)) AS cleaned_text
+    FROM feat
+    """,
+)
+def curation_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules over planted web-page-shaped documents. The
+    operator itself (`curate.c4_rules`) is a pure per-row map — at
+    100 TB it rides the scan with zero shuffles; only the planted
+    page construction is demo-specific."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    planted = d.select("doc_id", _C4_PLANT_SPARK().alias("page"))
+    return curate.c4_rules(planted, "doc_id", "page")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap with under-cap bypass
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20
+
+
+@register(
+    "curation_domain_cap",
+    survey_ref=(
+        "[EXT] per-domain document cap (CCNet/RefinedWeb hot-domain "
+        "damper): count → broadcast over-cap domains → window-rank "
+        "ONLY those; under-cap domains bypass the shuffle entirely"
+    ),
+    oracle=f"""
+    WITH hub AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'hub.example'
+                  ELSE source END AS domain,
+             n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, domain, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM hub
+    )
+    SELECT doc_id, domain, n_chars FROM ranked WHERE rk <= {DOMAIN_CAP}
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every domain at {DOMAIN_CAP} docs, longest-first. The demo
+    plants one zipfian hot domain (every 4th doc reassigned to
+    'hub.example') so the driver run exercises BOTH paths: the hot
+    domain takes the window rank, the ~20 regular sources (now under
+    cap) pass through without shuffling."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    hub = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("hub.example"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+        "n_chars",
+    )
+    return curate.domain_cap(hub, "domain", DOMAIN_CAP, "n_chars", "doc_id")

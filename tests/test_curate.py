@@ -345,3 +345,71 @@ def test_countmin_estimate_unseen_token_is_zero(spark):
     assert est["never-seen-gram"]["cms_est"] == 0
     assert est["never-seen-gram"]["is_overestimate"]
     assert est["apple"]["cms_est"] >= 7
+
+
+def test_c4_rules_each_rule_fires(spark):
+    docs = [
+        # 3 good lines -> kept, cleaned_text drops nothing
+        (1, "alpha beta gamma delta epsilon zeta.\n"
+            "one two three four five six.\n"
+            "seven eight nine ten eleven twelve."),
+        # only 1 good line (2nd has no terminal punct, 3rd too few words)
+        (2, "alpha beta gamma delta epsilon zeta.\n"
+            "one two three four five six\n"
+            "too few."),
+        # javascript line is dropped but page survives on the other two
+        (3, "alpha beta gamma delta epsilon zeta.\n"
+            "please enable javascript to view this.\n"
+            "seven eight nine ten eleven twelve."),
+        # lorem ipsum kills the page even with enough good lines
+        (4, "alpha beta gamma delta epsilon zeta.\n"
+            "lorem ipsum dolor sit amet consectetur.\n"
+            "seven eight nine ten eleven twelve."),
+        # curly brace kills the page
+        (5, "alpha beta gamma delta epsilon zeta.\n"
+            "var x = {a: 1};\n"
+            "seven eight nine ten eleven twelve."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curate.c4_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["cleaned_text"] == docs[0][1]
+    assert not out[2]["keep"] and out[2]["n_kept_lines"] == 1
+    assert out[3]["keep"] and out[3]["n_kept_lines"] == 2
+    assert "javascript" not in out[3]["cleaned_text"]
+    assert not out[4]["keep"] and out[4]["has_lorem"]
+    assert not out[5]["keep"] and out[5]["has_brace"]
+
+
+def test_c4_rules_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
+    plan = curate.c4_rules(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_domain_cap_both_paths(spark):
+    # hot: 10 docs, cold: 3 docs; cap 4 -> hot keeps its 4 longest,
+    # cold passes through the bypass untouched
+    rows = [(i, "hot", 100 + i) for i in range(10)]
+    rows += [(100 + i, "cold", 50 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_chars long")
+    out = curate.domain_cap(df, "domain", 4, "n_chars", "doc_id")
+    got = sorted((r["domain"], r["doc_id"]) for r in out.collect())
+    assert got == [("cold", 100), ("cold", 101), ("cold", 102),
+                   ("hot", 6), ("hot", 7), ("hot", 8), ("hot", 9)]
+    # the bypass contract: under-cap rows reach the output without a
+    # window — the plan ranks only the semi-joined over-cap side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RunningWindowFunction") <= 1
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_domain_cap_tie_break_deterministic(spark):
+    # equal n_chars everywhere: the doc_id ascending tie-break decides
+    rows = [(i, "d", 7) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_chars long")
+    kept = sorted(r["doc_id"] for r in
+                  curate.domain_cap(df, "domain", 2, "n_chars", "doc_id").collect())
+    assert kept == [0, 1]
