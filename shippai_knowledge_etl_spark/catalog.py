@@ -65,7 +65,12 @@ DRIVER_WINDOW = (
     # region→nation→customer chain IS the J1 shape, broadcast dims and
     # all); the slot pins the new cross-document span-dedup flagship
     "dedup_spans",
-    "j2_semi_join",
+    # j2_semi_join rotated out (the membership-join family stays
+    # witnessed in-window by curation_domain_cap, whose plan IS a
+    # broadcast LeftSemi + LeftAnti pair, and by curation_decontaminate's
+    # broadcast membership probe); the slot pins the hot-domain-cap
+    # curation flagship, previously driver-unwitnessed
+    "curation_domain_cap",
     "j4_multiway_region_revenue",
     "j5_range_join_buckets",
     "j6_asof_latest_order",
