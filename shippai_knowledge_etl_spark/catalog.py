@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.combined",
     "shippai_knowledge_etl_spark.queries.textops",
     "shippai_knowledge_etl_spark.queries.dedup",
+    "shippai_knowledge_etl_spark.queries.sketches",
     "shippai_knowledge_etl_spark.queries.curation",
     "shippai_knowledge_etl_spark.queries.curate_ops",
     "shippai_knowledge_etl_spark.queries.simsearch",

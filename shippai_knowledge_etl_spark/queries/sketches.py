@@ -1,0 +1,238 @@
+"""[EXT] Sketch query surface: Bloom membership, HLL distinct-count
+state, and the incremental-crawl dedup they exist to serve.
+
+Every hash here is salted md5 (the ``textops._cms_bucket`` discipline),
+so the DuckDB oracles replicate the sketches bit-for-bit — including
+Bloom false positives — and the driver's value-hash gate checks the
+whole construction, not just an invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import dedup, sketches
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+from shippai_knowledge_etl_spark.tables import load
+
+# DuckDB-side mirror of textops.tokenize (same as queries/textops.py).
+_TOKS = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+# DuckDB mirrors of sketches._bloom_pos / _word_and_mask, j-salted.
+_BF_POS = "substring(md5({v} || ':bf' || CAST({j} AS VARCHAR)), 1, 4)"
+_BF_WORD = f"substring({_BF_POS}, 1, 3)"
+_BF_MASK = (
+    f"CAST(power(2, strpos('0123456789abcdef', "
+    f"substring({_BF_POS}, 4, 1)) - 1) AS BIGINT)"
+)
+
+
+@register(
+    "ext_bloom_membership",
+    survey_ref=(
+        "[EXT] Bloom-filter membership (Bloom 1970): packed bit-words "
+        "via bit_or aggregation, broadcast probe; salted-md5 hashes "
+        "make even the false positives deterministic cross-engine"
+    ),
+    oracle=f"""
+    WITH tokrows AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    probes AS (
+      SELECT tok, bool_or(doc_id % 2 = 0) AS present
+      FROM tokrows GROUP BY tok
+    ),
+    bloom AS (
+      SELECT {_BF_WORD.format(v="m.tok", j="u.j")} AS word,
+             bit_or({_BF_MASK.format(v="m.tok", j="u.j")}) AS bits
+      FROM (SELECT tok FROM probes WHERE present) m, range(0, 4) u(j)
+      GROUP BY 1
+    ),
+    pcells AS (
+      SELECT p.tok, p.present,
+             {_BF_WORD.format(v="p.tok", j="u.j")} AS word,
+             {_BF_MASK.format(v="p.tok", j="u.j")} AS mask
+      FROM probes p, range(0, 4) u(j)
+    )
+    SELECT c.tok, c.present,
+           bool_and((COALESCE(b.bits, 0) & c.mask) = c.mask)
+             AS might_contain,
+           (bool_and((COALESCE(b.bits, 0) & c.mask) = c.mask)
+            OR NOT c.present) AS no_false_negative
+    FROM pcells c LEFT JOIN bloom b USING (word)
+    GROUP BY c.tok, c.present
+    """,
+)
+def ext_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the distinct tokens of the even-id
+    half of ``documents``, then probe it with EVERY distinct token.
+
+    ``no_false_negative`` is the filter's one-sided guarantee and is
+    true on every row; ``might_contain`` additionally exposes the
+    (deterministic, oracle-replicated) false positives on odd-only
+    tokens. Scale shape in ``sketches.bloom_build`` /
+    ``bloom_might_contain`` docstrings: the filter is <=4096 rows at
+    any corpus size and is the broadcast side of the probe join."""
+    tokrows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    )
+    probes = tokrows.groupBy("tok").agg(
+        F.bool_or(F.col("doc_id") % 2 == 0).alias("present")
+    )
+    members = probes.filter(F.col("present")).select("tok")
+    bloom = sketches.bloom_build(members, "tok")
+    out = sketches.bloom_might_contain(bloom, probes, "tok", carry=("present",))
+    return out.select(
+        "tok",
+        "present",
+        "might_contain",
+        (F.col("might_contain") | ~F.col("present")).alias("no_false_negative"),
+    )
+
+
+# DuckDB mirror of sketches.hll_register_rows' rank derivation.
+_HLL_RANK = """
+    CASE WHEN nz = 13 THEN 53 ELSE nz * 4 + CASE
+      WHEN first = '1' THEN 3
+      WHEN first IN ('2', '3') THEN 2
+      WHEN first IN ('4', '5', '6', '7') THEN 1
+      ELSE 0 END + 1 END
+"""
+
+
+@register(
+    "ext_hll_distinct",
+    survey_ref=(
+        "[EXT] HyperLogLog distinct-count state (Flajolet et al. 2007): "
+        "mergeable per-group max-rank registers, exact-integer scaled "
+        "harmonic sum checked against countDistinct ground truth"
+    ),
+    oracle=f"""
+    WITH tokrows AS (
+      SELECT DISTINCT lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT lang, tok, md5(tok || ':hll') AS hx FROM tokrows
+    ),
+    parts AS (
+      SELECT lang, substring(hx, 1, 2) AS reg,
+             length(regexp_extract(substring(hx, 3, 13), '^(0*)', 1)) AS nz,
+             substring(substring(hx, 3, 13),
+                       length(regexp_extract(substring(hx, 3, 13),
+                                             '^(0*)', 1)) + 1, 1) AS first
+      FROM h
+    ),
+    regs AS (
+      SELECT lang, reg, max(least({_HLL_RANK}, 40)) AS rank
+      FROM parts GROUP BY lang, reg
+    ),
+    summary AS (
+      SELECT lang,
+             CAST(sum(CAST(power(2, 40 - rank) AS BIGINT))
+                  + (256 - count(*)) * CAST(power(2, 40) AS BIGINT)
+                  AS BIGINT) AS hll_sum_scaled,
+             CAST(256 - count(*) AS INT) AS hll_zero_regs
+      FROM regs GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang, count(DISTINCT tok) AS exact_distinct FROM tokrows
+      GROUP BY lang
+    )
+    SELECT s.lang, e.exact_distinct, s.hll_sum_scaled, s.hll_zero_regs
+    FROM summary s JOIN exact e USING (lang)
+    """,
+)
+def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality two ways: exact
+    ``countDistinct`` ground truth next to the HLL register state
+    (``hll_sum_scaled``/``hll_zero_regs`` — exact integers, see
+    ``sketches.hll_summary`` for why the float estimate stays out of
+    the hash gate). The register table is the 100 TB artifact: stored
+    per shard, a max-merge answers distinct-across-shards without
+    rescanning text; ``tests/test_sketches.py`` pins estimate accuracy
+    and merge associativity."""
+    tokrows = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    regs = sketches.hll_register_rows(tokrows, ["lang"], "tok")
+    summary = sketches.hll_summary(regs, ["lang"])
+    exact = tokrows.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return summary.join(exact, ["lang"]).select(
+        "lang", "exact_distinct", "hll_sum_scaled", "hll_zero_regs"
+    )
+
+
+@register(
+    "dedup_incremental",
+    survey_ref=(
+        "[EXT] incremental-crawl dedup: new batch vs existing corpus "
+        "index on content hash, then first-occurrence within the batch "
+        "— the daily-ingest form of dedup_exact"
+    ),
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 = 7
+    ),
+    index_hashes AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 7
+    ),
+    marked AS (
+      SELECT b.doc_id, b.h, i.h IS NOT NULL AS in_index,
+             min(b.doc_id) OVER (PARTITION BY b.h) AS first_id
+      FROM batch b LEFT JOIN index_hashes i USING (h)
+    )
+    SELECT doc_id,
+           CASE WHEN in_index THEN 'index_dup'
+                WHEN doc_id <> first_id THEN 'batch_dup'
+                ELSE 'kept' END AS verdict
+    FROM marked
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new crawl batch (doc_id % 10 = 7) against the already-
+    ingested corpus: a doc is ``index_dup`` if its sha2-256 content
+    hash exists in the index, ``batch_dup`` if an earlier doc in the
+    same batch shares its hash, else ``kept``.
+
+    Scale shape: the index side collapses to DISTINCT hashes with a
+    map-side partial before the only wide shuffle (a hash join on the
+    content hash — at 100 TB neither side is broadcastable, and
+    hash-partitioning both on the join key is the correct plan); the
+    within-batch first-occurrence window re-uses the same hash
+    partitioning, so AQE coalesces rather than re-shuffles. No text
+    ever shuffles — only (hash, id) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", dedup.content_hash(F.col("text")).alias("h")
+    )
+    index_hashes = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .select(dedup.content_hash(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    marked = batch.join(index_hashes, ["h"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("in_index"), F.lit(False)).alias("in_index"),
+        F.min("doc_id").over(w).alias("first_id"),
+    )
+    return marked.select(
+        "doc_id",
+        F.when(F.col("in_index"), "index_dup")
+        .when(F.col("doc_id") != F.col("first_id"), "batch_dup")
+        .otherwise("kept")
+        .alias("verdict"),
+    )
