@@ -886,3 +886,91 @@ def domain_cap(
         .drop("__rk")
     )
     return under_docs.unionByName(capped)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + blocklist (crawl frontier hygiene)
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize an http(s) URL for frontier dedup the way every
+    crawl pipeline must before hashing: lowercase scheme and host,
+    strip the scheme-default port (:80 / :443), drop the fragment,
+    remove tracking query params (utm_*, fbclid, gclid, ref), sort the
+    surviving params, normalize an empty path to '/'.
+
+    Pure per-row expressions — zero shuffle, whole-stage-codegen'd
+    except the tiny ``sort_array`` over the param list (a non-lambda
+    expression, NOT an interpreted HOF). Every regex is RE2-safe (no
+    lookaround), so the DuckDB oracle replicates byte-for-byte; at
+    100 TB this runs at scan speed in the same stage as the fetch
+    filter. Two same-page URLs that differ only by tracking params /
+    param order / case / default port hash identically afterwards —
+    the prerequisite for the Bloom frontier (`sketches.bloom_build`)
+    not re-crawling them.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
+    )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    # &-wrap so every param is &-prefixed, strip tracking params in one
+    # global pass: each match is a full '&name=value' cell that stops AT
+    # (without consuming) the next '&', so adjacent tracking params all
+    # match; the mandatory '=' keeps 'refresh=x' safe from the 'ref'
+    # alternative (bare valueless tracking params are left alone —
+    # RE2 has no lookahead to remove them adjacency-safely)
+    cleaned = F.regexp_replace(
+        F.concat(F.lit("&"), query, F.lit("&")),
+        r"&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*",
+        "",
+    )
+    cleaned = F.regexp_replace(cleaned, r"&&+", "&")
+    cleaned = F.regexp_replace(cleaned, r"^&|&$", "")
+    sorted_q = F.array_join(F.sort_array(F.split(cleaned, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of a canonical URL (port already stripped)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?:]*)", 1)
+
+
+def blocklist_filter(
+    df: DataFrame, url_col: str, blocked_hosts: DataFrame
+) -> DataFrame:
+    """Mark rows whose canonical host appears in ``blocked_hosts``
+    (column ``host``) — the crawl-pipeline deny-list. The list is a
+    dimension table (thousands of hosts vs billions of URLs), so the
+    membership probe is an explicit BROADCAST left join; the corpus
+    side never shuffles. Verdict as data (``blocked`` boolean), not a
+    filter, so callers route rather than drop silently — the
+    errors-as-data discipline of ``sources/fetch.py``."""
+    h = url_host(F.col(url_col))
+    marked = blocked_hosts.select(
+        F.col("host").alias("__bh"), F.lit(True).alias("__blocked")
+    )
+    return (
+        df.withColumn("__h", h)
+        .join(F.broadcast(marked), F.col("__h") == F.col("__bh"), "left")
+        .withColumn("blocked", F.coalesce(F.col("__blocked"), F.lit(False)))
+        .drop("__bh", "__blocked", "__h")
+    )

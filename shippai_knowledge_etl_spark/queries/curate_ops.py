@@ -884,3 +884,114 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return curate.domain_cap(hub, "domain", DOMAIN_CAP, "n_chars", "doc_id")
+
+
+@register(
+    "curation_url_canonicalize",
+    survey_ref=(
+        "[EXT] URL canonicalization + blocklist: lowercase scheme/host, "
+        "default-port strip, fragment drop, tracking-param removal, "
+        "param sort (operators/curate.py:canonical_url) -> broadcast "
+        "deny-list probe; the frontier-dedup prerequisite for the "
+        "Bloom seen-key filter"
+    ),
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+        '://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+        (CASE WHEN doc_id % 4 = 0 THEN
+               (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+              WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN doc_id % 6 = 0 THEN '' ELSE '/' || source || '/item' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=news&a=1&fbclid=abc'
+              WHEN doc_id % 5 = 2 THEN '?utm_medium=m' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    c1 AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+      FROM src),
+    c2 AS (
+      SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+             regexp_extract(rest, '^[^/?]*(.*)$', 1) AS pathq
+      FROM c1),
+    c3 AS (
+      SELECT *,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+             ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+        regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM c2),
+    c4 AS (
+      SELECT *,
+        regexp_replace(regexp_replace(regexp_replace(
+          '&' || query || '&',
+          '&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+          '&&+', '&', 'g'), '^&|&$', '', 'g') AS cleaned
+      FROM c3)
+    SELECT doc_id, url AS url_raw,
+           scheme || '://' || host || path ||
+           CASE WHEN cleaned = '' THEN ''
+                ELSE '?' ||
+                  array_to_string(list_sort(str_split(cleaned, '&')), '&')
+           END AS url_canonical,
+           -- deny-lists key on the host, never host:port
+           regexp_extract(host, '^([^:]*)', 1) AS host,
+           (regexp_extract(host, '^([^:]*)', 1) LIKE '%1.com'
+            OR regexp_extract(host, '^([^:]*)', 1) LIKE '%3.com') AS blocked
+    FROM c4
+    """,
+)
+def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize deterministically-messy URLs (mixed case, default
+    and non-default ports, tracking params, fragments, empty paths)
+    and mark deny-listed hosts via the broadcast blocklist probe.
+
+    Scale shape: ``canonical_url`` is a zero-shuffle per-row map in
+    the scan stage; the blocklist is a dimension table joined with an
+    explicit ``broadcast()`` so the corpus side never moves. See
+    ``operators/curate.py:canonical_url`` for the RE2-safe regex
+    discipline that keeps the oracle exact."""
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, "HTTPS").otherwise("http"),
+        F.lit("://WWW.Site"),
+        (i % 5).cast("string"),
+        F.lit(".COM"),
+        F.when(
+            i % 4 == 0, F.when(i % 3 == 0, ":443").otherwise(":80")
+        ).when(i % 4 == 1, F.lit(":8080")).otherwise(""),
+        F.when(i % 6 == 0, "").otherwise(
+            F.concat(F.lit("/"), F.col("source"), F.lit("/item"))
+        ),
+        F.when(i % 2 == 0, "?b=2&utm_source=news&a=1&fbclid=abc")
+        .when(i % 5 == 2, F.lit("?utm_medium=m"))
+        .otherwise(""),
+        F.when(i % 2 == 1, "#frag").otherwise(""),
+    )
+    # Generate barriers (diagram.py idiom): CollapseProject would
+    # otherwise re-inline the whole regex cascade into every consumer
+    # (host, blocklist key, output), exploding generated code past the
+    # JIT's 64 KB method limit and evaluating it 4x per row
+    with_url = d.select(
+        "doc_id", F.explode(F.array(url)).alias("url_raw")
+    )
+    canon = with_url.select(
+        "doc_id",
+        "url_raw",
+        F.explode(
+            F.array(curate.canonical_url(F.col("url_raw")))
+        ).alias("url_canonical"),
+    ).withColumn("host", curate.url_host(F.col("url_canonical")))
+    blocked_hosts = (
+        canon.select(F.col("host"))
+        .filter(F.col("host").endswith("1.com") | F.col("host").endswith("3.com"))
+        .distinct()
+    )
+    return curate.blocklist_filter(canon, "url_canonical", blocked_hosts)

@@ -413,3 +413,32 @@ def test_domain_cap_tie_break_deterministic(spark):
     kept = sorted(r["doc_id"] for r in
                   curate.domain_cap(df, "domain", 2, "n_chars", "doc_id").collect())
     assert kept == [0, 1]
+
+
+def test_canonical_url_edge_cases(spark):
+    from shippai_knowledge_etl_spark.operators.curate import canonical_url
+
+    cases = {
+        # adjacent tracking params all removed, survivors sorted
+        "http://A.com/p?b=2&utm_a=1&utm_b=2&a=1": "http://a.com/p?a=1&b=2",
+        # tracking-only query -> no '?' at all
+        "http://a.com/p?utm_source=x&fbclid=y": "http://a.com/p",
+        # 'refresh' must NOT be eaten by the 'ref' rule
+        "http://a.com/p?refresh=1&ref=x": "http://a.com/p?refresh=1",
+        # default port stripped only for the matching scheme
+        "http://a.com:80/p": "http://a.com/p",
+        "https://a.com:443/p": "https://a.com/p",
+        "http://a.com:443/p": "http://a.com:443/p",
+        "https://A.com:8080/p": "https://a.com:8080/p",
+        # fragment dropped; empty path -> '/'
+        "HTTP://a.com#frag": "http://a.com/",
+        "http://a.com?a=1#frag": "http://a.com/?a=1",
+    }
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(k,) for k in cases], ["u"])
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
