@@ -1,0 +1,84 @@
+"""[EXT] Link-graph analytics: PageRank for crawl-frontier priority.
+
+A 100 TB crawl pipeline ranks its frontier by link authority before
+spending fetch budget (the original use of PageRank; Page et al. 1999).
+This is the iterative-join form of the repo's graph family (connected
+components live in ``operators/dedup.py``): rank state joins the edge
+list, contributions partial-aggregate map-side on dst, and
+``localCheckpoint`` truncates lineage each round so N iterations cost
+O(1) plan depth, exactly like ``dedup.connected_components``.
+
+All arithmetic is SCALED-INTEGER (ranks as BIGINT in units of 1e-12):
+``div`` floor-division and integer multiplication are bit-identical in
+Spark and DuckDB, so a fixed-iteration run is exactly oracle-checkable
+— no float summation-order drift, no decimal-rounding-mode mismatch.
+The residue the damping division drops (< 100 units per node per
+round) is far below any ranking-relevant difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # ranks in units of 1e-12
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-iteration PageRank over (``nodes``: col ``id``;
+    ``edges``: cols ``src``, ``dst``), returning (id, rank_scaled).
+
+    Per round: rank/outdeg contribution per edge (integer ``div``),
+    sum by dst (map-side partial agg — the only wide shuffle, keyed
+    the same every round so AQE reuses the partitioning), then
+    rank' = (reset * (100-d)) div 100 + (d * inflow) div 100 against
+    the full node universe (left join + coalesce keeps zero-inbound
+    nodes, which a bare groupBy(dst) would silently drop). Dangling
+    nodes (outdeg 0 after self-loop removal) simply emit nothing —
+    the standard simplification, documented rather than hidden.
+
+    Scale: state is 2 longs per node; edges never materialize
+    anything wider than (dst, contrib) into the shuffle. localCheckpoint
+    every ``checkpoint_every`` rounds keeps lineage O(1) like the CC
+    operators; convergence beyond ``n_iters`` is the caller's loop.
+    """
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()
+    base = SCALE // n
+    reset = (base * (100 - damping_pct)) // 100
+    ranks = nodes.select("id", F.lit(base).alias("rank_scaled"))
+    deg_edges = edges.join(outdeg, "src")  # broadcast-or-shuffle by AQE
+    for i in range(n_iters):
+        contribs = (
+            deg_edges.join(
+                ranks.withColumnRenamed("id", "src"), "src"
+            )
+            .select(
+                "dst",
+                F.expr("rank_scaled div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(reset)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

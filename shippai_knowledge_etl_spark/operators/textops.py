@@ -137,6 +137,39 @@ def window_fingerprints(col: Column, window: int = 8, stride: int = 4) -> Column
     )
 
 
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-token gram, slide a window
+    of ``w`` consecutive gram hashes, keep the minimum hash of each
+    window, return the distinct selected hashes SORTED.
+
+    Guarantees (pytest-pinned in ``tests/test_functions.py``):
+    coverage — any match of length >= w+k-1 tokens shares at least one
+    selected fingerprint; density — expected selections ~ 2/(w+1) of
+    all grams, so the per-doc index entry count is bounded regardless
+    of document length. This is the local-dedup complement to
+    ``window_fingerprints``' fixed-stride sampling: stride sampling
+    can straddle a copied passage, winnowing cannot.
+
+    Pure array HOFs over the token list — per-row, zero shuffle; the
+    min over md5 hex strings is lexicographic, identical in Spark and
+    DuckDB, and the output is sorted so the oracle compares as a set.
+    """
+    toks = tokenize(col)
+    n_grams = F.greatest(F.lit(1), (F.size(toks) - k + 1).cast("int"))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    n_windows = F.greatest(F.lit(1), F.size(grams) - w + 1)
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(grams, i + 1, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (mergeable frequency summary for heavy hitters)
 # ---------------------------------------------------------------------------

@@ -212,3 +212,71 @@ def dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
     comp = dedup.connected_components_lss(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+_PR_N = "(SELECT count(*) FROM documents)"
+_PR_EDGES = f"""
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_PR_N} AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_PR_N} FROM documents),
+    edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT doc_id AS id FROM documents)
+"""
+# one damped update round: rank' = reset + 85% of inflow, all in
+# floor-divided scaled integers (see operators/graph.py)
+_PR_STEP = """
+    c{i} AS (
+      SELECT e.dst, sum(r.r // o.outdeg) AS inflow
+      FROM edges e JOIN outdeg o USING (src) JOIN r{p} r ON r.id = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nodes.id,
+             ((1000000000000 // {n}) * 15) // 100
+               + (85 * COALESCE(c{i}.inflow, 0)) // 100 AS r
+      FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.id)
+"""
+
+
+@register(
+    "graph_pagerank",
+    survey_ref=(
+        "[EXT] crawl-graph PageRank (Page et al. 1999): frontier "
+        "priority via iterative damped link-mass propagation; "
+        "scaled-integer floor arithmetic makes the fixed-iteration "
+        "run exactly oracle-checkable (operators/graph.py)"
+    ),
+    oracle=(
+        "WITH "
+        + _PR_EDGES
+        + ", r0 AS (SELECT id, 1000000000000 // "
+        + _PR_N
+        + " AS r FROM nodes),"
+        + ",".join(
+            _PR_STEP.format(i=i, p=i - 1, n=_PR_N) for i in (1, 2, 3)
+        )
+        + " SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r3"
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a deterministic synthetic link graph
+    (each doc links to (id*7+1) mod N and (id*13+2) mod N, self-loops
+    dropped). The oracle unrolls the identical three damped rounds as
+    CTEs — an iterative Spark algorithm checked exactly against
+    declarative SQL, like ``dedup_clusters``. Scale shape in
+    ``operators/graph.py:pagerank``: per-round state is 2 longs per
+    node, one dst-keyed shuffle, lineage truncated by localCheckpoint."""
+    from shippai_knowledge_etl_spark.operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    ranks = pagerank(nodes, edges, n_iters=3)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
+    )

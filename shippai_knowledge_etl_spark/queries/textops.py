@@ -180,3 +180,47 @@ def ext_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.col("cnt").alias("exact"))
     )
     return textops.countmin_estimate(sketch, probes)
+
+
+@register(
+    "ext_winnow_fingerprints",
+    survey_ref=(
+        "[EXT] winnowing fingerprint selection (Schleimer et al. 2003 / "
+        "MOSS): min-hash per sliding gram window — guaranteed-coverage "
+        "local dedup index, bounded density ~2/(w+1)"
+    ),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 greatest(1, CAST(len(toks) - 5 + 1 AS INT)) AS n_grams
+          FROM t),
+    gr AS (SELECT doc_id, n_grams,
+                  list_transform(range(0, n_grams),
+                    i -> md5(array_to_string(
+                           list_slice(toks, i + 1, i + 5), ' '))) AS grams
+           FROM g),
+    wi AS (SELECT doc_id, n_grams, grams,
+                  greatest(1, len(grams) - 4 + 1) AS n_win
+           FROM gr)
+    SELECT doc_id, n_grams,
+           CAST(to_json(list_sort(list_distinct(
+             list_transform(range(0, n_win),
+               i -> list_min(list_slice(grams, i + 1, i + 4)))
+           ))) AS VARCHAR) AS winnow_fps
+    FROM wi
+    """,
+)
+def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint set per document (sorted, JSON at the gate
+    boundary — the driver can't hash arrays). See
+    ``textops.winnow_fingerprints`` for the coverage/density guarantees
+    and why this beats fixed-stride sampling for copy detection."""
+    d = load(spark, sf_dir, "documents")
+    toks = textops.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.greatest(F.lit(1), (F.size(toks) - 4)).cast("int").alias("n_grams"),
+        F.to_json(textops.winnow_fingerprints(F.col("text"))).alias(
+            "winnow_fps"
+        ),
+    )

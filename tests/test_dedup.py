@@ -179,3 +179,34 @@ def test_connected_components_planted_copies(spark, sf_dir):
     for node, c in label.items():
         assert c <= node
         assert label[c] == c
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Rank mass stays ~1 (minus floor residue + dangling loss) and a
+    node every other node links to outranks the periphery."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import SCALE, pagerank
+
+    n = 20
+    nodes = spark.range(n).select(F.col("id"))
+    # star + ring: everyone links to hub 0 and to (id+1) % n
+    base = spark.range(n)
+    edges = base.select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    ).unionAll(
+        base.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    )
+    ranks = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(nodes, edges, n_iters=10, checkpoint_every=2).collect()
+    }
+    assert len(ranks) == n
+    hub = ranks[0]
+    # node 1 legitimately inherits the hub's mass through the ring (the
+    # hub's star edge is a dropped self-loop), so compare against the
+    # periphery instead of max(others)
+    assert hub == max(ranks.values())
+    assert hub > 3 * ranks[10], (hub, ranks[10])
+    total = sum(ranks.values())
+    assert 0.80 * SCALE < total <= SCALE  # floor residue only shrinks mass

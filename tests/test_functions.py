@@ -218,3 +218,43 @@ def test_resolve_url_matches_urljoin(spark):
     ]
     want = [urljoin(b, h) for b, h in URLJOIN_CASES]
     assert got == want, list(zip(URLJOIN_CASES, got, want))
+
+
+def test_winnow_coverage_and_density(spark):
+    """Winnowing guarantees: a shared passage of >= w+k-1 tokens yields
+    a shared fingerprint; selection density stays near 2/(w+1)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.textops import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    rows = [
+        ("a", "one two three " + shared + " four five six"),
+        ("b", "seven eight " + shared + " nine ten eleven twelve"),
+        ("c", "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: set(json.loads(r["fp"]))
+        for r in df.select(
+            "id", F.to_json(winnow_fingerprints(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    assert got["a"] & got["b"], "shared passage must share a fingerprint"
+    assert not (got["a"] & got["c"])
+
+    # all-distinct tokens: the 2/(w+1) density law assumes distinct
+    # gram hashes (repeats collapse under array_distinct)
+    long_doc = " ".join(f"tok{i}" for i in range(400))
+    n_grams = 400 - 5 + 1
+    sel = json.loads(
+        spark.createDataFrame([(long_doc,)], ["text"])
+        .select(F.to_json(winnow_fingerprints(F.col("text"))).alias("fp"))
+        .collect()[0]["fp"]
+    )
+    density = len(sel) / n_grams
+    assert 0.2 < density < 0.6, density  # expected ~2/(w+1)=0.4
