@@ -974,3 +974,40 @@ def blocklist_filter(
         .withColumn("blocked", F.coalesce(F.col("__blocked"), F.lit(False)))
         .drop("__bh", "__blocked", "__h")
     )
+
+
+def frontier_interleave(
+    df: DataFrame, host_col: str, priority_col: str, id_col: str
+) -> DataFrame:
+    """Politeness-aware fetch ordering: round-robin across hosts so no
+    host is hit twice before every other host with pending work is hit
+    once — the standard crawl-frontier schedule (a per-host FIFO drained
+    breadth-first), expressed relationally.
+
+    ``fetch_pos = (rank_in_host - 1) * n_hosts + host_idx`` is a total
+    order with holes, NOT a dense sequence — computing a dense global
+    position would need a corpus-wide single-partition window, which
+    this repo's plan gate bans. The only windows here are per-host
+    (rank_in_host, shuffle keyed by host) and over the DISTINCT host
+    dimension (bounded, one of the documented allowed cases); the host
+    index table joins back via explicit broadcast. Deterministic: pure
+    function of (priority, id) within host and of the host set.
+    """
+    w_host = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col)
+    )
+    hosts = df.select(host_col).distinct()
+    w_dim = Window.orderBy(host_col)  # bounded dim: distinct hosts only
+    host_idx = hosts.select(
+        host_col, F.row_number().over(w_dim).alias("__hidx")
+    )
+    n_hosts = hosts.count()
+    return (
+        df.withColumn("rank_in_host", F.row_number().over(w_host))
+        .join(F.broadcast(host_idx), host_col)
+        .withColumn(
+            "fetch_pos",
+            (F.col("rank_in_host") - 1) * n_hosts + F.col("__hidx"),
+        )
+        .drop("__hidx")
+    )

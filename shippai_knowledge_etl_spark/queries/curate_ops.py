@@ -995,3 +995,106 @@ def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return curate.blocklist_filter(canon, "url_canonical", blocked_hosts)
+
+
+@register(
+    "curation_frontier_interleave",
+    survey_ref=(
+        "[EXT] politeness-aware frontier schedule: per-host rank window "
+        "+ broadcast host-index dim, arithmetic round-robin total order "
+        "with NO corpus-wide window (operators/curate.py:"
+        "frontier_interleave)"
+    ),
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host, n_chars
+      FROM documents),
+    rk AS (
+      SELECT doc_id, host,
+             CAST(row_number() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, doc_id) AS INT)
+               AS rank_in_host
+      FROM src),
+    hx AS (
+      SELECT host, CAST(row_number() OVER (ORDER BY host) AS INT) AS hidx
+      FROM (SELECT DISTINCT host FROM src))
+    SELECT r.doc_id, r.host, r.rank_in_host,
+           CAST((r.rank_in_host - 1) * (SELECT count(*) FROM hx) + h.hidx
+                AS BIGINT) AS fetch_pos
+    FROM rk r JOIN hx h USING (host)
+    """,
+)
+def curation_frontier_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin fetch schedule over 7 synthetic hosts, longest docs
+    first within each host. ``fetch_pos`` is a deterministic total
+    order with holes — see the operator docstring for why a dense
+    global position is deliberately NOT computed."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        "n_chars",
+    )
+    out = curate.frontier_interleave(d, "host", "n_chars", "doc_id")
+    return out.select(
+        "doc_id",
+        "host",
+        F.col("rank_in_host").cast("int"),
+        F.col("fetch_pos").cast("long"),
+    )
+
+
+@register(
+    "curation_snapshot_diff",
+    survey_ref=(
+        "[EXT] corpus snapshot diff: crawl N vs crawl N+1 by content "
+        "hash — added/removed/changed/unchanged verdicts; both sides "
+        "prune to (key, sha256) at the scan before the full-outer "
+        "hash join"
+    ),
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 6)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots of the corpus (10% removed, 10%
+    added, 20% edited). Scale shape: each side reduces to (doc_id,
+    sha2-256) in its scan stage — 40 bytes/row into the only shuffle
+    (the full-outer join, hash-partitioned on doc_id at 100 TB); text
+    never moves."""
+    from shippai_knowledge_etl_spark.operators.dedup import content_hash
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id", content_hash(F.col("text")).alias("h")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 6).select(
+        "doc_id",
+        content_hash(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

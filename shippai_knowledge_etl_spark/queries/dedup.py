@@ -280,3 +280,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
     )
+
+
+@register(
+    "graph_anchor_text",
+    survey_ref=(
+        "[EXT] anchor-text aggregation: per-target inlink count + "
+        "distinct anchor phrases (sorted, capped) — the web-corpus "
+        "signal that describes a page by what OTHERS call it; "
+        "map-side partial agg on dst, collect_set bounded by the cap"
+    ),
+    oracle=f"""
+    WITH {_PR_N.replace("(SELECT count(*) FROM documents)", "n AS (SELECT count(*) AS n FROM documents)")},
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n) AS dst,
+             'nav-' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM n),
+             'cite-' || CAST(doc_id % 5 AS VARCHAR)
+      FROM documents),
+    edges AS (SELECT * FROM e0 WHERE src <> dst)
+    SELECT dst AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(to_json(list_slice(list_sort(list_distinct(list(anchor))),
+                                   1, 20)) AS VARCHAR) AS anchors
+    FROM edges GROUP BY dst
+    """,
+)
+def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate inbound anchor text per target over the same synthetic
+    link graph as ``graph_pagerank``. Scale shape: one dst-keyed
+    shuffle; ``collect_set`` partial-aggregates map-side and the
+    distinct-anchor vocabulary per target is capped (sorted, first 20)
+    so no cell grows with corpus size — the anchors column is a
+    BOUNDED summary, not an unbounded collect."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = (
+        d.select(
+            i.alias("src"),
+            ((i * 7 + 1) % n).alias("dst"),
+            F.concat(F.lit("nav-"), (i % 7).cast("string")).alias("anchor"),
+        )
+        .unionAll(
+            d.select(
+                i.alias("src"),
+                ((i * 13 + 2) % n).alias("dst"),
+                F.concat(F.lit("cite-"), (i % 5).cast("string")).alias(
+                    "anchor"
+                ),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.to_json(
+            F.slice(F.array_sort(F.collect_set("anchor")), 1, 20)
+        ).alias("anchors"),
+    )

@@ -442,3 +442,24 @@ def test_canonical_url_edge_cases(spark):
         for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_canonical_url_idempotent(spark, sf_dir):
+    """canonical(canonical(u)) == canonical(u): frontier hashing relies
+    on canonicalization being a projection."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import canonical_url
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        curation_url_canonicalize,
+    )
+
+    c1 = curation_url_canonicalize(spark, sf_dir).select(
+        "doc_id", "url_canonical"
+    )
+    diffs = c1.select(
+        "doc_id",
+        "url_canonical",
+        F.explode(F.array(canonical_url(F.col("url_canonical")))).alias("c2"),
+    ).filter(F.col("c2") != F.col("url_canonical"))
+    assert diffs.count() == 0, diffs.limit(5).collect()
