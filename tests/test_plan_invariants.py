@@ -85,9 +85,16 @@ def test_no_inferred_heavy_nullchecks(plans):
 
 
 # Global label numbering (F14) over the fixed-size nation dim: the
-# SinglePartition exchange moves 25 rows at any scale. Any OTHER query
-# funneling a window through one partition is a scale bug.
-_ALLOWED_GLOBAL_WINDOW = {"f14_f17_label_json", "f14_numbered_label"}
+# SinglePartition exchange moves 25 rows at any scale. Likewise the
+# frontier schedule's host-index window runs over the DISTINCT host
+# dimension only (the corpus-wide rank is host-partitioned; see
+# curate.frontier_interleave). Any OTHER query funneling a window
+# through one partition is a scale bug.
+_ALLOWED_GLOBAL_WINDOW = {
+    "f14_f17_label_json",
+    "f14_numbered_label",
+    "curation_frontier_interleave",
+}
 
 
 def test_no_unpartitioned_windows(plans):
@@ -132,3 +139,26 @@ def test_curation_model_probes_are_broadcast(plans):
     assert "BroadcastHashJoin [shingle" in decon, decon[:1500]
     _, lm = plans["curation_lm_quality"]
     assert "BroadcastHashJoin [cb" in lm, lm[:1500]
+
+
+def test_sketch_probes_are_broadcast(plans):
+    # the Bloom filter (<=4096 words) must be the broadcast side of the
+    # probe join; the corpus side never shuffles for membership
+    _, bloom = plans["ext_bloom_membership"]
+    assert "BroadcastHashJoin [word" in bloom, bloom[:1500]
+    # the deny-list host index joins broadcast in both URL queries
+    _, url = plans["curation_url_canonicalize"]
+    assert "BroadcastHashJoin" in url, url[:1500]
+    _, fi = plans["curation_frontier_interleave"]
+    assert "BroadcastHashJoin [host" in fi, fi[:1500]
+
+
+def test_snapshot_diff_prunes_text_before_join(plans):
+    # both snapshot sides must reduce to (doc_id, sha2) below their
+    # exchange: the text column may appear only inside the hashing
+    # projection or the scan itself, never in the join/exchange layers
+    _, phys = plans["curation_snapshot_diff"]
+    assert "sha2" in phys and "FullOuter" in phys
+    for line in phys.splitlines():
+        if "text#" in line:
+            assert "sha2(" in line or "Scan parquet" in line, line
