@@ -1098,3 +1098,20 @@ def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+@register(
+    "ext_compression_ratio",
+    survey_ref=(
+        "[EXT] zlib compression-ratio quality signal (Gopher family): "
+        "Arrow mapInPandas + stdlib zlib — deterministic RFC 1950 "
+        "output length, but no SQL zlib exists -> rows-only gate; "
+        "discrimination pytest-pinned (tests/test_curate.py)"
+    ),
+)
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document compression ratio over the documents corpus. Low
+    ratio = templated/repetitive, near-1 = non-text noise; the quality
+    gate thresholds both tails."""
+    d = load(spark, sf_dir, "documents")
+    return curate.compression_ratio(d, "doc_id", "text")

@@ -463,3 +463,31 @@ def test_canonical_url_idempotent(spark, sf_dir):
         F.explode(F.array(canonical_url(F.col("url_canonical")))).alias("c2"),
     ).filter(F.col("c2") != F.col("url_canonical"))
     assert diffs.count() == 0, diffs.limit(5).collect()
+
+
+def test_compression_ratio_discriminates(spark):
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import compression_ratio
+
+    rows = [
+        (0, "spam " * 200),  # templated
+        (1, " ".join(f"w{i * 37 % 9973}x{i}" for i in range(200))),  # varied
+        (2, ""),  # empty: ratio over max(n,1), no crash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert got[0]["compression_ratio"] < 0.05
+    assert got[1]["compression_ratio"] > 3 * got[0]["compression_ratio"]
+    assert got[2]["n_bytes"] == 0 and got[2]["n_compressed"] > 0
+    # determinism across partitionings
+    again = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(
+            df.repartition(5), "doc_id", "text"
+        ).collect()
+    }
+    assert again == {k: v["compression_ratio"] for k, v in got.items()}
