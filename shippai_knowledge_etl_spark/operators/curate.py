@@ -996,7 +996,10 @@ def frontier_interleave(
     w_host = Window.partitionBy(host_col).orderBy(
         F.col(priority_col).desc(), F.col(id_col)
     )
-    hosts = df.select(host_col).distinct()
+    # persist the distinct-host dim: both the count() action and the
+    # host_idx window consume it — without the cache the full-corpus
+    # distinct aggregation would run twice
+    hosts = df.select(host_col).distinct().persist()
     w_dim = Window.orderBy(host_col)  # bounded dim: distinct hosts only
     host_idx = hosts.select(
         host_col, F.row_number().over(w_dim).alias("__hidx")

@@ -30,6 +30,7 @@ def pagerank(
     n_iters: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int = 1,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (``nodes``: col ``id``;
     ``edges``: cols ``src``, ``dst``), returning (id, rank_scaled).
@@ -50,11 +51,16 @@ def pagerank(
     """
     edges = edges.filter(F.col("src") != F.col("dst"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = nodes.count()
+    n = nodes.count() if n_nodes is None else n_nodes
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_scaled"))
     base = SCALE // n
     reset = (base * (100 - damping_pct)) // 100
     ranks = nodes.select("id", F.lit(base).alias("rank_scaled"))
-    deg_edges = edges.join(outdeg, "src")  # broadcast-or-shuffle by AQE
+    # persist: every iteration re-joins this; without it each round
+    # would re-run the edge scan + outdegree agg from source (the same
+    # reason dedup.connected_components persists its edge list)
+    deg_edges = edges.join(outdeg, "src").persist()
     for i in range(n_iters):
         contribs = (
             deg_edges.join(
@@ -81,4 +87,8 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
+    # eager final checkpoint: materializes the state (and any pending
+    # lazy checkpoints) so the cached edge list can be released now
+    ranks = ranks.localCheckpoint(eager=True)
+    deg_edges.unpersist()
     return ranks

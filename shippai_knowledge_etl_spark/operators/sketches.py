@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 # Bloom geometry: 4 salted hashes into 2^16 bit positions, packed as
 # 4096 words x 16 bits. For n distinct keys the false-positive rate is
-# (1 - e^(-4n/65536))^4 — ~1e-4 at n=1000, ~2.4e-2 at n=8192. Callers
-# with bigger key sets scale BLOOM_HEX (5 hex chars = 2^20 bits, etc.);
-# the construction below is geometry-independent.
+# (1 - e^(-4n/65536))^4 — ~1.2e-5 at n=1000, ~2.4e-2 at n=8192.
+# Callers with bigger key sets scale BLOOM_HEX (5 hex chars = 2^20
+# bits, etc.); the construction below is geometry-independent.
 BLOOM_K = 4
 BLOOM_HEX = 4  # hex chars per position: 2^(4*BLOOM_HEX) bits total
 
@@ -53,6 +53,18 @@ def _word_and_mask(pos: Column) -> tuple[Column, Column]:
     return word, mask
 
 
+def _bloom_cells(val: Column) -> Column:
+    """All K (word, mask) cells of a value, as one array column — the
+    SINGLE definition both build and probe explode, so the geometry can
+    never desynchronize between them (the DuckDB mirrors are
+    queries/sketches.py _BF_WORD/_BF_MASK)."""
+    cells = []
+    for j in range(BLOOM_K):
+        word, mask = _word_and_mask(_bloom_pos(val, j))
+        cells.append(F.struct(word.alias("word"), mask.alias("mask")))
+    return F.array(*cells)
+
+
 def bloom_build(df: DataFrame, col: str) -> DataFrame:
     """Build a Bloom filter over the values of ``col`` as a sparse
     (word, bits) table — at most 4096 rows at ANY corpus scale.
@@ -62,16 +74,8 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
     input partition reduces to <=4096 rows before the single sketch-
     sized shuffle; unioning two filters and re-running the same
     ``groupBy(word).agg(bit_or)`` IS the merge operation."""
-    cells = F.array(
-        *[
-            F.struct(*(
-                lambda w, m: (w.alias("word"), m.alias("mask"))
-            )(*_word_and_mask(_bloom_pos(F.col(col), j))))
-            for j in range(BLOOM_K)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(F.explode(_bloom_cells(F.col(col))).alias("c"))
         .groupBy(F.col("c.word").alias("word"))
         .agg(F.bit_or(F.col("c.mask")).alias("bits"))
     )
@@ -90,15 +94,9 @@ def bloom_might_contain(
     would silently drop definitely-absent keys instead of answering
     false), and bool_and's back to one row per probe. The only shuffle
     is the final per-key regroup, which partial-aggregates map-side."""
-    cells = F.array(
-        *[
-            F.struct(*(
-                lambda w, m: (w.alias("word"), m.alias("mask"))
-            )(*_word_and_mask(_bloom_pos(F.col(col), j))))
-            for j in range(BLOOM_K)
-        ]
-    )
-    pr = probes.select(col, *carry, F.explode(cells).alias("c")).select(
+    pr = probes.select(
+        col, *carry, F.explode(_bloom_cells(F.col(col))).alias("c")
+    ).select(
         col, *carry, F.col("c.word").alias("word"), F.col("c.mask").alias("mask")
     )
     hit = (

@@ -276,7 +276,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
-    ranks = pagerank(nodes, edges, n_iters=3)
+    ranks = pagerank(nodes, edges, n_iters=3, n_nodes=n)
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
     )

@@ -48,7 +48,7 @@ def _run(q):
 def test_streaming_hll_matches_oneshot(spark, sf_dir, two_batch_stream, tmp_path):
     events, _src = two_batch_stream
     state = str(tmp_path / "hll_state")
-    out = str(tmp_path / "hll_out.jsonl")
+    out = str(tmp_path / "hll_out")
     _run(
         SS.streaming_hll_distinct(
             spark, events, state, str(tmp_path / "ckpt_hll"), out
@@ -56,6 +56,14 @@ def test_streaming_hll_matches_oneshot(spark, sf_dir, two_batch_stream, tmp_path
     )
     versions = sorted(os.listdir(state))
     assert len(versions) == 2, versions  # two real micro-batches
+    # per-batch estimate history survives (batch 1 must not erase batch 0)
+    est_files = sorted(os.listdir(out))
+    assert est_files == ["estimates_00000.jsonl", "estimates_00001.jsonl"]
+    # replay safety: the prior state for batch 1 is batch 0's version,
+    # never batch 1's own (half-written) one
+    prior = SS._prior_state(spark, state, "regs_", 1)
+    assert prior is not None
+    assert SS._prior_state(spark, state, "regs_", 0) is None
     final = spark.read.parquet(os.path.join(state, versions[-1]))
 
     oneshot = sketches.hll_register_rows(
@@ -68,7 +76,10 @@ def test_streaming_hll_matches_oneshot(spark, sf_dir, two_batch_stream, tmp_path
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
-    lines = [json.loads(l) for l in open(out)]
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(out, est_files[-1]))
+    ]
     exact = {
         r["event_type"]: r["n"]
         for r in load(spark, sf_dir, "events")
