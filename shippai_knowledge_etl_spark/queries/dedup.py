@@ -341,3 +341,79 @@ def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_set("anchor")), 1, 20)
         ).alias("anchors"),
     )
+
+
+@register(
+    "dedup_edit_distance",
+    survey_ref=(
+        "[EXT] edit-distance near-dup verify: blocked candidate pairs "
+        "(source + token-count bucket) scored by JVM-side levenshtein — "
+        "the character-level verify stage for candidates too short for "
+        "shingle Jaccard to be meaningful"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    docs AS (
+      SELECT doc_id, text, source,
+             len(list_filter(str_split(trim(regexp_replace(lower(text),
+               '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '), x -> x <> ''))
+               // 8 AS len_bucket
+      FROM planted),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS edit_dist,
+             greatest(length(a.text), length(b.text)) AS max_len
+      FROM docs a JOIN docs b
+        ON a.source = b.source AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(edit_dist AS INT) AS edit_dist,
+           round(1.0 - edit_dist / CAST(greatest(max_len, 1) AS DOUBLE), 6)
+             AS edit_sim
+    FROM pairs
+    WHERE 1.0 - edit_dist / CAST(greatest(max_len, 1) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-verified near-dup pairs over the planted-duplicate
+    corpus, candidates blocked by (source, token-count bucket).
+
+    Scale shape: blocking bounds the self-join exactly like
+    ``jaccard_pairs`` — pairs exist only within (source, bucket) cells,
+    so the join is an equi-join Catalyst hash-partitions on the block
+    key, never a cross product; ``levenshtein`` is a JVM builtin
+    (O(len^2) per pair — this stage is for SHORT texts; long-text
+    near-dup goes through MinHash->Jaccard, where cost is linear in
+    shingles). Planted exact copies score edit_sim = 1.0."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    df = documents_with_planted_dups(spark, sf_dir)
+    n_toks = F.size(tokenize(F.col("text")))
+    docs = df.select(
+        "doc_id",
+        "text",
+        "source",
+        F.floor(n_toks / 8).alias("len_bucket"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        F.greatest(
+            F.length(F.col("a.text")), F.length(F.col("b.text"))
+        ).alias("max_len"),
+    )
+    sim = 1.0 - F.col("edit_dist") / F.greatest(F.col("max_len"), F.lit(1)).cast(
+        "double"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("edit_dist").cast("int"),
+        F.round(sim, 6).alias("edit_sim"),
+    ).filter(F.round(sim, 6) >= 0.8)
