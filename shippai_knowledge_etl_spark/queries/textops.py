@@ -224,3 +224,86 @@ def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winnow_fps"
         ),
     )
+
+
+_TR_STEP = """
+    c{i} AS (
+      SELECT e.dst, sum(r.r // o.outdeg) AS inflow
+      FROM edges e JOIN outdeg o USING (src) JOIN r{p} r ON r.id = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nodes.id,
+             ((1000000000000 // (SELECT count(*) FROM nodes)) * 15) // 100
+               + (85 * COALESCE(c{i}.inflow, 0)) // 100 AS r
+      FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.id)
+"""
+
+
+@register(
+    "ext_textrank_keywords",
+    survey_ref=(
+        "[EXT] TextRank keyword extraction (Mihalcea & Tarau 2004): "
+        "PageRank over the token co-occurrence graph — composition of "
+        "operators/graph.py with the tokenizer; co-occurrence counts "
+        "act as edge weights via row multiplicity; scaled-integer "
+        "arithmetic keeps the 3-iteration run exactly oracle-checkable"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    bi AS (SELECT doc_id, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM ex),
+    e0 AS (SELECT tok AS src, nxt AS dst FROM bi WHERE nxt IS NOT NULL
+           UNION ALL
+           SELECT nxt, tok FROM bi WHERE nxt IS NOT NULL),
+    edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT tok AS id FROM ex),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1000000000000 // (SELECT count(*) FROM nodes) AS r
+           FROM nodes),
+    {",".join(_TR_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))}
+    SELECT id AS keyword, CAST(r AS BIGINT) AS rank_scaled
+    FROM r3 ORDER BY r DESC, id LIMIT 50
+    """,
+)
+def ext_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus keywords by TextRank: undirected token
+    co-occurrence edges (adjacent tokens, both directions, multiplicity
+    = weight) fed to the integer-exact PageRank operator.
+
+    Scale shape: the edge build is one posexplode + per-doc lead window
+    (doc-keyed shuffle); the vocabulary graph that iterates is
+    VOCABULARY-sized, not corpus-sized — the 100 TB corpus reduces to
+    a few-million-node word graph before any iteration. Top-k is a
+    TakeOrderedAndProject with (rank, keyword) tie-break so the
+    LIMIT set is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    from shippai_knowledge_etl_spark.operators.graph import pagerank
+
+    ex = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(textops.tokenize(F.col("text"))).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("tok", "nxt")
+    )
+    e0 = bi.select(F.col("tok").alias("src"), F.col("nxt").alias("dst")).unionAll(
+        bi.select(F.col("nxt").alias("src"), F.col("tok").alias("dst"))
+    )
+    nodes = ex.select(F.col("tok").alias("id")).distinct()
+    n = nodes.count()
+    ranks = pagerank(nodes, e0, n_iters=3, n_nodes=n)
+    return (
+        ranks.select(F.col("id").alias("keyword"), F.col("rank_scaled").cast("long"))
+        .orderBy(F.col("rank_scaled").desc(), "keyword")
+        .limit(50)
+    )

@@ -349,3 +349,52 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "w9_rolling_range_window",
+    survey_ref=(
+        "§2.9-adjacent (beyond-reference built-in): event-time RANGE "
+        "window — rolling 1-hour per-user sum/count framed by VALUE "
+        "(rangeBetween), not row position; the frame is a pure function "
+        "of the timestamp so ties and partitioning can't change it"
+    ),
+    oracle="""
+    -- floor(epoch), not CAST: DuckDB CAST rounds fractional seconds
+    -- while Spark unix_timestamp floors
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+             AS rolling_sum,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w9_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour window per user over event time using
+    ``rangeBetween`` — the value-framed window form (rows-framed W5/W7
+    cover the positional form). DECIMAL inside, rounded DOUBLE at the
+    gate boundary; the window shuffle is user-partitioned, never
+    global. At 100 TB this is the 'recent activity per key' primitive:
+    state per partition is one sort run, and AQE handles user skew."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ts_epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_epoch.alias("ts_epoch"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"),
+            4,
+        ).alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )
