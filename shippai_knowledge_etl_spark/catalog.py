@@ -124,7 +124,12 @@ DRIVER_WINDOW = (
     "run_pipeline_e2e",
     "ext_token_counts",
     "ext_tfidf",
-    "dedup_exact",
+    # dedup_exact rotated out (exact dedup stays witnessed in-window by
+    # curation_pipeline_e2e, whose first stage IS the sha2 hash-group
+    # dedup, and it remains the bench headline); the slot pins the
+    # Bloom-filter membership flagship — a full hash-match gate over
+    # the packed-bit-word construction including its false positives
+    "ext_bloom_membership",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # the BLAS mapInPandas form is the 100 TB scale path AND measured
