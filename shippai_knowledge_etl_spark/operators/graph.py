@@ -92,3 +92,78 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     deg_edges.unpersist()
     return ranks
+
+
+def pagerank_until(
+    nodes: DataFrame,
+    edges: DataFrame,
+    tol_scaled: int = 1_000_000,  # 1e-6 in rank units
+    max_iters: int = 50,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Convergence-terminated PageRank: iterate single rounds (each via
+    :func:`pagerank` with the shared integer arithmetic) until the max
+    per-node rank change falls below ``tol_scaled`` or ``max_iters`` is
+    hit — raising if it never converges, the same loud-failure contract
+    as ``dedup.connected_components``.
+
+    The convergence probe is a 1-row driver collect per round (join old
+    vs new on id, global max of |delta| — a map-side-combined agg), the
+    documented legitimate collect pattern. Fixed-iteration callers who
+    need oracle checkability use :func:`pagerank` directly; this form
+    is for production runs where iteration count is data-dependent.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_scaled"))
+    ranks = nodes.select(
+        "id", F.lit(SCALE // n).alias("rank_scaled")
+    ).localCheckpoint(eager=True)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg_edges = edges.join(outdeg, "src").persist()
+    reset = ((SCALE // n) * (100 - damping_pct)) // 100
+    try:
+        for _ in range(max_iters):
+            contribs = (
+                deg_edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                .select(
+                    "dst", F.expr("rank_scaled div outdeg").alias("contrib")
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            new_ranks = (
+                nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(reset)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                        )
+                    ).alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(
+                    F.max(
+                        F.abs(
+                            F.col("n.rank_scaled") - F.col("o.rank_scaled")
+                        )
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol_scaled:
+                return ranks
+    finally:
+        deg_edges.unpersist()
+    raise RuntimeError(
+        f"pagerank_until: no convergence to {tol_scaled} within "
+        f"{max_iters} iterations"
+    )

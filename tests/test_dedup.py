@@ -210,3 +210,30 @@ def test_pagerank_mass_and_ordering(spark):
     assert hub > 3 * ranks[10], (hub, ranks[10])
     total = sum(ranks.values())
     assert 0.80 * SCALE < total <= SCALE  # floor residue only shrinks mass
+
+
+def test_pagerank_until_converges_and_matches_fixed(spark):
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import (
+        pagerank,
+        pagerank_until,
+    )
+
+    n = 30
+    nodes = spark.range(n).select(F.col("id"))
+    base = spark.range(n)
+    edges = base.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    ).unionAll(
+        base.select(F.col("id").alias("src"), ((F.col("id") * 3 + 1) % n).alias("dst"))
+    )
+    conv = {r["id"]: r["rank_scaled"] for r in pagerank_until(nodes, edges).collect()}
+    assert len(conv) == n
+    # a long fixed run lands within tolerance of the converged state
+    fixed = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(nodes, edges, n_iters=40, checkpoint_every=5).collect()
+    }
+    for k in conv:
+        assert abs(conv[k] - fixed[k]) <= 2_000_000, (k, conv[k], fixed[k])
