@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.curation",
     "shippai_knowledge_etl_spark.queries.curate_ops",
     "shippai_knowledge_etl_spark.queries.simsearch",
+    "shippai_knowledge_etl_spark.queries.retrieval",
     "shippai_knowledge_etl_spark.queries.multimodal",
     "shippai_knowledge_etl_spark.queries.windows",
     "shippai_knowledge_etl_spark.queries.coverage",

@@ -1,0 +1,364 @@
+"""Full-text retrieval operators for RAG-style pipelines
+(SURVEY.md §2.11 [EXT], third wave).
+
+A training-data / RAG platform needs lexical retrieval next to the
+vector stack (``operators/simsearch.py``):
+
+  - :func:`bm25_topk` — Okapi BM25 scoring over an inverted-index
+    shape: tokenize → postings (doc, term, tf) → per-term document
+    frequency → score → top-k. The postings are filtered to the query
+    vocabulary BEFORE the tf aggregation, which is the relational
+    analogue of probing a term-bucketed inverted index at rest: only
+    the query terms' postings ever shuffle, everything else dies in
+    the scan stage.
+  - :func:`chunk_tokens` — sliding-window document chunking with
+    overlap (the standard RAG pre-embedding step). One tokenize pass,
+    chunk starts from ``sequence()`` + ``posexplode`` (codegen'd, no
+    lambda HOFs), chunk text via ``slice`` — a narrow per-row
+    expansion, no shuffle at all.
+  - :func:`sign_pack64` / :func:`hamming_topk` — 64-dim sign
+    quantization packed into two 32-bit words and Hamming-distance
+    top-k via ``bit_count(xor)``. Integer-exact end to end, so unlike
+    cosine it is byte-reproducible on any engine — the cheapest ANN
+    probe there is (2 longs per vector ≈ 64x smaller than float32).
+  - :func:`hybrid_candidates` — the two-stage hybrid pattern: BM25
+    candidate generation (cheap, lexical, index-prunable) followed by
+    exact cosine re-ranking of the small candidate set (semantic).
+
+Scale notes (100 TB):
+  - BM25: per-term df is vocabulary-sized after the query-vocab filter
+    (== len(query) rows) → broadcast; corpus-level stats (N, avgdl)
+    are a 1-row broadcast; the per-doc score is a fixed-order sum of
+    per-term pivots, so no double-summation nondeterminism and no
+    wide shuffle beyond the single postings aggregation.
+  - top-k everywhere via orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps, k-row driver merge).
+  - chunking/sign-packing are narrow maps: they pipeline into the
+    scan stage and scale linearly with input splits.
+
+Reference scope note: the reference pipeline (a scraper→JSON/PDF ETL)
+has no retrieval engine; this module is part of the beyond-reference
+LLM-pipeline surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+# Okapi defaults (Robertson & Walker; the values ES/Lucene ship).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _corpus_stats(doc_lens: DataFrame) -> DataFrame:
+    """1-row (n_docs, sum_dl) — integer-exact so avgdl = sum/n is the
+    SAME double on every engine/partitioning (a float avg() would not
+    be: double partial sums re-associate)."""
+    return doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-document BM25 score for a fixed query vocabulary.
+
+    Determinism contract (driver hash gate): the per-doc score is NOT
+    ``sum(weight)`` over postings rows — double summation order under
+    partial aggregation is engine/partitioning-dependent. Instead each
+    query term is pivoted to its own column with ``max(CASE ...)``
+    (exactly one posting per (doc, term), so max is an exact pick) and
+    the final score adds the per-term columns in fixed query order.
+    """
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    # inverted-index probe: only query-term postings survive the scan
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    # pivot to fixed-order addition (see docstring)
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"w_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy(id_col).agg(*pivots)
+    score = F.coalesce(F.col("w_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
+    return per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+
+
+def bm25_scores_dense(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Single-scan BM25 for a FIXED small query vocabulary — the shape
+    to use per query at 100 TB.
+
+    The postings form (:func:`bm25_scores`) is the general
+    inverted-index build, but as a per-query plan it reads the corpus
+    three times (postings, df, corpus stats). Here each query term's
+    tf becomes a COLUMN on the doc row via the lambda-free
+    ``size(toks) - size(array_remove(toks, term))`` counting trick
+    (codegen'd, narrow), so ONE scan yields (doc, dl, tf_0..tf_q); a
+    single map-side-combined global aggregate produces the 1-row
+    (n_docs, sum_dl, df_0..df_q) stats which broadcast back. Total
+    cost: one corpus scan, one 1-row exchange, zero wide shuffles.
+    Only viable when q is small (columns ∝ query terms) — exactly the
+    per-query case; the postings form remains the bulk-index path.
+    """
+    toks = tokenize(F.col(text_col))
+    tf_cols = [
+        (F.size("toks") - F.size(F.array_remove(F.col("toks"), t)))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, F.size("toks").cast("long").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") / F.col("n_docs")
+    )
+
+    def weight(i: int) -> Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        w = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return F.when(tf > 0, w).otherwise(F.lit(0.0))
+
+    score = weight(0)
+    for i in range(1, len(query_terms)):
+        score = score + weight(i)
+    any_hit = F.col("tf_0") > 0
+    for i in range(1, len(query_terms)):
+        any_hit = any_hit | (F.col(f"tf_{i}") > 0)
+    return scored.filter(any_hit).select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    dense: bool = True,
+) -> DataFrame:
+    """Top-k BM25: orderBy(rounded score desc, id) + limit →
+    TakeOrderedAndProject. Ordering on the ROUNDED score keeps the
+    k-boundary identical across engines. ``dense=True`` (default)
+    uses the single-scan per-query plan; the postings form produces
+    bit-identical scores (pytest cross-checked), so both verify
+    against the same oracle."""
+    form = bm25_scores_dense if dense else bm25_scores
+    scores = form(df, id_col, text_col, query_terms, k1, b)
+    return scores.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping token-window chunks: starts 0, stride, 2*stride …
+    while start < n_tokens; the final chunk may be short (standard RAG
+    chunker contract). Empty/all-separator docs yield no chunks."""
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - F.lit(1), F.lit(stride)
+    )
+    return (
+        base.select(
+            id_col,
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(F.col("toks"), F.col("start") + 1, width).alias("c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("c").cast("long").alias("chunk_tokens"),
+            F.concat_ws(" ", "c").alias("chunk_text"),
+        )
+    )
+
+
+def sign_pack64(vec: Column) -> tuple[Column, Column]:
+    """Pack the signs of a 64-dim vector into two 32-bit words
+    (lo = dims 1..32, hi = dims 33..64) held in longs. Two words
+    instead of one keep every bit out of the BIGINT sign position, so
+    the packed value is identical on any engine. Strictly-positive
+    test keeps ties (0.0) deterministic."""
+
+    def word(lo_dim: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for i in range(32):
+            bit = F.when(
+                F.element_at(vec, lo_dim + i) > 0, F.lit(1 << i)
+            ).otherwise(0)
+            acc = acc + bit.cast("long")
+        return acc
+
+    return word(1), word(33)
+
+
+def hamming_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+) -> DataFrame:
+    """Hamming-distance top-k over sign-quantized signatures.
+
+    The corpus is reduced to (id, 2 longs) — a 64x compression of
+    float32[64] — and the query row broadcasts, so at 100 TB the scan
+    reads the slim signature projection only and never shuffles.
+    Integer-exact: no float tolerance needed anywhere."""
+    lo, hi = sign_pack64(F.col(vec_col))
+    sigs = emb.select(F.col(id_col), lo.alias("lo"), hi.alias("hi"))
+    q = (
+        sigs.filter(F.col(id_col) == query_id)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("lo").alias("qlo"),
+            F.col("hi").alias("qhi"),
+        )
+    )
+    return (
+        sigs.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).cast("long").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_candidates(
+    docs: DataFrame,
+    emb: DataFrame,
+    doc_id_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: tuple[str, ...],
+    query_vec_id: int,
+    n_candidates: int,
+    k: int,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 lexical candidate generation
+    (index-prunable, cheap) → exact cosine re-rank of the candidate
+    set (semantic, expensive but now candidate-bounded).
+
+    The candidate set (n_candidates rows) broadcasts into the
+    embedding join, so the full embedding corpus is filtered by a
+    broadcast semi-probe — never shuffled. Final ranking is cosine;
+    BM25 rides along for inspection."""
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    cand = bm25_topk(docs, doc_id_col, "text", query_terms, n_candidates)
+    qv = emb.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    cand_vecs = emb.join(
+        F.broadcast(cand), emb[vec_id_col] == cand[doc_id_col]
+    ).select(F.col(vec_id_col).alias("doc_id"), "bm25", vec_col)
+    return (
+        cand_vecs.crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,169 @@
+"""Lexical / hybrid retrieval query surface (SURVEY.md §2.11 [EXT]).
+
+BM25 inverted-index top-k, RAG chunking with overlap, Hamming-distance
+sign-signature search, and two-stage hybrid (BM25 candidates → cosine
+re-rank). All oracle-checked: BM25/cosine doubles follow the repo's
+round(6)-on-both-sides discipline; Hamming is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import retrieval
+from shippai_knowledge_etl_spark.tables import load
+
+# DuckDB-side mirror of textops.tokenize (RE2 shares Java's \p classes).
+_TOKS = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+QUERY_TERMS = ("spark", "join", "window")
+CHUNK_W, CHUNK_S = 32, 24
+
+# Shared BM25 CTE chain (Okapi, k1=1.2 b=0.75) — expression order
+# mirrors operators/retrieval.bm25_scores token for token so doubles
+# agree pre-round; round(6) absorbs the last-ulp ln() divergence.
+_BM25_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    docs AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+    postings AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+      WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    weights AS (
+      SELECT p.doc_id, p.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25
+                  + 0.75 * p.dl / (s.sum_dl / s.n_docs))) AS w
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s),
+    bm25 AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w END), 0),
+                 6) AS bm25
+      FROM weights GROUP BY doc_id)
+"""
+
+
+@register(
+    "ext_bm25_topk",
+    survey_ref="[EXT] BM25 inverted-index top-k retrieval (SURVEY §2.11); "
+    "postings filtered to the query vocabulary pre-aggregation = the "
+    "relational form of probing a term-bucketed index",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query, dense single-scan form:
+    per-term tf as codegen'd columns, one 1-row stats broadcast, zero
+    wide shuffles (vs 3 corpus scans for the naive postings plan).
+    Per-doc score is a fixed-order sum of per-term weights — no
+    double-summation nondeterminism, so the exact hash gate holds at
+    any parallelism. The general inverted-index form is
+    ``operators.retrieval.bm25_scores`` (bit-identical, pytest
+    cross-checked in test_retrieval.py)."""
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, "doc_id", "text", QUERY_TERMS, 10)
+
+
+@register(
+    "ext_chunk_overlap",
+    survey_ref="[EXT] RAG chunking: overlapping token windows "
+    f"(width {CHUNK_W}, stride {CHUNK_S}) via sequence+posexplode+slice — "
+    "narrow per-row expansion, zero shuffle",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 25 = 0),
+    nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_S})) AS start
+      FROM nz)
+    SELECT doc_id,
+           CAST(start // {CHUNK_S} AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(t, start + 1, start + {CHUNK_W})) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(list_slice(t, start + 1, start + {CHUNK_W}), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunks over every 25th doc (gate-sized output);
+    the last chunk of a doc may be short — standard RAG contract."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return retrieval.chunk_tokens(d, "doc_id", "text", CHUNK_W, CHUNK_S)
+
+
+@register(
+    "simsearch_hamming_topk",
+    survey_ref="[EXT] sign-quantized Hamming top-k: 64-dim float32 → two "
+    "32-bit words (64x compression), distance = bit_count(xor) — the "
+    "integer-exact ANN probe; unlike cosine it needs NO float tolerance",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 32)) AS i),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN e.embedding[i.i + 1] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN e.embedding[i.i + 33] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS hi
+      FROM embeddings e CROSS JOIN idx i
+      GROUP BY e.vec_id),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+          FROM sig WHERE vec_id = 0)
+    SELECT q.query_id, s.vec_id,
+           CAST(bit_count(xor(s.lo, q.qlo))
+              + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS hamming
+    FROM sig s, q WHERE s.vec_id <> 0
+    ORDER BY hamming ASC, s.vec_id ASC LIMIT 10
+    """,
+)
+def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-10 from vec_id 0 over packed sign signatures. The
+    corpus shrinks to (id, 2 longs) before any join/sort — at 100 TB
+    the signature projection is what the scan reads."""
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.hamming_topk(e, "vec_id", "embedding", 0, 10)
+
+
+@register(
+    "retrieval_hybrid",
+    survey_ref="[EXT] two-stage hybrid retrieval flagship: BM25 candidate "
+    "generation (50 lexical candidates, index-prunable) → exact cosine "
+    "re-rank of the broadcast-bounded candidate set — the standard "
+    "RAG retrieval composition",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cand AS (
+      SELECT doc_id, bm25 FROM bm25
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT emb_d AS qv FROM e WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25,
+           round(list_inner_product(a.emb_d, q.qv)
+                 / (sqrt(list_inner_product(a.emb_d, a.emb_d))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+    FROM cand c JOIN e a ON a.vec_id = c.doc_id CROSS JOIN q
+    ORDER BY sim DESC, c.doc_id ASC LIMIT 10
+    """,
+)
+def retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 candidates re-ranked by exact cosine to the query
+    vector (vec_id 0; doc_id ↔ vec_id aligned in the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_candidates(
+        d, e, "doc_id", "vec_id", "embedding", QUERY_TERMS, 0, 50, 10
+    )

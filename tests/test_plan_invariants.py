@@ -56,6 +56,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "simsearch_topk_cosine",  # 1-row query embedding
     "simsearch_ivf_kmeans",  # k centroid rows
     "dedup_semantic",  # same k-centroid assign as ivf_kmeans
+    "ext_bm25_topk",  # 1-row corpus stats (N, sum_dl) factor
+    "retrieval_hybrid",  # 1-row stats + 1-row query embedding
+    "simsearch_hamming_topk",  # 1-row query signature
 }
 
 

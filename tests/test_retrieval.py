@@ -1,0 +1,92 @@
+"""Retrieval surface: BM25 form equivalence, chunking contract,
+Hamming/hybrid invariants. Oracle parity for the registered queries is
+covered by test_oracle_parity.py; these pin the operator-level
+contracts the oracles can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators import retrieval
+from shippai_knowledge_etl_spark.tables import load
+
+TERMS = ("spark", "join", "window")
+
+
+def test_bm25_dense_matches_postings_form(spark, sf_dir):
+    """The single-scan dense plan and the inverted-index postings plan
+    are two physical strategies for the same math — scores must agree
+    bit for bit (same operand order), not just post-round."""
+    d = load(spark, sf_dir, "documents")
+    dense = retrieval.bm25_scores_dense(d, "doc_id", "text", TERMS)
+    postings = retrieval.bm25_scores(d, "doc_id", "text", TERMS)
+    a = {r["doc_id"]: r["bm25"] for r in dense.collect()}
+    b = {r["doc_id"]: r["bm25"] for r in postings.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bm25_scores_positive_and_bounded(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rows = retrieval.bm25_topk(d, "doc_id", "text", TERMS, 10).collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_chunk_tokens_covers_and_overlaps(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70))), (2, "a b"), (3, " ")],
+        "id long, text string",
+    )
+    out = retrieval.chunk_tokens(df, "id", "text", 32, 24)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 70 tokens -> starts 0,24,48 -> lens 32,32,22
+    assert [rows[(1, i)]["chunk_tokens"] for i in range(3)] == [32, 32, 22]
+    # consecutive chunks overlap by width - stride tokens
+    c0 = rows[(1, 0)]["chunk_text"].split()
+    c1 = rows[(1, 1)]["chunk_text"].split()
+    assert c0[24:] == c1[:8]
+    # short doc -> one short chunk; empty doc -> no chunks
+    assert rows[(2, 0)]["chunk_tokens"] == 2
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_chunk_tokens_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        retrieval.chunk_tokens(df, "id", "text", 0, 8)
+    with pytest.raises(ValueError):
+        retrieval.chunk_tokens(df, "id", "text", 8, 0)
+
+
+def test_hamming_topk_planted_duplicate_wins(spark, sf_dir):
+    """A planted exact copy has Hamming distance 0 and must rank
+    first; distances are monotone down the list."""
+    e = load(spark, sf_dir, "embeddings")
+    copy = e.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(copy)
+    rows = retrieval.hamming_topk(corpus, "vec_id", "embedding", 0, 5).collect()
+    assert rows[0]["vec_id"] == 999999 and rows[0]["hamming"] == 0
+    dists = [r["hamming"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_hybrid_reranks_within_candidates(spark, sf_dir):
+    """Hybrid output ⊆ BM25 candidate set, ranked by cosine."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    cand_ids = {
+        r["doc_id"]
+        for r in retrieval.bm25_topk(d, "doc_id", "text", TERMS, 50).collect()
+    }
+    rows = retrieval.hybrid_candidates(
+        d, e, "doc_id", "vec_id", "embedding", TERMS, 0, 50, 10
+    ).collect()
+    assert len(rows) == 10
+    assert {r["doc_id"] for r in rows} <= cand_ids
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
