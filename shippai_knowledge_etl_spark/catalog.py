@@ -95,7 +95,13 @@ DRIVER_WINDOW = (
     "ext_quality_repetition",
     "f8_f9_cleanup_url",
     "f13_results_sequence",
-    "f14_f17_label_json",
+    # f14_f17_label_json rotated out (F14 zero-pad stays witnessed
+    # in-window by f2_f11_casualty_filename's filename roundtrip and
+    # F17 to_json by the many in-window queries that serialize array
+    # output via to_json, e.g. case_assembly/w3_layout_suite); the
+    # slot pins the integer-exact Hamming ANN probe, previously
+    # driver-unwitnessed
+    "simsearch_hamming_topk",
     "f15_f19_p9_geometry",
     "f18_json_extract",
     "p1_case_id_extract",
@@ -123,7 +129,13 @@ DRIVER_WINDOW = (
     "p12_conditional_sections",
     "a3_manifest_collect",
     "run_pipeline_e2e",
-    "ext_token_counts",
+    # ext_token_counts rotated out (token counting stays witnessed
+    # in-window by ext_quality_repetition's tokenize/count columns and
+    # the curation pipeline's quality gate; it remains a bench
+    # headline); the slot pins the two-stage hybrid retrieval
+    # flagship, whose plan contains the full dense-BM25 chain — so
+    # ext_bm25_topk is pass-via through it
+    "retrieval_hybrid",
     "ext_tfidf",
     # dedup_exact rotated out (exact dedup stays witnessed in-window by
     # curation_pipeline_e2e, whose first stage IS the sha2 hash-group

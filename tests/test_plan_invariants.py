@@ -165,3 +165,27 @@ def test_snapshot_diff_prunes_text_before_join(plans):
     for line in phys.splitlines():
         if "text#" in line:
             assert "sha2(" in line or "Scan parquet" in line, line
+
+
+def test_bm25_dense_single_scan_no_wide_shuffle(plans):
+    # the dense per-query BM25 plan: per-term tf columns + one 1-row
+    # stats broadcast. The ONLY exchanges allowed are the global-agg
+    # SinglePartition pair and the broadcast — never a hashpartitioning
+    # of doc-level rows
+    _, phys = plans["ext_bm25_topk"]
+    assert "hashpartitioning" not in phys, phys[:2000]
+    assert "TakeOrderedAndProject" in phys, phys[:1500]
+
+
+def test_chunking_is_shuffle_free(plans):
+    # chunking is a narrow per-row expansion: no Exchange of any kind
+    _, phys = plans["ext_chunk_overlap"]
+    assert "Exchange" not in phys, phys[:1500]
+
+
+def test_hamming_corpus_side_never_shuffles(plans):
+    # signatures are computed in the scan stage and top-k'd directly:
+    # no hashpartitioning exchange; query side broadcasts
+    _, phys = plans["simsearch_hamming_topk"]
+    assert "hashpartitioning" not in phys, phys[:2000]
+    assert "BroadcastExchange" in phys and "TakeOrderedAndProject" in phys
