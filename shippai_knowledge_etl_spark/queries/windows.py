@@ -398,3 +398,33 @@ def w9_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_sum"),
         F.count(F.lit(1)).over(w).alias("rolling_n"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    survey_ref="§2.10 [EXT] stream-static enrichment join (batch=streaming "
+    "code; true streaming execution in tests/test_streaming.py): events → "
+    "broadcast customer dim → broadcast nation dim → keyed aggregate",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, batch-checked: the SAME function the
+    streaming test runs against readStream events. Both dims broadcast
+    (no state store, no stream-side shuffle before the final keyed
+    aggregate — the third §2.10 join shape next to stream-stream and
+    batch J1)."""
+    from shippai_knowledge_etl_spark.streaming.joins import enriched_nation_counts
+
+    return enriched_nation_counts(
+        load(spark, sf_dir, "events"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )

@@ -56,3 +56,40 @@ def click_purchase_pairs(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).alias("lag_s"),
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static enrichment join — the third §2.10 join shape next
+    to stream-stream (above) and batch lookup (J1). The static side is
+    explicitly broadcast: Spark re-plans the static relation per
+    micro-batch, and broadcasting keeps the stream side shuffle-free
+    (no state store at all — unlike stream-stream, a stream-static
+    inner join needs no watermark because the static side never
+    grows). At 100 TB-of-stream the dimension rides in the task
+    closure exactly like J1's lookup table."""
+    return events.join(F.broadcast(dim), events[key] == dim[dim_key], "inner")
+
+
+def enriched_nation_counts(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation event counts over the enriched stream: events →
+    customer (user_id = c_custkey) → nation, both dims broadcast; the
+    only stateful operator is the final streaming aggregate, keyed by
+    the (tiny) nation dimension."""
+    e = enrich_with_dim(
+        events, customer.select("c_custkey", "c_nationkey"), "user_id", "c_custkey"
+    )
+    e = enrich_with_dim(
+        e, nation.select("n_nationkey", "n_name"), "c_nationkey", "n_nationkey"
+    )
+    return e.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # DECIMAL internally → exact under any partial-agg order; emit
+        # double at the boundary (repo hash-gate discipline)
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_value"),
+    )

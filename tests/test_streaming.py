@@ -110,3 +110,37 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     }
     assert expected, "corpus should contain at least one pair"
     assert got == expected
+
+
+@pytest.mark.slow
+def test_stream_static_enrich_runs_as_stream(spark, sf_dir, tmp_path):
+    """The stream-static enrichment join must execute as a REAL stream
+    (static dims re-planned per micro-batch, no watermark needed) and
+    agree with the batch form of the same function."""
+    from shippai_knowledge_etl_spark.streaming.joins import enriched_nation_counts
+    from shippai_knowledge_etl_spark.tables import load, stream_events
+
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    out = enriched_nation_counts(stream_events(spark, sf_dir), customer, nation)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming query did not finish"
+    got = {
+        r["n_name"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        r["n_name"]: (r["n_events"], r["total_value"])
+        for r in enriched_nation_counts(
+            load(spark, sf_dir, "events"), customer, nation
+        ).collect()
+    }
+    assert got == want and len(got) > 0
