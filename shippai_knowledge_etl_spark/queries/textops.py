@@ -307,3 +307,27 @@ def ext_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), "keyword")
         .limit(50)
     )
+
+
+@register(
+    "ext_bpe_train",
+    survey_ref="[EXT] in-engine BPE tokenizer training (Sennrich et al. "
+    "2016): corpus → vocabulary-sized word histogram (the ONE corpus "
+    "shuffle) → N distributed pair-count rounds with 1-row argmax probes "
+    "— iterative, not SQL-expressible → rows-only at the driver gate; "
+    "merge-semantics parity with the published algorithm is pinned by the "
+    "pure-Python golden in tests/test_bpe.py",
+)
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 10 merges on the documents corpus and return the ordered
+    merge table. Deterministic at any parallelism (exact integer pair
+    counts, count-desc / pair-lexicographic tie-break), so the output
+    is stable even though the driver gate can only count rows."""
+    from shippai_knowledge_etl_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(bpe.word_histogram(d, "text"), 10)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
