@@ -235,16 +235,27 @@ def chunk_tokens(
     stride: int,
 ) -> DataFrame:
     """Overlapping token-window chunks: starts 0, stride, 2*stride …
-    while start < n_tokens; the final chunk may be short (standard RAG
-    chunker contract). Empty/all-separator docs yield no chunks."""
+    stopping at the FIRST chunk that reaches the end of the document
+    (last start = ceil((n - width)/stride)*stride, or 0 when n <=
+    width). The final chunk may be short; every other chunk has
+    exactly ``width`` tokens, and no chunk is a redundant suffix of
+    its predecessor — the property test caught the naive
+    starts-while-start<n geometry emitting strict sub-chunks for
+    short docs. Empty/all-separator docs yield no chunks."""
     if stride <= 0 or width <= 0:
         raise ValueError("width and stride must be positive")
     toks = tokenize(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
+    n = F.size("toks")
+    last_start = F.when(
+        n > width,
+        F.floor((n - F.lit(width) + F.lit(stride - 1)) / F.lit(stride))
+        * stride,
+    ).otherwise(F.lit(0)).cast("long")
     starts = F.sequence(
-        F.lit(0), F.size("toks") - F.lit(1), F.lit(stride)
+        F.lit(0).cast("long"), last_start, F.lit(stride).cast("long")
     )
     return (
         base.select(

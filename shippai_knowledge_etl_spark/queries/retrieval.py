@@ -86,10 +86,18 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 25 = 0),
-    nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    bounded AS (
+      SELECT doc_id, t,
+             CASE WHEN n > {CHUNK_W}
+                  THEN ((n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S})
+                       * {CHUNK_S}
+                  ELSE 0 END AS last_start
+      FROM nz),
     starts AS (
-      SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_S})) AS start
-      FROM nz)
+      SELECT doc_id, t,
+             unnest(range(0, last_start + 1, {CHUNK_S})) AS start
+      FROM bounded)
     SELECT doc_id,
            CAST(start // {CHUNK_S} AS INTEGER) AS chunk_idx,
            CAST(len(list_slice(t, start + 1, start + {CHUNK_W})) AS BIGINT)

@@ -117,3 +117,71 @@ def test_renumber_dense_and_partition_exhaustive(spark, sf_dir):
     total = v.count()
     by = dict(v.groupBy("status").count().collect())
     assert sum(by.values()) == total  # exhaustive + disjoint
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.integers(min_value=1, max_value=8),
+    overlap=st.integers(min_value=0, max_value=7),
+)
+@_slow
+def test_chunking_covers_exactly_with_overlap(spark, words, width, overlap):
+    """RAG chunker invariants for any (width, stride) geometry:
+    dropping the first (width - stride) tokens of every non-first
+    chunk reconstructs the document exactly — no loss, no duplication
+    — and every chunk except the last has exactly `width` tokens."""
+    from shippai_knowledge_etl_spark.operators.retrieval import chunk_tokens
+
+    stride = max(1, width - overlap)
+    df = spark.createDataFrame([(1, " ".join(words))], "id long, text string")
+    rows = sorted(
+        chunk_tokens(df, "id", "text", width, stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["chunk_tokens"]
+        if i < len(rows) - 1:
+            assert len(toks) == width
+        rebuilt.extend(toks if i == 0 else toks[width - stride:])
+    assert rebuilt == words
+
+
+@given(
+    freqs=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@_slow
+def test_bm25_idf_orders_rarer_terms_higher(spark, freqs):
+    """For equal tf and dl, a rarer query term must never score lower
+    than a more common one (BM25 idf monotonicity)."""
+    from shippai_knowledge_etl_spark.operators.retrieval import bm25_scores_dense
+
+    docs = [(i, w) for i, (w, f) in enumerate(freqs) for _ in range(f)]
+    df = spark.createDataFrame(
+        [(j, t) for j, (_, t) in enumerate(docs)], "doc_id long, text string"
+    )
+    terms = tuple(sorted({w for w, _ in freqs}))
+    out = bm25_scores_dense(df, "doc_id", "text", terms).collect()
+    score_by_word = {}
+    for r in out:
+        word = docs[r["doc_id"]][1]
+        score_by_word[word] = r["bm25"]
+    dfreq = {w: f for w, f in freqs}
+    ws = sorted(score_by_word)
+    for a in ws:
+        for b in ws:
+            if dfreq[a] < dfreq[b]:
+                assert score_by_word[a] >= score_by_word[b], (a, b)
