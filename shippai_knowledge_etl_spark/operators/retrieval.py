@@ -373,3 +373,79 @@ def hybrid_candidates(
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    n_candidates: int,
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple[int, float]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k of n_candidates maximizing
+    ``lam*rel(d) - (1-lam)*max_sim(d, selected)``.
+
+    Scale shape: relevance and the candidate×candidate similarity
+    matrix are both computed IN-ENGINE (broadcast query vector /
+    broadcast candidate set — the corpus is scanned once and never
+    shuffled); only the n_candidates-bounded score tables reach the
+    driver (n=50 → 50 rel rows + 1225 pair rows), where the O(k·n)
+    greedy loop runs — same bounded-driver-collect discipline as the
+    PQ codebooks and DSIR bucket table. Determinism: sims round to
+    6 dp and ties break by id, so the selection is a pure function of
+    the corpus.
+
+    Returns the ordered [(id, mmr_score)] selection.
+    """
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    rel_df = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            vec_col,
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    cand = rel_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    pair_rows = (
+        rel_df.crossJoin(
+            F.broadcast(cand)
+        )
+        .filter(F.col(id_col) < F.col("cid"))
+        .select(
+            F.col(id_col).alias("a"),
+            F.col("cid").alias("b"),
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
+        )
+        .collect()
+    )
+    rel = {r[id_col]: r["rel"] for r in rel_df.collect()}
+    pair = {}
+    for r in pair_rows:
+        pair[(r["a"], r["b"])] = r["sim"]
+        pair[(r["b"], r["a"])] = r["sim"]
+
+    selected: list[tuple[int, float]] = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for d in sorted(remaining):  # sorted → deterministic tie-break
+            penalty = max(
+                (pair[(d, s)] for s, _ in selected), default=0.0
+            )
+            score = round(lam * rel[d] - (1.0 - lam) * penalty, 6)
+            if best is None or score > best[1]:
+                best = (d, score)
+        selected.append(best)
+        remaining.discard(best[0])
+    return selected

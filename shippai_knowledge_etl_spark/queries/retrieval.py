@@ -175,3 +175,23 @@ def retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_candidates(
         d, e, "doc_id", "vec_id", "embedding", QUERY_TERMS, 0, 50, 10
     )
+
+
+@register(
+    "retrieval_mmr",
+    survey_ref="[EXT] MMR diversified re-ranking (Carbonell & Goldstein "
+    "1998): greedy lam*rel - (1-lam)*max-sim-to-selected over an "
+    "in-engine-scored, candidate-bounded set — iterative greedy, not "
+    "SQL-expressible → rows-only; diversity/reduction invariants "
+    "pytest-pinned in tests/test_retrieval.py",
+)
+def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 MMR selection (lam=0.7) from 50 cosine candidates of
+    vec_id 0. Deterministic: rounded sims + id tie-breaks make the
+    selection a pure function of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    picked = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10)
+    return spark.createDataFrame(
+        [(i, d, s) for i, (d, s) in enumerate(picked)],
+        "rank int, vec_id long, mmr_score double",
+    )

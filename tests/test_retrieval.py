@@ -90,3 +90,47 @@ def test_hybrid_reranks_within_candidates(spark, sf_dir):
     assert {r["doc_id"] for r in rows} <= cand_ids
     sims = [r["sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_mmr_lambda_one_is_plain_topk(spark, sf_dir):
+    """lam=1 removes the diversity penalty: the selection must equal
+    the plain cosine top-k in relevance order."""
+    from shippai_knowledge_etl_spark.operators.simsearch import topk_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    picked = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=1.0)
+    q = e.filter(F.col("vec_id") == 0)
+    plain = [r["vec_id"] for r in topk_cosine(e, q, 10).collect()]
+    assert [d for d, _ in picked] == plain
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """With lam<1 the selected set's mean pairwise cosine must not
+    exceed the plain top-k's (that is the entire point of MMR), and
+    the selection is deterministic across runs."""
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def mean_pairwise(ids):
+        sub = e.filter(F.col("vec_id").isin(list(ids))).select(
+            "vec_id", "embedding"
+        )
+        other = sub.select(
+            F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+        )
+        pairs = (
+            sub.crossJoin(F.broadcast(other))
+            .filter(F.col("vec_id") < F.col("b"))
+            .select(cosine(F.col("embedding"), F.col("eb")).alias("s"))
+            .collect()
+        )
+        return sum(r["s"] for r in pairs) / len(pairs)
+
+    mmr = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=0.5)
+    top = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=1.0)
+    assert mean_pairwise([d for d, _ in mmr]) <= mean_pairwise(
+        [d for d, _ in top]
+    )
+    again = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=0.5)
+    assert again == mmr
