@@ -80,6 +80,8 @@ def bm25_scores(
     (exactly one posting per (doc, term), so max is an exact pick) and
     the final score adds the per-term columns in fixed query order.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = tokenize(F.col(text_col))
     docs = df.select(F.col(id_col), toks.alias("toks")).select(
         id_col, "toks", F.size("toks").alias("dl")
@@ -155,6 +157,8 @@ def bm25_scores_dense(
     Only viable when q is small (columns ∝ query terms) — exactly the
     per-query case; the postings form remains the bulk-index path.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = tokenize(F.col(text_col))
     tf_cols = [
         (F.size("toks") - F.size(F.array_remove(F.col("toks"), t)))
@@ -241,7 +245,9 @@ def chunk_tokens(
     exactly ``width`` tokens, and no chunk is a redundant suffix of
     its predecessor — the property test caught the naive
     starts-while-start<n geometry emitting strict sub-chunks for
-    short docs. Empty/all-separator docs yield no chunks."""
+    short docs. Empty/all-separator docs yield no chunks. With
+    ``stride > width`` (gap sampling) the last start additionally
+    clamps to n-1 so no empty chunk is ever emitted."""
     if stride <= 0 or width <= 0:
         raise ValueError("width and stride must be positive")
     toks = tokenize(F.col(text_col))
@@ -251,8 +257,14 @@ def chunk_tokens(
     n = F.size("toks")
     last_start = F.when(
         n > width,
-        F.floor((n - F.lit(width) + F.lit(stride - 1)) / F.lit(stride))
-        * stride,
+        # least(): for stride <= width the ceil form is already < n,
+        # but gap-sampling geometries (stride > width) can land ON n,
+        # which would slice an empty chunk
+        F.least(
+            F.floor((n - F.lit(width) + F.lit(stride - 1)) / F.lit(stride))
+            * stride,
+            (n - 1).cast("long"),
+        ),
     ).otherwise(F.lit(0)).cast("long")
     starts = F.sequence(
         F.lit(0).cast("long"), last_start, F.lit(stride).cast("long")
@@ -345,6 +357,7 @@ def hybrid_candidates(
     query_vec_id: int,
     n_candidates: int,
     k: int,
+    text_col: str = "text",
 ) -> DataFrame:
     """Two-stage hybrid retrieval: BM25 lexical candidate generation
     (index-prunable, cheap) → exact cosine re-rank of the candidate
@@ -353,16 +366,20 @@ def hybrid_candidates(
     The candidate set (n_candidates rows) broadcasts into the
     embedding join, so the full embedding corpus is filtered by a
     broadcast semi-probe — never shuffled. Final ranking is cosine;
-    BM25 rides along for inspection."""
+    BM25 rides along for inspection. The query's own document
+    (vec id == query_vec_id) is excluded from the re-rank, matching
+    every other retrieval operator in this module."""
     from shippai_knowledge_etl_spark.operators.simsearch import cosine
 
-    cand = bm25_topk(docs, doc_id_col, "text", query_terms, n_candidates)
+    cand = bm25_topk(docs, doc_id_col, text_col, query_terms, n_candidates)
     qv = emb.filter(F.col(vec_id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )
-    cand_vecs = emb.join(
-        F.broadcast(cand), emb[vec_id_col] == cand[doc_id_col]
-    ).select(F.col(vec_id_col).alias("doc_id"), "bm25", vec_col)
+    cand_vecs = (
+        emb.filter(F.col(vec_id_col) != query_vec_id)
+        .join(F.broadcast(cand), emb[vec_id_col] == cand[doc_id_col])
+        .select(F.col(vec_id_col).alias("doc_id"), "bm25", vec_col)
+    )
     return (
         cand_vecs.crossJoin(F.broadcast(qv))
         .select(
@@ -390,13 +407,15 @@ def mmr_rerank(
 
     Scale shape: relevance and the candidate×candidate similarity
     matrix are both computed IN-ENGINE (broadcast query vector /
-    broadcast candidate set — the corpus is scanned once and never
-    shuffled); only the n_candidates-bounded score tables reach the
-    driver (n=50 → 50 rel rows + 1225 pair rows), where the O(k·n)
-    greedy loop runs — same bounded-driver-collect discipline as the
-    PQ codebooks and DSIR bucket table. Determinism: sims round to
-    6 dp and ties break by id, so the selection is a pure function of
-    the corpus.
+    broadcast candidate set); the candidate table is materialized once
+    with ``localCheckpoint`` so the corpus scan runs exactly once —
+    the pair job and the relevance collect both read the checkpoint.
+    Only the n_candidates-bounded score tables reach the driver
+    (n=50 → 50 rel rows + 1225 pair rows), where the O(k·n) greedy
+    loop runs — same bounded-driver-collect discipline as the PQ
+    codebooks and DSIR bucket table. Determinism: sims round to 6 dp
+    and ties break by id, so the selection is a pure function of the
+    corpus.
 
     Returns the ordered [(id, mmr_score)] selection.
     """
@@ -415,6 +434,10 @@ def mmr_rerank(
         )
         .orderBy(F.desc("rel"), F.asc(id_col))
         .limit(n_candidates)
+        # materialize the bounded candidate table once: without this,
+        # the pair job, its broadcast side, and the rel collect would
+        # each re-run the full corpus scan
+        .localCheckpoint()
     )
     cand = rel_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     pair_rows = (

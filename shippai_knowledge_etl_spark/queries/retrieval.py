@@ -164,6 +164,7 @@ def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (sqrt(list_inner_product(a.emb_d, a.emb_d))
                     * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
     FROM cand c JOIN e a ON a.vec_id = c.doc_id CROSS JOIN q
+    WHERE a.vec_id <> 0
     ORDER BY sim DESC, c.doc_id ASC LIMIT 10
     """,
 )

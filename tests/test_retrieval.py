@@ -134,3 +134,30 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     )
     again = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=0.5)
     assert again == mmr
+
+
+def test_chunk_gap_sampling_never_emits_empty_chunks(spark):
+    """stride > width (gap sampling): chunks skip tokens but no chunk
+    may be empty (review finding: last_start could land on n)."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "id long, text string"
+    )
+    rows = retrieval.chunk_tokens(df, "id", "text", 2, 5).collect()
+    assert rows and all(r["chunk_tokens"] > 0 for r in rows)
+
+
+def test_hybrid_excludes_query_document(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    rows = retrieval.hybrid_candidates(
+        d, e, "doc_id", "vec_id", "embedding", TERMS, 0, 500, 500
+    ).collect()
+    assert 0 not in {r["doc_id"] for r in rows}
+
+
+def test_bm25_rejects_empty_query(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores_dense(d, "doc_id", "text", ())
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(d, "doc_id", "text", ())
