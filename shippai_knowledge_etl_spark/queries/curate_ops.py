@@ -1115,3 +1115,34 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate thresholds both tails."""
     d = load(spark, sf_dir, "documents")
     return curate.compression_ratio(d, "doc_id", "text")
+
+
+@register(
+    "curation_cluster_balance",
+    survey_ref="[EXT] cluster-balanced sampling (composition): in-engine "
+    "k-means buckets × exact-k stratified draw — the topic-debiasing "
+    "sampler (cap dominant semantic clusters the way domain_cap caps "
+    "dominant hosts). k-means FP is engine-specific → rows-only; "
+    "balance/determinism invariants pytest-pinned in tests/test_curate.py",
+)
+def curation_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 20 vectors per learned semantic cluster, drawn by the
+    reproducible md5 rank. Scale shape: clustering = broadcast-argmin
+    assignment (corpus never shuffles for it); the draw's window is
+    cluster-partitioned, never global; output carries cluster sizes so
+    the cap's effect is auditable."""
+    from shippai_knowledge_etl_spark.operators import curate, simsearch
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _centroids = simsearch.kmeans_fit(e, k=8, n_iter=3)
+    sampled = curate.stratified_sample(
+        assigned.select("vec_id", "cluster"), "cluster", 20, "vec_id"
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sampled.join(F.broadcast(sizes), "cluster")
+        .select("cluster", "cluster_size", "vec_id")
+        .orderBy("cluster", "vec_id")
+    )

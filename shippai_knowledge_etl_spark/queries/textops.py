@@ -331,3 +331,43 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
+
+
+@register(
+    "ext_bpe_encode",
+    survey_ref="[EXT] corpus-scale BPE tokenization: the trained vocabulary "
+    "(word → subword segmentation, vocabulary-sized) broadcasts back onto "
+    "the corpus — the standard tokenizer-apply shape: explode words, "
+    "broadcast-join the segmentation table, aggregate. Derivation is "
+    "iterative (not SQL) → rows-only; encode/train consistency is pinned "
+    "in tests/test_bpe.py",
+)
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword statistics under a 20-merge BPE model trained
+    on the same corpus. Integer counts + one final division, so the
+    output is deterministic at any parallelism. At 100 TB: training
+    touches the corpus once (word histogram); this encode pass is the
+    SECOND and last corpus-sized operation, and the join side it
+    carries is only the vocabulary."""
+    from shippai_knowledge_etl_spark.operators import bpe
+
+    d = load(spark, sf_dir, "documents")
+    _, state = bpe.bpe_train(bpe.word_histogram(d, "text"), 20)
+    vocab = state.select(
+        "word", F.size(F.split("syms", " ")).cast("long").alias("n_subwords")
+    )
+    words = d.select(
+        "source", F.explode(textops.tokenize(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6),
+        )
+    )

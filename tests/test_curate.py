@@ -491,3 +491,19 @@ def test_compression_ratio_discriminates(spark):
         ).collect()
     }
     assert again == {k: v["compression_ratio"] for k, v in got.items()}
+
+
+def test_cluster_balance_caps_and_is_deterministic(spark, sf_dir):
+    """Cluster-balanced sampling: ≤ k rows per learned cluster, rows
+    drawn from the real assignment, and the draw reproducible across
+    invocations (pure md5 rank, no rand())."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["curation_cluster_balance"].fn
+    a = [(r["cluster"], r["vec_id"]) for r in fn(spark, sf_dir).collect()]
+    b = [(r["cluster"], r["vec_id"]) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+    import collections
+
+    per = collections.Counter(c for c, _ in a)
+    assert all(n <= 20 for n in per.values())
