@@ -472,3 +472,113 @@ def mmr_rerank(
         selected.append(best)
         remaining.discard(best[0])
     return selected
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Full inverted-index build: (term_bucket, term, doc_id, tf, dl)
+    for EVERY term — the bulk-index complement to the per-query dense
+    plan. Written ``partitionBy("term_bucket")``, a probe for any
+    query vocabulary prunes to |query| directories at PLAN time
+    (PartitionFilters) with the term equality pushed into the scan —
+    the at-rest layout that turns lexical retrieval from a corpus scan
+    into an index read (tests/test_retrieval_index.py pins the pruned
+    plan and its parity with the unpruned postings). Bucketing by
+    ``pmod(xxhash64(term), n_buckets)`` keeps directory counts bounded
+    regardless of vocabulary size."""
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    return (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Multi-query BM25: score a BATCH of queries in one plan.
+
+    ``queries`` is a (query_id, term) table — tiny, broadcast twice:
+    once as the semi-join probe that prunes the postings to the batch
+    vocabulary (at rest: a partition-pruned index read, see
+    :func:`build_postings`), once as the scoring join fanning each
+    posting out to the queries containing its term.
+
+    Determinism: per-term weights round to 6 dp and sum as
+    DECIMAL(18,6) — exact, order-independent under partial
+    aggregation (the curation_lm_quality pattern), unlike a double
+    sum whose partial-agg order is partitioning-dependent. The
+    per-query top-k window partitions by query_id, never global.
+    """
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    vocab = queries.select("term").distinct()
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+
+    w = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .join(F.broadcast(queries), "term")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(w, 6).cast("decimal(18,6)").alias("w6"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("w6").alias("score_dec"))
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_dec"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("rnk"),
+            F.col("score_dec").cast("double").alias("bm25"),
+        )
+    )

@@ -196,3 +196,56 @@ def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, d, s) for i, (d, s) in enumerate(picked)],
         "rank int, vec_id long, mmr_score double",
     )
+
+
+_BATCH_QUERIES = [
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "table"),
+    (2, "hash"), (2, "value"),
+]
+
+
+@register(
+    "ext_bm25_batch",
+    survey_ref="[EXT] batch multi-query BM25: one plan scores a whole "
+    "query batch — broadcast (query_id, term) table prunes the postings "
+    "and fans each one out to its queries; per-term weights round to 6 dp "
+    "and sum as DECIMAL (exact, order-independent — the "
+    "curation_lm_quality pattern); per-query top-k window partitions by "
+    "query_id, never global",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    docs AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+    q(query_id, term) AS (
+      VALUES (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'table'),
+             (2, 'hash'), (2, 'value')),
+    postings AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    w AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25
+                  + 0.75 * p.dl / (s.sum_dl / s.n_docs))), 6)
+               AS DECIMAL(18,6)) AS w6
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+      JOIN q ON q.term = p.term),
+    sc AS (SELECT query_id, doc_id, sum(w6) AS sd FROM w GROUP BY 1, 2),
+    rk AS (SELECT query_id, doc_id, sd,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sd DESC, doc_id) AS rnk
+           FROM sc)
+    SELECT query_id, doc_id, rnk, CAST(sd AS DOUBLE) AS bm25
+    FROM rk WHERE rnk <= 10
+    """,
+)
+def ext_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query for a 3-query batch in a single plan."""
+    d = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BATCH_QUERIES, "query_id int, term string")
+    return retrieval.bm25_topk_batch(d, "doc_id", "text", q, 10)
