@@ -57,6 +57,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "simsearch_ivf_kmeans",  # k centroid rows
     "dedup_semantic",  # same k-centroid assign as ivf_kmeans
     "ext_bm25_topk",  # 1-row corpus stats (N, sum_dl) factor
+    "ext_bm25_batch",  # same 1-row corpus stats factor
+    "curation_cluster_balance",  # k centroid rows (kmeans assign)
     "retrieval_hybrid",  # 1-row stats + 1-row query embedding
     "simsearch_hamming_topk",  # 1-row query signature
 }
@@ -97,6 +99,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     "f14_f17_label_json",
     "f14_numbered_label",
     "curation_frontier_interleave",
+    # heuristic false positive: the SinglePartition exchange is the
+    # 1-row corpus-stats aggregate; the Window itself partitions by
+    # query_id (inspect the plan: "Window ... hashpartitioning(query_id")
+    "ext_bm25_batch",
 }
 
 
