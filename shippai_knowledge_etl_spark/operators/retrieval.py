@@ -582,3 +582,91 @@ def bm25_topk_batch(
             F.col("score_dec").cast("double").alias("bm25"),
         )
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Evaluation harness: recall@k of the Hamming sign-signature
+    probe against exact-cosine ground truth, for a deterministic
+    query sample (every ``query_mod``-th id).
+
+    Both rankings are computed batch-style in ONE plan each — corpus
+    crossJoin'd with the BROADCAST query sample, per-query top-k via a
+    query-partitioned window (WindowGroupLimit pushes the k-limit
+    below the shuffle) — then intersected per query. Determinism:
+    cosine rounds to 6 dp with id tie-breaks, Hamming is integer, so
+    recall is a pure function of the corpus and the driver hash gate
+    can check the EVALUATION itself.
+    """
+    from pyspark.sql import Window
+
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    qs = base.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+    ex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    exact_top = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
+
+    lo, hi = sign_pack64(F.col(vec_col))
+    sigs = base.select(F.col(id_col), lo.alias("lo"), hi.alias("hi"))
+    qsigs = sigs.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hm_w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    hamming_top = (
+        sigs.crossJoin(F.broadcast(qsigs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(hm_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
+
+    hits = (
+        exact_top.join(hamming_top, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -249,3 +249,62 @@ def ext_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     q = spark.createDataFrame(_BATCH_QUERIES, "query_id int, term string")
     return retrieval.bm25_topk_batch(d, "doc_id", "text", q, 10)
+
+
+@register(
+    "retrieval_eval_recall",
+    survey_ref="[EXT] ANN evaluation harness: recall@10 of the Hamming "
+    "sign probe vs exact-cosine ground truth over a 10-query batch — "
+    "the evaluation itself is deterministic (rounded cosine + integer "
+    "Hamming + id tie-breaks) and oracle-checked end to end",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, emb_d AS qv FROM e
+           WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_inner_product(a.emb_d, q.qv)
+                   / (sqrt(list_inner_product(a.emb_d, a.emb_d))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+      FROM e a CROSS JOIN qs q WHERE a.vec_id <> q.query_id),
+    ex_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM ex) WHERE rn <= 10),
+    idx AS (SELECT unnest(range(0, 32)) AS i),
+    sig AS (
+      SELECT e2.vec_id,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 1] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 33] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS hi
+      FROM embeddings e2 CROSS JOIN idx i GROUP BY e2.vec_id),
+    qsig AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id % 50 = 0),
+    hm AS (
+      SELECT q.query_id, s.vec_id,
+             bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+               AS hamming
+      FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.query_id),
+    hm_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, vec_id) AS rn
+        FROM hm) WHERE rn <= 10),
+    hits AS (
+      SELECT t.query_id, count(*) AS n_hits
+      FROM ex_top t JOIN hm_top h USING (query_id, vec_id)
+      GROUP BY t.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+    FROM qs q LEFT JOIN hits h USING (query_id)
+    """,
+)
+def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 per query for the 10-query deterministic sample."""
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.ann_recall_eval(e, "vec_id", "embedding", 50, 10)

@@ -90,3 +90,27 @@ def test_bpe_on_corpus_is_deterministic(spark, sf_dir):
     m1, _ = bpe.bpe_train(hist, 5)
     m2, _ = bpe.bpe_train(hist.repartition(7), 5)
     assert m1 == m2 and len(m1) == 5
+
+
+def test_bpe_train_matches_reference_on_random_histograms(spark):
+    """Property form of the golden: random small word histograms must
+    produce the reference merge sequence exactly (pair counting, tie
+    rule, and greedy merge semantics all in play)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(6):
+        words = {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 5))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(1, 8))
+        }
+        df = spark.createDataFrame(
+            list(words.items()), "word string, freq long"
+        )
+        n = rng.randint(1, 6)
+        merges, _ = bpe.bpe_train(df, n)
+        assert merges == ref_bpe(words, n), (trial, words, n)
