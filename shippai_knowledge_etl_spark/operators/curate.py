@@ -1060,3 +1060,84 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal, jusText/Boilerpipe-style)
+# ---------------------------------------------------------------------------
+
+
+def main_content(
+    pages: DataFrame,
+    id_col: str,
+    blocks_col: str,
+    min_words: int = 10,
+    max_link_density: float = 1.0 / 3.0,
+) -> DataFrame:
+    """Classify parsed text blocks into content vs boilerplate and
+    reassemble each page's main text (Kohlschütter et al. 2010 /
+    jusText heuristics, relationally):
+
+      - link-dense blocks (anchor chars / chars >= max_link_density)
+        are boilerplate — navigation, footers, related-links rails;
+      - long low-link blocks (>= min_words) are content;
+      - SHORT low-link blocks inherit from their neighbors (lag/lead
+        over block order): a caption between two paragraphs stays, a
+        copyright line between nav and footer goes.
+
+    Input: (id, array<block>) from the ``page_blocks`` parse edge.
+    All classification is column expressions over the exploded blocks
+    — one page-keyed shuffle for the neighbor window + reassembly;
+    per-block arithmetic is codegen'd. Page reassembly sorts
+    ``struct(block_idx, text)`` so the concat order is deterministic
+    regardless of partial-aggregation order."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    b = pages.select(F.col(id_col), F.explode(blocks_col).alias("b")).select(
+        id_col,
+        F.col("b.block_idx").alias("block_idx"),
+        F.col("b.text").alias("text"),
+        F.col("b.n_anchor_chars").alias("n_anchor_chars"),
+    )
+    n_chars = F.length("text")
+    n_words = F.size(tokenize(F.col("text")))
+    link_density = F.col("n_anchor_chars") / F.greatest(n_chars, F.lit(1))
+    base = (
+        F.when(link_density >= max_link_density, F.lit("bad"))
+        .when(n_words >= min_words, F.lit("good"))
+        .otherwise(F.lit("short"))
+    )
+    w = Window.partitionBy(id_col).orderBy("block_idx")
+    scored = b.withColumn("base", base)
+    cls = (
+        F.when(F.col("base") == "good", F.lit("content"))
+        .when(F.col("base") == "bad", F.lit("boilerplate"))
+        .otherwise(
+            F.when(
+                (F.lag("base").over(w) == "good")
+                | (F.lead("base").over(w) == "good"),
+                F.lit("content"),
+            ).otherwise(F.lit("boilerplate"))
+        )
+    )
+    classified = scored.withColumn("cls", cls)
+    return classified.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((F.col("cls") == "content").cast("long")).alias(
+            "n_content_blocks"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cls") == "content",
+                            F.struct("block_idx", "text"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("text"),
+            ),
+            " ",
+        ).alias("main_text"),
+    )

@@ -1146,3 +1146,56 @@ def curation_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "cluster_size", "vec_id")
         .orderBy("cluster", "vec_id")
     )
+
+
+@register(
+    "curation_main_content",
+    survey_ref="[EXT] main-content extraction (boilerplate removal, "
+    "jusText/Boilerpipe heuristics): block-segmentation parse edge → "
+    "link-density + length classification with neighbor smoothing → "
+    "order-safe page reassembly; oracle restates the expected "
+    "classification of the generated pages relationally (the "
+    "s1_html_parse pattern)",
+    oracle="""
+    WITH gen AS (
+      SELECT o_orderkey AS case_key,
+             printf('Priority %s reported with eleven steady words '
+                    'inside the article body', o_orderpriority) AS p1,
+             printf('Figure %d', o_orderkey % 7) AS p2,
+             printf('Status %s closes the case with ten more words '
+                    'appended here', o_orderstatus) AS p3
+      FROM orders WHERE o_orderkey % 10 = 0)
+    SELECT case_key,
+           CAST(5 AS BIGINT) AS n_blocks,
+           CAST(3 AS BIGINT) AS n_content_blocks,
+           printf('%s %s %s', p1, p2, p3) AS main_text
+    FROM gen
+    """,
+)
+def curation_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order, generate a page with nav + three article blocks +
+    footer; the classifier must drop both link rails, keep the two
+    long paragraphs, and keep the short 'Figure N' caption via
+    neighbor smoothing."""
+    from shippai_knowledge_etl_spark.operators.curate import main_content
+    from shippai_knowledge_etl_spark.sources.html_parse import page_blocks
+
+    o = scale_out(load(spark, sf_dir, "orders")).filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    page = F.format_string(
+        '<div><a href="#">Home</a> <a href="#">About</a> '
+        '<a href="#">Cases</a></div>'
+        "<p>Priority %s reported with eleven steady words inside the "
+        "article body</p>"
+        "<p>Figure %d</p>"
+        "<p>Status %s closes the case with ten more words appended here</p>"
+        '<footer><a href="#">Terms</a> <a href="#">Privacy</a></footer>',
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 7).cast("int"),
+        F.col("o_orderstatus"),
+    )
+    pages = o.select(
+        F.col("o_orderkey").alias("case_key"), page_blocks(page).alias("blocks")
+    )
+    return main_content(pages, "case_key", "blocks")

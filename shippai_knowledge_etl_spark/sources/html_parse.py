@@ -493,3 +493,84 @@ def label_rows(html_col: Column) -> Column:
         html_to_rows(html_col),
         lambda r: F.upper(r.getField("bgcolor")) == "#DFE9F2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-level parse edge for boilerplate removal ([EXT], jusText-style)
+# ---------------------------------------------------------------------------
+
+BLOCK_ROW_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("block_idx", T.IntegerType(), nullable=False),
+            T.StructField("tag", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_anchor_chars", T.IntegerType(), nullable=False),
+        ]
+    )
+)
+
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td nav footer header article section".split()
+)
+
+
+class _BlockParser(HTMLParser):
+    """Segment a page into text blocks at block-level element
+    boundaries, counting the characters that sit inside anchors — the
+    inputs jusText/Boilerpipe-style content classification needs
+    (text length + link density per block). Everything downstream of
+    these rows is pure column expressions."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[int, str, str, int]] = []
+        self._tag = ""
+        self._buf: list[str] = []
+        self._anchor_chars = 0
+        self._in_anchor = 0
+
+    def _flush(self) -> None:
+        text = re.sub(r"\s+", " ", "".join(self._buf)).strip()
+        if text:
+            self.blocks.append(
+                (len(self.blocks), self._tag, text, self._anchor_chars)
+            )
+        self._buf, self._anchor_chars = [], 0
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._tag = tag
+        elif tag == "a":
+            self._in_anchor += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._tag = ""
+        elif tag == "a" and self._in_anchor:
+            self._in_anchor -= 1
+
+    def handle_data(self, data: str) -> None:
+        self._buf.append(data)
+        if self._in_anchor:
+            self._anchor_chars += len(data.strip())
+
+
+def parse_blocks(html: str) -> list[tuple[int, str, str, int]]:
+    p = _BlockParser()
+    p.feed(html or "")
+    p._flush()
+    return p.blocks
+
+
+@pandas_udf(BLOCK_ROW_TYPE)
+def html_to_blocks(pages: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in pages:
+        yield pd.Series([parse_blocks(h) if h else [] for h in batch])
+
+
+def page_blocks(html_col: Column) -> Column:
+    """Column form of the block-segmentation edge."""
+    return html_to_blocks(html_col)

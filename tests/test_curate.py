@@ -507,3 +507,30 @@ def test_cluster_balance_caps_and_is_deterministic(spark, sf_dir):
 
     per = collections.Counter(c for c, _ in a)
     assert all(n <= 20 for n in per.values())
+
+
+def test_main_content_smoothing_and_rails(spark):
+    """Short caption between paragraphs stays; short line between two
+    link rails goes; link-dense rails always go."""
+    from shippai_knowledge_etl_spark.operators.curate import main_content
+    from shippai_knowledge_etl_spark.sources.html_parse import page_blocks
+
+    html = (
+        '<div><a href="#">Home</a> <a href="#">About</a></div>'
+        "<p>© 2026 corp</p>"
+        '<footer><a href="#">Terms</a> <a href="#">Privacy</a></footer>'
+        "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa</p>"
+        "<p>Figure 7</p>"
+        "<p>one two three four five six seven eight nine ten eleven</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = main_content(
+        df.select("id", page_blocks(F.col("html")).alias("blocks")),
+        "id",
+        "blocks",
+    ).collect()[0]
+    assert out["n_blocks"] == 6
+    assert out["n_content_blocks"] == 3
+    assert out["main_text"].startswith("alpha beta")
+    assert "Figure 7" in out["main_text"]
+    assert "©" not in out["main_text"] and "Home" not in out["main_text"]
