@@ -1,0 +1,158 @@
+"""[EXT] Streaming incremental index maintenance: the at-rest postings
+index of ``operators/retrieval.build_postings`` kept up to date by a
+document stream, so lexical retrieval never rescans the corpus.
+
+Per micro-batch, ``foreachBatch``:
+  1. builds the batch's postings (term-bucketed, exactly the batch-mode
+     layout) and writes them under ``batch=<id>/term_bucket=<b>/`` with
+     per-batch OVERWRITE — a replayed batch rewrites its own directory
+     with identical content instead of appending duplicates, so the
+     merge is idempotent without any read-modify-write;
+  2. rolls the corpus stats (n_docs, sum_dl) forward into a versioned
+     state file, reading the highest version STRICTLY BELOW the
+     current batch id (the ``streaming/sketches.py`` replay-safe
+     discipline — after a crash the newest file may be the replayed
+     batch's own partial output).
+
+Query time (:func:`bm25_from_index`): score BM25 straight off the
+stored postings + 1-row stats — document frequencies come from a
+term-filtered index read (at rest: |query| pruned directories), the
+corpus is never touched. The streaming test pins index-answered
+scores EQUAL to the batch ``bm25_topk`` over the same corpus.
+
+Scale notes: batch directories keep writes append-only and replays
+idempotent; directory count grows with batches — a real deployment
+compacts old batches by rewriting them into one consolidated
+``batch=-1`` generation (same layout, so readers never change), which
+is an offline rewrite, not a correctness concern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    build_postings,
+)
+
+_STATE_PREFIX = "stats_v"
+
+
+def _prior_stats(state_dir: str, before_batch: int) -> tuple[int, int]:
+    """(n_docs, sum_dl) from the highest state version < before_batch."""
+    if not os.path.isdir(state_dir):
+        return 0, 0
+    versions = [
+        v
+        for v in os.listdir(state_dir)
+        if v.startswith(_STATE_PREFIX)
+        and int(v[len(_STATE_PREFIX):].split(".")[0]) < before_batch
+    ]
+    if not versions:
+        return 0, 0
+    best = max(versions, key=lambda v: int(v[len(_STATE_PREFIX):].split(".")[0]))
+    with open(os.path.join(state_dir, best)) as f:
+        st = json.load(f)
+    return st["n_docs"], st["sum_dl"]
+
+
+def make_index_merger(index_dir: str, state_dir: str, n_buckets: int = 16):
+    """foreachBatch callback maintaining the postings index + stats."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        postings = build_postings(batch_df, "doc_id", "text", n_buckets)
+        (
+            postings.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        )
+        from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+        row = (
+            batch_df.select(F.size(tokenize(F.col("text"))).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n0, s0 = _prior_stats(state_dir, batch_id)
+        out = {
+            "batch_id": batch_id,
+            "n_docs": n0 + row["n"],
+            "sum_dl": s0 + (row["s"] or 0),
+        }
+        tmp = os.path.join(state_dir, f".tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, os.path.join(state_dir, f"{_STATE_PREFIX}{batch_id}.json"))
+
+    return merge
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All batch generations as one postings table (batch + term_bucket
+    are partition columns → probes prune on term_bucket across every
+    generation)."""
+    return spark.read.option("basePath", index_dir).parquet(
+        os.path.join(index_dir, "batch=*")
+    )
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    state_dir: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k answered from the maintained index alone. Mirrors
+    ``operators/retrieval.bm25_scores`` term for term (same pivot
+    determinism) with df/tf from the index read and (n_docs, sum_dl)
+    from the stats state."""
+    n_docs, sum_dl = _prior_stats(state_dir, 1 << 62)
+    postings = read_index(spark, index_dir).filter(
+        F.col("term").isin(*query_terms)
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = sum_dl / n_docs
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"w_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*pivots)
+    score = F.coalesce(F.col("w_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
+    return (
+        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
