@@ -660,3 +660,108 @@ def align_best_match(
     if threshold is not None:
         best = best.filter(F.col("sim") >= threshold)
     return best
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: the k
+    vectors MOST similar to the query whose label differs — near-miss
+    negatives carry the training signal that random negatives lack
+    (the standard dense-retrieval recipe, e.g. DPR, Karpukhin et al.
+    2020). Same broadcast-query / TakeOrderedAndProject shape as
+    ``topk_cosine``; the label inequality is just one more pushed
+    predicate, so the plan cost is identical to plain top-k."""
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        (F.col(id_col) != F.col("query_id"))
+        & (F.col(label_col) != F.col("query_label"))
+    )
+    sim = cosine(F.col(vec_col), F.col("query_vec"))
+    return (
+        scored.select("query_id", F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sample_negatives(
+    corpus: DataFrame,
+    k: int,
+    n_candidates: int,
+    label_col: str,
+    id_col: str = "vec_id",
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic random negative sampling: for every anchor, draw
+    k different-label partners by a pure hash draw — the bulk
+    counterpart to :func:`hard_negatives` (contrastive batches mix
+    both). Candidate partner ids come from a multiplicative integer
+    hash (Knuth constant) over a small oversample (n_candidates per
+    anchor), same-label and self pairs are filtered, and the first k
+    survivors (by draw order) are kept. Integer arithmetic instead of
+    the repo's usual md5 draw because the ORACLE needs the identical
+    value and DuckDB has no clean hex→int conversion; the discipline
+    is the same — a pure function of (id, draw index), reproducible
+    at any partitioning/engine, no rand(), auditable and
+    re-buildable.
+
+    Shapes: the candidate explosion is a narrow per-row map
+    (n_candidates rows per anchor); the partner lookup joins on the
+    derived partner id — one hash-join shuffle keyed by id, map-side
+    nothing else. Labels travel with both sides; no window is global.
+    """
+    from pyspark.sql import Window
+
+    n_rows = corpus.select(F.max(id_col).alias("m")).collect()[0]["m"] + 1
+    # anchors default to the whole corpus; pre-filter at scale so the
+    # candidate explosion only runs for rows that need pairs
+    anchors = (anchors if anchors is not None else corpus).select(
+        F.col(id_col).alias("anchor_id"), F.col(label_col).alias("anchor_label")
+    )
+    cand = anchors.select(
+        "anchor_id",
+        "anchor_label",
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(n_candidates - 1))
+        ).alias("draw_idx", "i"),
+    ).withColumn(
+        "partner_id",
+        (
+            F.col("anchor_id") * F.lit(2654435761)
+            + (F.col("i") + 1) * F.lit(40503)
+        )
+        % F.lit(int(n_rows)),
+    )
+    partners = corpus.select(
+        F.col(id_col).alias("partner_id"),
+        F.col(label_col).alias("partner_label"),
+    )
+    valid = (
+        cand.join(partners, "partner_id")
+        .filter(
+            (F.col("partner_id") != F.col("anchor_id"))
+            & (F.col("partner_label") != F.col("anchor_label"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("draw_idx")
+    return (
+        valid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("rn").alias("neg_rank"),
+            "partner_id",
+            "partner_label",
+        )
+    )

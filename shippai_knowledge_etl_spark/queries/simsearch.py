@@ -282,3 +282,70 @@ def simsearch_align_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
     )
     return simsearch.align_best_match(planted, en)
+
+
+@register(
+    "simsearch_hard_negatives",
+    survey_ref="[EXT] hard-negative mining for contrastive training "
+    "(DPR-style): most-similar different-label vectors — same broadcast "
+    "query + TakeOrderedAndProject plan as topk_cosine with one more "
+    "pushed predicate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, emb_d
+          FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT q.query_id, a.vec_id, {_COS} AS sim
+    FROM e a, q WHERE a.vec_id <> q.query_id AND a.label <> q.qlabel
+    ORDER BY sim DESC, a.vec_id ASC LIMIT {TOP_K}
+    """,
+)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    return simsearch.hard_negatives(e, q, TOP_K, "label")
+
+
+@register(
+    "curation_negative_pairs",
+    survey_ref="[EXT] deterministic random negative sampling for "
+    "contrastive pairs: multiplicative-hash partner draw (integer-exact "
+    "on any engine), same-label/self filtered, first-k by draw order — "
+    "the bulk counterpart to hard-negative mining; anchor-partitioned "
+    "window, one id-keyed join shuffle",
+    oracle="""
+    WITH n AS (SELECT max(vec_id) + 1 AS n_rows FROM embeddings),
+    anchors AS (SELECT vec_id AS anchor_id, label AS anchor_label
+                FROM embeddings WHERE vec_id % 25 = 0),
+    cand AS (
+      SELECT a.anchor_id, a.anchor_label, i.i AS draw_idx,
+             (a.anchor_id * 2654435761 + (i.i + 1) * 40503) % n.n_rows
+               AS partner_id
+      FROM anchors a CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i),
+    valid AS (
+      SELECT c.*, p.label AS partner_label
+      FROM cand c JOIN embeddings p ON p.vec_id = c.partner_id
+      WHERE c.partner_id <> c.anchor_id AND p.label <> c.anchor_label),
+    ranked AS (
+      SELECT anchor_id, anchor_label, partner_id, partner_label,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY draw_idx) AS neg_rank
+      FROM valid)
+    SELECT anchor_id, anchor_label, CAST(neg_rank AS INT) AS neg_rank,
+           partner_id, partner_label
+    FROM ranked WHERE neg_rank <= 4
+    """,
+)
+def curation_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 negatives per anchor (every 25th vector as anchors, 8-draw
+    oversample) — integer-exact end to end, so the generated training
+    pairs hash-match the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    out = simsearch.sample_negatives(
+        e,
+        k=4,
+        n_candidates=8,
+        label_col="label",
+        anchors=e.filter(F.col("vec_id") % 25 == 0),
+    )
+    return out.withColumn("neg_rank", F.col("neg_rank").cast("int"))

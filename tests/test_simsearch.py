@@ -243,3 +243,42 @@ def test_lsh_entry_points_tolerate_empty_inputs(spark):
     assert out.columns == ["id_a", "id_b", "sim"] and out.count() == 0
     pairs = S.near_dup_pairs_lsh(empty, threshold=0.9)
     assert pairs.columns == ["id_a", "id_b", "sim"] and pairs.count() == 0
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.simsearch import hard_negatives
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    qlabel = q.collect()[0]["label"]
+    rows = hard_negatives(e, q, 10, "label").collect()
+    ids = [r["vec_id"] for r in rows]
+    labels = {
+        r["label"]
+        for r in e.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert qlabel not in labels and len(rows) == 10
+
+
+def test_sample_negatives_contract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.simsearch import sample_negatives
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 25 == 0)
+    out = sample_negatives(e, 4, 8, "label", anchors=anchors).collect()
+    by_anchor = {}
+    for r in out:
+        assert r["partner_id"] != r["anchor_id"]
+        assert r["partner_label"] != r["anchor_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r["neg_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_anchor.values())
+    assert all(len(v) <= 4 for v in by_anchor.values())
+    # reproducible
+    again = sample_negatives(e, 4, 8, "label", anchors=anchors).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
