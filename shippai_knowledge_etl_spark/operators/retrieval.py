@@ -670,3 +670,56 @@ def ann_recall_eval(
             ).alias("recall_at_k"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): each token lands in ``pmod(xxhash64(tok),
+    dim)`` with a ±1 sign from an independent hash bit, per-dimension
+    counts summed exactly. The zero-training embedder — what a
+    pipeline uses for similarity/dedup before a learned model exists,
+    and the deterministic stand-in for one in tests.
+
+    Shape: one explode + one doc-keyed aggregate carrying ``dim`` int
+    sums (map-side combined); the dense array assembles from the
+    aggregated (dim, value) pairs via the sorted-struct trick — no
+    per-dimension conditional-sum blowup, no global window. Integer
+    end to end → bit-identical at any parallelism (pytest-pinned);
+    xxhash64 is engine-specific → rows-only at the driver gate.
+    """
+    toks = tokenize(F.col(text_col))
+    feats = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .select(
+            id_col,
+            F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("d"),
+            F.when(
+                F.pmod(F.xxhash64("tok", F.lit(1)), F.lit(2)) == 0, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy(id_col, "d")
+        .agg(F.sum("sign").cast("long").alias("v"))
+    )
+    # dense vector: map lookup over a fixed index sequence — absent
+    # dims coalesce to 0, no zero-grid join, order independent of the
+    # collect_list arrival order by construction
+    return feats.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("m")
+    ).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            # try_element_at: absent keys are NULL→0 (plain element_at
+            # throws under ANSI mode)
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("m"), i.cast("int")), F.lit(0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )

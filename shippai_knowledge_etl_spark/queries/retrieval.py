@@ -308,3 +308,56 @@ def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 per query for the 10-query deterministic sample."""
     e = load(spark, sf_dir, "embeddings")
     return retrieval.ann_recall_eval(e, "vec_id", "embedding", 50, 10)
+
+
+@register(
+    "retrieval_pipeline_e2e",
+    survey_ref="[EXT] RAG pipeline flagship (composition): chunk (32/24 "
+    "token windows) → feature-hash chunk embeddings (zero-training, "
+    "integer-exact) → dense BM25 candidate generation over the CHUNK "
+    "corpus → cosine re-rank against the hash-embedded query — every "
+    "stage is the registered operator, composed in one plan; xxhash64 "
+    "embeddings are engine-specific → rows-only, determinism and "
+    "stage-consistency pytest-pinned in tests/test_retrieval.py",
+)
+def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer one query end to end over chunk granularity: lexical
+    candidates (cheap, index-prunable) re-ranked semantically. The
+    chunk corpus never shuffles for scoring — BM25 is the single-scan
+    dense plan and the re-rank joins a broadcast 50-row candidate set
+    to a broadcast 1-row query embedding."""
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    d = load(spark, sf_dir, "documents")
+    chunks = retrieval.chunk_tokens(d, "doc_id", "text", CHUNK_W, CHUNK_S)
+    chunks = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_text").alias("text"),
+    )
+    cand = retrieval.bm25_topk(chunks, "chunk_id", "text", QUERY_TERMS, 50)
+    cand_rows = chunks.join(F.broadcast(cand), "chunk_id")
+    cand_embs = retrieval.hash_embed(cand_rows, "chunk_id", "text")
+    qdf = spark.createDataFrame(
+        [(0, " ".join(QUERY_TERMS))], "qid int, text string"
+    )
+    qv = retrieval.hash_embed(qdf, "qid", "text").select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        cand_embs.join(
+            F.broadcast(cand_rows.select("chunk_id", "doc_id", "chunk_idx", "bm25")),
+            "chunk_id",
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "chunk_id",
+            "doc_id",
+            "chunk_idx",
+            "bm25",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("chunk_id"))
+        .limit(10)
+    )

@@ -61,6 +61,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "ext_bm25_batch",  # same 1-row corpus stats factor
     "curation_cluster_balance",  # k centroid rows (kmeans assign)
     "retrieval_eval_recall",  # 10-row broadcast query sample, twice
+    "retrieval_pipeline_e2e",  # 1-row stats + 1-row query embedding
     "retrieval_hybrid",  # 1-row stats + 1-row query embedding
     "simsearch_hamming_topk",  # 1-row query signature
 }

@@ -161,3 +161,19 @@ def test_bm25_rejects_empty_query(spark, sf_dir):
         retrieval.bm25_scores_dense(d, "doc_id", "text", ())
     with pytest.raises(ValueError):
         retrieval.bm25_scores(d, "doc_id", "text", ())
+
+
+def test_rag_pipeline_e2e_deterministic_and_consistent(spark, sf_dir):
+    """The e2e composition returns 10 chunks, reproducibly, with
+    every returned chunk traceable to a real document chunk."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["retrieval_pipeline_e2e"].fn
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+    for chunk_id, doc_id, chunk_idx, bm25, sim in a:
+        assert chunk_id == doc_id * 1000 + chunk_idx
+        assert bm25 > 0 and -1.0 <= sim <= 1.0
+    sims = [r[4] for r in a]
+    assert sims == sorted(sims, reverse=True)
