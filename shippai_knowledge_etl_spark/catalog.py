@@ -66,7 +66,13 @@ DRIVER_WINDOW = (
     # witnessed in-window by j4_multiway_region_revenue, whose
     # region→nation→customer chain IS the J1 shape, broadcast dims and
     # all); the slot pins the new cross-document span-dedup flagship
-    "dedup_spans",
+    # dedup_spans rotated out (the dedup family keeps FOUR in-window
+    # witnesses: minhash_verified, ngram_jaccard, clusters, and the
+    # e2e pipeline's exact stage; span dedup stays oracle-green in
+    # tests/test_oracle_parity.py); the slot pins main-content
+    # extraction — a previously unwitnessed family (HTML cleaning:
+    # block parse edge + link-density classification + smoothing)
+    "curation_main_content",
     # j2_semi_join rotated out (the membership-join family stays
     # witnessed in-window by curation_domain_cap, whose plan IS a
     # broadcast LeftSemi + LeftAnti pair, and by curation_decontaminate's
