@@ -93,3 +93,54 @@ def manifest(df: DataFrame, id_cols: list[str]) -> DataFrame:
         F.array_sort(F.collect_list(case_struct)).alias("cases")
     )
     return summary.crossJoin(cases)
+
+
+def profile_table(df, columns: list[str]):
+    """Data-profiling report: one row per profiled column with the
+    stats a pipeline health check needs — row/null/distinct counts,
+    min/max/avg length of the string form. The scan is ONE pass:
+    every per-column aggregate is computed in the same map-side-
+    combined aggregation (no per-column jobs, no collect), then the
+    wide 1-row result unpivots to the tall report via a literal
+    struct array — zero shuffle beyond the single global aggregate.
+
+    At 100 TB: cost == one full scan + a constant-width 1-row
+    aggregate; add columns freely, the pass count stays 1. Exact
+    countDistinct is the one per-column expander — swap to
+    approx_count_distinct at extreme cardinalities (the engine's
+    a_approx_distinct pattern)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in columns:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.length(s)).alias(f"{c}__min_len"),
+            F.max(F.length(s)).alias(f"{c}__max_len"),
+            F.sum(F.coalesce(F.length(s), F.lit(0))).alias(f"{c}__sum_len"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min_len").cast("long").alias("min_len"),
+                F.col(f"{c}__max_len").cast("long").alias("max_len"),
+                F.round(
+                    F.col(f"{c}__sum_len")
+                    / F.greatest(
+                        F.col(f"{c}__rows") - F.col(f"{c}__nulls"), F.lit(1)
+                    ),
+                    6,
+                ).alias("avg_len"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")

@@ -414,3 +414,53 @@ def p3b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+
+
+@register(
+    "ext_table_profile",
+    survey_ref="[EXT] data-profiling report: per-column rows/nulls/"
+    "distinct/length stats in ONE scan (all aggregates share one map-"
+    "side-combined aggregation; the wide 1-row result unpivots to the "
+    "tall report) — the corpus health check a pipeline runs before and "
+    "after every transform",
+    oracle="""
+    SELECT 'doc_id' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS min_len,
+           CAST(max(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS max_len,
+           round(sum(coalesce(length(CAST(doc_id AS VARCHAR)), 0))
+             / CAST(greatest(count(*)
+               - sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 1)
+               AS DOUBLE), 6) AS avg_len
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT lang),
+           CAST(min(length(lang)) AS BIGINT),
+           CAST(max(length(lang)) AS BIGINT),
+           round(sum(coalesce(length(lang), 0))
+             / CAST(greatest(count(*)
+               - sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 1)
+               AS DOUBLE), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT text),
+           CAST(min(length(text)) AS BIGINT),
+           CAST(max(length(text)) AS BIGINT),
+           round(sum(coalesce(length(text), 0))
+             / CAST(greatest(count(*)
+               - sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 1)
+               AS DOUBLE), 6)
+    FROM documents
+    """,
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shippai_knowledge_etl_spark.operators.quality import profile_table
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "text"])
