@@ -1121,7 +1121,7 @@ def main_content(
         )
     )
     classified = scored.withColumn("cls", cls)
-    return classified.groupBy(id_col).agg(
+    agg = classified.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum((F.col("cls") == "content").cast("long")).alias(
             "n_content_blocks"
@@ -1140,4 +1140,19 @@ def main_content(
             ),
             " ",
         ).alias("main_text"),
+    )
+    # pages with zero parsed blocks vanished at the explode — restore
+    # them with an explicit empty verdict so output rows == input rows
+    # (review finding: silent row loss breaks join-back pipelines)
+    return (
+        pages.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_content_blocks", F.lit(0))
+            .cast("long")
+            .alias("n_content_blocks"),
+            F.coalesce("main_text", F.lit("")).alias("main_text"),
+        )
     )

@@ -53,6 +53,30 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_weight(
+    tf: Column,
+    df_: Column,
+    dl: Column,
+    n_docs: Column,
+    avgdl: Column,
+    k1: float,
+    b: float,
+) -> Column:
+    """The Okapi BM25 per-(doc, term) weight — the ONE source of truth
+    for the scoring arithmetic (four call sites: postings form, dense
+    form, batch form, streaming-index form). Operand order is part of
+    the contract: the DuckDB oracles mirror it token for token so
+    doubles agree before the final round(6)."""
+    idf = F.log(
+        F.lit(1.0) + (n_docs - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    )
+    return (
+        idf
+        * (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    )
+
+
 def _corpus_stats(doc_lens: DataFrame) -> DataFrame:
     """1-row (n_docs, sum_dl) — integer-exact so avgdl = sum/n is the
     SAME double on every engine/partitioning (a float avg() would not
@@ -101,24 +125,15 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
         .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
             "w",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl") / F.col("avgdl")
-                )
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
             ),
         )
     )
@@ -182,20 +197,15 @@ def bm25_scores_dense(
     )
 
     def weight(i: int) -> Column:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
-        )
         tf = F.col(f"tf_{i}")
-        w = (
-            idf
-            * (tf * F.lit(k1 + 1.0))
-            / (
-                tf
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            )
+        w = bm25_weight(
+            tf,
+            F.col(f"df_{i}"),
+            F.col("dl"),
+            F.col("n_docs"),
+            F.col("avgdl"),
+            k1,
+            b,
         )
         return F.when(tf > 0, w).otherwise(F.lit(0.0))
 
@@ -541,18 +551,14 @@ def bm25_topk_batch(
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = _corpus_stats(docs.select(id_col, "dl"))
 
-    w = (
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
+    w = bm25_weight(
+        F.col("tf"),
+        F.col("df"),
+        F.col("dl"),
+        F.col("n_docs"),
+        F.col("avgdl"),
+        k1,
+        b,
     )
     scored = (
         postings.join(F.broadcast(dfreq), "term")
@@ -710,7 +716,7 @@ def hash_embed(
     # dense vector: map lookup over a fixed index sequence — absent
     # dims coalesce to 0, no zero-grid join, order independent of the
     # collect_list arrival order by construction
-    return feats.groupBy(id_col).agg(
+    dense = feats.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("m")
     ).select(
         id_col,
@@ -722,4 +728,14 @@ def hash_embed(
                 F.try_element_at(F.col("m"), i.cast("int")), F.lit(0)
             ).cast("float"),
         ).alias("embedding"),
+    )
+    # restore docs whose tokenization is empty as the ZERO vector —
+    # explode dropped them, but the contract is one embedding per
+    # input row (review finding: silent row loss breaks joins keyed
+    # on the embedding table)
+    zero = F.array_repeat(F.lit(0.0).cast("float"), dim)
+    return (
+        df.select(F.col(id_col))
+        .join(dense, id_col, "left")
+        .select(id_col, F.coalesce("embedding", zero).alias("embedding"))
     )

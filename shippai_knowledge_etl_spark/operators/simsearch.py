@@ -674,9 +674,13 @@ def hard_negatives(
     vectors MOST similar to the query whose label differs — near-miss
     negatives carry the training signal that random negatives lack
     (the standard dense-retrieval recipe, e.g. DPR, Karpukhin et al.
-    2020). Same broadcast-query / TakeOrderedAndProject shape as
-    ``topk_cosine``; the label inequality is just one more pushed
-    predicate, so the plan cost is identical to plain top-k."""
+    2020). ``query`` may hold a BATCH of query vectors: top-k is a
+    query-partitioned window (WindowGroupLimit pushes the limit below
+    the shuffle), never a global orderBy that would mix queries'
+    results (review finding). The label inequality is one more pushed
+    predicate on the broadcast join."""
+    from pyspark.sql import Window
+
     q = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
@@ -687,10 +691,12 @@ def hard_negatives(
         & (F.col(label_col) != F.col("query_label"))
     )
     sim = cosine(F.col(vec_col), F.col("query_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.select("query_id", F.col(id_col), F.round(sim, 6).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc(id_col))
-        .limit(k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )
 
 
@@ -722,7 +728,18 @@ def sample_negatives(
     """
     from pyspark.sql import Window
 
-    n_rows = corpus.select(F.max(id_col).alias("m")).collect()[0]["m"] + 1
+    # CONTRACT: ids must be (near-)dense 0..max — the draw is modulo
+    # max(id)+1, so a sparse id space makes most draws miss and
+    # anchors silently under-fill; re-key (e.g. corpus_shuffle's hash
+    # shard + rank) before sampling if ids are sparse.
+    m = corpus.select(F.max(id_col).alias("m")).collect()[0]["m"]
+    if m is None:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "anchor_id long, anchor_label int, neg_rank int, "
+            "partner_id long, partner_label int",
+        )
+    n_rows = m + 1
     # anchors default to the whole corpus; pre-filter at scale so the
     # candidate explosion only runs for rows that need pairs
     anchors = (anchors if anchors is not None else corpus).select(
@@ -752,6 +769,11 @@ def sample_negatives(
             (F.col("partner_id") != F.col("anchor_id"))
             & (F.col("partner_label") != F.col("anchor_label"))
         )
+        # draw aliasing (n_rows | 40503*(i-j)) can repeat a partner for
+        # one anchor — keep only its FIRST draw so the k kept negatives
+        # are distinct (review finding)
+        .groupBy("anchor_id", "anchor_label", "partner_id", "partner_label")
+        .agg(F.min("draw_idx").alias("draw_idx"))
     )
     w = Window.partitionBy("anchor_id").orderBy("draw_idx")
     return (

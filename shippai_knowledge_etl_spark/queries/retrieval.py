@@ -331,7 +331,12 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     chunks = retrieval.chunk_tokens(d, "doc_id", "text", CHUNK_W, CHUNK_S)
     chunks = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        # 20-bit shift: collision-free for docs up to 2^20 chunks
+        # (~25M tokens at stride 24) vs the reviewed *1000 packing,
+        # which collided at 1000 chunks
+        (F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
         "doc_id",
         "chunk_idx",
         F.col("chunk_text").alias("text"),

@@ -323,9 +323,13 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM anchors a CROSS JOIN n
       CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i),
     valid AS (
-      SELECT c.*, p.label AS partner_label
+      -- first draw per distinct partner: mirrors the engine's
+      -- draw-aliasing dedup
+      SELECT c.anchor_id, c.anchor_label, c.partner_id,
+             p.label AS partner_label, min(c.draw_idx) AS draw_idx
       FROM cand c JOIN embeddings p ON p.vec_id = c.partner_id
-      WHERE c.partner_id <> c.anchor_id AND p.label <> c.anchor_label),
+      WHERE c.partner_id <> c.anchor_id AND p.label <> c.anchor_label
+      GROUP BY c.anchor_id, c.anchor_label, c.partner_id, p.label),
     ranked AS (
       SELECT anchor_id, anchor_label, partner_id, partner_label,
              row_number() OVER (PARTITION BY anchor_id

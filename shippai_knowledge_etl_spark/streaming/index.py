@@ -62,6 +62,23 @@ def _prior_stats(state_dir: str, before_batch: int) -> tuple[int, int]:
     return st["n_docs"], st["sum_dl"]
 
 
+def _latest_state(state_dir: str) -> dict:
+    """Full latest state dict; raises a clear error when no committed
+    state exists (empty stream, or a mistyped state_dir) instead of
+    letting 0/0 surface as ZeroDivisionError downstream."""
+    if not os.path.isdir(state_dir):
+        raise FileNotFoundError(f"no index state directory: {state_dir}")
+    versions = [v for v in os.listdir(state_dir) if v.startswith(_STATE_PREFIX)]
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed index state under {state_dir}; "
+            "run the stream (or its first micro-batch) before querying"
+        )
+    best = max(versions, key=lambda v: int(v[len(_STATE_PREFIX):].split(".")[0]))
+    with open(os.path.join(state_dir, best)) as f:
+        return json.load(f)
+
+
 def make_index_merger(index_dir: str, state_dir: str, n_buckets: int = 16):
     """foreachBatch callback maintaining the postings index + stats."""
     os.makedirs(state_dir, exist_ok=True)
@@ -85,6 +102,9 @@ def make_index_merger(index_dir: str, state_dir: str, n_buckets: int = 16):
             "batch_id": batch_id,
             "n_docs": n0 + row["n"],
             "sum_dl": s0 + (row["s"] or 0),
+            # recorded so query time routes terms with the SAME
+            # bucketing the index was written with
+            "n_buckets": n_buckets,
         }
         tmp = os.path.join(state_dir, f".tmp_{batch_id}")
         with open(tmp, "w") as f:
@@ -113,33 +133,49 @@ def bm25_from_index(
     b: float = BM25_B,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index alone. Mirrors
-    ``operators/retrieval.bm25_scores`` term for term (same pivot
-    determinism) with df/tf from the index read and (n_docs, sum_dl)
-    from the stats state."""
-    n_docs, sum_dl = _prior_stats(state_dir, 1 << 62)
+    ``operators/retrieval.bm25_scores`` (same ``bm25_weight`` source
+    of truth, same pivot determinism) with df/tf from the index read
+    and (n_docs, sum_dl, n_buckets) from the stats state. Query terms
+    route to their term buckets with the recorded bucketing, so the
+    probe prunes to |query| directories per generation at PLAN time
+    (PartitionFilters — pytest-pinned) instead of scanning every
+    bucket."""
+    from shippai_knowledge_etl_spark.operators.retrieval import bm25_weight
+
+    st = _latest_state(state_dir)
+    n_docs, sum_dl = st["n_docs"], st["sum_dl"]
+    if n_docs == 0:
+        raise ValueError("index state holds zero documents")
+    n_buckets = st.get("n_buckets", 16)
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+            )
+            .collect()
+        }
+    )
     postings = read_index(spark, index_dir).filter(
-        F.col("term").isin(*query_terms)
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(*query_terms)
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = sum_dl / n_docs
     scored = (
         postings.join(F.broadcast(dfreq), "term")
         .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
             "w",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.lit(n_docs),
+                F.lit(avgdl),
+                k1,
+                b,
             ),
         )
     )

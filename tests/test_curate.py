@@ -534,3 +534,25 @@ def test_main_content_smoothing_and_rails(spark):
     assert out["main_text"].startswith("alpha beta")
     assert "Figure 7" in out["main_text"]
     assert "©" not in out["main_text"] and "Home" not in out["main_text"]
+
+
+def test_main_content_keeps_blockless_pages(spark):
+    from shippai_knowledge_etl_spark.operators.curate import main_content
+    from shippai_knowledge_etl_spark.sources.html_parse import page_blocks
+
+    df = spark.createDataFrame(
+        [(1, "<p>one two three four five six seven eight nine ten</p>"),
+         (2, "<script>var x=1;</script>"), (3, "")],
+        "id long, html string",
+    )
+    out = {
+        r["id"]: r
+        for r in main_content(
+            df.select("id", page_blocks(F.col("html")).alias("blocks")),
+            "id",
+            "blocks",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_blocks"] in (0, 1) and out[3]["n_blocks"] == 0
+    assert out[3]["main_text"] == ""

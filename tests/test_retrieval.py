@@ -173,7 +173,19 @@ def test_rag_pipeline_e2e_deterministic_and_consistent(spark, sf_dir):
     b = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert a == b and len(a) == 10
     for chunk_id, doc_id, chunk_idx, bm25, sim in a:
-        assert chunk_id == doc_id * 1000 + chunk_idx
+        assert chunk_id == (doc_id << 20) + chunk_idx
         assert bm25 > 0 and -1.0 <= sim <= 1.0
     sims = [r[4] for r in a]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_hash_embed_emits_zero_vector_for_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "!!! ???"), (3, None)],
+        "id long, text string",
+    )
+    out = {r["id"]: r["embedding"] for r in
+           retrieval.hash_embed(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == [0.0] * 64 and out[3] == [0.0] * 64
+    assert any(v != 0 for v in out[1])

@@ -282,3 +282,34 @@ def test_sample_negatives_contract(spark, sf_dir):
     # reproducible
     again = sample_negatives(e, 4, 8, "label", anchors=anchors).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_hard_negatives_batch_is_per_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.simsearch import hard_negatives
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id").isin([0, 1, 2]))
+    rows = hard_negatives(e, qs, 5, "label").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["sim"])
+    assert set(per) == {0, 1, 2}
+    assert all(len(v) == 5 for v in per.values())
+
+
+def test_sample_negatives_empty_and_distinct(spark):
+    from shippai_knowledge_etl_spark.operators.simsearch import sample_negatives
+
+    empty = spark.createDataFrame([], "vec_id long, label int")
+    assert sample_negatives(empty, 4, 8, "label").count() == 0
+    # n_rows = 69 divides 40503: without partner dedup all draws alias
+    small = spark.createDataFrame(
+        [(i, i % 3) for i in range(69)], "vec_id long, label int"
+    )
+    rows = sample_negatives(small, 4, 8, "label").collect()
+    for aid in {r["anchor_id"] for r in rows}:
+        partners = [r["partner_id"] for r in rows if r["anchor_id"] == aid]
+        assert len(partners) == len(set(partners))

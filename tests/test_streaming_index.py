@@ -69,3 +69,25 @@ def test_index_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
     merge(docs, 0)  # replay
     assert SI.read_index(spark, index_dir).count() == first
     assert SI._prior_stats(state_dir, 1 << 62) == stats_first
+
+
+@pytest.mark.slow
+def test_index_query_prunes_term_buckets(spark, sf_dir, tmp_path):
+    """The index-answered query must reach the scan with a
+    term_bucket PartitionFilter (not read every bucket directory)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    SI.make_index_merger(index_dir, state_dir)(docs, 0)
+    df = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "term_bucket" in part[1][:300], plan[:1500]
+
+
+@pytest.mark.slow
+def test_index_query_without_state_raises_clearly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="index state"):
+        SI.bm25_from_index(
+            spark, str(tmp_path / "idx"), str(tmp_path / "nope"), TERMS, 10
+        )
