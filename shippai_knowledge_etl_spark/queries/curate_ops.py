@@ -1199,3 +1199,60 @@ def curation_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("case_key"), page_blocks(page).alias("blocks")
     )
     return main_content(pages, "case_key", "blocks")
+
+
+@register(
+    "curation_length_batches",
+    survey_ref="[EXT] length-bucketed inference batching: similar-length "
+    "docs batched together (bucket = exact floor(log2(tokens)) via "
+    "binary-string length), per-batch padding overhead reported — the "
+    "pre-inference step that stops a 10-token doc padding to a "
+    "4096-token neighbor; bucket-partitioned window, exact ints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    nz AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens > 0),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(length(to_base(n_tokens, 2)) - 1 AS INT) AS bucket
+          FROM nz),
+    r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                    ORDER BY n_tokens, doc_id) AS rn FROM b),
+    g AS (SELECT bucket, CAST((rn - 1) // 16 AS INT) AS batch_idx,
+                 n_tokens FROM r)
+    SELECT bucket, batch_idx,
+           count(*) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round((max(n_tokens) * count(*) - sum(n_tokens))
+             / CAST(max(n_tokens) * count(*) AS DOUBLE), 6) AS padding_frac
+    FROM g GROUP BY bucket, batch_idx
+    """,
+)
+def curation_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return curate.length_batches(d, "doc_id", "text", 16)
+
+
+@register(
+    "curation_quality_outliers",
+    survey_ref="[EXT] robust outlier screen: per-source median/MAD of "
+    "doc length, rows beyond 3 MADs flagged — the length-anomaly check "
+    "that mean/stddev can't do (outliers poison the mean); two exact "
+    "group-keyed percentile passes, tiny stat tables broadcast back",
+    oracle="""
+    WITH base AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+                  FROM documents),
+    med AS (SELECT source, median(v) AS med FROM base GROUP BY source),
+    j1 AS (SELECT b.doc_id, b.source, b.v, m.med
+           FROM base b JOIN med m USING (source)),
+    mad AS (SELECT source, median(abs(v - med)) AS mad
+            FROM j1 GROUP BY source)
+    SELECT j1.doc_id, j1.source, j1.v AS value, j1.med, m2.mad,
+           CAST(CASE WHEN abs(j1.v - j1.med) > 3.0 * m2.mad
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM j1 JOIN mad m2 USING (source)
+    """,
+)
+def curation_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = curate.robust_outliers(d, "doc_id", "n_chars", "source")
+    return out.withColumn("is_outlier", F.col("is_outlier").cast("int"))
