@@ -185,3 +185,41 @@ def test_bm25_idf_orders_rarer_terms_higher(spark, freqs):
         for b in ws:
             if dfreq[a] < dfreq[b]:
                 assert score_by_word[a] >= score_by_word[b], (a, b)
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "div", "li", "footer", "span", "a"]),
+            st.text(
+                alphabet="ab <>&\n\t東", min_size=0, max_size=12
+            ),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_block_parser_never_throws_and_preserves_text(parts):
+    """The block-segmentation edge must survive arbitrary (including
+    malformed) markup, and for well-formed flat block markup the
+    concatenated block text equals the input text modulo whitespace
+    collapsing."""
+    from shippai_knowledge_etl_spark.sources.html_parse import parse_blocks
+
+    # arbitrary junk: must not throw, offsets must be dense
+    junk = "".join(f"<{t}>{txt}" for t, txt in parts) + "<p>tail"
+    blocks = parse_blocks(junk)
+    assert [b[0] for b in blocks] == list(range(len(blocks)))
+
+    # well-formed flat markup: text preserved modulo whitespace
+    import html
+    import re
+
+    flat = "".join(
+        f"<p>{html.escape(txt)}</p>" for _, txt in parts
+    )
+    got = " ".join(b[2] for b in parse_blocks(flat))
+    want = re.sub(r"\s+", " ", " ".join(txt for _, txt in parts)).strip()
+    got_norm = re.sub(r"\s+", " ", got).strip()
+    assert got_norm == want
