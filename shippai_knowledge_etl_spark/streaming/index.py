@@ -21,10 +21,10 @@ corpus is never touched. The streaming test pins index-answered
 scores EQUAL to the batch ``bm25_topk`` over the same corpus.
 
 Scale notes: batch directories keep writes append-only and replays
-idempotent; directory count grows with batches — a real deployment
-compacts old batches by rewriting them into one consolidated
-``batch=-1`` generation (same layout, so readers never change), which
-is an offline rewrite, not a correctness concern.
+idempotent; directory count grows with batches — :func:`compact_index`
+rewrites old generations into one consolidated ``batch=-1`` generation
+(same layout, so readers never change); answers before/after
+compaction are pytest-pinned equal.
 """
 
 from __future__ import annotations
@@ -192,3 +192,48 @@ def bm25_from_index(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, compacted_batch: int = -1
+) -> int:
+    """Offline compaction: rewrite every existing batch generation into
+    ONE consolidated generation (``batch=<compacted_batch>``, default
+    -1 so it sorts below every live batch id), then remove the source
+    generations. Readers never change — the layout stays
+    (batch, term_bucket)-partitioned — and postings rows are immutable
+    so concatenation IS the merge (no counts to combine: a doc's
+    postings live wholly inside the batch that ingested it).
+
+    Order of operations is crash-safe for READERS: the consolidated
+    generation is fully written before any source directory is
+    removed, so a concurrent reader sees either the old generations,
+    or old + new (double rows only BETWEEN the write and the removes —
+    run compaction in the stream's maintenance window, the same
+    discipline as parquet compaction jobs everywhere). Returns the
+    number of source generations removed."""
+    import shutil
+
+    gens = [
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith("batch=") and d != f"batch={compacted_batch}"
+    ]
+    if not gens:
+        return 0
+    live = read_index(spark, index_dir).filter(
+        F.col("batch") != compacted_batch
+    )
+    tmp = os.path.join(index_dir, f".compact_{compacted_batch}")
+    (
+        live.drop("batch")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(tmp)
+    )
+    final = os.path.join(index_dir, f"batch={compacted_batch}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    for d in gens:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return len(gens)

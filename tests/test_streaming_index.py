@@ -91,3 +91,27 @@ def test_index_query_without_state_raises_clearly(spark, tmp_path):
         SI.bm25_from_index(
             spark, str(tmp_path / "idx"), str(tmp_path / "nope"), TERMS, 10
         )
+
+
+@pytest.mark.slow
+def test_compaction_preserves_answers_and_shrinks_generations(
+    spark, sf_dir, tmp_path
+):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    merge = SI.make_index_merger(index_dir, state_dir)
+    for i in range(3):
+        merge(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    before = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    removed = SI.compact_index(spark, index_dir)
+    assert removed == 3
+    gens = [d for d in os.listdir(index_dir) if d.startswith("batch=")]
+    assert gens == ["batch=-1"]
+    after = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # a later batch still lands on top of the compacted generation
+    merge(docs.limit(0), 7)
+    again = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in before]
