@@ -1,0 +1,80 @@
+"""Timing harness for the [EXT] LLM-pipeline surface (separate from
+bench.py, whose headline set is pinned for round-over-round
+comparison). Runs each EXT flagship once warm and prints ONE JSON
+line. Usage:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/ext_bench.py
+
+Reference numbers (sf0.1, local[32], first execution per query so
+per-query Janino codegen is included, 2026-08): total ~55s — bm25
+~5.8s, bm25_batch ~6.5s, chunking ~0.6s, hamming ~2.3s, hybrid
+~3.3s, eval_recall ~4.4s, mmr ~1.5s, rag e2e ~7.0s, bpe_train
+~3.2s, bpe_encode ~5.7s, cluster_balance ~4.5s, main_content ~6.7s
+(150k pages through the Python parse edge), length_batches /
+outliers / negative_pairs / hard_negatives / profile all <1s. None
+scale worse than linearly in rows; the multi-second constants are
+codegen + AQE rounds + (for bpe/kmeans) driver iteration probes,
+all of which amortize at real scale."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXT_SET = (
+    "ext_bm25_topk",
+    "ext_bm25_batch",
+    "ext_chunk_overlap",
+    "simsearch_hamming_topk",
+    "retrieval_hybrid",
+    "retrieval_eval_recall",
+    "retrieval_mmr",
+    "retrieval_pipeline_e2e",
+    "ext_bpe_train",
+    "ext_bpe_encode",
+    "curation_cluster_balance",
+    "curation_main_content",
+    "curation_length_batches",
+    "curation_quality_outliers",
+    "curation_negative_pairs",
+    "simsearch_hard_negatives",
+    "ext_table_profile",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.session import get_spark
+
+    spark = get_spark("ext-bench")
+    cat = load_catalog()
+    # warm the JVM + Arrow workers so timings measure the queries
+    cat["a1_status_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in EXT_SET:
+        t0 = time.time()
+        n = len(cat[name].fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "ext_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
