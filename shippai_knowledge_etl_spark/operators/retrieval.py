@@ -77,6 +77,34 @@ def bm25_weight(
     )
 
 
+def pivot_score(
+    scored: DataFrame, id_col: str, query_terms: tuple[str, ...]
+) -> DataFrame:
+    """(id, term, w) rows → (id, bm25): each query term pivots to its
+    own column with ``max(CASE ...)`` (exactly one posting per
+    (doc, term), so max is an exact pick) and the final score adds the
+    per-term columns in FIXED query order — the determinism device
+    that replaces an order-dependent double sum. Shared by the
+    postings form and the streaming-index form."""
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"w_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy(id_col).agg(*pivots)
+    score = F.coalesce(F.col("w_0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
+    return per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+
+
+def hamming_dist(lo: Column, hi: Column, qlo: Column, qhi: Column) -> Column:
+    """Hamming distance between two packed sign signatures — shared by
+    the top-k probe and the recall-evaluation harness."""
+    return (
+        F.bit_count(lo.bitwiseXOR(qlo)) + F.bit_count(hi.bitwiseXOR(qhi))
+    ).cast("long")
+
+
 def _corpus_stats(doc_lens: DataFrame) -> DataFrame:
     """1-row (n_docs, sum_dl) — integer-exact so avgdl = sum/n is the
     SAME double on every engine/partitioning (a float avg() would not
@@ -137,16 +165,7 @@ def bm25_scores(
             ),
         )
     )
-    # pivot to fixed-order addition (see docstring)
-    pivots = [
-        F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"w_{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    per_doc = scored.groupBy(id_col).agg(*pivots)
-    score = F.coalesce(F.col("w_0"), F.lit(0.0))
-    for i in range(1, len(query_terms)):
-        score = score + F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
-    return per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+    return pivot_score(scored, id_col, query_terms)
 
 
 def bm25_scores_dense(
@@ -347,10 +366,9 @@ def hamming_topk(
         .select(
             "query_id",
             id_col,
-            (
-                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
-                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
-            ).cast("long").alias("hamming"),
+            hamming_dist(
+                F.col("lo"), F.col("hi"), F.col("qlo"), F.col("qhi")
+            ).alias("hamming"),
         )
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(k)
@@ -650,9 +668,8 @@ def ann_recall_eval(
         .select(
             "query_id",
             F.col(id_col),
-            (
-                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
-                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            hamming_dist(
+                F.col("lo"), F.col("hi"), F.col("qlo"), F.col("qhi")
             ).alias("hamming"),
         )
         .withColumn("rn", F.row_number().over(hm_w))

@@ -44,39 +44,43 @@ from shippai_knowledge_etl_spark.operators.retrieval import (
 _STATE_PREFIX = "stats_v"
 
 
-def _prior_stats(state_dir: str, before_batch: int) -> tuple[int, int]:
-    """(n_docs, sum_dl) from the highest state version < before_batch."""
+def _version_of(name: str) -> int:
+    return int(name[len(_STATE_PREFIX):].split(".")[0])
+
+
+def _newest_state_below(state_dir: str, before_batch: int) -> dict | None:
+    """Highest committed state version with batch id < ``before_batch``
+    (None if there is none)."""
     if not os.path.isdir(state_dir):
-        return 0, 0
+        return None
     versions = [
         v
         for v in os.listdir(state_dir)
-        if v.startswith(_STATE_PREFIX)
-        and int(v[len(_STATE_PREFIX):].split(".")[0]) < before_batch
+        if v.startswith(_STATE_PREFIX) and _version_of(v) < before_batch
     ]
     if not versions:
-        return 0, 0
-    best = max(versions, key=lambda v: int(v[len(_STATE_PREFIX):].split(".")[0]))
-    with open(os.path.join(state_dir, best)) as f:
-        st = json.load(f)
-    return st["n_docs"], st["sum_dl"]
+        return None
+    with open(os.path.join(state_dir, max(versions, key=_version_of))) as f:
+        return json.load(f)
+
+
+def _prior_stats(state_dir: str, before_batch: int) -> tuple[int, int]:
+    """(n_docs, sum_dl) from the highest state version < before_batch."""
+    st = _newest_state_below(state_dir, before_batch)
+    return (0, 0) if st is None else (st["n_docs"], st["sum_dl"])
 
 
 def _latest_state(state_dir: str) -> dict:
     """Full latest state dict; raises a clear error when no committed
     state exists (empty stream, or a mistyped state_dir) instead of
     letting 0/0 surface as ZeroDivisionError downstream."""
-    if not os.path.isdir(state_dir):
-        raise FileNotFoundError(f"no index state directory: {state_dir}")
-    versions = [v for v in os.listdir(state_dir) if v.startswith(_STATE_PREFIX)]
-    if not versions:
+    st = _newest_state_below(state_dir, 1 << 62)
+    if st is None:
         raise FileNotFoundError(
             f"no committed index state under {state_dir}; "
             "run the stream (or its first micro-batch) before querying"
         )
-    best = max(versions, key=lambda v: int(v[len(_STATE_PREFIX):].split(".")[0]))
-    with open(os.path.join(state_dir, best)) as f:
-        return json.load(f)
+    return st
 
 
 def make_index_merger(index_dir: str, state_dir: str, n_buckets: int = 16):
@@ -179,16 +183,10 @@ def bm25_from_index(
             ),
         )
     )
-    pivots = [
-        F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"w_{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    per_doc = scored.groupBy("doc_id").agg(*pivots)
-    score = F.coalesce(F.col("w_0"), F.lit(0.0))
-    for i in range(1, len(query_terms)):
-        score = score + F.coalesce(F.col(f"w_{i}"), F.lit(0.0))
+    from shippai_knowledge_etl_spark.operators.retrieval import pivot_score
+
     return (
-        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        pivot_score(scored, "doc_id", query_terms)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
