@@ -114,3 +114,30 @@ def test_bpe_train_matches_reference_on_random_histograms(spark):
         n = rng.randint(1, 6)
         merges, _ = bpe.bpe_train(df, n)
         assert merges == ref_bpe(words, n), (trial, words, n)
+
+
+def test_bpe_encode_query_conserves_tokens(spark, sf_dir):
+    """The rows-only ext_bpe_encode gate entry: per-source word counts
+    must sum to the corpus total (encoding loses no words), every
+    word yields at least one subword plus the end marker, and the
+    output is reproducible."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    fn = load_catalog()["ext_bpe_encode"].fn
+    rows = fn(spark, sf_dir).collect()
+    total_words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))))
+        .count()
+    )
+    assert sum(r["n_words"] for r in rows) == total_words
+    for r in rows:
+        # every word encodes to at least one subword (fully-merged
+        # words collapse symbol+marker into a single token)
+        assert r["n_subwords"] >= r["n_words"] > 0
+        assert r["subwords_per_word"] >= 1.0
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
