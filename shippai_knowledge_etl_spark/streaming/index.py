@@ -235,3 +235,62 @@ def compact_index(
     for d in gens:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return len(gens)
+
+
+# ---------------------------------------------------------------------------
+# Vector-side analog: streaming sign-signature store
+# ---------------------------------------------------------------------------
+
+
+def make_sig_merger(sig_dir: str, vec_col: str = "embedding"):
+    """foreachBatch callback maintaining the packed-signature store —
+    the vector-side analog of :func:`make_index_merger`. Each batch
+    writes (vec_id, lo, hi) — 16 bytes/vector, a 16x reduction of
+    float32[64] — under its own ``batch=<id>`` generation (same
+    replay-idempotence argument). Queries then never touch the
+    embedding corpus at all."""
+    from shippai_knowledge_etl_spark.operators.retrieval import sign_pack64
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        lo, hi = sign_pack64(F.col(vec_col))
+        (
+            batch_df.select(
+                F.col("vec_id"), lo.alias("lo"), hi.alias("hi")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sig_dir, f"batch={batch_id}"))
+        )
+
+    return merge
+
+
+def hamming_from_sig_store(
+    spark: SparkSession, sig_dir: str, query_id: int, k: int
+) -> DataFrame:
+    """Hamming top-k answered from the signature store alone — must
+    equal ``operators/retrieval.hamming_topk`` over the ingested
+    corpus (pytest-pinned). The scan reads 16 bytes/vector; the query
+    signature is a 1-row broadcast."""
+    from shippai_knowledge_etl_spark.operators.retrieval import hamming_dist
+
+    sigs = spark.read.option("basePath", sig_dir).parquet(
+        os.path.join(sig_dir, "batch=*")
+    )
+    q = sigs.filter(F.col("vec_id") == query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    return (
+        sigs.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            hamming_dist(
+                F.col("lo"), F.col("hi"), F.col("qlo"), F.col("qhi")
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -115,3 +115,33 @@ def test_compaction_preserves_answers_and_shrinks_generations(
     merge(docs.limit(0), 7)
     again = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in before]
+
+
+@pytest.mark.slow
+def test_sig_store_matches_batch_hamming(spark, sf_dir, tmp_path):
+    """A 3-batch embedding stream leaves a signature store whose
+    Hamming answers equal the batch operator over the same corpus."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "emb_stream")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"part{i}"))
+
+    sig_dir = str(tmp_path / "sigs")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(SI.make_sig_merger(sig_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sig"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = SI.hamming_from_sig_store(spark, sig_dir, 0, 10).collect()
+    want = retrieval.hamming_topk(emb, "vec_id", "embedding", 0, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
