@@ -294,3 +294,50 @@ def hamming_from_sig_store(
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: streaming LSH band-bucket store
+# ---------------------------------------------------------------------------
+
+
+def make_near_dup_merger(band_dir: str, pairs_dir: str):
+    """foreachBatch callback for incremental near-duplicate detection:
+    each batch (1) probes its docs against the band rows of every
+    EARLIER generation, writing candidate (new_id, old_id) pairs under
+    its own ``batch=<id>`` pairs generation, then (2) writes its own
+    band rows as a new generation of the store. Probing strictly
+    earlier generations + per-batch overwrite makes replays emit
+    identical pairs (the replayed batch's own half-written generation
+    is never its probe target)."""
+    from shippai_knowledge_etl_spark.operators.dedup import (
+        lsh_band_rows,
+        near_dup_probe_index,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gens = (
+            [
+                d
+                for d in os.listdir(band_dir)
+                if d.startswith("batch=") and int(d.split("=")[1]) < batch_id
+            ]
+            if os.path.isdir(band_dir)
+            else []
+        )
+        if gens:
+            index = spark.read.option("basePath", band_dir).parquet(
+                *[os.path.join(band_dir, d) for d in gens]
+            ).drop("batch")
+            pairs = near_dup_probe_index(batch_df, index, "doc_id", "text")
+        else:
+            pairs = spark.createDataFrame([], "new_id long, old_id long")
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        lsh_band_rows(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(band_dir, f"batch={batch_id}"))
+
+    return merge

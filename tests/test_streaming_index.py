@@ -145,3 +145,46 @@ def test_sig_store_matches_batch_hamming(spark, sf_dir, tmp_path):
     got = SI.hamming_from_sig_store(spark, sig_dir, 0, 10).collect()
     want = retrieval.hamming_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+@pytest.mark.slow
+def test_incremental_near_dup_catches_cross_batch_copy(spark, sf_dir, tmp_path):
+    """A batch-2 document that copies a batch-0 document must surface
+    as a candidate pair against the stored band index, without
+    re-shingling the historical corpus; replaying batch 2 emits the
+    identical pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 200)
+    b1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    # batch 2: fresh docs + an exact copy of doc 7 under a new id
+    copy = docs.filter(F.col("doc_id") == 7).select(
+        F.lit(900000).cast("long").alias("doc_id"), "text"
+    )
+    b2 = docs.filter(F.col("doc_id") >= 400).unionByName(copy)
+
+    band_dir = str(tmp_path / "bands")
+    pairs_dir = str(tmp_path / "pairs")
+    merge = SI.make_near_dup_merger(band_dir, pairs_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        merge(b, i)
+
+    pairs = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(os.path.join(pairs_dir, "batch=2")).collect()
+    }
+    assert (900000, 7) in pairs
+
+    first = sorted(pairs)
+    merge(b2, 2)  # replay
+    again = sorted(
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(os.path.join(pairs_dir, "batch=2")).collect()
+    )
+    assert again == first
+    # batch 0 had no prior corpus: its pairs generation is empty
+    assert (
+        spark.read.schema("new_id long, old_id long")
+        .parquet(os.path.join(pairs_dir, "batch=0"))
+        .count()
+        == 0
+    )
