@@ -428,3 +428,74 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer"),
         load(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "w10_funnel_conversion",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): ordered-event "
+    "funnel (view → click → purchase): stage timestamps are min() over "
+    "stage-filtered events constrained to follow the prior stage — the "
+    "sequential-pattern analytics a MATCH_RECOGNIZE engine does, as "
+    "three user-keyed aggregates + broadcastable per-user joins",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(floor(epoch(v.t_view)) AS BIGINT) AS t_view,
+           CAST(floor(epoch(c.t_click)) AS BIGINT) AS t_click,
+           CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first view, first click at-or-after it, first
+    purchase at-or-after that; stage_reached summarizes how deep each
+    user got. Every stage is a user-keyed min() aggregate (map-side
+    combined) joined on user_id — AQE broadcasts the shrinking stage
+    tables at scale, and nothing ever sorts the raw event stream."""
+    ev = load(spark, sf_dir, "events")
+
+    def stage(event_type: str, after: DataFrame | None, after_col: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if after is not None:
+            e = e.join(after, "user_id").filter(
+                F.col("ts") >= F.col(after_col)
+            )
+        return e.groupBy("user_id").agg(
+            F.min("ts").alias(f"ts_{event_type}")
+        )
+
+    v = stage("view", None, "")
+    c = stage("click", v.select("user_id", F.col("ts_view")), "ts_view")
+    p = stage(
+        "purchase", c.select("user_id", F.col("ts_click")), "ts_click"
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts_view").alias("t_view"),
+            F.unix_timestamp("ts_click").alias("t_click"),
+            F.unix_timestamp("ts_purchase").alias("t_purchase"),
+            F.when(F.col("ts_purchase").isNotNull(), 3)
+            .when(F.col("ts_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage_reached"),
+        )
+    )
