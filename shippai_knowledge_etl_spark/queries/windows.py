@@ -499,3 +499,50 @@ def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage_reached"),
         )
     )
+
+
+@register(
+    "w11_retention_cohorts",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): retention "
+    "cohort matrix — users bucketed by first-seen week, activity counted "
+    "per weeks-since-cohort offset; two user/week-keyed aggregates plus "
+    "a broadcastable first-seen join, pure integer epoch-week math",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(min(ts))) / 604800) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(a.week - f.cohort_week AS INT) AS weeks_since,
+           count(*) AS n_active_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, weeks_since
+    """,
+)
+def w11_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users of each first-seen-week cohort are active N
+    weeks later. Epoch-week bucketing is integer division (no
+    calendar/timezone arithmetic to diverge between engines); the
+    per-user first-seen table shrinks to one row per user so the join
+    broadcasts at scale."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
