@@ -87,12 +87,26 @@ DRIVER_WINDOW = (
     # w3_layout_suite's running-position cumsum); the slot pins the
     # MinHash→exact-verify dedup flagship, previously driver-unwitnessed
     "dedup_minhash_verified",
-    "w7_lead_lag",
+    # w7_lead_lag rotated out (the lead/lag window family stays
+    # witnessed in-window by w3_layout_suite's partitioned running
+    # windows and j6_asof_latest_order's per-key ordered pick;
+    # w7_lead_lag itself stays oracle-green in
+    # tests/test_oracle_parity.py); the slot pins the batch multi-query
+    # BM25 flagship — the batch-retrieval family's first in-window
+    # witness (broadcast query fan-out + DECIMAL-exact weight sums +
+    # per-query ranking window)
+    "ext_bm25_batch",
     # u1_union_worklists rotated out (union family stays witnessed by
     # u2_status_partition + u4_except); the slot pins the in-engine
     # k-means IVF flagship, previously driver-unwitnessed
     "simsearch_ivf_kmeans",
-    "u4_except",
+    # u4_except rotated out (the set-op family stays witnessed
+    # in-window by u2_status_partition's heterogeneous union;
+    # u4_except / u3_intersect / u1_union_worklists all stay
+    # oracle-green in tests/test_oracle_parity.py); the slot pins the
+    # ordered-event funnel flagship — the behavioral-analytics family
+    # (funnel/retention) had no in-window witness at all
+    "w10_funnel_conversion",
     "f2_f11_casualty_filename",
     "f6_knowledge_parse",
     # f7_split_nonblank rotated out (F7 stays witnessed in-window by

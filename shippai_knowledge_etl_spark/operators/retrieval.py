@@ -395,11 +395,21 @@ def hybrid_candidates(
     embedding join, so the full embedding corpus is filtered by a
     broadcast semi-probe — never shuffled. Final ranking is cosine;
     BM25 rides along for inspection. The query's own document
-    (vec id == query_vec_id) is excluded from the re-rank, matching
-    every other retrieval operator in this module."""
+    (vec id == query_vec_id) is excluded BEFORE the candidate cut —
+    otherwise it would silently occupy one of the n_candidates BM25
+    slots whenever it matches its own terms, shrinking the effective
+    lexical pool to n_candidates-1. Corpus statistics (n_docs, df,
+    avgdl) stay over the FULL corpus, the standard IR posture:
+    excluding a document from the result list does not remove it from
+    the collection model."""
     from shippai_knowledge_etl_spark.operators.simsearch import cosine
 
-    cand = bm25_topk(docs, doc_id_col, text_col, query_terms, n_candidates)
+    cand = (
+        bm25_scores_dense(docs, doc_id_col, text_col, query_terms)
+        .filter(F.col(doc_id_col) != query_vec_id)
+        .orderBy(F.desc("bm25"), F.asc(doc_id_col))
+        .limit(n_candidates)
+    )
     qv = emb.filter(F.col(vec_id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )

@@ -155,7 +155,7 @@ def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BM25_CTES},
     cand AS (
-      SELECT doc_id, bm25 FROM bm25
+      SELECT doc_id, bm25 FROM bm25 WHERE doc_id <> 0
       ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
     q AS (SELECT emb_d AS qv FROM e WHERE vec_id = 0)

@@ -209,19 +209,25 @@ def compact_index(
     or old + new (double rows only BETWEEN the write and the removes —
     run compaction in the stream's maintenance window, the same
     discipline as parquet compaction jobs everywhere). Returns the
-    number of source generations removed."""
+    number of source generations removed.
+
+    Re-compaction safety: ``live`` is ALL generations including any
+    existing ``batch=<compacted_batch>`` from a prior compaction — its
+    rows must be carried into the rewrite, or every previously
+    compacted posting is destroyed while the stats state still counts
+    the vanished docs (inflated n_docs/sum_dl over a truncated index).
+    The tmp write is a full action that reads the old files before any
+    directory is deleted, so including the old compacted generation
+    keeps the crash-safety ordering intact; pytest pins compact →
+    ingest → compact-again answers unchanged."""
     import shutil
 
-    gens = [
-        d
-        for d in os.listdir(index_dir)
-        if d.startswith("batch=") and d != f"batch={compacted_batch}"
-    ]
-    if not gens:
+    compacted_name = f"batch={compacted_batch}"
+    gens = [d for d in os.listdir(index_dir) if d.startswith("batch=")]
+    source_gens = [d for d in gens if d != compacted_name]
+    if not source_gens:
         return 0
-    live = read_index(spark, index_dir).filter(
-        F.col("batch") != compacted_batch
-    )
+    live = read_index(spark, index_dir)
     tmp = os.path.join(index_dir, f".compact_{compacted_batch}")
     (
         live.drop("batch")
@@ -229,12 +235,12 @@ def compact_index(
         .partitionBy("term_bucket")
         .parquet(tmp)
     )
-    final = os.path.join(index_dir, f"batch={compacted_batch}")
+    final = os.path.join(index_dir, compacted_name)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
-    for d in gens:
+    for d in source_gens:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-    return len(gens)
+    return len(source_gens)
 
 
 # ---------------------------------------------------------------------------
@@ -304,19 +310,38 @@ def hamming_from_sig_store(
 def make_near_dup_merger(band_dir: str, pairs_dir: str):
     """foreachBatch callback for incremental near-duplicate detection:
     each batch (1) probes its docs against the band rows of every
-    EARLIER generation, writing candidate (new_id, old_id) pairs under
-    its own ``batch=<id>`` pairs generation, then (2) writes its own
-    band rows as a new generation of the store. Probing strictly
-    earlier generations + per-batch overwrite makes replays emit
-    identical pairs (the replayed batch's own half-written generation
-    is never its probe target)."""
-    from shippai_knowledge_etl_spark.operators.dedup import (
-        lsh_band_rows,
-        near_dup_probe_index,
-    )
+    EARLIER generation, (2) self-probes its OWN band rows so two
+    near-duplicates arriving inside the same micro-batch are caught
+    (no later batch ever compares one generation against itself, so
+    without the self-probe intra-batch pairs would be permanently
+    missed), writing the union as candidate (new_id, old_id) pairs
+    under its own ``batch=<id>`` pairs generation, then (3) writes its
+    band rows as a new generation of the store. Intra-batch pairs are
+    oriented new_id > old_id so each unordered pair appears once.
+    Probing strictly earlier generations + per-batch overwrite makes
+    replays emit identical pairs (the replayed batch's own
+    half-written generation is never its probe target, and the
+    self-probe is a pure function of the batch's content)."""
+    from shippai_knowledge_etl_spark.operators.dedup import lsh_band_rows
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        bands = lsh_band_rows(batch_df, "doc_id", "text")
+        probe = bands.select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+        )
+        # intra-batch: band collisions within this micro-batch, one
+        # orientation per unordered pair
+        pairs = (
+            probe.join(
+                bands.select(
+                    F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("new_id") > F.col("old_id"))
+            .select("new_id", "old_id")
+        )
         gens = (
             [
                 d
@@ -330,14 +355,20 @@ def make_near_dup_merger(band_dir: str, pairs_dir: str):
             index = spark.read.option("basePath", band_dir).parquet(
                 *[os.path.join(band_dir, d) for d in gens]
             ).drop("batch")
-            pairs = near_dup_probe_index(batch_df, index, "doc_id", "text")
-        else:
-            pairs = spark.createDataFrame([], "new_id long, old_id long")
-        pairs.write.mode("overwrite").parquet(
+            cross = (
+                probe.join(
+                    index.withColumnRenamed("doc_id", "old_id"),
+                    ["band_idx", "band_hash"],
+                )
+                .filter(F.col("new_id") != F.col("old_id"))
+                .select("new_id", "old_id")
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        lsh_band_rows(batch_df, "doc_id", "text").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(band_dir, f"batch={batch_id}"))
+        bands.write.mode("overwrite").parquet(
+            os.path.join(band_dir, f"batch={batch_id}")
+        )
 
     return merge

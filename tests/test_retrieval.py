@@ -79,10 +79,12 @@ def test_hybrid_reranks_within_candidates(spark, sf_dir):
     """Hybrid output ⊆ BM25 candidate set, ranked by cosine."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
+    # the operator excludes the query doc (id 0) before the 50-cut, so
+    # its candidate pool is contained in the unfiltered top-51 minus 0
     cand_ids = {
         r["doc_id"]
-        for r in retrieval.bm25_topk(d, "doc_id", "text", TERMS, 50).collect()
-    }
+        for r in retrieval.bm25_topk(d, "doc_id", "text", TERMS, 51).collect()
+    } - {0}
     rows = retrieval.hybrid_candidates(
         d, e, "doc_id", "vec_id", "embedding", TERMS, 0, 50, 10
     ).collect()

@@ -118,6 +118,43 @@ def test_compaction_preserves_answers_and_shrinks_generations(
 
 
 @pytest.mark.slow
+def test_recompaction_keeps_previously_compacted_postings(
+    spark, sf_dir, tmp_path
+):
+    """compact → ingest more batches → compact AGAIN: the second
+    compaction must carry the first compacted generation's postings
+    into the rewrite (the regression was filtering batch=-1 out of
+    ``live`` while still deleting its directory — every previously
+    compacted posting vanished and BM25 scored against inflated
+    stats over a truncated index)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    merge = SI.make_index_merger(index_dir, state_dir)
+    merge(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    merge(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    assert SI.compact_index(spark, index_dir) == 2
+    rows_after_first = SI.read_index(spark, index_dir).count()
+
+    # new batches arrive on top of the compacted generation
+    merge(docs.filter(F.col("doc_id") % 3 == 2), 5)
+    full = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    total_rows = SI.read_index(spark, index_dir).count()
+    assert total_rows > rows_after_first
+
+    assert SI.compact_index(spark, index_dir) == 1
+    gens = [d for d in os.listdir(index_dir) if d.startswith("batch=")]
+    assert gens == ["batch=-1"]
+    # no posting lost: row count and answers identical to pre-compaction
+    assert SI.read_index(spark, index_dir).count() == total_rows
+    after = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in full]
+    # compacting when ONLY the compacted generation exists is a no-op
+    assert SI.compact_index(spark, index_dir) == 0
+    assert SI.read_index(spark, index_dir).count() == total_rows
+
+
+@pytest.mark.slow
 def test_sig_store_matches_batch_hamming(spark, sf_dir, tmp_path):
     """A 3-batch embedding stream leaves a signature store whose
     Hamming answers equal the batch operator over the same corpus."""
@@ -151,10 +188,17 @@ def test_sig_store_matches_batch_hamming(spark, sf_dir, tmp_path):
 def test_incremental_near_dup_catches_cross_batch_copy(spark, sf_dir, tmp_path):
     """A batch-2 document that copies a batch-0 document must surface
     as a candidate pair against the stored band index, without
-    re-shingling the historical corpus; replaying batch 2 emits the
-    identical pairs."""
+    re-shingling the historical corpus; two near-duplicates arriving
+    inside the SAME micro-batch must also surface (via the self-probe
+    — no later batch ever compares one generation against itself);
+    replaying batch 2 emits the identical pairs."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    b0 = docs.filter(F.col("doc_id") < 200)
+    # batch 0: base docs + an exact copy of doc 3 under a new id, so
+    # the duplicate pair lives entirely inside one micro-batch
+    intra_copy = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(800000).cast("long").alias("doc_id"), "text"
+    )
+    b0 = docs.filter(F.col("doc_id") < 200).unionByName(intra_copy)
     b1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
     # batch 2: fresh docs + an exact copy of doc 7 under a new id
     copy = docs.filter(F.col("doc_id") == 7).select(
@@ -167,6 +211,16 @@ def test_incremental_near_dup_catches_cross_batch_copy(spark, sf_dir, tmp_path):
     merge = SI.make_near_dup_merger(band_dir, pairs_dir)
     for i, b in enumerate((b0, b1, b2)):
         merge(b, i)
+
+    # intra-batch pair caught in batch 0's own generation, oriented
+    # new_id > old_id so the unordered pair appears exactly once
+    p0 = [
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(os.path.join(pairs_dir, "batch=0")).collect()
+    ]
+    assert (800000, 3) in p0
+    assert len(p0) == len(set(p0))
+    assert all(n > o for n, o in p0)
 
     pairs = {
         (r["new_id"], r["old_id"])
@@ -181,10 +235,3 @@ def test_incremental_near_dup_catches_cross_batch_copy(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(pairs_dir, "batch=2")).collect()
     )
     assert again == first
-    # batch 0 had no prior corpus: its pairs generation is empty
-    assert (
-        spark.read.schema("new_id long, old_id long")
-        .parquet(os.path.join(pairs_dir, "batch=0"))
-        .count()
-        == 0
-    )
