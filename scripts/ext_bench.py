@@ -25,6 +25,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# PINNED as of round 6 — the EXT surface's round-over-round regression
+# telemetry, the same convention as bench.py's headline set: never add
+# to or remove from this tuple (new operators get timed ad hoc, not
+# here). One representative per EXT family: retrieval (dense, batch,
+# index-free chunking, Hamming, hybrid, eval, MMR, RAG e2e),
+# incremental near-dup probe, tokenizer (train+encode), graph, and the
+# curation flagships (DSIR, cluster balance, main content, length
+# batching, outliers, negatives ×2, profile).
 EXT_SET = (
     "ext_bm25_topk",
     "ext_bm25_batch",
@@ -34,6 +42,9 @@ EXT_SET = (
     "retrieval_eval_recall",
     "retrieval_mmr",
     "retrieval_pipeline_e2e",
+    "dedup_incremental",
+    "graph_pagerank",
+    "curation_dsir_weights",
     "ext_bpe_train",
     "ext_bpe_encode",
     "curation_cluster_balance",

@@ -114,7 +114,15 @@ DRIVER_WINDOW = (
     # Gopher-style repetition-quality flagship
     "ext_quality_repetition",
     "f8_f9_cleanup_url",
-    "f13_results_sequence",
+    # f13_results_sequence rotated out (F13's regex-extraction family
+    # stays witnessed in-window by p1_case_id_extract + f8_f9's URL
+    # regex, and A2's max-over-extracted-int by a3_manifest_collect's
+    # aggregate surface; f13_results_sequence itself stays oracle-green
+    # in tests/test_oracle_parity.py); the slot pins the scaled-integer
+    # PageRank flagship — the graph family's first in-window witness
+    # (iterative damped propagation checked bit-exactly against an
+    # unrolled SQL CTE)
+    "graph_pagerank",
     # f14_f17_label_json rotated out (F14 zero-pad stays witnessed
     # in-window by f2_f11_casualty_filename's filename roundtrip and
     # F17 to_json by the many in-window queries that serialize array
@@ -171,7 +179,16 @@ DRIVER_WINDOW = (
     # DuckDB oracle in tests/test_oracle_parity.py and a pytest id-set
     # equality ties the two together
     "simsearch_topk_blas",
-    "simsearch_near_dup",
+    # simsearch_near_dup rotated out (the sign-LSH signature machinery
+    # stays witnessed in-window by simsearch_hamming_topk — same packed
+    # 64-bit signs + bit_count(xor) — and the bucketed-candidate
+    # near-dup shape by dedup_minhash_verified / dedup_ngram_jaccard;
+    # simsearch_near_dup itself stays oracle-green in
+    # tests/test_oracle_parity.py); the slot pins the index-at-rest
+    # retrieval flagship — the streaming-index family's first driver
+    # row (merge → compact → BM25 answered from stored postings,
+    # gated against the full-corpus oracle)
+    "retrieval_bm25_from_index",
     "stream_tumbling_window",
     "mm_image_features",
     "u5_udtf_expand",

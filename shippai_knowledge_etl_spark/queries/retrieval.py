@@ -252,6 +252,53 @@ def ext_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_bm25_from_index",
+    survey_ref="[EXT] index-at-rest retrieval flagship (streaming/index.py): "
+    "ingest the corpus as three micro-batch generations of the "
+    "term-bucketed postings index, compact them into one generation, "
+    "then answer BM25 from the stored postings + 1-row stats alone — "
+    "the corpus is never rescanned at query time; the oracle is the "
+    "full-corpus BM25 (ext_bm25_topk's), so the gate proves "
+    "merge → compact → index-answered scoring loses nothing",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def retrieval_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the postings index under a throwaway dir from three
+    doc_id%3 micro-batches (``make_index_merger``), compact the
+    generations (``compact_index``), and score the fixed query from
+    the index alone (``bm25_from_index``). The 10-row answer is
+    collected before the dir is removed (bounded by k — the
+    retrieval_mmr posture), so the returned frame has no dangling
+    file dependency. At 100 TB this is the architecture that makes
+    retrieval O(|query| pruned buckets) instead of O(corpus):
+    partition pruning on term_bucket is plan-pinned in
+    tests/test_retrieval_index.py."""
+    import shutil
+    import tempfile
+
+    from shippai_knowledge_etl_spark.streaming import index as SI
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        index_dir, state_dir = f"{root}/index", f"{root}/state"
+        merge = SI.make_index_merger(index_dir, state_dir)
+        for i in range(3):
+            merge(d.filter(F.col("doc_id") % 3 == i), i)
+        SI.compact_index(spark, index_dir)
+        rows = SI.bm25_from_index(
+            spark, index_dir, state_dir, QUERY_TERMS, 10
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, bm25 double")
+
+
+@register(
     "retrieval_eval_recall",
     survey_ref="[EXT] ANN evaluation harness: recall@10 of the Hamming "
     "sign probe vs exact-cosine ground truth over a 10-query batch — "

@@ -101,8 +101,16 @@ def expand_worklist(
         .otherwise("skip")
         .alias("route"),
     )
-    for r in routed.filter(F.col("route") == "skip").collect():
+    # warning collects are capped at 100 rows so a pathological
+    # worklist (e.g. fed from a file) can never balloon the driver;
+    # the count() reports the full tally either way
+    skipped = routed.filter(F.col("route") == "skip")
+    n_skip = skipped.count()
+    for r in skipped.limit(100).collect():
         print(f"warning: unrecognized URL pattern, skipping: {r.url}",
+              file=sys.stderr)
+    if n_skip > 100:
+        print(f"warning: ... and {n_skip - 100} more unrecognized URLs",
               file=sys.stderr)
 
     direct = routed.filter(F.col("route") == "case").select(
@@ -124,12 +132,17 @@ def expand_worklist(
     # a failed list fetch must be LOUD, not an empty expansion: the
     # explode over [] below would silently drop the whole list page
     # (reference surfaces list-expansion failures, src/run.py:66-77)
-    for r in fetched.filter(F.col("page.error").isNotNull()).collect():
+    failed = fetched.filter(F.col("page.error").isNotNull())
+    n_failed = failed.count()
+    for r in failed.limit(100).collect():
         print(
             f"warning: list page fetch failed ({r.page.error}), "
             f"0 cases expanded: {r.url}",
             file=sys.stderr,
         )
+    if n_failed > 100:
+        print(f"warning: ... and {n_failed - 100} more failed list fetches",
+              file=sys.stderr)
     expanded = (
         fetched.select("url", F.explode(links).alias("r"))
         .select(scalar.resolve_url(F.col("url"), F.col("r.href")).alias("case_url"))

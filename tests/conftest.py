@@ -43,3 +43,22 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return TEST_SF_DIR
+
+
+DRIVER_SF_DIR = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def duck_sf001():
+    """DuckDB views at sf0.01 — the scale the EXTERNAL driver verifies
+    at. Window queries run against this too (test_oracle_parity), so
+    scale-boundary flakes (approx-sketch exactness, limit ties) surface
+    locally instead of at the driver."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = f"{DRIVER_SF_DIR}/{name}.parquet"
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    yield con
+    con.close()

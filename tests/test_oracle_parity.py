@@ -85,6 +85,35 @@ def test_oracle_parity(spark, duck, sf_dir, spec):
     assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
 
 
+from shippai_knowledge_etl_spark.catalog import DRIVER_WINDOW as _WINDOW
+
+_WINDOW_ORACLE = [
+    _SPECS[n] for n in _WINDOW if _SPECS[n].oracle is not None
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spec", _WINDOW_ORACLE, ids=lambda s: s.name)
+def test_oracle_parity_driver_scale(spark, duck_sf001, spec):
+    """The driver verifies at sf0.01 but the fast parity pass runs
+    sf0.001 — scale-boundary flakes (the a_approx_percentile class:
+    sketch accuracy vs row count, limit ties at a value boundary)
+    only surface at the larger SF. Run every driver-window oracle
+    query at sf0.01 locally so those break HERE, not at the gate."""
+    from tests.conftest import DRIVER_SF_DIR
+
+    df = spec.fn(spark, DRIVER_SF_DIR)
+    scols, srows = _spark_rows(df)
+    dcols, drows = _duck_rows(duck_sf001, spec.oracle)
+    assert scols == dcols, f"{spec.name}: column mismatch {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{spec.name}: row count {len(srows)} != {len(drows)}"
+    )
+    sset, dset = sorted(map(repr, srows)), sorted(map(repr, drows))
+    mism = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+    assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
+
+
 @pytest.mark.parametrize("spec", _ROWS_ONLY, ids=lambda s: s.name)
 def test_rows_only_queries_run(spark, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
