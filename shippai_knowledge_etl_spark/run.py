@@ -368,14 +368,18 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
     """Per-case composite report through the S6 emitter, mirroring the
     reference's section flow (src/render_pdf.py:324-471):
 
-      page 0 — title + prose sections + the representative image
-               (S4-fetched, scale-to-fit, failure placeholder,
-               src/render_pdf.py:361-365,96-118);
-      page 1 — the diagonal scenario diagram (bars, separator lines,
+      flow pages (page = -1) — title, labeled fields, representative
+               image (S4-fetched, scale-to-fit, failure placeholder,
+               src/render_pdf.py:361-365,96-118), every prose section
+               at FULL length, sources (URLs hyperlinked,
+               src/render_pdf.py:423-435), casualties and trailing
+               fields — laid out by the emitter's measured-height flow
+               (wrap + pagination), the Paragraph-flowable model;
+      then the diagonal scenario diagram page (bars, separator lines,
                category braces) when scenario structure is present
                (src/render_pdf.py:393-408, operators/diagram.py);
-      pages 2+ — one multimedia image per page with its caption,
-               URL guessed as ``../mf/{id}.jpg`` like the reference
+      then one multimedia image per page with its caption, URL guessed
+               as ``../mf/{id}.jpg`` like the reference
                (src/render_pdf.py:411-420).
 
     All geometry is relational draw-ops rows; image bytes ride a binary
@@ -384,19 +388,25 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
     from shippai_knowledge_etl_spark.operators import diagram
     from shippai_knowledge_etl_spark.sources.fetch import fetch_binary
 
-    row_h = 120
+    box_w = float(_PAGE_W - 200)  # text box inside 100-tmm side margins
 
-    # --- page 0: title + prose + representative image ---
-    ops = [_pdf_op(0, 0, 0, "text", 100, _PAGE_H - 150,
-                   label=F.col("case_name"))]
-    labels = ["summary", *_PARA_FIELDS.keys()]
-    for i, key in enumerate(labels):
-        y = _PAGE_H - (i + 2) * (row_h + 20) - 100
-        ops.append(
-            _pdf_op(0, 0, i + 1, "text", 100, y,
-                    label=F.concat(F.lit(f"{key}: "),
-                                   F.substring(F.col(key), 1, 120)))
-        )
+    def _head(sec: int, label: str | F.Column, seq: int = 0) -> F.Column:
+        lbl = F.lit(label) if isinstance(label, str) else label
+        return _pdf_op(-1, sec, seq, "text", 100, 0.0, label=lbl)
+
+    def _body(sec: int, text: F.Column, seq: int = 1) -> F.Column:
+        return _pdf_op(-1, sec, seq, "para", 100, 0.0,
+                       w=F.lit(box_w), label=text)
+
+    # --- flow content, reference section order ---
+    ops: list[F.Column] = [_head(0, F.col("case_name"))]
+    labeled = [("事例発生日付", "date"), ("事例発生地", "location"),
+               ("事例発生場所", "facility")]
+    for i, (jp, key) in enumerate(labeled):
+        ops.append(F.when(
+            F.col(key) != "",
+            _head(1 + i, F.concat(F.lit(f"{jp}："), F.col(key))),
+        ))
     has_rep = F.col("images.representative") != ""
     rep_url = F.when(
         has_rep,
@@ -405,12 +415,65 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
             F.concat(F.lit("../df/"), F.col("images.representative")),
         ),
     )
-    rep_op = F.when(
+    ops.append(F.when(has_rep, _head(4, "代表図")))
+    ops.append(F.when(
         has_rep,
-        _pdf_op(0, 1, 0, "image", 100, 200,
+        _pdf_op(-1, 4, 1, "image", 100, 0.0,
                 w=F.lit(1600.0), h=F.lit(1100.0),
                 img=fetch_binary(rep_url).getField("content"),
                 label=F.lit("代表図")),
+    ))
+    prose = [
+        ("事例概要", F.col("summary")),
+        ("事象", F.col("phenomenon")),
+        ("経過", F.col("process")),
+        ("原因", F.col("cause")),
+        ("対処", F.col("response")),
+        ("対策", F.col("countermeasure")),
+        ("知識化", F.array_join(
+            F.transform(F.col("knowledge"),
+                        lambda k: F.concat(F.lit("・"), k)), "\n")),
+        ("背景", F.col("background")),
+    ]
+    for i, (jp, text) in enumerate(prose):
+        sec = 5 + i
+        present = text != ""
+        ops.append(F.when(present, _head(sec, jp)))
+        ops.append(F.when(present, _body(sec, text)))
+    # sources: one paragraph per line, URLs become live hyperlinks in
+    # the emitter (blue + underline + /Annots /URI)
+    ops.append(F.when(F.size(F.col("sources")) > 0, _head(13, "情報源")))
+    # casualties + trailing labeled fields (src/render_pdf.py:436-466)
+    ops.append(_head(14, "被害情報"))
+    ops.append(F.when(
+        F.col("casualties.deaths").isNotNull(),
+        _head(14, F.concat(F.lit("死者数："),
+                           F.col("casualties.deaths").cast("string")), 1),
+    ))
+    ops.append(F.when(
+        F.col("casualties.injuries").isNotNull(),
+        _head(14, F.concat(F.lit("負傷者数："),
+                           F.col("casualties.injuries").cast("string")), 2),
+    ))
+    trailing = [("被害金額", "financial_damage"), ("社会への影響", "social_impact"),
+                ("備考", "notes"), ("分野", "field")]
+    for i, (jp, key) in enumerate(trailing):
+        ops.append(F.when(
+            F.col(key) != "",
+            _head(15 + i, F.concat(F.lit(f"{jp}："), F.col(key))),
+        ))
+    ops.append(F.when(
+        F.size(F.col("authors")) > 0,
+        _head(19, F.concat(F.lit("データ作成者："),
+                           F.array_join(F.col("authors"), " / "))),
+    ))
+    # one struct per source line, seq from the array index; the
+    # duplicate _head(14, …) rows above stay ordered by their seq=0
+    # vs these seq>=1 values within the shared section
+    src_ops = F.transform(
+        F.col("sources"),
+        lambda s_, i: _pdf_op(-1, 13, i + 1, "para", 100, 0.0,
+                              w=F.lit(box_w), label=s_),
     )
     dims = [
         F.lit(_PAGE_W).cast("long").alias("page_w"),
@@ -419,7 +482,8 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
     text_ops = successes.select(
         F.col("case_id").alias("doc_id"),
         F.explode(
-            F.filter(F.array(*ops, rep_op), lambda o: o.isNotNull())
+            F.filter(F.concat(F.array(*ops), src_ops),
+                     lambda o: o.isNotNull())
         ).alias("o"),
     ).select("doc_id", "o.*", *dims)
 

@@ -28,9 +28,19 @@ are scaled to PDF points (1 tenth-mm = 0.2834645 pt).
 
 from __future__ import annotations
 
+import re
 import struct
 
 TENTH_MM_TO_PT = 72.0 / 254.0  # 0.1 mm in points
+
+# paragraph typography (the reference's JP_Body is 10pt with reportlab's
+# default 1.2 leading; we lead a little looser for the hand-rolled wrap)
+PARA_SIZE = 10
+LEAD_FACTOR = 1.4  # baseline-to-baseline, in em
+
+# source lines render any URL as a live hyperlink, the reference's
+# behavior (src/render_pdf.py:423-435: blue underlined <link href=...>)
+_URL_RE = re.compile(r"https?://\S+")
 
 # the reference's Gothic CID font (src/render_pdf.py:24); Adobe-Japan1
 # registry fonts are viewer-supplied, never embedded
@@ -66,6 +76,55 @@ def _text_show(s: str, size: int) -> bytes:
     return b"/F2 %d Tf <%s> Tj" % (size, utf16.hex().encode("ascii"))
 
 
+def para_budget(text: str, box_w_tmm: float, size: int = PARA_SIZE) -> tuple[int, float]:
+    """(chars_per_line, advance_pt) for wrapping ``text`` into a box.
+    Width math is EXACT for CJK: the CID font declares /DW 1000 and no
+    /W array, so every glyph advances exactly ``size`` pt. Pure
+    Latin-1 paragraphs render in proportional Helvetica, whose widest
+    common glyphs stay under 0.6 em — the 0.6 em/char budget is a
+    conservative bound, so Latin lines can only come out NARROWER than
+    the box, never overflow it."""
+    adv_pt = float(size) if not _is_latin1(text or "") else 0.6 * size
+    return max(1, int((box_w_tmm * TENTH_MM_TO_PT) // adv_pt)), adv_pt
+
+
+def wrap_para(
+    text: str, box_w_tmm: float, size: int = PARA_SIZE
+) -> list[tuple[str, list[tuple[int, int, str]]]]:
+    """Greedy fixed-advance wrap: logical lines (``\\n``) chunked at
+    the :func:`para_budget` budget. Returns one ``(line, link_spans)``
+    tuple per rendered line, where link_spans are
+    ``(start_col, end_col, url)`` for every ``https?://`` span —
+    detected on the LOGICAL line and mapped through the chunking, so
+    a URL broken across wrapped lines keeps per-line link geometry
+    (reference: src/render_pdf.py:423-435).
+
+    Re-wrap identity (load-bearing for the flow layout's page
+    splitting): every emitted line is ≤ the budget of any text that
+    contains it — a fragment's budget can only grow (a pure-Latin
+    fragment of a CJK paragraph gets the wider Latin budget) — so
+    wrapping a ``\\n``-rejoin of emitted lines reproduces them."""
+    cpl, _ = para_budget(text or "", box_w_tmm, size)
+    out: list[tuple[str, list[tuple[int, int, str]]]] = []
+    for logical in (text or "").split("\n"):
+        matches = [
+            (m.start(), m.end(), m.group(0))
+            for m in _URL_RE.finditer(logical)
+        ]
+        if logical == "":
+            out.append(("", []))
+            continue
+        for i in range(0, len(logical), cpl):
+            chunk = logical[i : i + cpl]
+            spans = [
+                (max(a, i) - i, min(b, i + len(chunk)) - i, u)
+                for a, b, u in matches
+                if max(a, i) < min(b, i + len(chunk))
+            ]
+            out.append((chunk, spans))
+    return out or [("", [])]
+
+
 def jpeg_dimensions(data: bytes) -> tuple[int, int, int] | None:
     """(width, height, components) from a JPEG's SOF marker, or None if
     the bytes are not a parseable JPEG. Pure byte scan, no libraries."""
@@ -91,16 +150,72 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int] | None:
     return None
 
 
-def content_stream(ops: list[dict], image_names: dict[int, bytes]) -> bytes:
-    """Draw-op rows → one page's content stream. Rows must already be in
-    draw order (section, seq). Supported ``op`` values: ``rect`` (+
-    optional label), ``line``, ``text``, ``image`` (op index must be in
-    ``image_names``)."""
+def _para_fragments(
+    r: dict, out: list[bytes], annots: list[tuple[float, float, float, float, str]]
+) -> None:
+    """Render one ``para`` op: wrapped lines top-down from ``y`` (the
+    TOP of the block, tenth-mm), each URL span drawn blue + underlined
+    with a matching /Annots /URI rect (reference styling,
+    src/render_pdf.py:423-435). Under the uniform CID advance the
+    segment x-offsets are exact; Latin segments use the conservative
+    0.6 em advance so link rects can only be slightly wide."""
+    s = TENTH_MM_TO_PT
+    text = r.get("label") or ""
+    box_w = r.get("w") or 1900.0
+    size = PARA_SIZE
+    _, adv = para_budget(text, box_w, size)
+    lead = LEAD_FACTOR * size
+    x0 = r["x"] * s
+    for k, (line, spans) in enumerate(wrap_para(text, box_w, size)):
+        base = r["y"] * s - size - k * lead
+        if not spans:
+            if line:
+                out.append(
+                    b"BT 0 0 0 rg %.2f %.2f Td %s ET"
+                    % (x0, base, _text_show(line, size))
+                )
+            continue
+        # segment walk: plain runs black, URL runs blue + underline
+        cuts = sorted({0, len(line), *(c for a, b, _ in spans for c in (a, b))})
+        link_at = {}
+        for a, b, u in spans:
+            for c in range(a, b):
+                link_at[c] = u
+        for a, b in zip(cuts, cuts[1:]):
+            seg = line[a:b]
+            if not seg:
+                continue
+            url = link_at.get(a)
+            sx, ex = x0 + a * adv, x0 + b * adv
+            color = b"0 0 1 rg" if url else b"0 0 0 rg"
+            out.append(
+                b"BT %s %.2f %.2f Td %s ET"
+                % (color, sx, base, _text_show(seg, size))
+            )
+            if url:
+                out.append(
+                    b"0 0 1 RG 0.5 w %.2f %.2f m %.2f %.2f l S"
+                    % (sx, base - 1.5, ex, base - 1.5)
+                )
+                annots.append((sx, base - 0.25 * size, ex, base + size, url))
+
+
+def content_stream(
+    ops: list[dict], image_names: dict[int, bytes]
+) -> tuple[bytes, list[tuple[float, float, float, float, str]]]:
+    """Draw-op rows → (one page's content stream, link-annotation
+    rects). Rows must already be in draw order (section, seq).
+    Supported ``op`` values: ``rect`` (+ optional label), ``line``,
+    ``text``, ``para`` (wrapped block, URL spans hyperlinked),
+    ``image`` (op index must be in ``image_names``)."""
     s = TENTH_MM_TO_PT
     out: list[bytes] = []
+    annots: list[tuple[float, float, float, float, str]] = []
     for idx, r in enumerate(ops):
         op = r["op"]
-        if op == "rect":
+        if op == "para":
+            _para_fragments(r, out, annots)
+        elif op == "rect":
             rr, gg, bb = _rgb(r.get("fill") or "#ffffff")
             x, y = r["x"] * s, r["y"] * s
             w, h = r["w"] * s, r["h"] * s
@@ -129,7 +244,7 @@ def content_stream(ops: list[dict], image_names: dict[int, bytes]) -> bytes:
                 % (r["w"] * s, r["h"] * s, r["x"] * s, r["y"] * s,
                    image_names[idx])
             )
-    return b"\n".join(out)
+    return b"\n".join(out), annots
 
 
 _COLOR_SPACES = {1: b"/DeviceGray", 3: b"/DeviceRGB", 4: b"/DeviceCMYK"}
@@ -191,6 +306,75 @@ def _resolve_images(ops: list[dict]) -> tuple[list[dict], list[tuple[int, bytes]
     return resolved, image_objs
 
 
+def flow_pages(
+    ops: list[dict],
+    page_w_tmm: float,
+    page_h_tmm: float,
+    margin_tmm: float = 150.0,
+    size: int = PARA_SIZE,
+) -> list[dict]:
+    """The reportlab ``doc.build(elements)`` analog: stack flow ops
+    (``text`` headings, ``para`` blocks, ``image`` boxes) down the
+    page by MEASURED height, breaking to a fresh page when the next
+    line/box would cross the bottom margin — sections flow instead of
+    being pinned to fixed pages (reference: Paragraph flowables +
+    SimpleDocTemplate pagination, src/render_pdf.py:368-379,469).
+    ``para`` blocks split ACROSS pages line-by-line: the placed
+    fragment rejoins its fitting lines with ``\\n``, which re-wraps to
+    itself (see :func:`wrap_para`'s re-wrap identity). Incoming ``y``
+    values are ignored; ops keep their order. Returns page dicts for
+    :func:`pdf_document`."""
+    lead_tmm = (LEAD_FACTOR * size) / TENTH_MM_TO_PT
+    gap_tmm = 30.0
+    top, bottom = page_h_tmm - margin_tmm, margin_tmm
+    pages: list[dict] = []
+    cur: list[dict] = []
+    y = top
+
+    def break_page() -> None:
+        nonlocal cur, y
+        pages.append({"ops": cur, "w": page_w_tmm, "h": page_h_tmm})
+        cur, y = [], top
+
+    prev_op = None
+    for r in ops:
+        op = r.get("op")
+        # a heading/label line following body content starts a new
+        # section — give it breathing room (reportlab Spacer analog)
+        if op == "text" and prev_op in ("para", "image"):
+            y -= gap_tmm
+        if op == "para":
+            box_w = r.get("w") or (page_w_tmm - 2 * margin_tmm)
+            lines = [ln for ln, _ in wrap_para(r.get("label") or "", box_w, size)]
+            i = 0
+            while i < len(lines):
+                if y - lead_tmm < bottom and cur:
+                    break_page()
+                n_fit = max(1, int((y - bottom) // lead_tmm))
+                chunk = lines[i : i + n_fit]
+                cur.append(dict(r, y=y, w=box_w, label="\n".join(chunk)))
+                y -= len(chunk) * lead_tmm
+                i += n_fit
+        elif op == "image":
+            box_h = r.get("h") or 0.0
+            if y - box_h < bottom and cur:
+                break_page()
+            # image ops anchor at their BOTTOM-left (PDF cm semantics);
+            # the fitted draw (aspect-preserving, _resolve_images) is
+            # never taller than the reserved box
+            cur.append(dict(r, y=max(y - box_h, bottom)))
+            y -= box_h + gap_tmm
+        else:  # single-line text / rect / line
+            if y - lead_tmm < bottom and cur:
+                break_page()
+            cur.append(dict(r, y=y - lead_tmm))
+            y -= lead_tmm
+        prev_op = op
+    if cur:
+        pages.append({"ops": cur, "w": page_w_tmm, "h": page_h_tmm})
+    return pages
+
+
 def pdf_document(pages: list[dict]) -> bytes:
     """A complete multi-page PDF 1.4 file. Each page dict carries
     ``ops`` (draw-op rows, already in draw order), ``w`` and ``h``
@@ -208,7 +392,7 @@ def pdf_document(pages: list[dict]) -> bytes:
         image_names = {
             op_idx: b"Im%d" % i for i, (op_idx, _) in enumerate(image_objs)
         }
-        stream = content_stream(resolved, image_names)
+        stream, annots = content_stream(resolved, image_names)
         xobj = b""
         if image_objs:
             entries = b" ".join(
@@ -216,18 +400,32 @@ def pdf_document(pages: list[dict]) -> bytes:
                 for i in range(len(image_objs))
             )
             xobj = b" /XObject << %s >>" % entries
+        first_annot = first_img + len(image_objs)
+        annot_objs = [
+            b"<< /Type /Annot /Subtype /Link /Rect [%.2f %.2f %.2f %.2f] "
+            b"/Border [0 0 0] /A << /S /URI /URI (%s) >> >>"
+            % (x0, y0, x1, y1, _pdf_text_latin(url))
+            for x0, y0, x1, y1, url in annots
+        ]
+        annot_ref = b""
+        if annot_objs:
+            refs = b" ".join(
+                b"%d 0 R" % (first_annot + i) for i in range(len(annot_objs))
+            )
+            annot_ref = b" /Annots [%s]" % refs
         page_objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
         )
         page_objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %.2f %.2f] "
             b"/Contents %d 0 R /Resources "
-            b"<< /Font << /F1 3 0 R /F2 4 0 R >>%s >> >>"
-            % (page["w"] * s, page["h"] * s, content_id, xobj)
+            b"<< /Font << /F1 3 0 R /F2 4 0 R >>%s >>%s >>"
+            % (page["w"] * s, page["h"] * s, content_id, xobj, annot_ref)
         )
         page_objects.extend(body for _, body in image_objs)
+        page_objects.extend(annot_objs)
         kid_ids.append(page_id)
-        next_id += 2 + len(image_objs)
+        next_id += 2 + len(image_objs) + len(annot_objs)
 
     kids = b" ".join(b"%d 0 R" % k for k in kid_ids)
     objects = [

@@ -154,7 +154,10 @@ def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -
     paged = "page" in draw_ops.columns
 
     def emit(rows) -> None:
-        from shippai_knowledge_etl_spark.sources.pdf_writer import pdf_document
+        from shippai_knowledge_etl_spark.sources.pdf_writer import (
+            flow_pages,
+            pdf_document,
+        )
 
         # see write_cases_json_named.emit: out_dir must be shared storage
         # in cluster mode, and each task ensures it exists locally
@@ -166,7 +169,17 @@ def render_pdf_sink(draw_ops: DataFrame, out_dir: str, id_col: str = "doc_id") -
             if cur_id is None:
                 return
             path = os.path.join(out_dir, f"{cur_id}.pdf")
-            pages = [cur_pages[k] for k in sorted(cur_pages)]
+            # page == -1 rows are FLOW content: laid out down the page
+            # by measured height (text wrap + pagination in the
+            # emitter, the reference's Paragraph-flowable model,
+            # src/render_pdf.py:368-379,469); they become the leading
+            # pages, followed by the explicitly-paged ops (diagram,
+            # multimedia) in page order
+            flow = cur_pages.pop(-1, None)
+            pages = []
+            if flow is not None:
+                pages.extend(flow_pages(flow["ops"], flow["w"], flow["h"]))
+            pages.extend(cur_pages[k] for k in sorted(cur_pages))
             with open(path, "wb") as f:
                 f.write(pdf_document(pages))
 

@@ -7,6 +7,7 @@ manifest sequencing, PDF emission, and the empty-worklist exit code."""
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -31,7 +32,7 @@ CASE_OK = """
 <tr><td bgcolor="#DFE9F2" rowspan="2">マルチメディアファイル</td>
     <td><a href="../mf/MA1.jpg">写真1</a></td></tr>
 <tr><td><a href="../mf/MA2.jpg">写真2</a></td></tr>
-<tr><td bgcolor="#DFE9F2">情報源</td><td>source one<br>source two</td></tr>
+<tr><td bgcolor="#DFE9F2">情報源</td><td>source one<br>失敗知識DB http://example.com/ref.html</td></tr>
 <tr><td bgcolor="#DFE9F2">死者数</td><td>0名</td></tr>
 <tr><td bgcolor="#DFE9F2">負傷者数</td><td>2名</td></tr>
 <tr><td bgcolor="#DFE9F2">被害金額</td><td>1億円</td></tr>
@@ -190,7 +191,7 @@ def test_cli_end_to_end(spark, site, tmp_path):
             {"id": "MA2", "caption": "写真2"},
         ],
     }
-    assert doc["sources"] == ["source one", "source two"]
+    assert doc["sources"] == ["source one", "失敗知識DB http://example.com/ref.html"]
     assert doc["casualties"] == {"deaths": 0, "injuries": 2}  # F2
     assert doc["financial_damage"] == "1億円"
     assert doc["social_impact"] == "impact text"
@@ -205,23 +206,39 @@ def test_cli_end_to_end(spark, site, tmp_path):
         "sources", "casualties", "financial_damage", "social_impact",
         "notes", "field", "authors",
     ]
-    # composite PDF: page 0 text + representative image, page 1 diagonal
-    # diagram (bars/separators/braces), pages 2-3 multimedia
+    # composite PDF: flowed prose pages (title, fields, representative
+    # image, full-length sections, sources, casualties), then the
+    # diagonal diagram page, then one multimedia page per image
     pdf = (out / "CA0000001.pdf").read_bytes()
     assert pdf.startswith(b"%PDF-1.4")
-    assert b"/Count 4" in pdf  # text, diagram, MA1, MA2 pages
+    m = re.search(rb"/Count (\d+)", pdf)
+    n_pages = int(m.group(1))
+    # ≥2 flow pages (fields + image + sections overflow one A4) +
+    # diagram + MA1 + MA2
+    assert n_pages >= 5, n_pages
     # title rendered in the CID CJK font (UTF-16BE hex string)
     assert "タンク爆発".encode("utf-16-be").hex().encode() in pdf
+    # full section text flows (no 120-char truncation): every prose
+    # field and the trailing labeled fields render
+    for frag in ("背景", "知識その二", "被害情報", "死者数：0", "分野：化学物質"):
+        assert frag.encode("utf-16-be").hex().encode() in pdf, frag
     assert pdf.count(b"/Subtype /Image") == 2  # DZ001 + MA1 embedded
     assert b"/Filter /DCTDecode" in pdf
+    # the source URL renders as a live hyperlink: blue underline in the
+    # content stream + a /Annots /URI rect (reference
+    # src/render_pdf.py:423-435)
+    assert b"/Subtype /Link" in pdf
+    assert b"/S /URI /URI (http://example.com/ref.html)" in pdf
+    assert b"0 0 1 rg" in pdf  # link text drawn blue
     # MA2.jpg 404s → the reference's failure-placeholder text
     ph = "[画像読み込みエラー: 写真2]".encode("utf-16-be").hex().encode()
     assert ph in pdf
     # diagram geometry: 9 item bars + separator/brace lines
     assert pdf.count(b" re f") == 9
-    # 2 category-end doubles (±4 pairs) + 3 braces; the single-line
-    # separator coincides with a category boundary so adds nothing
-    assert pdf.count(b" l S") == 7
+    # 2 category-end doubles (±4 pairs) + 3 braces (the single-line
+    # separator coincides with a category boundary so adds nothing)
+    # + 1 hyperlink underline on the flow pages
+    assert pdf.count(b" l S") == 8
 
     # manifest: sequencing + summary + per-status payloads (entries
     # streamed from the distributed write — reference src/run.py:95-132)

@@ -4,6 +4,7 @@ to_json/from_json round-trip, PDF-stub behavior."""
 from __future__ import annotations
 
 import json
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -183,6 +184,92 @@ def test_pdf_writer_cjk_and_images():
     ph = "[画像読み込みエラー: 写真1]".encode("utf-16-be").hex().encode()
     assert b"<" + ph + b"> Tj" in raw
     assert raw.count(b"/Subtype /Image") == 1
+
+
+def test_pdf_para_wraps_long_cjk_text():
+    """A long Japanese paragraph in a ``para`` op must wrap: multiple
+    text-show ops, each line re-positioned at the SAME x with a
+    descending baseline (x-advance reset per line). CJK width math is
+    exact — uniform 1000/em CID advance — so the wrap point is
+    chars-per-line = box_width // em (reference wraps via Paragraph
+    flowables, src/render_pdf.py:368-379)."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        content_stream,
+        para_budget,
+        wrap_para,
+    )
+
+    text = "失敗知識は組織の財産である。" * 20  # 280 chars, one logical line
+    cpl, _ = para_budget(text, 1900.0)
+    lines = wrap_para(text, 1900.0)
+    assert len(lines) > 1 and all(len(ln) <= cpl for ln, _ in lines)
+    assert "".join(ln for ln, _ in lines) == text  # nothing lost
+    stream, annots = content_stream(
+        [{"op": "para", "x": 100, "y": 2800, "w": 1900.0, "label": text}], {}
+    )
+    assert annots == []
+    # one positioned show per wrapped line, same x, strictly
+    # descending baselines
+    tds = re.findall(rb"BT 0 0 0 rg ([\d.]+) ([\d.]+) Td", stream)
+    assert len(tds) == len(lines) > 1
+    xs = {x for x, _ in tds}
+    ys = [float(y) for _, y in tds]
+    assert len(xs) == 1
+    assert ys == sorted(ys, reverse=True) and len(set(ys)) == len(ys)
+
+
+def test_pdf_para_url_becomes_hyperlink_annotation():
+    """A source line's URL renders blue + underlined with a matching
+    /Annots /URI rect (reference src/render_pdf.py:423-435); text
+    before and after the URL stays black."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        content_stream,
+        minimal_pdf,
+    )
+
+    line = "出典: http://example.com/a?x=1 による"
+    op = {"op": "para", "x": 100, "y": 2800, "w": 1900.0, "label": line}
+    stream, annots = content_stream([op], {})
+    assert len(annots) == 1
+    x0, y0, x1, y1, url = annots[0]
+    assert url == "http://example.com/a?x=1"
+    assert x0 < x1 and y0 < y1
+    assert b"0 0 1 rg" in stream  # link segment drawn blue
+    assert stream.count(b"0 0 0 rg") == 2  # pre- and post-URL segments
+    assert b"0 0 1 RG" in stream and b" l S" in stream  # underline
+    raw = minimal_pdf([op], 2100, 2970)
+    assert b"/Subtype /Link" in raw
+    assert b"/S /URI /URI (http://example.com/a?x=1)" in raw
+    assert b"/Annots [" in raw
+
+
+def test_pdf_flow_paginates_by_measured_height():
+    """flow_pages stacks blocks down the page and breaks when the next
+    line would cross the bottom margin — a para taller than one page
+    SPLITS across pages, and the split fragments re-wrap to the same
+    lines (wrap_para's re-wrap identity)."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        flow_pages,
+        wrap_para,
+    )
+
+    text = "長い本文がページ境界を越えて流れる。" * 250
+    ops = [
+        {"op": "text", "x": 100, "y": 0, "label": "背景"},
+        {"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": text},
+    ]
+    pages = flow_pages(ops, 2100, 2970)
+    assert len(pages) > 1
+    placed = [r for p in pages for r in p["ops"] if r["op"] == "para"]
+    # fragments rejoin to the original wrap, nothing dropped or re-split
+    frag_lines = [
+        ln for r in placed for ln, _ in wrap_para(r["label"], 1900.0)
+    ]
+    assert frag_lines == [ln for ln, _ in wrap_para(text, 1900.0)]
+    # every placed op sits inside the page box
+    for p in pages:
+        for r in p["ops"]:
+            assert 0 <= r["y"] <= 2970
 
 
 def test_anchor_list_parser_edge_cases():
