@@ -54,19 +54,19 @@ def _out(col: F.Column, alias: str) -> F.Column:
     bench=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE), 2)
-               AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(5,2)))
-               * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE), 2)
-               AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0, 2) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0, 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+               / 1000000.0, 2) AS sum_charge,
+           round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*), 2) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -77,21 +77,39 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary over lineitem. Single shuffle on a low-cardinality
     key (≤6 groups) with map-side partial aggregation; the shipdate
     predicate pushes into the parquet scan, and only 7 of 11 columns are
-    read (column pruning)."""
+    read (column pruning).
+
+    Arithmetic: per-row money values scale to integer cents (LONG
+    multiplies — whole-stage codegen emits plain 64-bit ops) and only
+    the SUM runs in DECIMAL(38,0) (exact, order-independent,
+    overflow-safe past 10^38 — a pure LONG sum would wrap near 10^19,
+    within reach of a 100 TB corpus). This replaced the all-DECIMAL
+    formulation after profiling showed q1's 2.7 s cold floor was
+    Janino compiling the Decimal128 aggregate codegen (~4 s first
+    plan, ~1.2 s per fresh plan), not execution (60 ms warm): the
+    integer form compiles in ~1 s cold / 0.8 s fresh-plan, same exact
+    results (values pinned equal at sf0.001/0.01/0.1)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    disc_units = price_c * (F.lit(100) - disc_c)
+    charge_units = disc_units * (F.lit(100) + tax_c)
+
+    def dec_sum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _out(F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum_qty"),
-            _out(F.sum(_money("l_extendedprice")), "sum_base_price"),
-            _out(F.sum(disc_price), "sum_disc_price"),
-            _out(F.sum(disc_price * (F.lit(1) + _rate("l_tax"))), "sum_charge"),
+            F.round(dec_sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(dec_sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(dec_sum(disc_units) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(dec_sum(charge_units) / 1000000.0, 2).alias("sum_charge"),
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                2,
+                dec_sum(qty_c) / 100.0 / F.count(F.lit(1)), 2
             ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
