@@ -193,6 +193,38 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT:
+    score = |A∩B| / min(|A|, |B|) (Broder 1997's containment
+    coefficient). Catches near-SUPERSET duplicates — a document quoted
+    or wrapped inside a larger one (boilerplate shells, quote-reply
+    chains, aggregator pages) — which symmetric Jaccard structurally
+    misses: a doc fully contained in one 4× its size has Jaccard ≤
+    0.25 but containment 1.0.
+
+    Same single-pass shape and scale properties as
+    :func:`jaccard_pairs` (one codegen'd shingle evaluation, owner
+    lists, i<j pair expansion, ``max_df`` fanout cap); only the final
+    score differs, an exact single division of carried integers."""
+    inter = jaccard_pairs(
+        df, id_col, text_col, block_col, threshold=0.0, max_df=max_df
+    )
+    out = inter.withColumn(
+        "containment",
+        F.col("n_inter") / F.least("n_a", "n_b").cast("double"),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "containment"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (no SQL oracle — hash functions are engine-specific;
 # the driver records a rows-only check and pytest validates the invariants)

@@ -766,3 +766,60 @@ def hash_embed(
         .join(dense, id_col, "left")
         .select(id_col, F.coalesce("embedding", zero).alias("embedding"))
     )
+
+
+def _ranked(
+    df: DataFrame, id_col: str, score_col: str, depth: int, rank_name: str
+) -> DataFrame:
+    """Top-``depth`` rows by (score desc, id asc) with their 1-based
+    rank. The limit runs first (TakeOrderedAndProject — no global
+    sort), so the unpartitioned row_number window only ever sees the
+    bounded ``depth``-row set (plan-gate allowlisted: bounded-input
+    global window, the retrieval_mmr candidate-pool discipline)."""
+    top = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(depth)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return top.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias(rank_name),
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    id_col: str,
+    lex_score: str,
+    sem_score: str,
+    rrf_k: int = 60,
+    depth: int = 100,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009): fuse a
+    lexical and a semantic ranking by rrf = Σ 1/(rrf_k + rank) over the
+    lists a doc appears in — the standard training-free hybrid
+    combiner, robust to incomparable score scales (vs the re-rank
+    cascade in :func:`hybrid_candidates`, which trusts one stage's
+    scores). Ranks come from rounded scores with id tie-breaks, so the
+    fusion is a pure function of the corpus; the two reciprocal terms
+    add in fixed order (two doubles — no summation-order hazard).
+
+    Scale shape: each input list cuts to ``depth`` BEFORE ranking
+    (TakeOrderedAndProject over however large the scored corpus is);
+    everything after operates on ≤ 2·depth rows."""
+    a = _ranked(lex, id_col, lex_score, depth, "rank_lex")
+    b = _ranked(sem, id_col, sem_score, depth, "rank_sem")
+    fused = a.join(b, id_col, "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        fused.select(F.col(id_col), "rank_lex", "rank_sem", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

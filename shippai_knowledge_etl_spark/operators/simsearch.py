@@ -787,3 +787,53 @@ def sample_negatives(
             "partner_label",
         )
     )
+
+
+def truncated_rerank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    dim_coarse: int,
+    n_candidates: int,
+    k: int,
+) -> DataFrame:
+    """Matryoshka-style two-stage search (MRL, Kusupati et al. 2022):
+    stage 1 scores cosine on only the FIRST ``dim_coarse`` dimensions
+    (MRL-trained embeddings front-load information, so the prefix is a
+    usable coarse representation) and keeps ``n_candidates``; stage 2
+    re-ranks those exactly on the full vector. At rest the coarse
+    stage reads a dim_coarse-wide column/index — a dim/dim_coarse scan
+    reduction (4x at 16 of 64) before any full-width vector is touched;
+    here the prefix is sliced in-plan. The re-rank set is broadcast-
+    bounded (n_candidates rows), the retrieval_mmr discipline."""
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    pre = lambda c: F.slice(c, 1, dim_coarse)  # noqa: E731
+    scored = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qvec"),
+            F.round(cosine(pre(F.col(vec_col)), pre(F.col("qvec"))), 6).alias(
+                "sim_coarse"
+            ),
+        )
+    )
+    cand = scored.orderBy(F.desc("sim_coarse"), F.asc(id_col)).limit(
+        n_candidates
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            "sim_coarse",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias(
+                "sim_full"
+            ),
+        )
+        .orderBy(F.desc("sim_full"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1256,3 +1256,53 @@ def curation_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = curate.robust_outliers(d, "doc_id", "n_chars", "source")
     return out.withColumn("is_outlier", F.col("is_outlier").cast("int"))
+
+
+@register(
+    "curation_mixture_kl",
+    survey_ref="[EXT] data-mixture diagnostics: per-source share, "
+    "entropy contribution, and KL(actual ‖ uniform-target) term — the "
+    "numbers a pretraining run monitors to keep its domain mixture on "
+    "target (Gopher/The Pile report exactly these tables); one "
+    "count aggregate over the corpus, everything else is per-group "
+    "scalar math",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n,
+                        count(DISTINCT source) AS k FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           round(count(*) / CAST(t.n AS DOUBLE), 6) AS share,
+           round(-(count(*) / CAST(t.n AS DOUBLE))
+                 * ln(count(*) / CAST(t.n AS DOUBLE)), 6) AS entropy_term,
+           round((count(*) / CAST(t.n AS DOUBLE))
+                 * ln((count(*) / CAST(t.n AS DOUBLE)) * t.k), 6) AS kl_term
+    FROM documents CROSS JOIN tot t
+    GROUP BY source, t.n, t.k
+    """,
+)
+def curation_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balance report per source: share of the corpus, Shannon
+    entropy contribution -p·ln(p), and the per-source KL term
+    p·ln(p/q) against the uniform target q = 1/k (positive = source
+    over-represented). Scale shape: one count aggregate with map-side
+    partials on a low-cardinality key; corpus totals ride a broadcast
+    1-row cross join, never a second scan per group. Expression
+    operand order mirrors the oracle token for token so the 6-dp
+    round is exact."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("k"),
+    )
+    p = F.count(F.lit(1)) / F.col("n").cast("double")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(p, 6).alias("share"),
+            F.round(-p * F.log(p), 6).alias("entropy_term"),
+            F.round(p * F.log(p * F.col("k")), 6).alias("kl_term"),
+        )
+        .drop("n", "k")
+    )

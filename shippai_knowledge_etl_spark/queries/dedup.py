@@ -104,6 +104,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "doc_id", "text", "source", threshold=0.2)
 
 
+_TOKS_SQL = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@register(
+    "dedup_containment",
+    survey_ref="[EXT] asymmetric shingle-containment near-dup "
+    "(Broder 1997): |A∩B| / min(|A|,|B|) catches near-SUPERSET "
+    "duplicates — a doc quoted/wrapped inside a larger one — that "
+    "symmetric Jaccard structurally misses (contained-in-4x-larger ⇒ "
+    "Jaccard ≤ 0.25, containment 1.0)",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    planted AS (
+      SELECT doc_id, source, toks FROM toks0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, source,
+             list_slice(toks, 1, greatest(len(toks) // 2, 5)) AS toks
+      FROM toks0 WHERE doc_id % 25 = 0),
+    sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM planted)),
+    counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter, ca.n_shingles AS n_a, cb.n_shingles AS n_b,
+           n_inter / CAST(least(ca.n_shingles, cb.n_shingles) AS DOUBLE)
+             AS containment
+    FROM inter
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_inter / CAST(least(ca.n_shingles, cb.n_shingles) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over a corpus where every 25th doc also
+    appears as its own first-half token fragment (id + 200000) —
+    guaranteed containment-1.0 pairs that Jaccard at the same
+    threshold would drop. Same single-pass blocked shape as
+    ``dedup_ngram_jaccard`` (see ``dedup.containment_pairs``); the
+    score is one exact integer division, so the gate needs no float
+    tolerance."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = tokenize(F.col("text"))
+    frag_toks = F.slice(
+        toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(5))
+    )
+    frags = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(frag_toks, " ").alias("text"),
+        "source",
+    )
+    corpus = scale_out(d.unionByName(frags))
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", "source", threshold=0.8
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     survey_ref="[EXT] MinHash+LSH banding (engine hashes → rows-only check)",

@@ -252,6 +252,67 @@ def ext_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_rrf_fusion",
+    survey_ref="[EXT] Reciprocal Rank Fusion (Cormack et al. 2009): the "
+    "training-free hybrid combiner — fuse BM25 and cosine rankings by "
+    "sum(1/(60+rank)); rank-based so incomparable score scales never "
+    "matter, the standard alternative to the rerank cascade",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT emb_d AS qv FROM e WHERE vec_id = 0),
+    cosd AS (
+      SELECT a.vec_id AS doc_id,
+             round(list_inner_product(a.emb_d, q.qv)
+                   / (sqrt(list_inner_product(a.emb_d, a.emb_d))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+      FROM e a CROSS JOIN q WHERE a.vec_id <> 0),
+    rl AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+             AS rank_lex
+           FROM (SELECT doc_id, bm25 FROM bm25 WHERE doc_id <> 0
+                 ORDER BY bm25 DESC, doc_id LIMIT 100)),
+    rs AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+             AS rank_sem
+           FROM (SELECT doc_id, sim FROM cosd
+                 ORDER BY sim DESC, doc_id LIMIT 100)),
+    fused AS (
+      SELECT coalesce(rl.doc_id, rs.doc_id) AS doc_id,
+             rl.rank_lex, rs.rank_sem,
+             round(coalesce(1.0 / (60 + rl.rank_lex), 0.0)
+                 + coalesce(1.0 / (60 + rs.rank_sem), 0.0), 9) AS rrf
+      FROM rl FULL JOIN rs ON rl.doc_id = rs.doc_id)
+    SELECT doc_id, rank_lex, rank_sem, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse the BM25 top-100 and cosine top-100 for the fixed query
+    (terms + vec_id 0, query doc excluded from both lists). Each list
+    cuts to depth 100 via TakeOrderedAndProject before the bounded
+    rank window; the fusion sum is two fixed-order reciprocal terms —
+    no float-summation hazard, exact at the 9-dp gate."""
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_scores_dense(d, "doc_id", "text", QUERY_TERMS).filter(
+        F.col("doc_id") != 0
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("sim"),
+        )
+    )
+    return retrieval.rrf_fuse(lex, sem, "doc_id", "bm25", "sim")
+
+
+@register(
     "retrieval_bm25_from_index",
     survey_ref="[EXT] index-at-rest retrieval flagship (streaming/index.py): "
     "ingest the corpus as three micro-batch generations of the "

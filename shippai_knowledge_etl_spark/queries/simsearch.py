@@ -353,3 +353,105 @@ def curation_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors=e.filter(F.col("vec_id") % 25 == 0),
     )
     return out.withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
+_COS16 = (
+    "round(list_inner_product(list_slice(a.emb_d, 1, 16), "
+    "list_slice(q.emb_d, 1, 16)) / "
+    "(sqrt(list_inner_product(list_slice(a.emb_d, 1, 16), "
+    "list_slice(a.emb_d, 1, 16))) * "
+    "sqrt(list_inner_product(list_slice(q.emb_d, 1, 16), "
+    "list_slice(q.emb_d, 1, 16)))), 6)"
+)
+
+
+@register(
+    "simsearch_mrl_funnel",
+    survey_ref="[EXT] Matryoshka-style truncate-then-rerank funnel "
+    "(Kusupati et al. 2022): coarse cosine on the 16-dim PREFIX cuts "
+    "the corpus to 50 candidates (a 4x scan/compute reduction at "
+    "rest), exact 64-dim cosine re-ranks — the adaptive-retrieval "
+    "shape MRL embeddings exist for",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT emb_d FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    c AS (
+      SELECT a.vec_id, a.emb_d, q.emb_d AS qv, {_COS16} AS sim_coarse
+      FROM e a, q WHERE a.vec_id <> {QUERY_VEC_ID}
+      ORDER BY sim_coarse DESC, a.vec_id LIMIT 50)
+    SELECT vec_id, sim_coarse,
+           round(list_inner_product(emb_d, qv)
+                 / (sqrt(list_inner_product(emb_d, emb_d))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS sim_full
+    FROM c ORDER BY sim_full DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def simsearch_mrl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage MRL funnel for the fixed query vector: both stages'
+    scores ride the round(6)-both-sides discipline and every cut
+    orders by (rounded score, id), so the candidate boundary is
+    identical on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return simsearch.truncated_rerank(
+        e, "vec_id", "embedding", QUERY_VEC_ID, 16, 50, TOP_K
+    )
+
+
+@register(
+    "emb_dim_stats",
+    survey_ref="[EXT] per-dimension embedding health profile (dead/"
+    "collapsed-dimension detection before a corpus-scale index build): "
+    "n, mean, variance, min, max per dimension in ONE posexplode pass — "
+    "sums run over round(6)-quantized values in DECIMAL, so the "
+    "normally order-dependent variance is exact at any parallelism",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (
+      SELECT i.dim,
+             CAST(round(CAST(e.embedding[i.dim + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS xr,
+             CAST(e.embedding[i.dim + 1] AS DOUBLE) AS raw
+      FROM embeddings e CROSS JOIN idx i)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           count(*) AS n,
+           round(CAST(sum(xr) AS DOUBLE) / count(*), 6) AS mean_x,
+           round((CAST(sum(xr * xr) AS DOUBLE)
+                  - CAST(sum(xr) AS DOUBLE) * CAST(sum(xr) AS DOUBLE)
+                    / count(*)) / count(*), 6) AS var_x,
+           round(min(raw), 6) AS min_x,
+           round(max(raw), 6) AS max_x
+    FROM x GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding corpus. Shape: one
+    posexplode (narrow) into a 64-key hash aggregate with map-side
+    partials — the profile costs one scan no matter the corpus size.
+    Exactness: values quantize to 6 dp and sum as DECIMAL(18,6) /
+    DECIMAL(38,12) (products exact), so mean/variance are
+    order-independent; min/max are exact on the raw doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "x"))
+    xr = F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    raw = F.col("x").cast("double")
+    n = F.count(F.lit(1))
+    g = (
+        x.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            n.alias("n"),
+            F.sum(xr).alias("s"),
+            F.sum(xr * xr).alias("s2"),
+            F.min(raw).alias("mn"),
+            F.max(raw).alias("mx"),
+        )
+    )
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    return g.select(
+        "dim",
+        "n",
+        F.round(sd / F.col("n"), 6).alias("mean_x"),
+        F.round((s2d - sd * sd / F.col("n")) / F.col("n"), 6).alias("var_x"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+    )

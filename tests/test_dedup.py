@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.operators import dedup, simsearch
 from shippai_knowledge_etl_spark.queries.dedup import documents_with_planted_dups
+from shippai_knowledge_etl_spark.tables import load
 
 
 @pytest.fixture(scope="module")
@@ -237,3 +238,37 @@ def test_pagerank_until_converges_and_matches_fixed(spark):
     }
     for k in conv:
         assert abs(conv[k] - fixed[k]) <= 2_000_000, (k, conv[k], fixed[k])
+
+
+def test_containment_catches_fragment_jaccard_misses(spark, sf_dir):
+    """A doc's first-third fragment is containment-1.0 but Jaccard
+    ~0.33 against its parent: at threshold 0.8 the containment pass
+    must surface the pair and the Jaccard pass must not."""
+    from shippai_knowledge_etl_spark.operators import dedup
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.filter(F.col("doc_id") == 1)
+    toks = tokenize(F.col("text"))
+    frag = base.select(
+        F.lit(900001).cast("long").alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, (F.size(toks) / 3).cast("int")), " "
+        ).alias("text"),
+        "source",
+    )
+    corpus = d.filter(F.col("doc_id") < 50).unionByName(frag)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            corpus, "doc_id", "text", "source", threshold=0.8
+        ).collect()
+    }
+    assert (1, 900001) in cont and cont[(1, 900001)] == 1.0
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(
+            corpus, "doc_id", "text", "source", threshold=0.8
+        ).collect()
+    }
+    assert (1, 900001) not in jac

@@ -64,6 +64,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "retrieval_pipeline_e2e",  # 1-row stats + 1-row query embedding
     "retrieval_hybrid",  # 1-row stats + 1-row query embedding
     "simsearch_hamming_topk",  # 1-row query signature
+    "retrieval_rrf_fusion",  # 1-row stats + 1-row query embedding
+    "simsearch_mrl_funnel",  # 1-row query vector (both funnel stages)
+    "curation_mixture_kl",  # 1-row corpus totals (n, k) factor
 }
 
 
@@ -106,6 +109,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # 1-row corpus-stats aggregate; the Window itself partitions by
     # query_id (inspect the plan: "Window ... hashpartitioning(query_id")
     "ext_bm25_batch",
+    # bounded-input global windows: each rank window runs AFTER a
+    # TakeOrderedAndProject limit(100) cut, so the SinglePartition
+    # exchange moves <=100 rows at any corpus size (the retrieval_mmr
+    # candidate-pool discipline; see operators/retrieval._ranked)
+    "retrieval_rrf_fusion",
 }
 
 

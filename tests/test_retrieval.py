@@ -191,3 +191,53 @@ def test_hash_embed_emits_zero_vector_for_empty_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2] == [0.0] * 64 and out[3] == [0.0] * 64
     assert any(v != 0 for v in out[1])
+
+
+def test_rrf_fusion_rank_math_and_pool(spark, sf_dir):
+    """RRF invariants: output ⊆ union of the two top-100 pools; a doc
+    in BOTH lists outscores a doc appearing once at the same ranks;
+    the score equals 1/(60+rl) + 1/(60+rs) exactly."""
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_scores_dense(d, "doc_id", "text", TERMS).filter(
+        F.col("doc_id") != 0
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("sim"),
+        )
+    )
+    fused = retrieval.rrf_fuse(lex, sem, "doc_id", "bm25", "sim").collect()
+    assert len(fused) == 20
+    lex_ids = {
+        r["doc_id"]
+        for r in lex.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100).collect()
+    }
+    sem_ids = {
+        r["doc_id"]
+        for r in sem.orderBy(F.desc("sim"), F.asc("doc_id")).limit(100).collect()
+    }
+    for r in fused:
+        assert r["doc_id"] in (lex_ids | sem_ids)
+        expect = 0.0
+        if r["rank_lex"] is not None:
+            assert r["doc_id"] in lex_ids
+            expect += 1.0 / (60 + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            assert r["doc_id"] in sem_ids
+            expect += 1.0 / (60 + r["rank_sem"])
+        assert r["rrf"] == round(expect, 9)
+    # every doc in both pools must dominate any single-pool doc with
+    # equal-or-worse ranks: spot-check the top fused row
+    both = [r for r in fused if r["rank_lex"] and r["rank_sem"]]
+    single = [r for r in fused if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
+    if both and single:
+        assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)

@@ -313,3 +313,49 @@ def test_sample_negatives_empty_and_distinct(spark):
     for aid in {r["anchor_id"] for r in rows}:
         partners = [r["partner_id"] for r in rows if r["anchor_id"] == aid]
         assert len(partners) == len(set(partners))
+
+
+def test_mrl_funnel_reranks_within_coarse_candidates(spark, sf_dir):
+    """The funnel's output must be the exact full-dim cosine ranking of
+    its own coarse candidate set — stage 2 adds no new docs and its
+    scores equal the brute-force cosine for those ids."""
+    from shippai_knowledge_etl_spark.operators import simsearch as ss
+
+    e = load(spark, sf_dir, "embeddings")
+    out = ss.truncated_rerank(e, "vec_id", "embedding", 0, 16, 50, 10).collect()
+    assert len(out) == 10
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    coarse = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                ss.cosine(F.slice("embedding", 1, 16), F.slice("qvec", 1, 16)),
+                6,
+            ).alias("sc"),
+        )
+        .orderBy(F.desc("sc"), F.asc("vec_id"))
+        .limit(50)
+    )
+    cand_ids = {r["vec_id"] for r in coarse.collect()}
+    full = {
+        r["vec_id"]: r["sim"]
+        for r in (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(ss.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                    "sim"
+                ),
+            )
+            .collect()
+        )
+    }
+    for r in out:
+        assert r["vec_id"] in cand_ids
+        assert r["sim_full"] == full[r["vec_id"]]
+    # ordering is by full-dim score within the candidate pool
+    sims = [r["sim_full"] for r in out]
+    assert sims == sorted(sims, reverse=True)
