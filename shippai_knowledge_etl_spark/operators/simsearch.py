@@ -837,3 +837,106 @@ def truncated_rerank(
         .orderBy(F.desc("sim_full"), F.asc(id_col))
         .limit(k)
     )
+
+
+def corpus_moments(
+    emb: DataFrame, vec_col: str, dim: int
+) -> tuple[int, "object", "object"]:
+    """(n, mean vector, covariance matrix) of an embedding corpus in
+    ONE distributed pass: ``mapInPandas`` accumulates per-partition
+    (count, Σx, ΣxxT) — constant d + d² doubles per partition no
+    matter the corpus size (the sketch-merge shape: partials combine
+    by addition) — and the driver folds the ≤num_partitions partial
+    rows. The d×d Gram never materializes per row; BLAS syrk-style
+    ``X.T @ X`` runs per Arrow batch."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty embedding corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def pca_whiten(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int = 64,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening of an embedding corpus (the standard retrieval
+    post-processing — Jégou & Chum 2012 showed whitening fixes the
+    co-occurrence over-counting that hurts cosine search; also the
+    projection step of SemDeDup-style pipelines). Distributed shape:
+    :func:`corpus_moments` reduces the corpus to one d×d covariance
+    (single pass, constant-size partials), the d×d eigendecomposition
+    runs driver-side (codebook-class: 64×64), and the whitening matrix
+    W = V_k / sqrt(λ_k) ships back inside the projection closure — the
+    corpus is touched exactly twice, shuffled never.
+
+    Eigenvector sign is canonicalized (max-|component| positive) so
+    the projection is deterministic given the covariance; component
+    VALUES are float math over partial sums → the registered query is
+    rows-only, with whitened-covariance≈I and variance-ordering
+    invariants pytest-pinned."""
+    import numpy as np
+
+    _, mu, cov = corpus_moments(emb, vec_col, dim)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    lam = vals[order]
+    v = vecs[:, order]
+    # sign canon: the max-|x| component of each direction is positive
+    flips = np.sign(v[np.argmax(np.abs(v), axis=0), np.arange(v.shape[1])])
+    v = v * np.where(flips == 0, 1.0, flips)
+    w = v / np.sqrt(np.maximum(lam, 0.0) + eps)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            p = (m - mu) @ w
+            out = {id_col: pdf[id_col].to_numpy()}
+            for j in range(k):
+                out[f"pc{j + 1}"] = np.round(p[:, j], 6)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"pc{j + 1} double" for j in range(k)
+    )
+    return emb.select(id_col, vec_col).mapInPandas(project, schema)

@@ -455,3 +455,19 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mn", 6).alias("min_x"),
         F.round("mx", 6).alias("max_x"),
     )
+
+
+@register(
+    "simsearch_pca_whiten",
+    survey_ref="[EXT] PCA whitening of the embedding corpus (Jégou & "
+    "Chum 2012; the projection stage of SemDeDup-style pipelines): one "
+    "mapInPandas pass reduces the corpus to a d×d covariance "
+    "(constant-size per-partition partials), 64×64 eigh on the driver, "
+    "projection closure ships the whitening matrix back — float "
+    "eigen math → rows-only; whitened-covariance≈I, variance "
+    "ordering, and sign-canon determinism pytest-pinned",
+)
+def simsearch_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 whitened components per vector (pc1..pc8, rounded 6dp)."""
+    e = load(spark, sf_dir, "embeddings")
+    return simsearch.pca_whiten(e, "vec_id", "embedding", k=8)
