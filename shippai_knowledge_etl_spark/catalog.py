@@ -80,9 +80,24 @@ DRIVER_WINDOW = (
     # curation flagship, previously driver-unwitnessed
     "curation_domain_cap",
     "j4_multiway_region_revenue",
-    "j5_range_join_buckets",
+    # j5_range_join_buckets rotated out (the non-equi join family stays
+    # witnessed in-window by j6_asof_latest_order — the as-of pick IS a
+    # range-bounded non-equi join resolved per key — and
+    # j5_range_join_buckets itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the MRL
+    # truncate-then-rerank funnel — a new two-stage plan family
+    # (coarse prefix-cosine cut → broadcast-bounded exact re-rank)
+    # with no prior driver row
+    "simsearch_mrl_funnel",
     "j6_asof_latest_order",
-    "a_cube_status_priority",
+    # a_cube_status_priority rotated out (the multi-dimensional agg
+    # surface stays witnessed in-window by a1_status_summary +
+    # a3_manifest_collect, and cube/rollup/grouping-sets all stay
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins shingle-containment dedup — the |A∩B|/min(|A|,|B|)
+    # near-superset detector, oracle-green but driver-unwitnessed
+    # since round 6
+    "dedup_containment",
     # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
     # w3_layout_suite's running-position cumsum); the slot pins the
     # MinHash→exact-verify dedup flagship, previously driver-unwitnessed
@@ -131,7 +146,15 @@ DRIVER_WINDOW = (
     # driver-unwitnessed
     "simsearch_hamming_topk",
     "f15_f19_p9_geometry",
-    "f18_json_extract",
+    # f18_json_extract rotated out (the from_json/map-extraction
+    # surface stays witnessed in-window by p3_label_pivot's key-value
+    # map pivot and case_assembly's struct serialization;
+    # f18_json_extract itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins RRF rank
+    # fusion — a new plan family (two TakeOrderedAndProject-bounded
+    # global rank windows + fixed-order reciprocal-rank sum) with no
+    # prior driver row
+    "retrieval_rrf_fusion",
     "p1_case_id_extract",
     "p4_p5_text_restructure",
     # w1_w2_chunk_slice and o1_sort_by_num rotated out (W1/W2/O1 stay
@@ -140,7 +163,14 @@ DRIVER_WINDOW = (
     # composition); the slots pin the two newest curation flagships,
     # previously driver-unwitnessed
     "curation_decontaminate",
-    "curation_lm_quality",
+    # curation_lm_quality rotated out (the curation family keeps FOUR
+    # in-window witnesses: main_content, domain_cap, decontaminate,
+    # and pipeline_e2e — whose quality gate exercises the same
+    # perplexity-proxy scoring surface; curation_lm_quality itself
+    # stays oracle-green in tests/test_oracle_parity.py at both SFs);
+    # the slot pins the mixture-KL data-mix diagnostic, oracle-green
+    # but driver-unwitnessed since round 6
+    "curation_mixture_kl",
     "w3_layout_suite",
     "scenario_profile",
     "p3_label_pivot",
