@@ -203,13 +203,31 @@ def compact_index(
     so concatenation IS the merge (no counts to combine: a doc's
     postings live wholly inside the batch that ingested it).
 
-    Order of operations is crash-safe for READERS: the consolidated
-    generation is fully written before any source directory is
-    removed, so a concurrent reader sees either the old generations,
-    or old + new (double rows only BETWEEN the write and the removes —
-    run compaction in the stream's maintenance window, the same
-    discipline as parquet compaction jobs everywhere). Returns the
-    number of source generations removed.
+    Order of operations is crash-safe for READERS and ROLL-FORWARD
+    recoverable for CRASHES: the consolidated generation is fully
+    written under a dot-prefixed tmp name (invisible — ``read_index``
+    globs ``batch=*``) before anything visible moves, then the swap is
+    two atomic renames (previous ``batch=<compacted_batch>`` → dot
+    ``.old``, tmp → final), then sources are removed. At every crash
+    point a COMPLETE copy of the compacted data exists on disk under a
+    deterministic name, and :func:`_recover_compaction` (run first on
+    every subsequent call) finishes the interrupted step:
+
+      * crash mid-tmp-write → tmp partial but final untouched: tmp is
+        discarded;
+      * crash between the two renames → final momentarily absent, but
+        tmp AND ``.old`` are both complete: tmp is promoted to final;
+      * crash mid-source-removal → final carries a ``_MERGED_SOURCES``
+        manifest (underscore-prefixed, Spark-ignored, renamed
+        atomically WITH the generation) naming exactly the generations
+        it already absorbed: the leftovers are deleted before anything
+        is read, so their rows are never double-counted.
+
+    Concurrent readers during a healthy run see either the old
+    generations or old + new (double rows only between the publish and
+    the removes — run compaction in the stream's maintenance window,
+    the same discipline as parquet compaction jobs everywhere).
+    Returns the number of source generations removed.
 
     Re-compaction safety: ``live`` is ALL generations including any
     existing ``batch=<compacted_batch>`` from a prior compaction — its
@@ -217,30 +235,73 @@ def compact_index(
     compacted posting is destroyed while the stats state still counts
     the vanished docs (inflated n_docs/sum_dl over a truncated index).
     The tmp write is a full action that reads the old files before any
-    directory is deleted, so including the old compacted generation
-    keeps the crash-safety ordering intact; pytest pins compact →
-    ingest → compact-again answers unchanged."""
+    directory moves, so including the old compacted generation keeps
+    the crash-safety ordering intact; pytest pins compact → ingest →
+    compact-again answers unchanged, plus both simulated-crash states
+    recovering to the no-crash answers."""
     import shutil
 
     compacted_name = f"batch={compacted_batch}"
+    final = os.path.join(index_dir, compacted_name)
+    tmp = os.path.join(index_dir, f".compact_{compacted_batch}")
+    old = os.path.join(index_dir, f".compact_{compacted_batch}.old")
+    _recover_compaction(index_dir, final, tmp, old)
     gens = [d for d in os.listdir(index_dir) if d.startswith("batch=")]
     source_gens = [d for d in gens if d != compacted_name]
     if not source_gens:
         return 0
     live = read_index(spark, index_dir)
-    tmp = os.path.join(index_dir, f".compact_{compacted_batch}")
     (
         live.drop("batch")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(tmp)
     )
-    final = os.path.join(index_dir, compacted_name)
-    shutil.rmtree(final, ignore_errors=True)
+    # Manifest travels INSIDE tmp so the atomic publish rename carries
+    # it: after publish, final itself names the sources it absorbed.
+    with open(os.path.join(tmp, _MERGED_MARKER), "w") as f:
+        f.write("\n".join(source_gens))
+    if os.path.isdir(final):
+        os.replace(final, old)
     os.replace(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     for d in source_gens:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    # Marker removed LAST: until every absorbed source is gone, the
+    # manifest must survive so recovery can finish the removals.
+    os.remove(os.path.join(final, _MERGED_MARKER))
     return len(source_gens)
+
+
+_MERGED_MARKER = "_MERGED_SOURCES"
+
+
+def _recover_compaction(
+    index_dir: str, final: str, tmp: str, old: str
+) -> None:
+    """Roll an interrupted :func:`compact_index` forward (see its
+    docstring for the crash-point inventory). Idempotent; no-op after
+    a clean run."""
+    import shutil
+
+    if os.path.isdir(old):
+        if not os.path.isdir(final):
+            # Crash between the two swap renames: tmp (the newer
+            # consolidated copy) is complete — promote it; fall back
+            # to restoring .old if tmp somehow vanished too.
+            os.replace(tmp if os.path.isdir(tmp) else old, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    # Any surviving tmp is either a partial write or already
+    # superseded by the promotion above — never the only copy.
+    shutil.rmtree(tmp, ignore_errors=True)
+    marker = os.path.join(final, _MERGED_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            absorbed = f.read().split()
+        for name in absorbed:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+        os.remove(marker)
 
 
 # ---------------------------------------------------------------------------

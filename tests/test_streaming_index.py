@@ -155,6 +155,101 @@ def test_recompaction_keeps_previously_compacted_postings(
 
 
 @pytest.mark.slow
+def test_compaction_crash_between_swap_renames_rolls_forward(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the compaction between its two swap renames (previous
+    batch=-1 already moved to .old, tmp not yet promoted): the next
+    compact_index call must roll forward — promote the complete tmp,
+    drop .old, and finish removing the absorbed sources via the
+    _MERGED_SOURCES manifest — restoring exactly the no-crash rows
+    and answers. This pins the round-6 reader-visible crash window
+    (rmtree(final) before os.replace left the compacted generation
+    deleted with its replacement still dot-prefixed)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    merge = SI.make_index_merger(index_dir, state_dir)
+    merge(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    merge(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    assert SI.compact_index(spark, index_dir) == 2
+    merge(docs.filter(F.col("doc_id") % 3 == 2), 5)
+    want = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    total_rows = SI.read_index(spark, index_dir).count()
+
+    final = os.path.join(index_dir, "batch=-1")
+    real_replace = os.replace
+
+    def crash_at_promote(src, dst):
+        if dst == final:
+            raise RuntimeError("simulated crash between swap renames")
+        return real_replace(src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "replace", crash_at_promote)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            SI.compact_index(spark, index_dir)
+
+    # the crash state: final gone, but BOTH complete copies survive
+    # under deterministic dot names, and the source is untouched
+    assert not os.path.isdir(final)
+    assert os.path.isdir(os.path.join(index_dir, ".compact_-1"))
+    assert os.path.isdir(os.path.join(index_dir, ".compact_-1.old"))
+    assert os.path.isdir(os.path.join(index_dir, "batch=5"))
+
+    # next call recovers first; nothing left to compact afterwards
+    assert SI.compact_index(spark, index_dir) == 0
+    gens = [d for d in os.listdir(index_dir) if d.startswith("batch=")]
+    assert gens == ["batch=-1"]
+    assert not os.path.isdir(os.path.join(index_dir, ".compact_-1"))
+    assert not os.path.isdir(os.path.join(index_dir, ".compact_-1.old"))
+    assert SI.read_index(spark, index_dir).count() == total_rows
+    after = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+@pytest.mark.slow
+def test_compaction_crash_mid_source_removal_recovers_without_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Kill the compaction after the publish but before the absorbed
+    source generations are removed: until recovery runs, readers see
+    double rows (the documented maintenance-window instant) — the next
+    compact_index call must delete exactly the generations named by
+    the published _MERGED_SOURCES manifest before reading anything,
+    so no posting is ever double-counted into a re-compaction."""
+    import shutil
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    state_dir = str(tmp_path / "state")
+    merge = SI.make_index_merger(index_dir, state_dir)
+    merge(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    merge(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    backup = str(tmp_path / "backup_batch1")
+    shutil.copytree(os.path.join(index_dir, "batch=1"), backup)
+    assert SI.compact_index(spark, index_dir) == 2
+    want = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    clean_rows = SI.read_index(spark, index_dir).count()
+
+    # fabricate the crash state: an absorbed source back on disk with
+    # the manifest still naming it (marker removal is the LAST step)
+    shutil.copytree(backup, os.path.join(index_dir, "batch=1"))
+    with open(os.path.join(index_dir, "batch=-1", "_MERGED_SOURCES"), "w") as f:
+        f.write("batch=1")
+    assert SI.read_index(spark, index_dir).count() > clean_rows  # the hazard
+
+    assert SI.compact_index(spark, index_dir) == 0
+    assert not os.path.isdir(os.path.join(index_dir, "batch=1"))
+    assert not os.path.isfile(
+        os.path.join(index_dir, "batch=-1", "_MERGED_SOURCES")
+    )
+    assert SI.read_index(spark, index_dir).count() == clean_rows
+    after = SI.bm25_from_index(spark, index_dir, state_dir, TERMS, 10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+
+
+@pytest.mark.slow
 def test_sig_store_matches_batch_hamming(spark, sf_dir, tmp_path):
     """A 3-batch embedding stream leaves a signature store whose
     Hamming answers equal the batch operator over the same corpus."""
