@@ -197,10 +197,20 @@ DRIVER_WINDOW = (
     "ext_tfidf",
     # dedup_exact rotated out (exact dedup stays witnessed in-window by
     # curation_pipeline_e2e, whose first stage IS the sha2 hash-group
-    # dedup, and it remains the bench headline); the slot pins the
-    # Bloom-filter membership flagship — a full hash-match gate over
-    # the packed-bit-word construction including its false positives
-    "ext_bloom_membership",
+    # dedup, and it remains the bench headline); ext_bloom_membership
+    # then rotated out in round 7 (the packed-bit-word Bloom build +
+    # broadcast probe — salted-md5 geometry, deterministic false
+    # positives — stays witnessed in-window by
+    # stream_sketch_state_merge's gen-0 filter + gen-1 probe, the SAME
+    # bloom_build/bloom_might_contain code path, and
+    # ext_bloom_membership itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # streaming-sketch state-merge witness — the last EXT family with
+    # no driver row: two generations' HLL registers max-merged
+    # hash-gated against the one-shot oracle (merge associativity
+    # proven, not just the register math) plus the Bloom fresh-key
+    # emission of streaming_new_keys
+    "stream_sketch_state_merge",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # the BLAS mapInPandas form is the 100 TB scale path AND measured

@@ -173,6 +173,157 @@ def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sketch_state_merge",
+    survey_ref=(
+        "[EXT] streaming sketch state (batch-shaped witness): two "
+        "micro-batch generations' HLL register states max-merged and "
+        "a gen-1 fresh-key probe against the gen-0 Bloom — the exact "
+        "merge/probe operations of streaming/sketches.py foreachBatch "
+        "callbacks, hash-gated against a one-shot oracle"
+    ),
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type FROM events
+    ),
+    hrows AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM ev
+    ),
+    h AS (
+      SELECT event_type, md5(k || ':hll') AS hx FROM hrows
+    ),
+    parts AS (
+      SELECT event_type, substring(hx, 1, 2) AS reg,
+             length(regexp_extract(substring(hx, 3, 13), '^(0*)', 1)) AS nz,
+             substring(substring(hx, 3, 13),
+                       length(regexp_extract(substring(hx, 3, 13),
+                                             '^(0*)', 1)) + 1, 1) AS first
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, reg, max(least({_HLL_RANK}, 40)) AS rank
+      FROM parts GROUP BY event_type, reg
+    ),
+    summary AS (
+      SELECT event_type,
+             CAST(sum(CAST(power(2, 40 - rank) AS BIGINT))
+                  + (256 - count(*)) * CAST(power(2, 40) AS BIGINT)
+                  AS BIGINT) AS hll_sum_scaled,
+             CAST(256 - count(*) AS INT) AS hll_zero_regs
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct_users
+      FROM ev GROUP BY event_type
+    ),
+    g0k AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    bloom AS (
+      SELECT {_BF_WORD.format(v="m.k", j="u.j")} AS word,
+             bit_or({_BF_MASK.format(v="m.k", j="u.j")}) AS bits
+      FROM g0k m, range(0, 4) u(j)
+      GROUP BY 1
+    ),
+    g1k AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || ':' || event_type AS k
+      FROM ev WHERE event_id % 2 = 1
+    ),
+    pcells AS (
+      SELECT p.event_type, p.k,
+             {_BF_WORD.format(v="p.k", j="u.j")} AS word,
+             {_BF_MASK.format(v="p.k", j="u.j")} AS mask
+      FROM g1k p, range(0, 4) u(j)
+    ),
+    probed AS (
+      SELECT c.event_type, c.k,
+             bool_and((COALESCE(b.bits, 0) & c.mask) = c.mask) AS mc
+      FROM pcells c LEFT JOIN bloom b USING (word)
+      GROUP BY c.event_type, c.k
+    ),
+    freshagg AS (
+      SELECT event_type, count(*) AS gen1_keys,
+             count(*) FILTER (WHERE NOT mc) AS gen1_fresh
+      FROM probed GROUP BY event_type
+    )
+    SELECT s.event_type, e.exact_distinct_users,
+           s.hll_sum_scaled, s.hll_zero_regs, f.gen1_keys, f.gen1_fresh
+    FROM summary s
+    JOIN exact e USING (event_type)
+    JOIN freshagg f USING (event_type)
+    """,
+)
+def stream_sketch_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shaped witness for ``streaming/sketches.py``: split
+    ``events`` into two generations (event_id parity — stand-ins for
+    two micro-batches), build each generation's HLL register state
+    independently, MAX-MERGE them (the exact ``foreachBatch`` merge of
+    ``streaming_hll_distinct``), and probe generation 1's distinct
+    (user, event_type) keys against the generation-0 Bloom filter (the
+    exact fresh-key emission of ``streaming_new_keys``).
+
+    The oracle computes the HLL state ONE-SHOT over the union, so the
+    hash gate proves merge associativity — the property the whole
+    incremental design rests on — not just the register derivation;
+    the Bloom fresh counts include the deterministic salted-md5 false
+    positives, replicated cell-for-cell by the oracle. All output
+    columns are exact integers. Scale shape: both sketches partial-
+    aggregate map-side to constant-size state (<=256 rows/group HLL,
+    <=4096 words Bloom) before any shuffle; the probe broadcasts the
+    filter, never the key stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    gen0 = ev.filter(F.col("event_id") % 2 == 0)
+    gen1 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def gen_regs(gen: DataFrame) -> DataFrame:
+        return sketches.hll_register_rows(
+            gen.select(
+                "event_type", F.col("user_id").cast("string").alias("k")
+            ),
+            ["event_type"],
+            "k",
+        )
+
+    merged = (
+        gen_regs(gen0)
+        .unionAll(gen_regs(gen1))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("rank"))
+    )
+    summary = sketches.hll_summary(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    key = F.concat_ws(
+        ":", F.col("user_id").cast("string"), F.col("event_type")
+    ).alias("k")
+    bloom0 = sketches.bloom_build(gen0.select(key).distinct(), "k")
+    g1_keys = gen1.select("event_type", key).distinct()
+    probed = sketches.bloom_might_contain(
+        bloom0, g1_keys, "k", carry=("event_type",)
+    )
+    fresh = probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("gen1_keys"),
+        F.count_if(~F.col("might_contain")).alias("gen1_fresh"),
+    )
+    return (
+        summary.join(exact, ["event_type"])
+        .join(fresh, ["event_type"])
+        .select(
+            "event_type",
+            "exact_distinct_users",
+            "hll_sum_scaled",
+            "hll_zero_regs",
+            "gen1_keys",
+            "gen1_fresh",
+        )
+    )
+
+
+@register(
     "dedup_incremental",
     survey_ref=(
         "[EXT] incremental-crawl dedup: new batch vs existing corpus "
