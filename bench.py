@@ -6,6 +6,18 @@ Prints ONE JSON line:
 
 Execution is measured end-to-end per query with a `noop` write so the
 full plan (scan → shuffle → agg) runs without driver-collect overhead.
+
+Session-level variance, measured (round 7): three back-to-back runs of
+this script with IDENTICAL code gave `run_pipeline_e2e` cold
+3.27 / 3.93 / 3.44 s and warm(min-of-2) 1.65 / 1.95 / 1.93 s — a
+±20-30 % spread that exists BETWEEN JVM sessions (JIT compile
+scheduling, code-cache layout), not between code versions. Round 6's
+4.16 cold / 2.48 warm for that query (code unchanged from round 5's
+3.45 / 1.84) sat inside this envelope: session noise, not a real
+Arrow-edge cost shift. `queries_median` (per-query median of the
+three in-session samples) is the round-over-round statistic robust to
+both a stalled cold pass and one lucky rep; `value` (sum of colds)
+stays the headline for methodology compatibility with rounds 1-6.
 """
 
 from __future__ import annotations
@@ -63,6 +75,10 @@ def main() -> None:
     # best_total_sec is the contention-robust signal when the cold pass
     # lands in one.
     best: dict[str, float] = {}
+    # per-query MEDIAN of the three samples: robust to a stalled cold
+    # pass AND to one lucky rep — the cross-round comparison statistic
+    # (see module docstring for the measured session-level variance).
+    median: dict[str, float] = {}
     for name, fn in names.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -81,6 +97,7 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         warm[name] = round(min(reps), 4)
         best[name] = round(min([timings[name], *reps]), 4)
+        median[name] = round(sorted([timings[name], *reps])[1], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -94,6 +111,8 @@ def main() -> None:
                 "warm_total_sec": round(sum(warm.values()), 4),
                 "queries_best": best,
                 "best_total_sec": round(sum(best.values()), 4),
+                "queries_median": median,
+                "median_total_sec": round(sum(median.values()), 4),
                 "sf": sf,
             }
         )
