@@ -512,6 +512,109 @@ def mmr_rerank(
     return selected
 
 
+def mmr_rerank_distributed(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    n_candidates: int,
+    k: int,
+    lam: float = 0.7,
+) -> DataFrame:
+    """:func:`mmr_rerank` with the candidate pool kept IN-ENGINE — the
+    large-pool form. The collect variant materializes the full
+    candidate×candidate similarity matrix on the driver (O(n²) rows:
+    fine at n=50, impossible at n=10⁶); here the pool never leaves the
+    cluster and the driver holds only the k picks.
+
+    Per greedy round: (1) argmax of ``lam*rel - (1-lam)*penalty`` via
+    ``max(struct(score, -id, ...))`` — a plain aggregate, map-side
+    partial, no sort, no window; (2) the ONE selected row broadcasts
+    back (1-row BNLJ, the query-vector pattern) and every remaining
+    candidate folds it into its running penalty with
+    ``greatest(penalty, round(cos, 6))``. So each round is one scan of
+    the (checkpointed) pool + a 1-row collect: O(k·n) similarity work
+    total — identical to the driver loop's arithmetic — but
+    distributed, with per-round ``localCheckpoint`` truncating lineage
+    exactly like the k-means / PageRank iteration loops.
+
+    Determinism matches the collect form: rel and pairwise sims round
+    to 6 dp before use and ties break by smallest id
+    (``-id`` as the struct's second field). The two forms are
+    pytest-pinned equal on the same pool
+    (tests/test_retrieval.py::test_mmr_distributed_matches_collect_form).
+
+    Returns a k-row DataFrame (rank, id, mmr_score) in pick order.
+    """
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    spark = emb.sparkSession
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    pool = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(n_candidates)
+        # NULL, not 0.0: cosines can be NEGATIVE, and max-to-selected
+        # over one dissimilar pick must stay negative (raising the
+        # score — dissimilarity is rewarded). A 0.0 seed would clamp
+        # it via greatest(); the collect form's `default=0.0` applies
+        # only to the empty-selection round, mirrored here by the
+        # coalesce in `score`. greatest() ignores NULLs, so the first
+        # fold replaces the seed outright.
+        .withColumn("penalty", F.lit(None).cast("double"))
+        .localCheckpoint()
+    )
+    picks: list[tuple[int, int, float]] = []
+    for rank in range(k):
+        if pool.isEmpty():
+            break
+        score = F.round(
+            F.lit(lam) * F.col("rel")
+            - F.lit(1.0 - lam) * F.coalesce(F.col("penalty"), F.lit(0.0)),
+            6,
+        )
+        m = pool.agg(
+            F.max(
+                F.struct(
+                    score.alias("score"),
+                    (-F.col(id_col)).alias("neg_id"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        picks.append((rank, m["id"], m["score"]))
+        if rank == k - 1:
+            break
+        sel = pool.filter(F.col(id_col) == m["id"]).select(
+            F.col(vec_col).alias("svec")
+        )
+        pool = (
+            pool.filter(F.col(id_col) != m["id"])
+            .crossJoin(F.broadcast(sel))
+            .select(
+                id_col,
+                vec_col,
+                "rel",
+                F.greatest(
+                    F.col("penalty"),
+                    F.round(cosine(F.col(vec_col), F.col("svec")), 6),
+                ).alias("penalty"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picks, f"rank int, {id_col} long, mmr_score double"
+    )
+
+
 def build_postings(
     df: DataFrame,
     id_col: str,

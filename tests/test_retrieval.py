@@ -138,6 +138,83 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     assert again == mmr
 
 
+def test_mmr_distributed_matches_collect_form(spark, sf_dir):
+    """The in-engine greedy (mmr_rerank_distributed) must pick the
+    same ids in the same order with the same scores as the driver-loop
+    form on an identical pool — the equivalence that licenses using it
+    when the pool is too large to collect."""
+    e = load(spark, sf_dir, "embeddings")
+    want = retrieval.mmr_rerank(e, "vec_id", "embedding", 0, 50, 10, lam=0.5)
+    got = (
+        retrieval.mmr_rerank_distributed(
+            e, "vec_id", "embedding", 0, 50, 10, lam=0.5
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        # scores agree to the rounding grain (Spark HALF_UP vs Python
+        # half-even can differ only exactly ON a .5e-6 boundary)
+        assert abs(r["mmr_score"] - s) <= 1e-6
+
+
+def test_mmr_distributed_round_update_has_no_shuffle(spark, sf_dir):
+    """Plan gate for the large-pool path: the per-round penalty fold
+    (pool × broadcast 1-row selected vector) must not shuffle the pool
+    — its only exchange is the broadcast. The argmax aggregate's
+    SinglePartition exchange carries one partial-max row per partition
+    (sketch-merge class), which is the allowed bounded shape."""
+    from pyspark.sql import functions as FF
+
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(FF.col("vec_id") == 0).select(
+        FF.col("embedding").alias("qvec")
+    )
+    pool = (
+        e.filter(FF.col("vec_id") != 0)
+        .crossJoin(FF.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            FF.round(cosine(FF.col("embedding"), FF.col("qvec")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(FF.desc("rel"), FF.asc("vec_id"))
+        .limit(50)
+        .withColumn("penalty", FF.lit(0.0))
+        .localCheckpoint()
+    )
+    some_id = pool.select("vec_id").head()["vec_id"]
+    sel = pool.filter(FF.col("vec_id") == some_id).select(
+        FF.col("embedding").alias("svec")
+    )
+    upd = (
+        pool.crossJoin(FF.broadcast(sel))
+        .select(
+            "vec_id",
+            "embedding",
+            "rel",
+            FF.greatest(
+                FF.col("penalty"),
+                FF.round(cosine(FF.col("embedding"), FF.col("svec")), 6),
+            ).alias("penalty"),
+        )
+    )
+    plan = upd._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+
+    agg = pool.agg(
+        FF.max(FF.struct(FF.col("rel"), (-FF.col("vec_id")))).alias("m")
+    )
+    aplan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in aplan or "partial max" in aplan.lower(), aplan
+    assert "hashpartitioning" not in aplan, aplan
+
+
 def test_chunk_gap_sampling_never_emits_empty_chunks(spark):
     """stride > width (gap sampling): chunks skip tokens but no chunk
     may be empty (review finding: last_start could land on n)."""
