@@ -390,8 +390,16 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
 
     box_w = float(_PAGE_W - 200)  # text box inside 100-tmm side margins
 
-    def _head(sec: int, label: str | F.Column, seq: int = 0) -> F.Column:
+    def _head(
+        sec: int, label: str | F.Column, seq: int = 0, h2: bool = False
+    ) -> F.Column:
+        """``h2=True`` for the headings the reference styles JP_H2
+        (background fill + 13 pt, src/render_pdf.py:43-53,363,425,440);
+        labeled one-liner fields stay plain text (JP_Label class)."""
         lbl = F.lit(label) if isinstance(label, str) else label
+        if h2:
+            return _pdf_op(-1, sec, seq, "h2", 100, 0.0,
+                           w=F.lit(box_w), label=lbl)
         return _pdf_op(-1, sec, seq, "text", 100, 0.0, label=lbl)
 
     def _body(sec: int, text: F.Column, seq: int = 1) -> F.Column:
@@ -415,7 +423,7 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
             F.concat(F.lit("../df/"), F.col("images.representative")),
         ),
     )
-    ops.append(F.when(has_rep, _head(4, "代表図")))
+    ops.append(F.when(has_rep, _head(4, "代表図", h2=True)))
     ops.append(F.when(
         has_rep,
         _pdf_op(-1, 4, 1, "image", 100, 0.0,
@@ -438,13 +446,14 @@ def _render_pdfs(successes: DataFrame, out_dir: str) -> None:
     for i, (jp, text) in enumerate(prose):
         sec = 5 + i
         present = text != ""
-        ops.append(F.when(present, _head(sec, jp)))
+        ops.append(F.when(present, _head(sec, jp, h2=True)))
         ops.append(F.when(present, _body(sec, text)))
     # sources: one paragraph per line, URLs become live hyperlinks in
     # the emitter (blue + underline + /Annots /URI)
-    ops.append(F.when(F.size(F.col("sources")) > 0, _head(13, "情報源")))
+    ops.append(F.when(F.size(F.col("sources")) > 0,
+                      _head(13, "情報源", h2=True)))
     # casualties + trailing labeled fields (src/render_pdf.py:436-466)
-    ops.append(_head(14, "被害情報"))
+    ops.append(_head(14, "被害情報", h2=True))
     ops.append(F.when(
         F.col("casualties.deaths").isNotNull(),
         _head(14, F.concat(F.lit("死者数："),

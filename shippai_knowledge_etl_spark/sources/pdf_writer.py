@@ -47,6 +47,17 @@ _URL_RE = re.compile(r"https?://\S+")
 CJK_BASE_FONT = b"HeiseiKakuGo-W5"
 CJK_ENCODING = b"UniJIS-UCS2-H"
 
+# JP_H2 section-heading style (reference src/render_pdf.py:43-53):
+# 13 pt #2c3e50 text on an #ecf0f1 background fill with 4 pt border
+# padding, 20 pt leading, 16 pt space before / 6 pt after.
+H2_SIZE = 13
+H2_LEAD_PT = 20.0
+H2_PAD_PT = 4.0
+H2_BEFORE_PT = 16.0
+H2_AFTER_PT = 6.0
+H2_BG = "#ecf0f1"
+H2_FG = "#2c3e50"
+
 
 def _rgb(hex_color: str) -> tuple[float, float, float]:
     h = (hex_color or "#000000").lstrip("#")
@@ -238,6 +249,28 @@ def content_stream(
                 b"BT 0 0 0 rg %.2f %.2f Td %s ET"
                 % (r["x"] * s, r["y"] * s, _text_show(r.get("label") or "", 10))
             )
+        elif op == "h2":
+            # JP_H2 section heading: background fill spanning the text
+            # box (borderPadding around the 13 pt line), then the
+            # heading text in #2c3e50. ``y`` is the text BASELINE,
+            # like the text op.
+            x, base = r["x"] * s, r["y"] * s
+            w = (r.get("w") or 1900.0) * s
+            br, bgg, bbb = _rgb(H2_BG)
+            out.append(
+                b"%.3f %.3f %.3f rg %.2f %.2f %.2f %.2f re f"
+                % (
+                    br, bgg, bbb,
+                    x - H2_PAD_PT, base - H2_PAD_PT,
+                    w + 2 * H2_PAD_PT, H2_SIZE + 2 * H2_PAD_PT,
+                )
+            )
+            fr, fg, fb = _rgb(H2_FG)
+            out.append(
+                b"BT %.3f %.3f %.3f rg %.2f %.2f Td %s ET"
+                % (fr, fg, fb, x, base,
+                   _text_show(r.get("label") or "", H2_SIZE))
+            )
         elif op == "image" and idx in image_names:
             out.append(
                 b"q %.2f 0 0 %.2f %.2f %.2f cm /%s Do Q"
@@ -323,7 +356,17 @@ def flow_pages(
     fragment rejoins its fitting lines with ``\\n``, which re-wraps to
     itself (see :func:`wrap_para`'s re-wrap identity). Incoming ``y``
     values are ignored; ops keep their order. Returns page dicts for
-    :func:`pdf_document`."""
+    :func:`pdf_document`.
+
+    Widow/orphan control (reference: platypus pagination,
+    src/render_pdf.py:469): a multi-line paragraph never OPENS with a
+    single line at the bottom of a page (orphan — the whole paragraph
+    moves), and a split never strands the LAST line alone on the next
+    page (widow — one extra line moves with it). ``h2`` section
+    headings (JP_H2 style: space-before, 20 pt leading, background
+    fill drawn by :func:`content_stream`) keep with their next line:
+    a heading with no room for itself plus one body line breaks to
+    the fresh page instead of dangling last."""
     lead_tmm = (LEAD_FACTOR * size) / TENTH_MM_TO_PT
     gap_tmm = 30.0
     top, bottom = page_h_tmm - margin_tmm, margin_tmm
@@ -348,13 +391,35 @@ def flow_pages(
             lines = [ln for ln, _ in wrap_para(r.get("label") or "", box_w, size)]
             i = 0
             while i < len(lines):
-                if y - lead_tmm < bottom and cur:
+                remaining = len(lines) - i
+                n_room = int((y - bottom) // lead_tmm)
+                # orphan control: a multi-line block never opens with a
+                # single line at the page bottom — break and start it
+                # fresh (continuations land just after a break, where
+                # the room is the full page, so this bites at i == 0)
+                if cur and (n_room < 1 or (n_room == 1 and remaining > 1)):
                     break_page()
-                n_fit = max(1, int((y - bottom) // lead_tmm))
+                    continue
+                n_fit = max(1, min(n_room, remaining))
+                # widow control: never strand the LAST line alone on
+                # the next page — hold one line back to accompany it
+                if remaining > n_fit and remaining - n_fit == 1 and n_fit > 1:
+                    n_fit -= 1
                 chunk = lines[i : i + n_fit]
                 cur.append(dict(r, y=y, w=box_w, label="\n".join(chunk)))
                 y -= len(chunk) * lead_tmm
                 i += n_fit
+        elif op == "h2":
+            h2_lead = H2_LEAD_PT / TENTH_MM_TO_PT
+            if prev_op is not None:
+                y -= H2_BEFORE_PT / TENTH_MM_TO_PT
+            # keep-with-next: the heading needs room for itself AND
+            # one body line, or it dangles last on the page
+            if y - (h2_lead + lead_tmm) < bottom and cur:
+                break_page()
+            box_w = r.get("w") or (page_w_tmm - 2 * margin_tmm)
+            cur.append(dict(r, y=y - h2_lead, w=box_w))
+            y -= h2_lead + H2_AFTER_PT / TENTH_MM_TO_PT
         elif op == "image":
             box_h = r.get("h") or 0.0
             if y - box_h < bottom and cur:

@@ -233,8 +233,13 @@ def test_cli_end_to_end(spark, site, tmp_path):
     # MA2.jpg 404s → the reference's failure-placeholder text
     ph = "[画像読み込みエラー: 写真2]".encode("utf-16-be").hex().encode()
     assert ph in pdf
-    # diagram geometry: 9 item bars + separator/brace lines
-    assert pdf.count(b" re f") == 9
+    # JP_H2 section headings draw their #ecf0f1 background fill
+    # (reference src/render_pdf.py:43-53); this case renders 11 H2
+    # sections (代表図, 8 prose, 情報源, 被害情報)
+    n_h2 = pdf.count(b"0.925 0.941 0.945 rg")
+    assert n_h2 == 11, n_h2
+    # diagram geometry: 9 item bars + the H2 background fills
+    assert pdf.count(b" re f") == 9 + n_h2
     # 2 category-end doubles (±4 pairs) + 3 braces (the single-line
     # separator coincides with a category boundary so adds nothing)
     # + 1 hyperlink underline on the flow pages

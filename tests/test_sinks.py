@@ -272,6 +272,90 @@ def test_pdf_flow_paginates_by_measured_height():
             assert 0 <= r["y"] <= 2970
 
 
+def test_pdf_h2_heading_draws_background_fill():
+    """The JP_H2 analog (reference src/render_pdf.py:43-53): an h2 op
+    must emit the #ecf0f1 background rect padded 4 pt around the text
+    box and the 13 pt heading in #2c3e50."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        content_stream,
+    )
+
+    stream, _ = content_stream(
+        [{"op": "h2", "x": 100, "y": 2500, "w": 1900.0, "label": "事例概要"}],
+        {},
+    )
+    # _rgb("#ecf0f1") -> 0.925 0.941 0.945, filled before the text
+    assert b"0.925 0.941 0.945 rg" in stream
+    assert b" re f" in stream
+    # heading text: CJK CID font at 13 pt in #2c3e50 (0.173 0.243 0.314)
+    assert b"/F2 13 Tf" in stream
+    assert b"0.173 0.243 0.314 rg" in stream
+    fill_at = stream.index(b" re f")
+    text_at = stream.index(b"/F2 13 Tf")
+    assert fill_at < text_at  # background under the glyphs
+
+
+def test_pdf_flow_widow_orphan_control():
+    """Platypus-style pagination fidelity: no paragraph opens with a
+    single line at a page bottom (orphan), no split strands the last
+    line alone on the next page (widow), and an h2 heading never
+    dangles as the last element of a page (keep-with-next)."""
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        LEAD_FACTOR,
+        PARA_SIZE,
+        TENTH_MM_TO_PT,
+        flow_pages,
+    )
+
+    lead = (LEAD_FACTOR * PARA_SIZE) / TENTH_MM_TO_PT
+    mk = lambda n: "\n".join(f"行{i}" for i in range(n))  # noqa: E731
+
+    # widow: room for 5.5 leads, a 6-line para must split 4+2, not 5+1
+    page_h = 300 + 5.5 * lead
+    pages = flow_pages(
+        [{"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": mk(6)}],
+        2100,
+        page_h,
+    )
+    frags = [
+        len(r["label"].split("\n"))
+        for p in pages
+        for r in p["ops"]
+        if r["op"] == "para"
+    ]
+    assert frags == [4, 2], frags
+
+    # orphan: 5 lines then a 3-line para with ~1.5 leads left — the
+    # whole second paragraph moves to page 2
+    page_h = 300 + 6.5 * lead
+    pages = flow_pages(
+        [
+            {"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": mk(5)},
+            {"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": mk(3)},
+        ],
+        2100,
+        page_h,
+    )
+    assert len(pages) == 2
+    assert [len(r["label"].split("\n")) for r in pages[1]["ops"]] == [3]
+
+    # keep-with-next: a heading with no room for itself + one body
+    # line breaks to page 2 together with its paragraph
+    pages = flow_pages(
+        [
+            {"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": mk(6)},
+            {"op": "h2", "x": 100, "y": 0, "w": 1900.0, "label": "原因"},
+            {"op": "para", "x": 100, "y": 0, "w": 1900.0, "label": mk(2)},
+        ],
+        2100,
+        page_h,
+    )
+    assert len(pages) == 2
+    assert [r["op"] for r in pages[1]["ops"]] == ["h2", "para"]
+    for p in pages:  # a heading is never the last op on its page
+        assert p["ops"][-1]["op"] != "h2"
+
+
 def test_anchor_list_parser_edge_cases():
     from shippai_knowledge_etl_spark.sources.html_parse import parse_list_page
 
