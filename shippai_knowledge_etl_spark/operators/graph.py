@@ -167,3 +167,73 @@ def pagerank_until(
         f"pagerank_until: no convergence to {tol_scaled} within "
         f"{max_iters} iterations"
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007, clamped-seed variant) over (``nodes``: cols
+    ``id``, ``label`` nullable, ``is_seed``; ``edges``: cols ``src``,
+    ``dst`` — pass both directions for an undirected graph). Returns
+    (id, label, is_seed) after ``n_iters`` synchronous rounds.
+
+    Per round every non-seed node adopts the MAJORITY label among its
+    labeled in-neighbors (parallel edges count multiply), keeping its
+    previous label when no neighbor is labeled; seeds never change.
+    Ties break toward the SMALLEST label via one integer
+    ``min(struct(-cnt, label))`` aggregate — the whole update is
+    integer arithmetic on integer labels, so a fixed-iteration run is
+    exactly oracle-checkable, the ``pagerank`` discipline.
+
+    The corpus-curation use: propagate scarce trusted quality/topic
+    tags (human-rated seed documents) across a similarity or link
+    graph to label the whole crawl without a model.
+
+    Scale shape: per-round state is (id, label, is_seed) — ~17 bytes a
+    node; the vote is one (dst, label)-keyed shuffle whose counts
+    partial-aggregate map-side, followed by a dst-keyed argmin that
+    AQE serves from the same partitioning; the full-universe left join
+    keeps isolated nodes. ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates lineage exactly like
+    ``pagerank`` / ``dedup.connected_components``.
+    """
+    edges = edges.filter(F.col("src") != F.col("dst")).persist()
+    state = nodes.select("id", "label", "is_seed")
+    for i in range(n_iters):
+        votes = (
+            edges.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("id").alias("src"), F.col("label").alias("nlbl")
+                ),
+                "src",
+            )
+            .groupBy("dst", "nlbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("dst").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("nlbl").alias("lbl"),
+                )
+            )["lbl"].alias("maj")
+        )
+        state = (
+            state.join(best.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("maj"), F.col("label")))
+                .alias("label"),
+                "is_seed",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    return state

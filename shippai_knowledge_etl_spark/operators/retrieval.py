@@ -808,6 +808,133 @@ def ann_recall_eval(
     )
 
 
+def ndcg_discounts(k: int) -> tuple[dict[int, float], float]:
+    """({rank: round(1/log2(rank+1), 6)}, idcg) — the nDCG discount
+    table as PYTHON literals, so both the Spark plan and the DuckDB
+    oracle consume byte-identical constants instead of each engine's
+    own log2 (whose last-ulp differences would leak through a 6 dp
+    round on unlucky values). idcg is their sum rounded to 6 dp
+    (binary relevance with k relevant documents → the ideal ranking
+    hits every slot)."""
+    import math
+
+    d = {i: round(1.0 / math.log2(i + 1), 6) for i in range(1, k + 1)}
+    return d, round(sum(d.values()), 6)
+
+
+def ann_ndcg_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k of the Hamming sign-signature probe against exact-cosine
+    ground truth — the rank-sensitive companion of
+    :func:`ann_recall_eval` (recall treats slot 1 and slot k alike;
+    nDCG charges the probe for burying a true neighbor).
+
+    Binary relevance: a probe result at rank r earns discount
+    1/log2(r+1) iff it appears in the exact top-k. Discounts come from
+    :func:`ndcg_discounts` as shared literals, each hit's term is a
+    DECIMAL(18,6) so the per-query sum is exact and
+    partitioning-independent, and dcg/ndcg round to 6 dp at the gate
+    boundary. Same plan shape as the recall eval: both rankings are
+    one broadcast-query crossJoin + a query-partitioned
+    WindowGroupLimit top-k; the join of the two k-row-per-query tables
+    is trivially small."""
+    from pyspark.sql import Window
+
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    disc, idcg = ndcg_discounts(k)
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    qs = base.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    ex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    exact_top = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
+    lo, hi = sign_pack64(F.col(vec_col))
+    sigs = base.select(F.col(id_col), lo.alias("lo"), hi.alias("hi"))
+    qsigs = sigs.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hm_w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    probe_ranked = (
+        sigs.crossJoin(F.broadcast(qsigs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            hamming_dist(
+                F.col("lo"), F.col("hi"), F.col("qlo"), F.col("qhi")
+            ).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(hm_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "rn")
+    )
+    # CASE rn WHEN r THEN <literal discount> — the same literals the
+    # oracle embeds, cast to exact DECIMAL before the sum
+    expr = None
+    for r, v in disc.items():
+        expr = (
+            F.when(F.col("rn") == r, F.lit(v))
+            if expr is None
+            else expr.when(F.col("rn") == r, F.lit(v))
+        )
+    term = F.when(
+        F.col("hit").isNotNull(), expr.cast("decimal(18,6)")
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    scored = (
+        probe_ranked.join(
+            exact_top.withColumn("hit", F.lit(1)),
+            ["query_id", id_col],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count_if(F.col("hit").isNotNull()).alias("n_hits"),
+            F.sum(term).alias("dcg6"),
+        )
+    )
+    return (
+        qs.select("query_id")
+        .join(scored, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("dcg6"), F.lit(0)).cast("double"), 6
+            ).alias("dcg"),
+            F.round(
+                F.coalesce(F.col("dcg6"), F.lit(0)).cast("double")
+                / F.lit(idcg),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
 def hash_embed(
     df: DataFrame,
     id_col: str,

@@ -1306,3 +1306,70 @@ def curation_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n", "k")
     )
+
+
+@register(
+    "curation_temperature_mix",
+    survey_ref="[EXT] temperature-scaled mixture weights (the mT5/XLM-R "
+    "alpha-sampling recipe): per-source sampling probability "
+    "p_i^alpha / sum_j p_j^alpha at alpha = 0.5 — sqrt is IEEE-exactly "
+    "rounded in BOTH engines (pow is not), and the cross-source "
+    "normalizer sums 6 dp-rounded terms as DECIMAL, so the whole "
+    "reweighting is engine-exact; two 1-row broadcasts, zero "
+    "corpus-wide shuffles beyond the count",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS n FROM s),
+    sp AS (
+      SELECT source, n_docs, t.n,
+             round(sqrt(n_docs / CAST(t.n AS DOUBLE)), 6) AS sqrt_share
+      FROM s CROSS JOIN tot t),
+    den AS (SELECT sum(CAST(sqrt_share AS DECIMAL(18,6))) AS d6 FROM sp)
+    SELECT source, n_docs,
+           round(n_docs / CAST(n AS DOUBLE), 6) AS share,
+           sqrt_share,
+           round(sqrt_share / CAST(d.d6 AS DOUBLE), 6) AS sampled_share,
+           round(round(sqrt_share / CAST(d.d6 AS DOUBLE), 6)
+                 / round(n_docs / CAST(n AS DOUBLE), 6), 6) AS boost
+    FROM sp CROSS JOIN den d
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-scaled sampling weights: raising each
+    source share p_i to alpha < 1 and renormalizing flattens the
+    mixture toward uniform (low-resource sources are up-sampled — the
+    multilingual-pretraining standard; boost > 1 marks up-sampled
+    sources). alpha is PINNED at 0.5 because sqrt is correctly rounded
+    under IEEE 754 in both engines while a general pow differs in the
+    last ulp; the normalizer sums 6 dp-rounded sqrt-shares as
+    DECIMAL(18,6) (exact, order-independent across the handful of
+    sources). Scale shape: one map-side-combined count on a
+    low-cardinality key, then two 1-row broadcast cross joins (corpus
+    total, normalizer) — the corpus is scanned once."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = s.agg(F.sum("n_docs").alias("n"))
+    sp = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n",
+        F.round(
+            F.sqrt(F.col("n_docs") / F.col("n").cast("double")), 6
+        ).alias("sqrt_share"),
+    )
+    den = sp.agg(
+        F.sum(F.col("sqrt_share").cast("decimal(18,6)")).alias("d6")
+    )
+    share = F.round(F.col("n_docs") / F.col("n").cast("double"), 6)
+    sampled = F.round(
+        F.col("sqrt_share") / F.col("d6").cast("double"), 6
+    )
+    return sp.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        share.alias("share"),
+        "sqrt_share",
+        sampled.alias("sampled_share"),
+        F.round(sampled / share, 6).alias("boost"),
+    )

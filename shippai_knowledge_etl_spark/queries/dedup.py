@@ -211,7 +211,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(df, "doc_id", "text")
 
 
-_CLUSTERS_ORACLE = """
+_CLUSTERS_CTES = """
     WITH RECURSIVE
     planted AS (
       SELECT doc_id, text, source FROM documents
@@ -249,8 +249,12 @@ _CLUSTERS_ORACLE = """
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node)
-    SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
     """
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTES
+    + "SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src"
+)
 
 
 @register(
@@ -284,6 +288,74 @@ def dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
     comp = dedup.connected_components_lss(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_cluster_representatives",
+    survey_ref="[EXT] canonical-document selection: near-dup clusters "
+    "(same pair graph + components as dedup_clusters) extended to the "
+    "FULL corpus (singletons are their own cluster), one kept "
+    "representative per cluster by longest text with id tie-break — "
+    "the decision stage that turns dedup clustering into an actual "
+    "keep/drop verdict; windows cluster-partitioned, never global",
+    oracle=_CLUSTERS_CTES
+    + """,
+    comp AS (
+      SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+    uni AS (
+      SELECT p.doc_id, length(p.text) AS len,
+             COALESCE(c.component, p.doc_id) AS component
+      FROM planted p LEFT JOIN comp c USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, component, len,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY len DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY component) AS cluster_size
+      FROM uni)
+    SELECT doc_id, component,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rn = 1 AS keep
+    FROM ranked
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering turned into a per-document keep/drop
+    verdict: every document joins its connected component (docs
+    outside the pair graph form singleton clusters of themselves),
+    and each cluster keeps exactly one representative — the longest
+    text, smallest id on ties (prefer the most complete copy, the
+    standard canon in crawl dedup).
+
+    Scale shape: the pair generation and component iteration are the
+    audited dedup_clusters path; the verdict adds one left join of
+    the (pairs-only, much smaller) component table onto the corpus id
+    universe and two cluster-partitioned window functions sharing one
+    partitioning — no global window, no second corpus scan beyond the
+    length projection."""
+    from pyspark.sql import Window
+
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", "source", threshold=0.5)
+    comp = dedup.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    uni = (
+        df.select("doc_id", F.length("text").alias("len"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    wo = w.orderBy(F.desc("len"), F.asc("doc_id"))
+    return uni.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(wo) == 1).alias("keep"),
+    )
 
 
 _PR_N = "(SELECT count(*) FROM documents)"

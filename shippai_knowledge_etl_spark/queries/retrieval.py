@@ -418,6 +418,83 @@ def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.ann_recall_eval(e, "vec_id", "embedding", 50, 10)
 
 
+# nDCG discount literals shared by the Spark plan AND the oracle text,
+# so neither engine's own log2 participates (see ndcg_discounts).
+_NDCG_DISC, _NDCG_IDCG = retrieval.ndcg_discounts(10)
+_NDCG_CASE = " ".join(
+    f"WHEN {r} THEN {v:.6f}" for r, v in _NDCG_DISC.items()
+)
+
+
+@register(
+    "retrieval_eval_ndcg",
+    survey_ref="[EXT] ANN evaluation harness, rank-sensitive: nDCG@10 "
+    "of the Hamming sign probe vs exact-cosine ground truth — binary "
+    "relevance, shared literal discount table, DECIMAL(18,6) per-hit "
+    "terms so the per-query DCG sum is exact at any partitioning",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, emb_d AS qv FROM e
+           WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_inner_product(a.emb_d, q.qv)
+                   / (sqrt(list_inner_product(a.emb_d, a.emb_d))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+      FROM e a CROSS JOIN qs q WHERE a.vec_id <> q.query_id),
+    ex_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM ex) WHERE rn <= 10),
+    idx AS (SELECT unnest(range(0, 32)) AS i),
+    sig AS (
+      SELECT e2.vec_id,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 1] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 33] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS hi
+      FROM embeddings e2 CROSS JOIN idx i GROUP BY e2.vec_id),
+    qsig AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id % 50 = 0),
+    hm AS (
+      SELECT q.query_id, s.vec_id,
+             bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+               AS hamming
+      FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.query_id),
+    hm_top AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, vec_id) AS rn
+        FROM hm) WHERE rn <= 10),
+    scored AS (
+      SELECT h.query_id,
+             count(*) FILTER (WHERE t.vec_id IS NOT NULL) AS n_hits,
+             sum(CASE WHEN t.vec_id IS NOT NULL
+                      THEN CAST(CASE h.rn {_NDCG_CASE} END
+                                AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg6
+      FROM hm_top h LEFT JOIN ex_top t USING (query_id, vec_id)
+      GROUP BY h.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(s.dcg6, 0) AS DOUBLE), 6) AS dcg,
+           round(CAST(coalesce(s.dcg6, 0) AS DOUBLE) / {_NDCG_IDCG}, 6)
+             AS ndcg
+    FROM qs q LEFT JOIN scored s USING (query_id)
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per query for the deterministic 10-query sample — the
+    rank-position-sensitive companion to retrieval_eval_recall (a
+    probe that finds all k neighbors but ranks them inverted scores
+    recall 1.0 yet ndcg < 1)."""
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.ann_ndcg_eval(e, "vec_id", "embedding", 50, 10)
+
+
 @register(
     "retrieval_pipeline_e2e",
     survey_ref="[EXT] RAG pipeline flagship (composition): chunk (32/24 "

@@ -371,3 +371,66 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_subwords") / F.col("n_words"), 6),
         )
     )
+
+
+@register(
+    "ext_char_entropy",
+    survey_ref="[EXT] character-distribution entropy quality signal: "
+    "per-doc Shannon entropy over characters — the gibberish / base64 / "
+    "repeated-filler detector compression-ratio screening approximates; "
+    "one char explode into a (doc, char)-keyed partial-aggregated "
+    "count, per-char terms rounded to 6 dp and summed as DECIMAL so "
+    "the per-doc entropy is exact at any partitioning",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS len, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0),
+    counts AS (
+      SELECT doc_id, len, ch, count(*) AS c
+      FROM chars GROUP BY doc_id, len, ch)
+    SELECT doc_id,
+           CAST(len AS BIGINT) AS n_chars,
+           count(*) AS n_distinct_chars,
+           round(CAST(sum(CAST(round(
+                   -(c / CAST(len AS DOUBLE))
+                   * ln(c / CAST(len AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+    FROM counts GROUP BY doc_id, len
+    """,
+)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy -sum p_c ln p_c: natural text
+    sits in a mid band, repeated filler collapses toward 0, uniform
+    noise / base64 pushes toward ln(alphabet). The distribution-shape
+    quality check that length and stopword ratios can't see.
+
+    Scale shape: the char explode is the only row expansion (linear in
+    corpus bytes, like the token ops); (doc, char) counts partial-
+    aggregate map-side — at most |alphabet| rows per doc reach the one
+    doc-keyed shuffle, and the entropy rollup reuses that partitioning
+    (AQE coalesces). Each -p·ln(p) term is rounded to 6 dp and summed
+    as DECIMAL(18,6): exact, order-independent, hash-gate-safe; the
+    engines' ln agree because the operand p is identical and ln is
+    correctly rounded for these magnitudes after the 6 dp round.
+    Empty docs are excluded on both sides (no chars, entropy
+    undefined)."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "len", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("len").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return counts.groupBy("doc_id", "len").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+    ).select(
+        "doc_id",
+        F.col("len").cast("long").alias("n_chars"),
+        "n_distinct_chars",
+        "entropy",
+    )

@@ -502,6 +502,86 @@ def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w12_sessionization",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): gap-based "
+    "batch sessionization — per-user lag + running session counter, "
+    "both windows user-partitioned over ONE user-keyed shuffle that "
+    "the per-session rollup reuses; integer epoch-second gap math",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             value,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev_t
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, t, value,
+             CASE WHEN prev_t IS NULL OR t - prev_t > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, t, value,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f)
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           CAST(min(t) AS BIGINT) AS session_start,
+           CAST(max(t) AS BIGINT) AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def w12_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity boundary): a new
+    session opens when a user's inter-event gap exceeds 1800 s; each
+    session reports its bounds, event count, and value sum.
+
+    Scale shape: ONE hash shuffle on user_id serves everything — the
+    lag window, the running session counter, and the per-session
+    rollup all share the user partitioning (AQE coalesces, never
+    re-shuffles), and nothing sorts the raw stream globally. Ordering
+    is (epoch-second, event_id) on BOTH engines so within-second ties
+    can't diverge; gap math is pure integer. The DECIMAL value sum is
+    exact and order-independent, cast to rounded DOUBLE only at the
+    gate boundary."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = F.lag("t").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("t") - prev) > 1800), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+@register(
     "w11_retention_cohorts",
     survey_ref="§2.9-adjacent (beyond-reference built-in): retention "
     "cohort matrix — users bucketed by first-seen week, activity counted "

@@ -67,6 +67,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "retrieval_rrf_fusion",  # 1-row stats + 1-row query embedding
     "simsearch_mrl_funnel",  # 1-row query vector (both funnel stages)
     "curation_mixture_kl",  # 1-row corpus totals (n, k) factor
+    "curation_temperature_mix",  # 1-row corpus total + 1-row normalizer
+    "retrieval_eval_ndcg",  # 10-row broadcast query sample, twice
+    # (the recall-eval shape: crossJoin of the corpus with the tiny
+    # deterministic query batch, per-query top-k below the shuffle)
 }
 
 
