@@ -561,3 +561,97 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("edit_dist").cast("int"),
         F.round(sim, 6).alias("edit_sim"),
     ).filter(F.round(sim, 6) >= 0.8)
+
+
+# Undirected synthetic link graph shared with graph_pagerank's family:
+# both deterministic links plus their reverses, self-loops dropped.
+_LPA_N = "(SELECT count(*) FROM documents)"
+_LPA_EDGES = f"""
+    le0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    led AS (
+      SELECT src, dst FROM le0 WHERE src <> dst
+      UNION ALL
+      SELECT dst, src FROM le0 WHERE src <> dst),
+    l0 AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN CAST(doc_id % 4 AS BIGINT) END AS lbl,
+             doc_id % 10 = 0 AS is_seed
+      FROM documents)
+"""
+# one synchronous vote round: majority labeled-neighbor label,
+# smallest label on ties, seeds clamped, keep old label if no
+# labeled neighbor (see operators/graph.py:label_propagation)
+_LPA_STEP = """
+    v{i} AS (
+      SELECT e.dst, l.lbl, count(*) AS cnt
+      FROM led e JOIN l{p} l ON l.id = e.src
+      WHERE l.lbl IS NOT NULL
+      GROUP BY e.dst, l.lbl),
+    b{i} AS (
+      SELECT dst, lbl FROM (
+        SELECT dst, lbl,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v{i}) WHERE rn = 1),
+    l{i} AS (
+      SELECT l.id,
+             CASE WHEN l.is_seed THEN l.lbl
+                  ELSE COALESCE(b.lbl, l.lbl) END AS lbl,
+             l.is_seed
+      FROM l{p} l LEFT JOIN b{i} b ON b.dst = l.id)
+"""
+
+
+@register(
+    "graph_label_propagation",
+    survey_ref=(
+        "[EXT] semi-supervised label propagation (Zhu & Ghahramani "
+        "2002, clamped seeds): scarce trusted tags spread across the "
+        "link graph by iterated integer majority vote with smallest-"
+        "label tie-break — fixed 3 rounds unrolled as oracle CTEs, "
+        "exactly hash-checkable like graph_pagerank "
+        "(operators/graph.py:label_propagation)"
+    ),
+    oracle=(
+        "WITH "
+        + _LPA_EDGES
+        + ","
+        + ",".join(_LPA_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + " SELECT id AS doc_id, lbl AS label, is_seed FROM l3"
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round clamped-seed label propagation: every 10th document is
+    a seed carrying label doc_id % 4 (the human-rated-tag stand-in);
+    votes travel the UNDIRECTED synthetic link graph (both
+    deterministic links plus reverses — parallel edges count
+    multiply). Docs unreached within 3 hops keep NULL — visible in
+    the output rather than papered over.
+
+    Scale shape in ``operators/graph.py:label_propagation``: one
+    (dst,label)-keyed shuffle per round with map-side partial counts,
+    argmin served from the same partitioning, ~17-byte per-node state,
+    localCheckpoint lineage truncation."""
+    from shippai_knowledge_etl_spark.operators.graph import label_propagation
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    fwd = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    fwd = fwd.filter(F.col("src") != F.col("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = d.select(
+        i.alias("id"),
+        F.when(i % 10 == 0, (i % 4).cast("long")).alias("label"),
+        (i % 10 == 0).alias("is_seed"),
+    )
+    out = label_propagation(nodes, edges, n_iters=3)
+    return out.select(F.col("id").alias("doc_id"), "label", "is_seed")

@@ -272,3 +272,65 @@ def test_containment_catches_fragment_jaccard_misses(spark, sf_dir):
         ).collect()
     }
     assert (1, 900001) not in jac
+
+
+def test_label_propagation_majority_clamp_and_reach(spark):
+    """Hand-built graph pinning the three contract points: seeds never
+    change, majority wins with smallest-label tie-break, and nodes
+    keep their old label (or NULL) when no labeled neighbor votes."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import label_propagation
+
+    # 0(seed:1) -> 2 <- 1(seed:0); 1 -> 3 ; 4 isolated ; 5 -> 6 chain
+    # tie at node 2 (one vote each for 0 and 1) -> smallest label 0
+    rows = [
+        (0, 1, True),
+        (1, 0, True),
+        (2, None, False),
+        (3, None, False),
+        (4, None, False),
+        (5, 3, True),
+        (6, None, False),
+    ]
+    nodes = spark.createDataFrame(rows, "id long, label long, is_seed boolean")
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (1, 3), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["label"], r["is_seed"])
+        for r in label_propagation(nodes, edges, n_iters=2).collect()
+    }
+    assert got[0] == (1, True) and got[1] == (0, True) and got[5] == (3, True)
+    assert got[2][0] == 0  # tie 0-vs-1 breaks to smallest label
+    assert got[3][0] == 0  # single labeled neighbor
+    assert got[4][0] is None  # isolated: never labeled
+    assert got[6][0] == 3  # chain reached in round 1, stable after
+
+
+def test_label_propagation_converges_on_two_cliques(spark):
+    """Two 5-cliques bridged by one edge, one seed per clique: every
+    member adopts its own clique's seed label (bridge votes are
+    outnumbered by intra-clique majority)."""
+    from shippai_knowledge_etl_spark.operators.graph import label_propagation
+
+    ids = list(range(10))
+    pairs = [
+        (a, b)
+        for grp in (ids[:5], ids[5:])
+        for a in grp
+        for b in grp
+        if a != b
+    ] + [(4, 5), (5, 4)]
+    nodes = spark.createDataFrame(
+        [(i, 0 if i == 0 else (7 if i == 9 else None),
+          i in (0, 9)) for i in ids],
+        "id long, label long, is_seed boolean",
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, n_iters=4).collect()
+    }
+    assert all(got[i] == 0 for i in ids[:5])
+    assert all(got[i] == 7 for i in ids[5:])
