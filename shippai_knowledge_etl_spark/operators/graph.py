@@ -237,3 +237,96 @@ def label_propagation(
     state = state.localCheckpoint(eager=True)
     edges.unpersist()
     return state
+
+
+HITS_SCALE = 1_000_000  # hub/auth mass in units of 1e-6
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 2,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over (``nodes``: col
+    ``id``; ``edges``: cols ``src``, ``dst``), returning
+    (id, auth_scaled, hub_scaled) after ``n_iters`` rounds.
+
+    Each round: raw authority = Σ hub over in-edges (one dst-keyed
+    shuffle, map-side partial sums), L1-normalized back to
+    ``HITS_SCALE`` total by integer floor division against the 1-row
+    global total (broadcast cross join — the sketch-merge-class tiny
+    BNLJ); then raw hub = Σ of the NEW authority over out-edges,
+    normalized the same way. All arithmetic is BIGINT: with L1 mass
+    pinned at 1e6 the worst intermediate is raw·SCALE ≈ maxdeg·1e12,
+    far inside the long range, and floor division is bit-identical in
+    Spark and DuckDB — a fixed-iteration run is exactly
+    oracle-checkable (the ``pagerank`` discipline; L1 replaces the
+    classical L2 norm precisely because sqrt of a sum of squares is
+    NOT integer-exact; rankings are norm-invariant).
+
+    The crawl-pipeline use: hub scores find link-directory pages
+    (fetch-priority DOWN-weighting), authority scores find
+    canonical-content pages (priority up-weighting) — the complement
+    of ``pagerank``'s single score.
+
+    Scale shape: state is 3 longs per node; two key-keyed shuffles
+    per round (dst then src), each partial-aggregated map-side; the
+    edge list is persisted once; ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates lineage.
+    """
+    edges = edges.filter(F.col("src") != F.col("dst")).persist()
+    state = nodes.select(
+        "id",
+        F.lit(0).cast("long").alias("auth_scaled"),
+        F.lit(HITS_SCALE).cast("long").alias("hub_scaled"),
+    )
+    for i in range(n_iters):
+        raw_a = (
+            edges.join(
+                state.select(
+                    F.col("id").alias("src"), F.col("hub_scaled").alias("h")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ra"))
+        )
+        tot_a = raw_a.agg(F.sum("ra").alias("t"))
+        auth = (
+            nodes.join(raw_a.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "id",
+                F.coalesce(
+                    F.expr(f"(ra * {HITS_SCALE}) div t"), F.lit(0)
+                ).alias("auth_scaled"),
+            )
+        )
+        raw_h = (
+            edges.join(
+                auth.select(
+                    F.col("id").alias("dst"), F.col("auth_scaled").alias("a")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("a").alias("rh"))
+        )
+        tot_h = raw_h.agg(F.sum("rh").alias("t"))
+        state = (
+            auth.join(raw_h.withColumnRenamed("src", "id"), "id", "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "id",
+                "auth_scaled",
+                F.coalesce(
+                    F.expr(f"(rh * {HITS_SCALE}) div t"), F.lit(0)
+                ).alias("hub_scaled"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    return state

@@ -655,3 +655,68 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(nodes, edges, n_iters=3)
     return out.select(F.col("id").alias("doc_id"), "label", "is_seed")
+
+
+# one HITS round: authority <- L1-normalized inflow of hub mass,
+# hub <- L1-normalized outflow of the NEW authority mass (see
+# operators/graph.py:hits; 1000000 = HITS_SCALE)
+_HITS_STEP = """
+    ar{i} AS (
+      SELECT e.dst, sum(h.h) AS ra
+      FROM edges e JOIN h{p} h ON h.id = e.src GROUP BY e.dst),
+    at{i} AS (SELECT sum(ra) AS t FROM ar{i}),
+    a{i} AS (
+      SELECT n.id, CAST(COALESCE((r.ra * 1000000) // t.t, 0) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN ar{i} r ON r.dst = n.id CROSS JOIN at{i} t),
+    hr{i} AS (
+      SELECT e.src, sum(a.a) AS rh
+      FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src),
+    ht{i} AS (SELECT sum(rh) AS t FROM hr{i}),
+    h{i} AS (
+      SELECT n.id, CAST(COALESCE((r.rh * 1000000) // t.t, 0) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN hr{i} r ON r.src = n.id CROSS JOIN ht{i} t)
+"""
+
+
+@register(
+    "graph_hits",
+    survey_ref=(
+        "[EXT] HITS hubs-and-authorities (Kleinberg 1999): the "
+        "complement of PageRank's single score — hub mass finds "
+        "link-directory pages, authority mass canonical content; "
+        "L1-normalized scaled-integer rounds are exactly "
+        "oracle-checkable (operators/graph.py:hits)"
+    ),
+    oracle=(
+        "WITH "
+        + _PR_EDGES
+        + ", h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),"
+        + ",".join(_HITS_STEP.format(i=i, p=i - 1) for i in (1, 2))
+        + """ SELECT a2.id AS doc_id, a2.a AS auth_scaled,
+                     h2.h AS hub_scaled
+              FROM a2 JOIN h2 ON h2.id = a2.id"""
+    ),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration HITS over the same deterministic synthetic link
+    graph as ``graph_pagerank``. The oracle unrolls both rounds —
+    four aggregate/normalize stages — as CTEs; L1 normalization (not
+    the classical L2) keeps every step in integer floor division so
+    the hash gate is exact (rankings are norm-invariant).
+
+    Scale shape in ``operators/graph.py:hits``: 3 longs per node
+    state, two key-keyed shuffles per round with map-side partial
+    sums, 1-row broadcast totals, localCheckpoint lineage."""
+    from shippai_knowledge_etl_spark.operators.graph import hits
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    out = hits(nodes, edges, n_iters=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "auth_scaled", "hub_scaled"
+    )

@@ -334,3 +334,29 @@ def test_label_propagation_converges_on_two_cliques(spark):
     }
     assert all(got[i] == 0 for i in ids[:5])
     assert all(got[i] == 7 for i in ids[5:])
+
+
+def test_hits_star_hub_authority(spark):
+    """Star graph: spokes all link to node 0 -> node 0 takes ~all
+    authority; spokes (the only out-linkers) share all hub mass; and
+    L1 mass stays ~HITS_SCALE minus floor residue."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import HITS_SCALE, hits
+
+    n = 12
+    nodes = spark.range(n).select(F.col("id"))
+    edges = (
+        spark.range(1, n)
+        .select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    )
+    got = {
+        r["id"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in hits(nodes, edges, n_iters=3).collect()
+    }
+    assert got[0][0] == HITS_SCALE  # sole authority takes all mass
+    assert got[0][1] == 0  # ...and has no out-edge -> zero hub
+    spoke_hubs = [got[i][1] for i in range(1, n)]
+    assert all(a == 0 for a, _ in (got[i] for i in range(1, n)))
+    assert len(set(spoke_hubs)) == 1  # symmetric spokes tie exactly
+    assert 0.99 * HITS_SCALE <= sum(spoke_hubs) <= HITS_SCALE

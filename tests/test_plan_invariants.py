@@ -71,6 +71,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "retrieval_eval_ndcg",  # 10-row broadcast query sample, twice
     # (the recall-eval shape: crossJoin of the corpus with the tiny
     # deterministic query batch, per-query top-k below the shuffle)
+    "graph_hits",  # 1-row L1-normalization totals, once per half-round
 }
 
 
