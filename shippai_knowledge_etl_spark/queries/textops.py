@@ -434,3 +434,94 @@ def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_chars",
         "entropy",
     )
+
+
+@register(
+    "ext_zipf_fit",
+    survey_ref="[EXT] Zipf power-law fit of the corpus term-frequency "
+    "distribution: least-squares slope/intercept of ln(freq) vs "
+    "ln(rank) over the top-100 terms — the corpus-health diagnostic "
+    "(natural text slopes near -1; templated or synthetic corpora "
+    "deviate sharply); closed-form sums with DECIMAL-exact "
+    "accumulation, rank cut by TakeOrderedAndProject before the "
+    "100-row window",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS term FROM documents),
+    freq AS (
+      SELECT term, count(*) AS freq FROM toks GROUP BY term),
+    top AS (
+      SELECT term, freq FROM freq ORDER BY freq DESC, term ASC LIMIT 100),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+      FROM top),
+    pts AS (
+      SELECT CAST(round(ln(rank), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(freq), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_terms, slope,
+           round((sy - slope * sx) / n, 6) AS intercept
+    FROM fit
+    """,
+)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(freq) against ln(rank) for the 100 most
+    frequent terms. Every ln operand is an exact integer (rank or
+    count), its log rounded to 6 dp on both engines, the five
+    regression sums accumulated as exact DECIMAL products, and only
+    the final closed-form slope/intercept divisions run in double —
+    with token-identical operand order both sides, so the hash gate is
+    exact (the ext_char_entropy discipline).
+
+    Scale shape: the term count is the standard vocabulary-keyed
+    shuffle (map-side combined); the global top-100 is a
+    TakeOrderedAndProject (never a full sort), and the rank window
+    runs AFTER that cut, so its SinglePartition exchange moves 100
+    rows at any corpus size (the retrieval_rrf_fusion discipline);
+    the regression itself is one 5-column aggregate over 100 rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(textops.tokenize(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(100)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

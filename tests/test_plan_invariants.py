@@ -119,6 +119,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # exchange moves <=100 rows at any corpus size (the retrieval_mmr
     # candidate-pool discipline; see operators/retrieval._ranked)
     "retrieval_rrf_fusion",
+    # same bounded-input shape: the Zipf rank window runs after the
+    # global top-100 TakeOrderedAndProject cut (<=100 rows moved)
+    "ext_zipf_fit",
 }
 
 
