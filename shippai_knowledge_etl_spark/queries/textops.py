@@ -525,3 +525,69 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "ext_unigram_train",
+    survey_ref="[EXT] in-engine unigram-LM tokenizer training (Kudo "
+    "2018, SentencePiece): over-complete substring seed vocabulary → "
+    "fixed Viterbi-EM rounds over the word histogram (one Arrow pass "
+    "per round, vocabulary-sized state) → pruned (piece, count) "
+    "vocabulary — Viterbi is not SQL-expressible → rows-only; golden "
+    "parity with a pure-Python reference is pinned in "
+    "tests/test_unigram.py",
+)
+def ext_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-piece unigram-LM vocabulary (2 EM rounds, pieces ≤ 4 chars)
+    trained on the documents corpus. Counts are the final E-step's
+    exact integer Viterbi totals, so the output is a pure function of
+    the corpus — deterministic at any parallelism even though the
+    driver gate can only count rows."""
+    from shippai_knowledge_etl_spark.operators import bpe, unigram_lm
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_lm.unigram_train(
+        bpe.word_histogram(d, "text"), vocab_size=128, n_iters=2
+    )
+    return spark.createDataFrame(
+        [(p, c, len(p)) for p, c in vocab],
+        "piece string, count long, piece_len int",
+    )
+
+
+@register(
+    "ext_unigram_encode",
+    survey_ref="[EXT] corpus-scale unigram-LM tokenization: each "
+    "DISTINCT word segmented once by Viterbi (vocabulary-sized Arrow "
+    "input), then the segmentation table broadcast-joins back onto "
+    "the exploded corpus — the tokenizer-apply shape shared with "
+    "ext_bpe_encode; rows-only (Viterbi), encode/train consistency "
+    "pinned in tests/test_unigram.py",
+)
+def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword statistics under the 128-piece unigram LM
+    trained on the same corpus. Integer counts + one final division:
+    deterministic at any parallelism. At 100 TB the corpus is touched
+    twice (histogram, encode join) and the Python path only ever sees
+    the distinct-word table."""
+    from shippai_knowledge_etl_spark.operators import bpe, textops, unigram_lm
+
+    d = load(spark, sf_dir, "documents")
+    hist = bpe.word_histogram(d, "text")
+    vocab = unigram_lm.unigram_train(hist, vocab_size=128, n_iters=2)
+    seg = unigram_lm.segment_words(hist, vocab).select("word", "n_pieces")
+    words = d.select(
+        "source", F.explode(textops.tokenize(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6),
+        )
+    )
