@@ -1245,3 +1245,187 @@ def robust_outliers(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier (hashed-gram logistic regression)
+
+
+def _bucket_features(
+    flagged: DataFrame, id_col: str, carry: tuple[str, ...], text_col: str
+) -> DataFrame:
+    """(carry..., id, bucket, cnt, n_grams) — per-document hashed-gram
+    term frequencies over the shared 256-bucket DSIR feature space.
+    One explode + one (id, bucket)-keyed count with map-side partials;
+    n_grams rides a window over the same partitioning, not a second
+    corpus scan."""
+    counts = (
+        _gram_rows(flagged, id_col, carry, text_col)
+        .groupBy(*carry, id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.withColumn(
+        "n_grams", F.sum("cnt").over(Window.partitionBy(id_col))
+    )
+
+
+def logreg_quality_train(
+    df: DataFrame,
+    label: Column,
+    id_col: str,
+    text_col: str,
+    n_iters: int = 4,
+    lr: float = 5.0,
+) -> tuple[dict[str, "Decimal"], list[float]]:
+    """Train the fastText-recipe quality filter (Joulin et al. 2017;
+    the GPT-3/LLaMA corpus-curation classifier pattern: logistic
+    regression over hashed n-gram features, seeded by a boolean
+    good/bad ``label`` column) with full-batch gradient descent INSIDE
+    the engine. Returns ({bucket: weight}, per-iteration losses).
+
+    Determinism at any parallelism (the ``dsir_logweights``
+    discipline): features are exact integer (doc, bucket) counts; the
+    per-doc score z, the per-bucket gradient, and the loss each sum
+    6 dp-rounded terms as DECIMAL(18,6) — order-independent — and the
+    256-entry weight vector is re-quantized HALF_UP to 6 dp on the
+    driver every step, so the trained model is a pure function of the
+    corpus.
+
+    100 TB shape: the gram explode happens ONCE (persisted
+    (doc, bucket, cnt) table, ≤ 256 rows per doc); each iteration is
+    one id-keyed aggregate for scores, one id-keyed join back for the
+    gradient, and a 256-row + 1-row driver collect. Weights travel as
+    a literal map in the plan — no join against model state, the DSIR
+    pattern."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), label.alias("__y")
+    )
+    feats = _bucket_features(flagged, id_col, ("__y",), text_col).persist()
+    n_docs = flagged.count()
+    weights = {f"{b:02x}": Decimal("0.000000") for b in range(256)}
+    losses: list[float] = []
+    q = Decimal("0.000001")
+    for _ in range(n_iters):
+        wmap = F.create_map(
+            *[
+                x
+                for bkt, w in sorted(weights.items())
+                for x in (F.lit(bkt), F.lit(w).cast("decimal(18,6)"))
+            ]
+        )
+        zterm = F.round(
+            F.element_at(wmap, F.col("bucket")).cast("double")
+            * F.col("cnt")
+            / F.col("n_grams"),
+            6,
+        ).cast("decimal(18,6)")
+        scored = (
+            feats.groupBy(F.col(id_col), F.col("__y"))
+            .agg(F.sum(zterm).cast("double").alias("z"))
+            .select(
+                id_col,
+                "__y",
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-F.greatest(
+                            F.least(F.col("z"), F.lit(30.0)), F.lit(-30.0)
+                        ))
+                    )
+                ).alias("p"),
+            )
+        )
+        y = F.col("__y").cast("int")
+        loss_term = F.round(
+            -(
+                y * F.log(F.col("p"))
+                + (1 - y) * F.log(F.lit(1.0) - F.col("p"))
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        gterm = F.round(
+            (F.col("p") - y) * F.col("cnt") / F.col("n_grams"), 6
+        ).cast("decimal(18,6)")
+        both = feats.join(
+            scored.select(id_col, "p"), id_col
+        )
+        grad = {
+            r["bucket"]: r["g"]
+            for r in both.groupBy("bucket")
+            .agg(F.sum(gterm).cast("double").alias("g"))
+            .collect()
+        }
+        losses.append(
+            float(
+                scored.agg(
+                    F.sum(loss_term).cast("double")
+                ).collect()[0][0]
+            )
+        )
+        weights = {
+            bkt: (
+                w - Decimal(repr(lr * grad.get(bkt, 0.0) / n_docs))
+            ).quantize(q, ROUND_HALF_UP)
+            for bkt, w in weights.items()
+        }
+    feats.unpersist()
+    return weights, losses
+
+
+def logreg_quality_score(
+    df: DataFrame,
+    weights: dict[str, "Decimal"],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, score, is_good) under a trained weight vector: the same
+    literal-map + DECIMAL-summed dot product as training, one
+    id-keyed aggregate over the corpus, threshold at 0.5. Zero-gram
+    documents score sigmoid(0) = 0.5 → kept (is_good on the tie)."""
+    wmap = F.create_map(
+        *[
+            x
+            for bkt, w in sorted(weights.items())
+            for x in (F.lit(bkt), F.lit(w).cast("decimal(18,6)"))
+        ]
+    )
+    feats = _bucket_features(
+        df.select(id_col, text_col), id_col, (), text_col
+    )
+    zterm = F.round(
+        F.element_at(wmap, F.col("bucket")).cast("double")
+        * F.col("cnt")
+        / F.col("n_grams"),
+        6,
+    ).cast("decimal(18,6)")
+    z = feats.groupBy(id_col).agg(
+        F.sum(zterm).cast("double").alias("z")
+    )
+    return (
+        df.select(id_col)
+        .join(z, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -F.greatest(
+                            F.least(
+                                F.coalesce(F.col("z"), F.lit(0.0)),
+                                F.lit(30.0),
+                            ),
+                            F.lit(-30.0),
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+            (F.coalesce(F.col("z"), F.lit(0.0)) >= 0).alias("is_good"),
+        )
+    )

@@ -1373,3 +1373,58 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.alias("sampled_share"),
         F.round(sampled / share, 6).alias("boost"),
     )
+
+
+@register(
+    "curation_quality_classifier",
+    survey_ref="[EXT] fastText-recipe quality classifier (Joulin et "
+    "al. 2017; the GPT-3/LLaMA curation-filter pattern): logistic "
+    "regression over the shared 256-bucket hashed-gram feature space, "
+    "trained by full-batch gradient descent INSIDE the engine — "
+    "iterative, not SQL-expressible → rows-only; separability, "
+    "loss-descent, and repeat-identity pinned in tests/test_curate.py",
+)
+def curation_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train 3 GD iterations against a deterministic seed labelling
+    (docs whose token stream contains 'the' — the reference-corpus
+    membership stand-in), score the corpus with the learned weights,
+    and report the per-source confusion counts plus accuracy.
+
+    Everything after the seed label is learned: the classifier must
+    discover which hash buckets carry the label signal. Counts are
+    exact integers and the trained weights are a pure function of the
+    corpus (DECIMAL-summed terms, driver-quantized weights), so the
+    output is deterministic at any parallelism even though the gate
+    records rows-only. Scale shape in
+    ``operators/curate.py:logreg_quality_train``: one persisted gram
+    pass, per-iteration one aggregate + one join, 256-row collects."""
+    d = load(spark, sf_dir, "documents")
+    label = F.array_contains(tokenize(F.col("text")), "the")
+    weights, _ = curate.logreg_quality_train(
+        d, label, "doc_id", "text", n_iters=3, lr=50.0
+    )
+    scored = curate.logreg_quality_score(d, weights, "doc_id", "text")
+    truth = d.select("doc_id", "source", label.alias("y"))
+    j = truth.join(scored, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("y")).alias("n_true_good"),
+        F.count_if(F.col("y") & F.col("is_good")).alias("tp"),
+        F.count_if(~F.col("y") & F.col("is_good")).alias("fp"),
+        F.count_if(F.col("y") & ~F.col("is_good")).alias("fn"),
+        F.count_if(~F.col("y") & ~F.col("is_good")).alias("tn"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_true_good",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (F.col("tp") + F.col("tn")) / F.col("n_docs").cast("double"), 6
+        ).alias("accuracy"),
+    )

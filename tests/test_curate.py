@@ -556,3 +556,70 @@ def test_main_content_keeps_blockless_pages(spark):
     assert set(out) == {1, 2, 3}
     assert out[2]["n_blocks"] in (0, 1) and out[3]["n_blocks"] == 0
     assert out[3]["main_text"] == ""
+
+
+def test_logreg_separates_planted_vocabularies(spark):
+    """Two disjoint vocabularies -> the classifier must reach perfect
+    train accuracy within a few iterations, and the loss must fall
+    monotonically."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import (
+        logreg_quality_score,
+        logreg_quality_train,
+    )
+
+    good = [f"alpha beta gamma delta {w}" for w in
+            ("one", "two", "three", "four", "five", "six")]
+    bad = [f"zork quux blorp fnord {w}" for w in
+           ("uno", "dos", "tres", "cuatro", "cinco", "seis")]
+    rows = [(i, t, i < len(good)) for i, t in enumerate(good + bad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w, losses = logreg_quality_train(
+        df, F.col("y"), "doc_id", "text", n_iters=4, lr=50.0
+    )
+    assert losses == sorted(losses, reverse=True)  # monotone descent
+    assert losses[-1] < losses[0] * 0.3
+    got = {
+        r["doc_id"]: r["is_good"]
+        for r in logreg_quality_score(df, w, "doc_id", "text").collect()
+    }
+    assert all(got[i] for i in range(len(good)))
+    assert not any(got[i] for i in range(len(good), len(good) + len(bad)))
+
+
+def test_logreg_train_repeat_identical(spark):
+    """Weights are a pure function of the corpus: DECIMAL-summed terms
+    + driver-quantized updates -> two runs agree exactly."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import (
+        logreg_quality_train,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 5} tok{i % 3} filler word", i % 2 == 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w1, l1 = logreg_quality_train(df, F.col("y"), "doc_id", "text", n_iters=2)
+    w2, l2 = logreg_quality_train(df, F.col("y"), "doc_id", "text", n_iters=2)
+    assert w1 == w2 and l1 == l2
+
+
+def test_logreg_score_handles_empty_docs(spark):
+    """Zero-gram documents score exactly 0.5 and fall on the kept side
+    of the threshold (documented tie rule)."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import (
+        logreg_quality_score,
+        logreg_quality_train,
+    )
+
+    rows = [(0, "alpha beta", True), (1, "zork quux", False), (2, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w, _ = logreg_quality_train(df, F.col("y"), "doc_id", "text", n_iters=2)
+    got = {r["doc_id"]: (r["score"], r["is_good"])
+           for r in logreg_quality_score(df, w, "doc_id", "text").collect()}
+    assert got[2] == (0.5, True)
