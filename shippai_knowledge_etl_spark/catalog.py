@@ -141,10 +141,17 @@ DRIVER_WINDOW = (
     # f14_f17_label_json rotated out (F14 zero-pad stays witnessed
     # in-window by f2_f11_casualty_filename's filename roundtrip and
     # F17 to_json by the many in-window queries that serialize array
-    # output via to_json, e.g. case_assembly/w3_layout_suite); the
-    # slot pins the integer-exact Hamming ANN probe, previously
-    # driver-unwitnessed
-    "simsearch_hamming_topk",
+    # output via to_json, e.g. case_assembly/w3_layout_suite);
+    # simsearch_hamming_topk then rotated out in round 7: the
+    # rank-sensitive nDCG eval CONTAINS the identical sign_pack64 +
+    # bit_count(xor) + per-query-top-k probe (plus the exact-cosine
+    # ground-truth ranking and the shared-literal discount scoring),
+    # so the sign-LSH machinery — including the witness chain that
+    # simsearch_near_dup's rotation note routes through hamming_topk —
+    # stays driver-witnessed through this strictly-larger plan;
+    # simsearch_hamming_topk itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs
+    "retrieval_eval_ndcg",
     "f15_f19_p9_geometry",
     # f18_json_extract rotated out (the from_json/map-extraction
     # surface stays witnessed in-window by p3_label_pivot's key-value
@@ -212,7 +219,16 @@ DRIVER_WINDOW = (
     # emission of streaming_new_keys
     "stream_sketch_state_merge",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
+    # dedup_clusters rotated out in round 7: cluster-representative
+    # selection RUNS the whole clusters path inside it (the same
+    # jaccard_pairs candidate generation + connected-components
+    # iteration against the same recursive-CTE oracle) and then adds
+    # the keep/drop verdict stage (full-universe extension +
+    # cluster-partitioned windows), so the component machinery stays
+    # driver-witnessed through the strictly-larger plan;
+    # dedup_clusters itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs
+    "dedup_cluster_representatives",
     # the BLAS mapInPandas form is the 100 TB scale path AND measured
     # fastest locally — it is the witnessed + bench headline form
     # (VERDICT r4 item 5); the HOF exactness baseline keeps its full
@@ -229,7 +245,15 @@ DRIVER_WINDOW = (
     # row (merge → compact → BM25 answered from stored postings,
     # gated against the full-corpus oracle)
     "retrieval_bm25_from_index",
-    "stream_tumbling_window",
+    # stream_tumbling_window rotated out in round 7 (the event-time
+    # aggregation family stays witnessed in-window by
+    # w10_funnel_conversion's user-keyed event-time min-aggs, and
+    # tumbling remains a PINNED BENCH HEADLINE run every round plus
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins gap-based sessionization — a new plan family (lag +
+    # running session counter + per-session rollup all sharing ONE
+    # user-keyed shuffle) with no prior driver row
+    "w12_sessionization",
     "mm_image_features",
     "u5_udtf_expand",
     "p13_grouped_map_seq",
