@@ -330,3 +330,103 @@ def hits(
     state = state.localCheckpoint(eager=True)
     edges.unpersist()
     return state
+
+
+def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over an undirected simple graph (``nodes``: col ``id``; ``edges``:
+    cols ``src``, ``dst`` — direction ignored, self-loops and parallel
+    edges dropped here). Returns (id, degree, n_triangles, clustering).
+
+    Algorithm: degree-ordered edge orientation (Schank 2007's
+    *forward* algorithm; the MapReduce formulation is Suri &
+    Vassilvitskii, WWW 2011). Every edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so each triangle
+    has exactly one *pivot* node with two out-edges and is counted
+    once: enumerate out-wedges (a→b, a→c with (deg,id)(b) <
+    (deg,id)(c)) and hash-probe the closing oriented edge (b→c).
+
+    Scale: orientation bounds every out-degree by O(sqrt(m)) — a
+    celebrity node with 10^6 inlinks contributes NO wedges from its
+    own fan-in, because its edges point *toward* it. The wedge join is
+    the only superlinear step (Σ outdeg² ≤ m^{3/2} worst case,
+    far less on power-law graphs); both joins are equi-joins on edge
+    keys, map-side partial counts everywhere, no driver collect.
+    Clustering = 2·tri / (deg·(deg−1)) — integer operands, ONE double
+    division per node, round 6 dp.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges share the pivot a; (deg,id) order on (b, c) de-duplicates
+    # the pair, and the closing edge is oriented b→c by construction
+    w1, w2 = ori.alias("w1"), ori.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.a") == F.col("w2.a"))
+        & (
+            (F.col("w1.db") < F.col("w2.db"))
+            | (
+                (F.col("w1.db") == F.col("w2.db"))
+                & (F.col("w1.b") < F.col("w2.b"))
+            )
+        ),
+    ).select(
+        F.col("w1.a").alias("x"),
+        F.col("w1.b").alias("y"),
+        F.col("w2.b").alias("z"),
+    )
+    closing = ori.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    per_node = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    degc = F.coalesce(F.col("deg"), F.lit(0))
+    tric = F.coalesce(F.col("tri"), F.lit(0))
+    return (
+        nodes.join(deg, "id", "left")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            degc.cast("long").alias("degree"),
+            tric.cast("long").alias("n_triangles"),
+            F.when(
+                degc >= 2,
+                F.round(
+                    (2 * tric).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

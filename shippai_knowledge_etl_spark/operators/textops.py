@@ -248,3 +248,57 @@ def countmin_estimate(
             (F.col("cms_est") >= F.col("exact")).alias("is_overestimate"),
         )
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level PMI over adjacent token pairs (Church & Hanks
+    1990): pmi = ln(co * total / (left * right)) from the bigram
+    contingency table, reported for pairs with co >= ``min_count``.
+    Returns (tok_a, tok_b, n_cooccur, pmi).
+
+    Scale shape: ONE tokenize → posexplode pass; the doc-keyed lead
+    window shares the document partitioning; bigram counts partial-
+    aggregate map-side to the bigram VOCABULARY (Heaps-bounded) and
+    are persisted, so the marginals and grand total are three cheap
+    re-aggregations of the bounded table — never a second corpus
+    scan. Counts are exact integers; the one ln per surviving pair
+    rounds 6 dp with identical operand order on both engines (the
+    ext_char_entropy precedent)."""
+    ex = df.select(
+        id_col, F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    co = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("tok_a"), F.col("nxt").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .persist()
+    )
+    lf = co.groupBy("tok_a").agg(F.sum("n_cooccur").alias("n_left"))
+    rt = co.groupBy("tok_b").agg(F.sum("n_cooccur").alias("n_right"))
+    tt = co.agg(F.sum("n_cooccur").alias("n_pairs"))
+    return (
+        co.join(lf, "tok_a")
+        .join(rt, "tok_b")
+        .crossJoin(F.broadcast(tt))
+        .filter(F.col("n_cooccur") >= min_count)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_cooccur").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    F.col("n_cooccur").cast("double")
+                    * F.col("n_pairs")
+                    / (F.col("n_left").cast("double") * F.col("n_right"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -591,3 +591,52 @@ def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_pieces") / F.col("n_words"), 6),
         )
     )
+
+
+@register(
+    "ext_collocations",
+    survey_ref="[EXT] PMI collocation mining (Church & Hanks 1990): "
+    "corpus-level pointwise mutual information over adjacent token "
+    "pairs — the multiword-expression / tokenizer-merge-candidate "
+    "signal; bigram counts partial-aggregate to the bigram vocabulary, "
+    "marginals derive from that table, never a second corpus pass",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    bi AS (SELECT doc_id, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM ex),
+    co AS (SELECT tok AS tok_a, nxt AS tok_b, count(*) AS n_cooccur
+           FROM bi WHERE nxt IS NOT NULL GROUP BY tok_a, tok_b),
+    lf AS (SELECT tok_a, sum(n_cooccur) AS n_left FROM co GROUP BY tok_a),
+    rt AS (SELECT tok_b, sum(n_cooccur) AS n_right FROM co GROUP BY tok_b),
+    tt AS (SELECT sum(n_cooccur) AS n_pairs FROM co)
+    SELECT c.tok_a, c.tok_b, CAST(c.n_cooccur AS BIGINT) AS n_cooccur,
+           round(ln(CAST(c.n_cooccur AS DOUBLE) * t.n_pairs
+                    / (CAST(l.n_left AS DOUBLE) * r.n_right)), 6) AS pmi
+    FROM co c JOIN lf l USING (tok_a) JOIN rt r USING (tok_b)
+    CROSS JOIN tt t
+    WHERE c.n_cooccur >= 5
+    """,
+)
+def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PMI of adjacent token pairs, reported for pairs
+    seen >= 5 times: pmi = ln(co * total / (left * right)) over the
+    bigram contingency table. High-PMI pairs are multiword
+    expressions (tokenizer merge candidates, phrase-dictionary
+    seeds); low-PMI frequent pairs flag boilerplate.
+
+    Scale shape: ONE tokenize → posexplode pass; the doc-keyed lead
+    window rides the same partitioning the repetition profile uses;
+    bigram counts partial-aggregate map-side to the bigram VOCABULARY
+    (Heaps-bounded), and the marginals + grand total derive from that
+    vocabulary table — three cheap re-aggregations of an
+    already-bounded relation, never a second corpus scan (the co
+    table is persisted). The total rides a 1-row broadcast
+    (allowlisted BNLJ shape, like ext_tfidf); marginal joins are
+    vocabulary-keyed equi-joins. All counts exact integers; the one
+    ln per SURVIVING pair rounds 6 dp with identical operand order
+    (the ext_char_entropy precedent)."""
+    d = load(spark, sf_dir, "documents")
+    return textops.collocation_pmi(d, "doc_id", "text", min_count=5)

@@ -626,3 +626,75 @@ def w11_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "w13_markov_transitions",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): first-order "
+    "Markov transition matrix over per-user event sequences — lag on "
+    "the same user-keyed shuffle as w12_sessionization, pair counts "
+    "partial-aggregated map-side to at most |types|^2 rows, "
+    "row-normalized against a broadcastable outgoing total",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             count(*) AS n_transitions
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    tot AS (
+      SELECT prev_type, sum(n_transitions) AS n_out
+      FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type,
+           CAST(p.n_transitions AS BIGINT) AS n_transitions,
+           round(CAST(p.n_transitions AS DOUBLE) / t.n_out, 6) AS prob
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+)
+def w13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | previous event type), the behavioral model
+    behind next-action prediction and anomaly scoring (an observed
+    transition with near-zero probability is the anomaly signal).
+
+    Scale shape: the lag window rides ONE user-keyed hash shuffle —
+    the identical partitioning ``w12_sessionization`` uses, so a
+    pipeline computing both reuses the exchange. The (prev, next) pair
+    counts partial-aggregate map-side and the result is bounded by
+    |event types|^2 regardless of corpus size, so the normalizing
+    outgoing-total join broadcasts. Ordering is (epoch-second,
+    event_id) on BOTH engines so within-second ties can't diverge;
+    counts are exact integers and the single division happens once per
+    output row, ``round(x, 6)`` with identical operand order."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_out"), 6
+        ).alias("prob"),
+    )

@@ -360,3 +360,53 @@ def test_hits_star_hub_authority(spark):
     assert all(a == 0 for a, _ in (got[i] for i in range(1, n)))
     assert len(set(spoke_hubs)) == 1  # symmetric spokes tie exactly
     assert 0.99 * HITS_SCALE <= sum(spoke_hubs) <= HITS_SCALE
+
+
+def test_triangle_counts_known_graph(spark):
+    """Triangle + pendant: exact per-node counts and clustering; K4:
+    every node closes every wedge (clustering 1.0)."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import triangle_counts
+
+    # nodes 0-1-2 form a triangle; 3 hangs off node 2
+    nodes = spark.range(4).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_counts(nodes, edges).collect()
+    }
+    assert got == {
+        0: (2, 1, 1.0),
+        1: (2, 1, 1.0),
+        2: (3, 1, round(2 * 1 / (3 * 2), 6)),
+        3: (1, 0, 0.0),
+    }
+
+    k4_nodes = spark.range(4).select(F.col("id"))
+    k4_edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], ["src", "dst"]
+    )
+    for r in triangle_counts(k4_nodes, k4_edges).collect():
+        assert (r["degree"], r["n_triangles"], r["clustering"]) == (3, 3, 1.0)
+
+
+def test_triangle_counts_direction_and_multiplicity_invariant(spark):
+    """Reversed duplicates, parallel edges, and self-loops must not
+    change the simple-graph triangle counts."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import triangle_counts
+
+    nodes = spark.range(4).select(F.col("id"))
+    clean = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"]
+    )
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 3), (1, 1)],
+        ["src", "dst"],
+    )
+    canon = lambda df: sorted(map(tuple, triangle_counts(nodes, df).collect()))
+    assert canon(clean) == canon(noisy)

@@ -258,3 +258,52 @@ def test_winnow_coverage_and_density(spark):
     )
     density = len(sel) / n_grams
     assert 0.2 < density < 0.6, density  # expected ~2/(w+1)=0.4
+
+
+def test_collocation_pmi_planted(spark):
+    """Deterministic-corpus PMI: two exclusive pairs each seen 10 of 20
+    bigrams -> pmi = ln(10*20/(10*10)) = ln 2; sub-threshold pairs are
+    dropped but still count toward the marginals."""
+    import math
+
+    from shippai_knowledge_etl_spark.operators.textops import collocation_pmi
+
+    rows = [(i, "strong coffee") for i in range(10)]
+    rows += [(i + 10, "weak tea") for i in range(10)]
+    rows += [(20, "strong tea")]  # below min_count, inflates marginals
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["n_cooccur"], r["pmi"])
+        for r in collocation_pmi(df, min_count=5).collect()
+    }
+    assert set(got) == {("strong", "coffee"), ("weak", "tea")}
+    # T=21 bigrams, left(strong)=11, right(coffee)=10
+    assert got[("strong", "coffee")] == (
+        10,
+        round(math.log(10 * 21 / (11 * 10)), 6),
+    )
+    # left(weak)=10, right(tea)=11
+    assert got[("weak", "tea")] == (
+        10,
+        round(math.log(10 * 21 / (10 * 11)), 6),
+    )
+
+
+def test_markov_transitions_rows_normalize(spark):
+    """Each prev_type's outgoing probabilities sum to ~1 and the
+    transition total is exactly n_events - n_users (first event of
+    every user has no predecessor)."""
+    from collections import defaultdict
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    sf = "/root/testdata/sf0.001"
+    out = load_catalog()["w13_markov_transitions"].fn(spark, sf).collect()
+    by_prev = defaultdict(float)
+    n_trans = 0
+    for r in out:
+        by_prev[r["prev_type"]] += r["prob"]
+        n_trans += r["n_transitions"]
+    assert by_prev and all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    assert n_trans == ev.count() - ev.select("user_id").distinct().count()

@@ -72,6 +72,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # (the recall-eval shape: crossJoin of the corpus with the tiny
     # deterministic query batch, per-query top-k below the shuffle)
     "graph_hits",  # 1-row L1-normalization totals, once per half-round
+    "ext_collocations",  # 1-row bigram grand total (PMI denominator)
 }
 
 
@@ -122,6 +123,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # same bounded-input shape: the Zipf rank window runs after the
     # global top-100 TakeOrderedAndProject cut (<=100 rows moved)
     "ext_zipf_fit",
+    # heuristic false positive, the ext_bm25_batch class: the lead
+    # window partitions by doc_id; the SinglePartition exchange is the
+    # 1-row bigram grand-total aggregate (PMI denominator)
+    "ext_collocations",
 }
 
 
