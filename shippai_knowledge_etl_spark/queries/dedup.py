@@ -807,3 +807,74 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering"
     )
+
+
+@register(
+    "dedup_prefix_allpairs",
+    survey_ref=(
+        "[EXT] prefix-filtering all-pairs similarity join (Bayardo et "
+        "al. 2007 AllPairs + PPJoin length filter): candidates only "
+        "from each doc's rarest tokens — the df-pruning upgrade the "
+        "dedup module docstring promises over blocked jaccard_pairs "
+        "(operators/dedup.py:prefix_filter_pairs)"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    toks AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh0)) AS tok
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(t0) >= 3 THEN
+                 list_transform(range(0, len(t0) - 2),
+                   i -> array_to_string(list_slice(t0, i + 1, i + 3), ' '))
+               ELSE [array_to_string(t0, ' ')] END AS sh0
+        FROM (SELECT doc_id,
+                     list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t0
+              FROM planted))),
+    sizes AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    ordered AS (
+      SELECT t.doc, t.tok, s.sz,
+             row_number() OVER (PARTITION BY t.doc
+                                ORDER BY f.tf, t.tok) AS pos
+      FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (doc)),
+    prefix AS (
+      SELECT doc, tok, sz FROM ordered
+      WHERE pos <= sz - (1 * sz + 2 - 1) // 2 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc < b.doc
+       AND 2 * least(a.sz, b.sz) >= 1 * greatest(a.sz, b.sz)),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc = c.id_a
+      JOIN toks tb ON tb.doc = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.sz AS BIGINT) AS n_a,
+           CAST(sb.sz AS BIGINT) AS n_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.id_a
+    JOIN sizes sb ON sb.doc = i.id_b
+    WHERE 2 * i.n_inter >= 1 * (sa.sz + sb.sz - i.n_inter)
+    """,
+)
+def dedup_prefix_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard >= 1/2 pairs over the planted-duplicate
+    corpus via prefix filtering: each doc exposes only its rarest
+    ``sz - ceil(sz/2) + 1`` shingles to the candidate join, so hot
+    shingles (boilerplate) never generate pairs, yet the
+    prefix-intersection theorem guarantees zero missed pairs (recall
+    vs brute force pinned in tests/test_dedup.py). Threshold math is
+    integer end to end — the survivor SET is engine- and
+    partitioning-exact; only the display ``jaccard`` is a rounded
+    double."""
+    d = documents_with_planted_dups(spark, sf_dir)
+    return dedup.prefix_filter_pairs(d, "doc_id", "text", 1, 2, gram_n=3)

@@ -410,3 +410,62 @@ def test_triangle_counts_direction_and_multiplicity_invariant(spark):
     )
     canon = lambda df: sorted(map(tuple, triangle_counts(nodes, df).collect()))
     assert canon(clean) == canon(noisy)
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the pairs brute force finds
+    (the prefix-intersection theorem is lossless): survivor sets and
+    integer intersection counts compare equal on a mixed corpus of
+    copies, overlaps, and unrelated docs."""
+    from shippai_knowledge_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "a completely different sentence about spark catalyst planning"
+    rows = [
+        (1, base),
+        (2, base),  # exact copy -> jaccard 1.0
+        (3, base + " with a small appended tail here"),  # high overlap
+        (4, alt),
+        (5, alt + " plus some extra trailing words now appended"),
+        (6, "nothing shares any shingle with this standalone text row"),
+        (7, "yet another fully unrelated document body for the corpus"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_inter"]
+        for r in prefix_filter_pairs(df, "doc_id", "text", 1, 2).collect()
+    }
+
+    def shingle_set(text, n=3):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 2 * inter >= union:
+                    want[(a, b)] = inter
+    assert got == want
+    assert (1, 2) in got  # the exact copy is found
+    assert (6, 7) not in got
+
+
+def test_prefix_filter_unigram_mode(spark):
+    """gram_n=1 degrades to raw token sets; permuted word order is
+    then identical (set semantics)."""
+    from shippai_knowledge_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prefix_filter_pairs(df, "doc_id", "text", 1, 2, gram_n=1).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
