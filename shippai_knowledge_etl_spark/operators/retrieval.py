@@ -1053,3 +1053,106 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mrr_literals(k: int) -> dict[int, float]:
+    """{rank: round(1/rank, 6)} — reciprocal-rank literals shared by
+    the Spark plan and the DuckDB oracle (the ndcg_discounts
+    convention: neither engine's own division participates)."""
+    return {i: round(1.0 / i, 6) for i in range(1, k + 1)}
+
+
+def ann_mrr_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """MRR@k of the Hamming sign-signature probe against exact-cosine
+    ground truth — the third leg of the eval harness: recall asks
+    "how many true neighbors surfaced", nDCG "how well is the whole
+    list ordered", MRR "how deep must a user scroll to the FIRST true
+    neighbor" (the navigational-query metric; Voorhees, TREC-8).
+
+    first_hit_rank is the min probe rank holding an exact-top-k
+    member (0 = no hit); rr maps it through the shared literal table.
+    Plan shape identical to the recall/ndcg evals: two broadcast-query
+    crossJoins + query-partitioned WindowGroupLimit top-k, then a
+    k-rows-per-query join and min-agg — integers end to end until the
+    literal lookup."""
+    from pyspark.sql import Window
+
+    from shippai_knowledge_etl_spark.operators.simsearch import cosine
+
+    rrs = mrr_literals(k)
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    qs = base.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    ex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    exact_top = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
+    lo, hi = sign_pack64(F.col(vec_col))
+    sigs = base.select(F.col(id_col), lo.alias("lo"), hi.alias("hi"))
+    qsigs = sigs.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hm_w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    probe_ranked = (
+        sigs.crossJoin(F.broadcast(qsigs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            hamming_dist(
+                F.col("lo"), F.col("hi"), F.col("qlo"), F.col("qhi")
+            ).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(hm_w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "rn")
+    )
+    first_hit = (
+        probe_ranked.join(exact_top, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.min("rn").alias("fr"))
+    )
+    rr_expr = None
+    for r, v in rrs.items():
+        rr_expr = (
+            F.when(F.col("first_hit_rank") == r, F.lit(v))
+            if rr_expr is None
+            else rr_expr.when(F.col("first_hit_rank") == r, F.lit(v))
+        )
+    return (
+        qs.select("query_id")
+        .join(first_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("fr"), F.lit(0))
+            .cast("long")
+            .alias("first_hit_rank"),
+        )
+        .select(
+            "query_id",
+            "first_hit_rank",
+            rr_expr.otherwise(F.lit(0.0)).alias("rr"),
+        )
+    )

@@ -551,3 +551,73 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("chunk_id"))
         .limit(10)
     )
+
+
+_MRR_CASE = " ".join(
+    f"WHEN {r} THEN {v:.6f}"
+    for r, v in retrieval.mrr_literals(10).items()
+)
+
+
+@register(
+    "retrieval_eval_mrr",
+    survey_ref="[EXT] ANN evaluation harness, first-hit-sensitive: "
+    "MRR@10 of the Hamming sign probe vs exact-cosine ground truth — "
+    "the navigational-query metric completing the recall/nDCG/MRR "
+    "triple; shared reciprocal-rank literal table, integer ranks "
+    "until the literal lookup (operators/retrieval.py:ann_mrr_eval)",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, emb_d AS qv FROM e
+           WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_inner_product(a.emb_d, q.qv)
+                   / (sqrt(list_inner_product(a.emb_d, a.emb_d))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+      FROM e a CROSS JOIN qs q WHERE a.vec_id <> q.query_id),
+    ex_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM ex) WHERE rn <= 10),
+    idx AS (SELECT unnest(range(0, 32)) AS i),
+    sig AS (
+      SELECT e2.vec_id,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 1] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN e2.embedding[i.i + 33] > 0
+                      THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS hi
+      FROM embeddings e2 CROSS JOIN idx i GROUP BY e2.vec_id),
+    qsig AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id % 50 = 0),
+    hm AS (
+      SELECT q.query_id, s.vec_id,
+             bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+               AS hamming
+      FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.query_id),
+    hm_top AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, vec_id) AS rn
+        FROM hm) WHERE rn <= 10),
+    first_hit AS (
+      SELECT h.query_id, min(h.rn) AS fr
+      FROM hm_top h JOIN ex_top t USING (query_id, vec_id)
+      GROUP BY h.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(f.fr, 0) AS BIGINT) AS first_hit_rank,
+           CASE CAST(coalesce(f.fr, 0) AS BIGINT) {_MRR_CASE}
+                ELSE 0.0 END AS rr
+    FROM qs q LEFT JOIN first_hit f USING (query_id)
+    """,
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 per query for the deterministic 10-query sample — how
+    deep the first TRUE neighbor sits in the probe's list. Completes
+    the eval triple: recall (set overlap), nDCG (whole-list order),
+    MRR (first-hit depth)."""
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.ann_mrr_eval(e, "vec_id", "embedding", 50, 10)

@@ -69,6 +69,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "curation_mixture_kl",  # 1-row corpus totals (n, k) factor
     "curation_temperature_mix",  # 1-row corpus total + 1-row normalizer
     "retrieval_eval_ndcg",  # 10-row broadcast query sample, twice
+    "retrieval_eval_mrr",  # same 10-row broadcast query sample, twice
     # (the recall-eval shape: crossJoin of the corpus with the tiny
     # deterministic query batch, per-query top-k below the shuffle)
     "graph_hits",  # 1-row L1-normalization totals, once per half-round

@@ -318,3 +318,31 @@ def test_rrf_fusion_rank_math_and_pool(spark, sf_dir):
     single = [r for r in fused if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
     if both and single:
         assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
+
+
+def test_mrr_eval_consistency(spark):
+    """rr is exactly the shared literal for first_hit_rank (0 -> 0.0),
+    and the three eval metrics agree on WHICH queries hit at all."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        ann_mrr_eval,
+        ann_ndcg_eval,
+        mrr_literals,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lits = mrr_literals(10)
+    mrr = {
+        r["query_id"]: (r["first_hit_rank"], r["rr"])
+        for r in ann_mrr_eval(e, "vec_id", "embedding", 50, 10).collect()
+    }
+    assert mrr
+    for fr, rr in mrr.values():
+        assert rr == (lits[fr] if fr > 0 else 0.0)
+        assert 0 <= fr <= 10
+    ndcg = {
+        r["query_id"]: r["n_hits"]
+        for r in ann_ndcg_eval(e, "vec_id", "embedding", 50, 10).collect()
+    }
+    assert set(ndcg) == set(mrr)
+    for q, n_hits in ndcg.items():
+        assert (n_hits > 0) == (mrr[q][0] > 0)
