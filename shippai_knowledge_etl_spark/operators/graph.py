@@ -430,3 +430,71 @@ def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    n_iters: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """``n_iters`` rounds of k-core peeling (Seidman 1983; the
+    distributed peel loop is Montresor et al. 2013) over an undirected
+    simple graph: each round drops every surviving node whose degree
+    AMONG SURVIVORS is < ``k``; removals cascade, so the fixpoint is
+    the k-core. Returns (id, in_core, core_degree) — ``in_core`` =
+    survived all rounds, ``core_degree`` = degree within the final
+    survivor set (0 when peeled). A fixed ``n_iters`` is exactly
+    oracle-unrollable (the PageRank/HITS convention); production runs
+    the caller's loop to convergence — cascades longer than
+    ``n_iters`` hops are cut short, identically in both engines.
+
+    Scale shape: per round, two survivor semi-joins on the adjacency
+    (node-keyed equi-joins) + one map-side-partial degree count; state
+    is one id per surviving node, lineage truncated by localCheckpoint
+    like the other iterative graph ops. Directions/parallel edges/
+    self-loops are canonicalized away up front.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    adj = adj.persist()
+    surv = nodes.select("id")
+    for i in range(n_iters):
+        deg = (
+            adj.join(surv.withColumnRenamed("id", "a"), "a")
+            .join(surv.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = deg.filter(F.col("deg") >= k).select(F.col("a").alias("id"))
+        if (i + 1) % checkpoint_every == 0:
+            surv = surv.localCheckpoint(eager=False)
+    final_deg = (
+        adj.join(surv.withColumnRenamed("id", "a"), "a")
+        .join(surv.withColumnRenamed("id", "b"), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = (
+        nodes.join(surv.withColumn("in_core", F.lit(True)), "id", "left")
+        .join(final_deg.withColumnRenamed("a", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("in_core"), F.lit(False)).alias("in_core"),
+            F.coalesce(F.col("deg"), F.lit(0))
+            .cast("long")
+            .alias("core_degree"),
+        )
+    )
+    adj.unpersist()
+    return out

@@ -878,3 +878,74 @@ def dedup_prefix_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     double."""
     d = documents_with_planted_dups(spark, sf_dir)
     return dedup.prefix_filter_pairs(d, "doc_id", "text", 1, 2, gram_n=3)
+
+
+# one k-core peel round: degrees among the previous survivor set,
+# then drop nodes under k (see operators/graph.py:k_core; k = 3)
+_KCORE_STEP = """
+    d{i} AS (
+      SELECT t.a AS id, count(*) AS deg FROM adj t
+      JOIN s{p} x ON x.id = t.a JOIN s{p} y ON y.id = t.b
+      GROUP BY t.a),
+    s{i} AS (SELECT id FROM d{i} WHERE deg >= 3)
+"""
+
+
+@register(
+    "graph_kcore",
+    survey_ref=(
+        "[EXT] k-core peeling (Seidman 1983 / Montresor et al. 2013): "
+        "dense-subgraph membership after 3 cascading peel rounds at "
+        "k=3 — fixed rounds unrolled as oracle CTEs, the "
+        "PageRank/HITS convention; convergence semantics pinned in "
+        "tests/test_dedup.py (operators/graph.py:k_core)"
+    ),
+    oracle=(
+        f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    adj AS (SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v, u FROM und),
+    s0 AS (SELECT doc_id AS id FROM documents),
+    """
+        + ",".join(_KCORE_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """,
+    fd AS (
+      SELECT t.a AS id, count(*) AS deg FROM adj t
+      JOIN s3 x ON x.id = t.a JOIN s3 y ON y.id = t.b
+      GROUP BY t.a)
+    SELECT d.doc_id, s.id IS NOT NULL AS in_core,
+           CAST(coalesce(f.deg, 0) AS BIGINT) AS core_degree
+    FROM documents d
+    LEFT JOIN s3 s ON s.id = d.doc_id
+    LEFT JOIN fd f ON f.id = d.doc_id
+    """
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=3 core peeling over the undirected simple synthetic
+    link graph — the dense-subgraph membership signal (spam/link-farm
+    cores, well-connected topic hubs). Each round drops every node
+    whose degree among survivors is < 3, so removals cascade; the
+    oracle unrolls the identical three rounds as CTEs. Fixpoint
+    semantics (true k-core) are the operator's convergence loop,
+    pinned in tests/test_dedup.py on known graphs."""
+    from shippai_knowledge_etl_spark.operators.graph import k_core
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    nodes = d.select(i.alias("id"))
+    out = k_core(nodes, edges, k=3, n_iters=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "in_core", "core_degree"
+    )

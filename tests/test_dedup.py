@@ -469,3 +469,40 @@ def test_prefix_filter_unigram_mode(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = prefix_filter_pairs(df, "doc_id", "text", 1, 2, gram_n=1).collect()
     assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_kcore_peel_cascade_and_fixpoint(spark):
+    """K4 with a 3-node tail: the 2-core is exactly K4, reached only
+    after the peel CASCADES (3 rounds); k=4 empties the graph."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import k_core
+
+    nodes = spark.range(7).select(F.col("id"))
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+
+    def core_ids(k, r):
+        return {
+            row["id"]
+            for row in k_core(nodes, edges, k=k, n_iters=r).collect()
+            if row["in_core"]
+        }
+
+    # one round only strips the tail's endpoint; the cascade needs 3
+    assert core_ids(2, 1) == {0, 1, 2, 3, 4, 5}
+    assert core_ids(2, 3) == {0, 1, 2, 3}
+    # extra rounds past the fixpoint change nothing
+    assert core_ids(2, 5) == {0, 1, 2, 3}
+    assert core_ids(4, 2) == set()
+    # core_degree reports the within-core degree (3 inside K4)
+    final = {
+        row["id"]: (row["in_core"], row["core_degree"])
+        for row in k_core(nodes, edges, k=2, n_iters=4).collect()
+    }
+    assert final == {
+        0: (True, 3), 1: (True, 3), 2: (True, 3), 3: (True, 3),
+        4: (False, 0), 5: (False, 0), 6: (False, 0),
+    }
