@@ -1429,3 +1429,81 @@ def logreg_quality_score(
             (F.coalesce(F.col("z"), F.lit(0.0)) >= 0).alias("is_good"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level cross-source contamination matrix: for every
+    source pair, how many DISTINCT word ``n``-grams they share, plus
+    overlap (shared / min vocabulary — the containment analog) and
+    Jaccard. The corpus-audit complement of :func:`decontaminate`
+    (which flags individual train docs against one benchmark set):
+    a hot cell here means two "independent" sources copy each other —
+    mirror sites, syndicated feeds, a scrape fed back into itself —
+    so their mixture weights double-count the same text.
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, overlap,
+    jaccard), one row per unordered pair with n_shared >= 1,
+    source_a < source_b.
+
+    100 TB shape: ONE shingle pass (codegen ``shingle_structs``
+    route is unnecessary here — the per-source DISTINCT collapses
+    the corpus to |sources| vocabularies before any pair exists);
+    the cross-source join fans out per shingle by at most the number
+    of sources holding it (sources are tens, not millions), one
+    shuffle on the shingle key, |sources|^2-bounded output. Counts
+    are exact integers; the two divisions round 6 dp at the gate."""
+    from shippai_knowledge_etl_spark.operators.dedup import shingles
+
+    sv = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    vocab = sv.groupBy("src").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = sv.alias("a"), sv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    va = vocab.select(
+        F.col("src").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    vb = vocab.select(
+        F.col("src").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        shared.join(va, "source_a")
+        .join(vb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("overlap"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1428,3 +1428,51 @@ def curation_quality_classifier(
             (F.col("tp") + F.col("tn")) / F.col("n_docs").cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "curation_source_overlap",
+    survey_ref=(
+        "[EXT] cross-source contamination matrix: distinct shared "
+        "word 3-grams per source pair + overlap/Jaccard — the "
+        "corpus-level audit complement of curation_decontaminate "
+        "(mirror sites / syndicated feeds double-count mixture "
+        "weights) (operators/curate.py:source_overlap_matrix)"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT src, shingle FROM (
+        SELECT source AS src, unnest(
+          CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(0, len(toks) - 2),
+              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+          ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM base)),
+    vocab AS (SELECT src, count(*) AS nv FROM sh GROUP BY src),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      GROUP BY a.src, b.src)
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(va.nv AS BIGINT) AS n_a,
+           CAST(vb.nv AS BIGINT) AS n_b,
+           round(CAST(s.n_shared AS DOUBLE) / least(va.nv, vb.nv), 6)
+             AS overlap,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / (va.nv + vb.nv - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN vocab va ON va.src = s.source_a
+    JOIN vocab vb ON vb.src = s.source_b
+    """,
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-3-gram overlap between every source pair: which
+    "independent" corpus slices actually copy each other. One shingle
+    pass collapses the corpus to per-source vocabularies BEFORE any
+    pair exists; the cross-source join fans out per shingle by at
+    most |sources|; output is |sources|^2-bounded. Exact integer
+    counts, two rounded divisions at the gate."""
+    d = load(spark, sf_dir, "documents")
+    return curate.source_overlap_matrix(d, "text", "source", n=3)

@@ -623,3 +623,28 @@ def test_logreg_score_handles_empty_docs(spark):
     got = {r["doc_id"]: (r["score"], r["is_good"])
            for r in logreg_quality_score(df, w, "doc_id", "text").collect()}
     assert got[2] == (0.5, True)
+
+
+def test_source_overlap_matrix_planted(spark):
+    """A syndicated copy shared by two sources lights up exactly that
+    pair; a vocabulary-disjoint source shares nothing with anyone."""
+    from shippai_knowledge_etl_spark.operators.curate import (
+        source_overlap_matrix,
+    )
+
+    shared_text = "breaking news syndicated wire story repeated verbatim"
+    rows = [
+        (1, shared_text, "wire"),
+        (2, shared_text + " with local edits appended", "mirror"),
+        (3, "totally disjoint vocabulary cluster one", "indie"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, "text", "source").collect()
+    }
+    assert set(out) == {("mirror", "wire")}
+    r = out[("mirror", "wire")]
+    # wire's 3-grams: 5 of 6 token positions -> all contained in mirror
+    assert r["n_shared"] == 5 and min(r["n_a"], r["n_b"]) == 5
+    assert r["overlap"] == 1.0
