@@ -471,3 +471,91 @@ def simsearch_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 whitened components per vector (pc1..pc8, rounded 6dp)."""
     e = load(spark, sf_dir, "embeddings")
     return simsearch.pca_whiten(e, "vec_id", "embedding", k=8)
+
+
+@register(
+    "emb_class_separation",
+    survey_ref="[EXT] per-class embedding separation diagnostic "
+    "(Fisher-style between/within ratio): within-class variance and "
+    "squared centroid distance to the GLOBAL centroid per label — the "
+    "class-collapse / embedding-drift monitor run before committing a "
+    "corpus-scale index or classifier to these vectors",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (
+      SELECT e.label, i.dim,
+             CAST(round(CAST(e.embedding[i.dim + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS xr
+      FROM embeddings e CROSS JOIN idx i),
+    per AS (
+      SELECT label, dim, count(*) AS n,
+             sum(xr) AS s, sum(xr * xr) AS s2
+      FROM x GROUP BY label, dim),
+    gstats AS (
+      SELECT dim, sum(s) AS gs, sum(n) AS gn FROM per GROUP BY dim),
+    terms AS (
+      SELECT p.label, p.n,
+             CAST(round((CAST(p.s2 AS DOUBLE)
+                         - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) / p.n)
+                        / p.n, 6) AS DECIMAL(18,6)) AS tw,
+             CAST(round((CAST(p.s AS DOUBLE) / p.n
+                         - CAST(g.gs AS DOUBLE) / g.gn)
+                        * (CAST(p.s AS DOUBLE) / p.n
+                           - CAST(g.gs AS DOUBLE) / g.gn), 6)
+                  AS DECIMAL(18,6)) AS tb
+      FROM per p JOIN gstats g USING (dim))
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(n) AS BIGINT) AS n,
+           round(CAST(sum(tw) AS DOUBLE), 6) AS within_var,
+           round(CAST(sum(tb) AS DOUBLE), 6) AS between_dist2,
+           round(CAST(sum(tb) AS DOUBLE) / CAST(sum(tw) AS DOUBLE), 6)
+             AS separation
+    FROM terms GROUP BY label
+    """,
+)
+def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label within-class variance (mean squared distance to the
+    class centroid, summed over dims), squared distance from the class
+    centroid to the global centroid, and their ratio — near-zero
+    separation means the embedding collapses the class into the bulk.
+
+    Shape: ONE posexplode into a (label, dim) hash aggregate with
+    map-side partials (≤ |labels|·64 rows after), a 64-row broadcast
+    join for the global per-dim sums, and a |labels|-row final agg —
+    the whole diagnostic costs one scan at any corpus size.
+    Exactness: per-(label,dim) sums are DECIMAL over 6-dp-quantized
+    values; each per-dim term is a pure function of those exact sums
+    computed with identical operand order on both engines, rounded
+    6 dp, then DECIMAL-summed over dims (the ext_char_entropy
+    discipline), so the result is partitioning-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    xr = F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    per = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xr).alias("s"),
+        F.sum(xr * xr).alias("s2"),
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    gsd = F.col("gs").cast("double")
+    diff = sd / F.col("n") - gsd / F.col("gn")
+    terms = per.join(F.broadcast(glob), "dim").select(
+        "label",
+        "n",
+        F.round((s2d - sd * sd / F.col("n")) / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .alias("tw"),
+        F.round(diff * diff, 6).cast("decimal(18,6)").alias("tb"),
+    )
+    tw = F.sum("tw").cast("double")
+    tb = F.sum("tb").cast("double")
+    return terms.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(tw, 6).alias("within_var"),
+        F.round(tb, 6).alias("between_dist2"),
+        F.round(tb / tw, 6).alias("separation"),
+    )
