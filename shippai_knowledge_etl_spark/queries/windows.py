@@ -698,3 +698,57 @@ def w13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("n_out"), 6
         ).alias("prob"),
     )
+
+
+# 16-bit Morton interleave of (user bucket, epoch-minute bucket) —
+# the Spark side builds the identical term order via operators/layout
+from shippai_knowledge_etl_spark.operators.layout import (  # noqa: E402
+    zorder_key2,
+    zorder_key2_sql,
+)
+
+_Z_SQL = zorder_key2_sql("xb", "yb", bits=16)
+
+
+@register(
+    "layout_zorder_events",
+    survey_ref="[EXT] Z-order (Morton) clustering key over "
+    "(user, event-minute) — the OPTIMIZE ZORDER BY primitive: sorting "
+    "by the interleaved key gives min/max-pruned scans locality in "
+    "BOTH dimensions; pure codegen bit math, no UDF, no shuffle "
+    "(operators/layout.py:zorder_key2)",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id & 65535 AS xb,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 60) & 65535 AS yb
+      FROM events)
+    SELECT event_id, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+           CAST({_Z_SQL} AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key per event over (user_id low 16 bits, epoch-minute
+    low 16 bits). Writing the table sorted by ``zkey``
+    (repartitionByRange + sortWithinPartitions) makes BOTH
+    per-user scans and time-range scans prune on parquet min/max —
+    a lexicographic (user, ts) sort serves only the user axis.
+    The key is exact integer bit math (disjoint-bit fixed-order
+    addition ≡ OR), so the demo is fully hash-checked; the quadrant
+    locality property is pinned in tests/test_functions.py."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("xb"),
+        (F.floor(F.unix_timestamp("ts") / 60).cast("long"))
+        .bitwiseAND(F.lit(65535))
+        .alias("yb"),
+    )
+    return ev.select(
+        "event_id",
+        F.col("xb").cast("long").alias("xb"),
+        F.col("yb").cast("long").alias("yb"),
+        zorder_key2(F.col("xb"), F.col("yb"), bits=16)
+        .cast("long")
+        .alias("zkey"),
+    )

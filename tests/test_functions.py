@@ -307,3 +307,25 @@ def test_markov_transitions_rows_normalize(spark):
     assert by_prev and all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
     ev = spark.read.parquet(f"{sf}/events.parquet")
     assert n_trans == ev.count() - ev.select("user_id").distinct().count()
+
+
+def test_zorder_key_locality_and_roundtrip(spark):
+    """Morton key properties: (a) exact interleave roundtrip — even
+    bits reassemble x, odd bits reassemble y; (b) quadrant locality —
+    the top two key bits are exactly (y_msb, x_msb)."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.layout import zorder_key2
+
+    pts = [(x, y) for x in (0, 1, 5, 255, 256, 65535)
+           for y in (0, 2, 7, 128, 40000)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y", zorder_key2(F.col("x"), F.col("y"), bits=16).alias("z")
+    ).collect()
+    for r in rows:
+        x_back = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        y_back = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x_back, y_back) == (r["x"], r["y"])
+        assert (r["z"] >> 31) & 1 == (r["y"] >> 15) & 1
+        assert (r["z"] >> 30) & 1 == (r["x"] >> 15) & 1
