@@ -609,8 +609,8 @@ _MRR_CASE = " ".join(
       GROUP BY h.query_id)
     SELECT q.query_id,
            CAST(coalesce(f.fr, 0) AS BIGINT) AS first_hit_rank,
-           CASE CAST(coalesce(f.fr, 0) AS BIGINT) {_MRR_CASE}
-                ELSE 0.0 END AS rr
+           CAST(CASE CAST(coalesce(f.fr, 0) AS BIGINT) {_MRR_CASE}
+                ELSE 0.0 END AS DOUBLE) AS rr
     FROM qs q LEFT JOIN first_hit f USING (query_id)
     """,
 )
