@@ -752,3 +752,96 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zkey"),
     )
+
+
+@register(
+    "w14_attribution_last_touch",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): last-touch "
+    "conversion attribution — each purchase credited to the user's "
+    "most recent PRIOR non-purchase event via a conditional running "
+    "max over the shared user-keyed shuffle; the (t, event_id) pair "
+    "packs into one BIGINT so the argmax is pure integer",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, t, event_type,
+             max(CASE WHEN event_type <> 'purchase'
+                      THEN t * 10000000 + event_id END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch_key
+      FROM ev),
+    conv AS (
+      SELECT user_id, event_id AS conv_event_id, t AS conv_t, touch_key
+      FROM marked WHERE event_type = 'purchase')
+    SELECT c.user_id, c.conv_event_id, c.conv_t,
+           c.touch_key % 10000000 AS touch_event_id,
+           e.event_type AS touch_type,
+           c.conv_t - c.touch_key // 10000000 AS gap_s
+    FROM conv c
+    LEFT JOIN ev e ON e.event_id = c.touch_key % 10000000
+    """,
+)
+def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which action gets credit for each purchase: the user's most
+    recent earlier non-purchase event (last-touch attribution), with
+    the seconds gap between touch and conversion. Purchases with no
+    prior touch keep NULL credit — visible, not dropped.
+
+    Scale shape: the conditional running max rides the SAME
+    user-keyed shuffle as w12/w13 (one hash partitioning serves the
+    whole behavioral family); the (t, event_id) argmax packs into ONE
+    BIGINT (t*1e7 + id — integer-exact, no struct comparisons at the
+    gate boundary), so state per row is one long; the touch-type
+    lookup is an event_id equi-join. Ordering is (epoch-second,
+    event_id) on both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = F.when(
+        F.col("event_type") != "purchase",
+        F.col("t") * 10000000 + F.col("event_id"),
+    )
+    conv = (
+        ev.withColumn("touch_key", F.max(packed).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("conv_event_id"),
+            F.col("t").alias("conv_t"),
+            "touch_key",
+        )
+    )
+    touch = ev.select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    return (
+        conv.withColumn(
+            "touch_event_id", F.col("touch_key") % 10000000
+        )
+        .join(touch, "touch_event_id", "left")
+        .select(
+            "user_id",
+            "conv_event_id",
+            "conv_t",
+            "touch_event_id",
+            "touch_type",
+            (
+                F.col("conv_t") - F.expr("touch_key div 10000000")
+            ).alias("gap_s"),
+        )
+    )

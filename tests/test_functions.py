@@ -329,3 +329,54 @@ def test_zorder_key_locality_and_roundtrip(spark):
         assert (x_back, y_back) == (r["x"], r["y"])
         assert (r["z"] >> 31) & 1 == (r["y"] >> 15) & 1
         assert (r["z"] >> 30) & 1 == (r["x"] >> 15) & 1
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Every purchase appears exactly once; the credited touch is the
+    latest non-purchase event strictly before the conversion (verified
+    per row against a pure-Python replay at sf0.001)."""
+    from collections import defaultdict
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["conv_event_id"]: r
+        for r in load_catalog()["w14_attribution_last_touch"]
+        .fn(spark, sf)
+        .collect()
+    }
+    ev = sorted(
+        (
+            int(r["t"]),
+            int(r["event_id"]),
+            int(r["user_id"]),
+            r["event_type"],
+        )
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .selectExpr(
+            "CAST(unix_timestamp(ts) AS LONG) t",
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+        .collect()
+    )
+    purchases = [e for e in ev if e[3] == "purchase"]
+    assert set(out) == {e[1] for e in purchases}
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e[2]].append(e)
+    for t, eid, uid, _ in purchases:
+        prior = [
+            e for e in by_user[uid]
+            if (e[0], e[1]) < (t, eid) and e[3] != "purchase"
+        ]
+        want = max(prior) if prior else None
+        got = out[eid]
+        if want is None:
+            assert got["touch_event_id"] is None
+        else:
+            assert got["touch_event_id"] == want[1]
+            assert got["touch_type"] == want[3]
+            assert got["gap_s"] == t - want[0]
