@@ -640,3 +640,106 @@ def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ext_char_entropy precedent)."""
     d = load(spark, sf_dir, "documents")
     return textops.collocation_pmi(d, "doc_id", "text", min_count=5)
+
+
+@register(
+    "ext_heaps_fit",
+    survey_ref="[EXT] Heaps-law vocabulary-growth fit V(n) ~ K*n^beta "
+    "over 10 corpus prefixes - the companion corpus-health diagnostic "
+    "to ext_zipf_fit (natural text: beta ~ 0.4-0.6; templated/"
+    "synthetic corpora saturate or explode); first-occurrence + "
+    "conditional pivot sums, NO cumulative-distinct window",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    first AS (SELECT term, min(doc_id) AS fd FROM ex GROUP BY term),
+    ntok AS (SELECT doc_id, count(*) AS nt FROM ex GROUP BY doc_id),
+    vrow AS (SELECT sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 1 // 10 THEN 1 ELSE 0 END) AS v1, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 2 // 10 THEN 1 ELSE 0 END) AS v2, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 3 // 10 THEN 1 ELSE 0 END) AS v3, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 4 // 10 THEN 1 ELSE 0 END) AS v4, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 5 // 10 THEN 1 ELSE 0 END) AS v5, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 6 // 10 THEN 1 ELSE 0 END) AS v6, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 7 // 10 THEN 1 ELSE 0 END) AS v7, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 8 // 10 THEN 1 ELSE 0 END) AS v8, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 9 // 10 THEN 1 ELSE 0 END) AS v9, sum(CASE WHEN fd < (SELECT count(*) FROM documents) * 10 // 10 THEN 1 ELSE 0 END) AS v10 FROM first),
+    trow AS (SELECT sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 1 // 10 THEN nt ELSE 0 END) AS t1, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 2 // 10 THEN nt ELSE 0 END) AS t2, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 3 // 10 THEN nt ELSE 0 END) AS t3, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 4 // 10 THEN nt ELSE 0 END) AS t4, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 5 // 10 THEN nt ELSE 0 END) AS t5, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 6 // 10 THEN nt ELSE 0 END) AS t6, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 7 // 10 THEN nt ELSE 0 END) AS t7, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 8 // 10 THEN nt ELSE 0 END) AS t8, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 9 // 10 THEN nt ELSE 0 END) AS t9, sum(CASE WHEN doc_id < (SELECT count(*) FROM documents) * 10 // 10 THEN nt ELSE 0 END) AS t10 FROM ntok),
+    cells AS (SELECT * FROM vrow CROSS JOIN trow),
+    pts0 AS (SELECT t1 AS tn, v1 AS vn FROM cells UNION ALL SELECT t2 AS tn, v2 AS vn FROM cells UNION ALL SELECT t3 AS tn, v3 AS vn FROM cells UNION ALL SELECT t4 AS tn, v4 AS vn FROM cells UNION ALL SELECT t5 AS tn, v5 AS vn FROM cells UNION ALL SELECT t6 AS tn, v6 AS vn FROM cells UNION ALL SELECT t7 AS tn, v7 AS vn FROM cells UNION ALL SELECT t8 AS tn, v8 AS vn FROM cells UNION ALL SELECT t9 AS tn, v9 AS vn FROM cells UNION ALL SELECT t10 AS tn, v10 AS vn FROM cells),
+    pts AS (
+      SELECT CAST(round(ln(CAST(greatest(tn, 1) AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(greatest(vn, 1) AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS y
+      FROM pts0),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_points, beta,
+           round((sy - beta * sx) / n, 6) AS intercept
+    FROM fit
+    """.replace("{_TOKS}", _TOKS),
+)
+def ext_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(vocabulary) against ln(token count)
+    over 10 doc-id prefixes of the corpus. The prefix vocabulary is
+    NOT a cumulative-distinct window (the classic scale trap): each
+    term contributes its FIRST doc id once, so prefix vocab sizes are
+    10 conditional pivot sums over the vocabulary table, and prefix
+    token counts are the same pivot over per-doc counts - one
+    tokenize pass, two Heaps-bounded aggregates, a 1-row x 1-row
+    cross join (sketch-merge class), and the Zipf closed-form
+    regression over exactly 10 points."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    cuts = [(n_docs * k) // 10 for k in range(1, 11)]
+    ex = d.select(
+        "doc_id", F.explode(textops.tokenize(F.col("text"))).alias("term")
+    )
+    first = ex.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    ntok = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    vrow = first.agg(
+        *[
+            F.sum(F.when(F.col("fd") < c, 1).otherwise(0)).alias(f"v{k}")
+            for k, c in zip(range(1, 11), cuts)
+        ]
+    )
+    trow = ntok.agg(
+        *[
+            F.sum(
+                F.when(F.col("doc_id") < c, F.col("nt")).otherwise(0)
+            ).alias(f"t{k}")
+            for k, c in zip(range(1, 11), cuts)
+        ]
+    )
+    cells = vrow.crossJoin(trow)
+    pts0 = cells.selectExpr(
+        "stack(10, t1, v1, t2, v2, t3, v3, t4, v4, t5, v5, t6, v6, t7, v7, t8, v8, t9, v9, t10, v10) AS (tn, vn)"
+    )
+    pts = pts0.select(
+        F.round(F.log(F.greatest(F.col("tn"), F.lit(1)).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.greatest(F.col("vn"), F.lit(1)).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    beta = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        beta.alias("beta"),
+        F.round(
+            (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )

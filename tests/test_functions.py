@@ -380,3 +380,40 @@ def test_attribution_last_touch_semantics(spark):
             assert got["touch_event_id"] == want[1]
             assert got["touch_type"] == want[3]
             assert got["gap_s"] == t - want[0]
+
+
+def test_heaps_fit_growth_regimes(spark):
+    """Linear vocabulary growth fits beta ~ 1, a saturated one-token
+    corpus fits beta = 0 (the templated-corpus flag), and the pinned
+    synthetic corpus is detected as saturated."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["ext_heaps_fit"].fn
+
+    def fit(rows):
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("s").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            return fn(spark, td).collect()[0]
+
+    # every doc introduces 3 brand-new tokens -> V(n) = 3n -> beta ~ 1
+    linear = fit(
+        [(i, f"tok{3*i} tok{3*i+1} tok{3*i+2}") for i in range(100)]
+    )
+    assert 0.9 <= linear["beta"] <= 1.1, linear
+
+    # one global token -> V saturates at 1 -> beta = 0
+    flat = fit([(i, "same same same") for i in range(100)])
+    assert flat["beta"] == 0.0
+
+    pinned = fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert pinned["n_points"] == 10 and pinned["beta"] == 0.0

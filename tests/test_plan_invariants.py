@@ -74,6 +74,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # deterministic query batch, per-query top-k below the shuffle)
     "graph_hits",  # 1-row L1-normalization totals, once per half-round
     "ext_collocations",  # 1-row bigram grand total (PMI denominator)
+    "ext_heaps_fit",  # 1-row x 1-row prefix-pivot cells cross join
 }
 
 
