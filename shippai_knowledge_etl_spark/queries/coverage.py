@@ -467,3 +467,52 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return profile_table(d, ["doc_id", "lang", "text"])
+
+
+@register(
+    "j7_salted_skew_join",
+    survey_ref="skew mitigation, join side: salt-replicated build "
+    "table spreads one hot probe key over 8 reducers; the oracle "
+    "(plain join) proves the rewrite is result-invariant "
+    "(SURVEY §4.2 — the companion to agg_salted_skew)",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, count(*) AS n_user_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS user_value_sum
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, s.n_user_events, s.user_value_sum
+    FROM events e JOIN stats s USING (user_id)
+    """,
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its user's totals through a SALTED
+    join: the probe side gets salt = event_id mod 8, the build side
+    replicates each user row across all 8 salts, and the join key
+    becomes (user_id, salt) — one hot user's rows now land on 8
+    reducers instead of one. The build side carries a merge hint so
+    the demo keeps the shuffle-join shape it exists to show (at this
+    SF Spark would otherwise broadcast 15 rows and hide the point;
+    at the 100 TB end BOTH sides are too big to broadcast and THIS
+    is the plan). The oracle is the plain unsalted join — the gate
+    proves the rewrite changes the partitioning, not the answer.
+    AQE's skewedJoin covers sort-merge skew automatically; explicit
+    salting remains the fix when the hot key is known up front or
+    AQE is unavailable (streaming joins)."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("user_value_sum"),
+    )
+    probe = e.select("event_id", "user_id").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(8)).cast("int")
+    )
+    build = stats.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    )
+    return (
+        probe.join(build.hint("merge"), ["user_id", "salt"])
+        .select("event_id", "user_id", "n_user_events", "user_value_sum")
+    )

@@ -417,3 +417,17 @@ def test_heaps_fit_growth_regimes(spark):
 
     pinned = fn(spark, "/root/testdata/sf0.001").collect()[0]
     assert pinned["n_points"] == 10 and pinned["beta"] == 0.0
+
+
+def test_salted_skew_join_keeps_shuffle_shape(spark):
+    """The demo exists to show the salted SHUFFLE join: if the merge
+    hint is ever dropped, Spark broadcasts the tiny build side and
+    the plan silently stops demonstrating skew mitigation."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    df = load_catalog()["j7_salted_skew_join"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [user_id" in phys
+    assert "BroadcastHashJoin" not in phys
