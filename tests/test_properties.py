@@ -223,3 +223,123 @@ def test_block_parser_never_throws_and_preserves_text(parts):
     want = re.sub(r"\s+", " ", " ".join(txt for _, txt in parts)).strip()
     got_norm = re.sub(r"\s+", " ", got).strip()
     assert got_norm == want
+
+
+# --- round-7 operators -----------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(batch=st.lists(_words, min_size=2, max_size=7))
+@_slow
+def test_prefix_filter_equals_bruteforce_random(spark, batch):
+    """Prefix filtering is LOSSLESS on random corpora: survivor pairs
+    and intersection counts equal the brute-force shingle-set Jaccard
+    at t = 1/2 (gram_n=2 so tiny docs still make shingles)."""
+    from shippai_knowledge_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(batch)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_inter"]
+        for r in prefix_filter_pairs(
+            df, "doc_id", "text", 1, 2, gram_n=2
+        ).collect()
+    }
+
+    def sset(ws):
+        if not ws:
+            return {""}
+        if len(ws) < 2:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    sets = {i: sset(ws) for i, ws in enumerate(batch)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 2 * inter >= union:
+                    want[(a, b)] = inter
+    assert got == want
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(edges=_edges)
+@_slow
+def test_triangle_counts_match_bruteforce_random(spark, edges):
+    """Degree-ordered triangle counting equals the O(n^3) brute force
+    on random 8-node multigraphs (direction/self-loop noise included)."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import triangle_counts
+
+    nodes = spark.range(8).select(F.col("id"))
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {n: set() for n in range(8)}
+    for a, b in simple:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in range(8):
+        nb = sorted(adj[v])
+        tri = sum(
+            1
+            for i in range(len(nb))
+            for j in range(i + 1, len(nb))
+            if nb[j] in adj[nb[i]]
+        )
+        deg = len(nb)
+        want[v] = (deg, tri)
+    if edges:
+        df = spark.createDataFrame(edges, ["src", "dst"])
+    else:
+        df = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(nodes, df).collect()
+    }
+    assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_slow
+def test_zorder_roundtrip_random(spark, xs):
+    """Random 16-bit pairs roundtrip exactly through the Morton key."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.layout import zorder_key2
+
+    df = spark.createDataFrame(xs, ["x", "y"])
+    for r in df.select(
+        "x", "y", zorder_key2(F.col("x"), F.col("y"), 16).alias("z")
+    ).collect():
+        xb = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        yb = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (xb, yb) == (r["x"], r["y"])
