@@ -93,11 +93,17 @@ DRIVER_WINDOW = (
     # a_cube_status_priority rotated out (the multi-dimensional agg
     # surface stays witnessed in-window by a1_status_summary +
     # a3_manifest_collect, and cube/rollup/grouping-sets all stay
-    # oracle-green in tests/test_oracle_parity.py at both SFs); the
-    # slot pins shingle-containment dedup — the |A∩B|/min(|A|,|B|)
-    # near-superset detector, oracle-green but driver-unwitnessed
-    # since round 6
-    "dedup_containment",
+    # oracle-green in tests/test_oracle_parity.py at both SFs);
+    # dedup_containment then rotated out in round 7: its single-pass
+    # blocked shingle machinery (explode → owner lists → pair counts →
+    # carried denominators) is EXACTLY dedup_ngram_jaccard's in-window
+    # plan — only the final score divisor differs (min vs union) — and
+    # it stays oracle-green in tests/test_oracle_parity.py at both
+    # SFs; the slot pins the prefix-filtering all-pairs join — a
+    # genuinely different candidate-generation family (global
+    # frequency-ordered prefixes + PPJoin length filter + bounded
+    # verify) with no prior driver row
+    "dedup_prefix_allpairs",
     # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
     # w3_layout_suite's running-position cumsum); the slot pins the
     # MinHash→exact-verify dedup flagship, previously driver-unwitnessed
