@@ -498,3 +498,55 @@ def k_core(
     )
     adj.unpersist()
     return out
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected simple
+    graph induced by ``edges`` (direction/self-loops/parallels
+    canonicalized away): Pearson correlation of endpoint degrees over
+    both orientations of every edge. Returns one row
+    (n_endpoints, assortativity).
+
+    Scale: one node-keyed degree count, two id equi-joins onto the
+    edge list, one 6-column aggregate with map-side partials — no
+    windows, no collects. Every sum is an exact integer; only the
+    final closed-form correlation runs in double (sqrt is
+    IEEE-exactly-rounded in both engines)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = und.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    pairs = j.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(j.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -949,3 +949,71 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "in_core", "core_degree"
     )
+
+
+@register(
+    "graph_assortativity",
+    survey_ref=(
+        "[EXT] degree assortativity (Newman 2002): Pearson correlation "
+        "of endpoint degrees over the undirected edge list — social "
+        "graphs assort (r>0), web/crawl graphs disassort (r<0); "
+        "integer degree sums with the Zipf closed-form discipline"
+    ),
+    oracle=f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    deg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+      GROUP BY id),
+    pairs AS (
+      SELECT du.deg AS x, dv.deg AS y FROM und e
+      JOIN deg du ON du.id = e.u
+      JOIN deg dv ON dv.id = e.v
+      UNION ALL
+      SELECT dv.deg, du.deg FROM und e
+      JOIN deg du ON du.id = e.u
+      JOIN deg dv ON dv.id = e.v),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do well-linked pages link to other well-linked pages? Pearson r
+    of endpoint degrees over every undirected edge (both orientations,
+    the standard symmetrization). Every sum is an exact integer
+    (degrees and their products), so only the final closed-form
+    correlation runs in double with token-identical operand order —
+    sqrt is IEEE-exactly-rounded in both engines (the
+    curation_temperature_mix precedent).
+
+    Scale shape: the degree table is one node-keyed count; the edge
+    list joins it twice on node id (equi-joins, co-partitioned); the
+    correlation is one 6-column aggregate with map-side partials. No
+    windows, no collects."""
+    from shippai_knowledge_etl_spark.operators.graph import assortativity
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    e0 = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    return assortativity(e0)

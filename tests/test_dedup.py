@@ -506,3 +506,17 @@ def test_kcore_peel_cascade_and_fixpoint(spark):
         0: (True, 3), 1: (True, 3), 2: (True, 3), 3: (True, 3),
         4: (False, 0), 5: (False, 0), 6: (False, 0),
     }
+
+
+def test_assortativity_known_graphs(spark):
+    """A star is maximally disassortative (r = -1): every edge pairs
+    the hub's high degree with a leaf's degree 1; direction noise and
+    duplicate edges don't change it."""
+    from shippai_knowledge_etl_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(3, 0), (0, 4)], ["src", "dst"]
+    )
+    row = assortativity(star).collect()[0]
+    assert row["n_endpoints"] == 10  # 5 undirected edges, both ways
+    assert row["assortativity"] == -1.0
