@@ -247,3 +247,118 @@ def resize_images(
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, sig long, ok boolean"
+
+
+def ahash_signatures(
+    df: DataFrame, hash_dim: int = 8, use_real_decoder: bool = False
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: resize the decoded
+    grid to ``hash_dim``×``hash_dim`` (the same real nearest-neighbor
+    gather as :func:`resize_images`), threshold each cell at the grid
+    mean, and pack the bits row-major into one signed 64-bit long.
+    The aHash MATH is real end to end; only the codec decode in front
+    is the deterministic fake (container has no PIL), same contract
+    as the rest of the module — swap the grid source for real use.
+
+    Near-identical images differ in few bits, so downstream matching
+    is integer Hamming distance — the image-side analog of the text
+    stack's sign-LSH signatures. Narrow Arrow map, no shuffle;
+    signature state is 8 bytes/image at any corpus size."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if use_real_decoder:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image decode needs Pillow, which is not in this "
+                    "container; use use_real_decoder=False (deterministic fake)"
+                ) from e
+            raise NotImplementedError("real decode path not wired yet")
+        d = hash_dim
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    w, h, _ = _fake_decode(raw)
+                    if raw:
+                        grid = np.frombuffer(
+                            (raw * ((w * h) // len(raw) + 1))[: w * h],
+                            dtype=np.uint8,
+                        ).reshape(h, w)
+                    else:
+                        grid = np.zeros((h, w), dtype=np.uint8)
+                    yi = (np.arange(d) * h) // d
+                    xi = (np.arange(d) * w) // d
+                    small = grid[yi][:, xi].astype(np.int64)
+                    bits = (small > small.mean()).flatten()
+                    sig = 0
+                    for b in bits:  # d*d=64 iterations, vocabulary-free
+                        sig = (sig << 1) | int(b)
+                    # wrap into signed 64-bit (bit 63 set -> negative)
+                    if sig >= 1 << 63:
+                        sig -= 1 << 64
+                    rows.append((int(doc_id), sig, True))
+                except Exception:
+                    rows.append((int(doc_id), None, False))
+            yield pd.DataFrame(rows, columns=["doc_id", "sig", "ok"])
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_near_dup(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from aHash signatures via BANDED
+    Hamming LSH: the 64-bit signature splits into 4 disjoint 16-bit
+    bands; candidates share at least one (band_idx, band_value)
+    bucket, then verify with exact JVM-side ``bit_count(xor)``.
+
+    Recall GUARANTEE (pigeonhole): hamming(a,b) <= 3 bit flips cannot
+    touch all 4 bands, so every pair within ``max_hamming`` <= 3
+    shares an untouched band and is generated — banding here is exact
+    pruning, not approximation (for larger thresholds it degrades
+    gracefully to standard LSH recall). Pair fan-out is per-bucket
+    quadratic exactly like the text LSH; hot buckets mean genuinely
+    near-identical image clusters.
+
+    Scale: only (band_idx, band_val, id, sig) rows shuffle — ~32
+    bytes/image×4; never pixel buffers."""
+    s = sigs.filter(F.col("ok"))
+    bands = None
+    for b in range(4):
+        part = s.select(
+            "doc_id",
+            "sig",
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col("sig"), 16 * b)
+            .bitwiseAND(F.lit(65535))
+            .alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, c = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -97,3 +97,31 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(payloads, 32, 32).select(
         "doc_id", "src_w", "src_h", "dst_w", "dst_h", "ok"
     )
+
+
+@register(
+    "mm_image_near_dup",
+    survey_ref="[EXT] perceptual image near-dup: real aHash math "
+    "(resize-to-8x8 + mean threshold + 64-bit pack) behind the fake "
+    "decode, banded Hamming LSH with a pigeonhole recall GUARANTEE at "
+    "hamming<=3, exact bit_count(xor) verify — the image-side analog "
+    "of the text sign-LSH stack; engine-side Arrow hash -> rows-only, "
+    "planted-copy recall and determinism pinned in "
+    "tests/test_multimodal.py (operators/multimodal.py:image_near_dup)",
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs over the corpus plus planted exact
+    copies of every 25th payload (hamming 0 by construction — the
+    result is non-trivially non-empty and predictable). Signatures
+    are 8 bytes/image, only band rows shuffle, and the verify is
+    integer Hamming."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies)
+    payloads = multimodal.attach_payload(corpus, "doc_id", "text")
+    sigs = multimodal.ahash_signatures(payloads)
+    return multimodal.image_near_dup(sigs, max_hamming=3)

@@ -49,3 +49,53 @@ def test_resize_images_empty_payload_zero_grid(spark):
     ).collect()[0]
     assert out["ok"] and (out["src_w"], out["src_h"]) == (16, 16)
     assert bytes(out["pixels"]) == b"\x00" * 16
+
+
+def test_ahash_planted_copies_and_determinism(spark):
+    """Identical payloads give identical signatures (hamming 0 pairs
+    found for every planted copy) and the signature is a pure
+    function of the payload across runs."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["mm_image_near_dup"].fn
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    planted = {(i, i + 300000) for i in range(0, 500, 25)}
+    assert planted <= set(out)
+    assert all(out[p] == 0 for p in planted)
+    out2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert out == out2
+
+
+def test_image_near_dup_pigeonhole_guarantee(spark):
+    """hamming <= 3 pairs are ALWAYS generated (3 flips cannot touch
+    all 4 bands); a 4-flip pair hitting every band is correctly out of
+    reach at max_hamming=3."""
+    from shippai_knowledge_etl_spark.operators.multimodal import (
+        image_near_dup,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    flip3 = base ^ 0b111  # 3 flips, all in band 0
+    spread3 = base ^ (1 | (1 << 16) | (1 << 32))  # 3 flips, 3 bands
+    flip4 = base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))  # all 4 bands
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    sigs = spark.createDataFrame(
+        [(1, signed(base), True), (2, signed(flip3), True),
+         (3, signed(spread3), True), (4, signed(flip4), True)],
+        "doc_id long, sig long, ok boolean",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(sigs, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 3
+    assert (1, 4) not in got  # hamming 4 > threshold, correctly dropped
