@@ -684,35 +684,58 @@ def prefix_filter_pairs(
     survivor set is bit-identical at any parallelism and engine; the
     reported ``jaccard`` double is display-only (rounded 6 dp).
 
-    Scale: the frequency table is vocabulary-sized (Heaps-bounded);
-    the per-doc rank window is doc-partitioned; the candidate join
-    touches only prefix rows and its per-token fan-out is bounded by
-    construction (a token frequent enough to fan out is too frequent
-    to be in prefixes); verification re-joins full token sets only for
-    surviving DISTINCT candidates. No global sort, no driver state.
+    Candidate generation is RESULT-INVARIANT pruning: the prefix
+    theorem holds under ANY consistent global element order and the
+    PPJoin filters only drop pairs exact verification would reject,
+    so the survivor set (and the SQL oracle, which needs none of the
+    pruning) is identical however hard the pruning works.
+
+    Scale: shingles are codegen STRUCTS (``shingle_structs`` — the
+    lambda-HOF string form measured ~5x slower on the scan, see that
+    function's docstring); the exploded element table is persisted
+    (reused by ordering and verification); the frequency table is
+    vocabulary-sized (Heaps-bounded); the per-doc rank window is
+    doc-partitioned with its size computed on the SAME window (no
+    extra join); the candidate join touches only prefix rows, its
+    per-token fan-out bounded by construction (a token frequent
+    enough to fan out is too frequent to be in prefixes), and the
+    PPJoin POSITIONAL filter (overlap upper bound from the matched
+    prefix positions, Xiao et al. 2008 §3.2) prunes most survivors
+    of the length filter before the distinct; verification re-joins
+    element sets only for surviving DISTINCT candidates. No global
+    sort, no driver state.
     """
     num, den = threshold_num, threshold_den
     elems = (
-        shingles(F.col(text_col), n=gram_n)
+        shingle_structs(F.col(text_col), n=gram_n)
         if gram_n > 1
         else F.array_distinct(tokenize(F.col(text_col)))
     )
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(elems).alias("tok")
-    )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    ).persist()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("doc").orderBy("tf", "tok")
+    wdoc = Window.partitionBy("doc")
+    w = wdoc.orderBy("tf", "tok")
     ordered = (
         toks.join(freq, "tok")
-        .join(sizes, "doc")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
         .withColumn("pos", F.row_number().over(w))
     )
     prefix = ordered.filter(
         F.col("pos")
         <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + 1
-    ).select("doc", "tok", "sz")
+    ).select("doc", "tok", "sz", "pos")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap upper bound from the matched positions: everything at or
+    # after this element in both suffixes, +1 for the match itself;
+    # required overlap alpha = ceil(t/(1+t) * (sz_a + sz_b))
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    alpha = F.expr(
+        f"({num} * (a.sz + b.sz) + {num} + {den} - 1) div ({num} + {den})"
+    )
     cand = (
         a.join(
             b,
@@ -721,7 +744,8 @@ def prefix_filter_pairs(
             & (
                 den * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= num * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
@@ -734,6 +758,7 @@ def prefix_filter_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("n_b"))
     union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
