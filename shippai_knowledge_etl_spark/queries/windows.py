@@ -845,3 +845,73 @@ def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_s"),
         )
     )
+
+
+@register(
+    "w15_cusum_drift",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): CUSUM "
+    "change-point detection on daily event volume (Page 1954) — the "
+    "volume-drift monitor for ingest pipelines; the recurrence "
+    "max(0, prev + x - k) is rewritten as prefix-sum minus running "
+    "min, so it is two plain windows over the DAY-sized rollup, "
+    "integer end to end",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY day),
+    k AS (
+      SELECT sum(n) // count(*) AS kk, count(*) AS n_days FROM daily),
+    s AS (
+      SELECT d.day, d.n, d.n - k.kk AS dev,
+             sum(d.n - k.kk) OVER (ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS ps
+      FROM daily d CROSS JOIN k),
+    c AS (
+      SELECT day, n, ps,
+             min(ps) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn
+      FROM s)
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CAST(ps - least(mn, 0) AS BIGINT) AS cusum
+    FROM c
+    """,
+)
+def w15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CUSUM statistic of event volume against the corpus-mean
+    daily rate: a sustained rate shift accumulates, noise cancels —
+    the classic ingest-drift alarm (threshold the ``cusum`` column).
+
+    The textbook recurrence C_t = max(0, C_{t-1} + x_t - k) is not a
+    plain aggregate, but C_t = S_t - min(0, min_{i<=t} S_i) for the
+    prefix sums S of (x - k) — two stacked windows, no recursion, no
+    UDF. Scale shape: the day rollup cuts the stream to |days| rows
+    FIRST (map-side partial count), so the two global running windows
+    move only day-sized data through their SinglePartition exchange
+    (the ext_zipf_fit bounded-input discipline); k is an integer
+    floor-mean from a 1-row broadcast. Everything is exact integer
+    math — no float drift, no rounding."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    k = daily.agg(
+        (F.sum("n") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("kk")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(k)).withColumn(
+        "ps", F.sum(F.col("n") - F.col("kk")).over(w)
+    )
+    c = s.withColumn("mn", F.min("ps").over(w))
+    return c.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        (F.col("ps") - F.least(F.col("mn"), F.lit(0)))
+        .cast("long")
+        .alias("cusum"),
+    )

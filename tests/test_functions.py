@@ -431,3 +431,21 @@ def test_salted_skew_join_keeps_shuffle_shape(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin [user_id" in phys
     assert "BroadcastHashJoin" not in phys
+
+
+def test_cusum_window_identity(spark):
+    """The prefix-sum-minus-running-min rewrite equals the textbook
+    recurrence C_t = max(0, C_{t-1} + x_t - k) on the pinned corpus."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        (r["day"], r["n"], r["cusum"])
+        for r in load_catalog()["w15_cusum_drift"].fn(spark, sf).collect()
+    )
+    days = [(d, n) for d, n, _ in out]
+    k = sum(n for _, n in days) // len(days)
+    c = 0
+    for (d, n, got), (_, x) in zip(out, days):
+        c = max(0, c + x - k)
+        assert got == c, (d, got, c)

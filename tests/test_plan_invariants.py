@@ -75,6 +75,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "graph_hits",  # 1-row L1-normalization totals, once per half-round
     "ext_collocations",  # 1-row bigram grand total (PMI denominator)
     "ext_heaps_fit",  # 1-row x 1-row prefix-pivot cells cross join
+    "w15_cusum_drift",  # 1-row broadcast integer floor-mean (k)
 }
 
 
@@ -129,6 +130,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # window partitions by doc_id; the SinglePartition exchange is the
     # 1-row bigram grand-total aggregate (PMI denominator)
     "ext_collocations",
+    # bounded-input global windows: the day rollup cuts the stream to
+    # |days| rows BEFORE the two running windows (prefix sum + running
+    # min), so the SinglePartition exchange moves day-sized data at
+    # any corpus size (the ext_zipf_fit discipline)
+    "w15_cusum_drift",
 }
 
 
