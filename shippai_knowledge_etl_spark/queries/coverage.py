@@ -516,3 +516,125 @@ def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(build.hint("merge"), ["user_id", "salt"])
         .select("event_id", "user_id", "n_user_events", "user_value_sum")
     )
+
+
+# Poisson(1) CDF as exact 16-bit integer thresholds (floor(cdf*65536)),
+# SHARED literals so neither engine's exp() participates — a 16-bit
+# md5 draw under ts[k] means the row's bootstrap weight is <= k
+_BOOT_TS = (24109, 48218, 60273, 64291, 65296, 65497)
+_BOOT_B = 40  # replicates; 95% CI = ranks 2 and 39 of the sorted means
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_TS)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "a_bootstrap_ci",
+    survey_ref="§2.4-adjacent (beyond-reference built-in): "
+    "deterministic Poisson-bootstrap 95% CI for the event-value mean "
+    "(Efron 1979; the Poisson(1)-weight streaming form is the "
+    "standard one-pass variant) — resample weights are md5 hash draws "
+    "against SHARED literal CDF thresholds, so the whole CI is a pure "
+    "function of the data, reproducible across engines and runs",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    w AS (
+      SELECT r.b,
+             {_boot_w_sql("CAST('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':boot:' || CAST(r.b AS VARCHAR)), 1, 4) AS INT)")} AS wt,
+             CAST(round(e.value, 4) AS DECIMAL(18,4)) AS xr
+      FROM events e CROSS JOIN reps r),
+    means AS (
+      SELECT b,
+             round(CAST(sum(wt * xr) AS DOUBLE) / sum(wt), 6) AS m
+      FROM w WHERE wt > 0 GROUP BY b),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+    full_mean AS (
+      SELECT round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+                        AS DOUBLE) / count(*), 6) AS mean_value,
+             count(*) AS n_rows
+      FROM events)
+    SELECT f.n_rows, f.mean_value,
+           max(CASE WHEN r.rn = 2 THEN r.m END) AS ci_lo,
+           max(CASE WHEN r.rn = {_BOOT_B - 1} THEN r.m END) AS ci_hi
+    FROM ranked r CROSS JOIN full_mean f
+    GROUP BY f.n_rows, f.mean_value
+    """,
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean(value) over events,
+    fully deterministic: each (row, replicate) draws a Poisson(1)
+    resample weight from a 16-bit md5 hash against shared literal CDF
+    thresholds, replicate means use exact DECIMAL weighted sums, and
+    the CI is the 2nd / 39th of the 40 sorted replicate means
+    (percentile-rank convention documented here; B=40 puts 2.5% and
+    97.5% exactly on integer ranks).
+
+    Scale shape: ONE scan exploded x40 (narrow), per-replicate
+    weighted sums partial-aggregate map-side to 40 rows, and the rank
+    window runs over those 40 rows only (bounded-input global window,
+    allowlisted). No second pass over the data, no driver loop — the
+    classic one-pass streaming bootstrap."""
+    from pyspark.sql import Window
+
+    b = _BOOT_B
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":boot:"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    wt = F.when(u < _BOOT_TS[0], 0)
+    for k, t in enumerate(_BOOT_TS[1:], start=1):
+        wt = wt.when(u < t, k)
+    wt = wt.otherwise(6)
+    xr = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    means = (
+        reps.select("b", wt.alias("wt"), xr.alias("xr"))
+        .filter(F.col("wt") > 0)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("wt") * F.col("xr")).cast("double")
+                / F.sum("wt"),
+                6,
+            ).alias("m")
+        )
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    full_mean = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .groupBy("n_rows", "mean_value")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == b - 1, F.col("m"))).alias("ci_hi"),
+        )
+    )

@@ -449,3 +449,16 @@ def test_cusum_window_identity(spark):
     for (d, n, got), (_, x) in zip(out, days):
         c = max(0, c + x - k)
         assert got == c, (d, got, c)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The deterministic bootstrap CI brackets the full-sample mean,
+    is ordered, and reproduces exactly across runs."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["a_bootstrap_ci"].fn
+    r = fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    r2 = fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.asDict() == r2.asDict()

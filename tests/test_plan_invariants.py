@@ -76,6 +76,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "ext_collocations",  # 1-row bigram grand total (PMI denominator)
     "ext_heaps_fit",  # 1-row x 1-row prefix-pivot cells cross join
     "w15_cusum_drift",  # 1-row broadcast integer floor-mean (k)
+    "a_bootstrap_ci",  # 1-row broadcast full-sample mean/count
 }
 
 
@@ -135,6 +136,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # min), so the SinglePartition exchange moves day-sized data at
     # any corpus size (the ext_zipf_fit discipline)
     "w15_cusum_drift",
+    # bounded-input global window: the rank runs over the 40 replicate
+    # means (the per-replicate aggregate cuts the exploded stream to
+    # B rows first — same discipline)
+    "a_bootstrap_ci",
 }
 
 
