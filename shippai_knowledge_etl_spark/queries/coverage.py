@@ -638,3 +638,75 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == b - 1, F.col("m"))).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "profile_key_skew",
+    survey_ref="§4.2-adjacent (beyond-reference built-in): shuffle-key "
+    "skew profiler — Gini coefficient + head shares of the user_id "
+    "distribution, the measurement that decides between a plain "
+    "join, AQE skew handling, and explicit salting "
+    "(j7_salted_skew_join is the mitigation this detects the need "
+    "for); integer rank sums over the key-sized rollup",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn,
+             count(*) OVER () AS nk, sum(c) OVER () AS tot
+      FROM counts)
+    SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           round(CAST(sum((2 * rn - nk - 1) * c) AS DOUBLE)
+                 / (max(nk) * max(tot)), 6) AS gini,
+           round(CAST(max(CASE WHEN rn = nk THEN c END) AS DOUBLE)
+                 / max(tot), 6) AS top1_share
+    FROM ranked
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How skewed is the events shuffle key? Gini coefficient of the
+    per-user row counts (0 = perfectly even, →1 = one user owns the
+    stream) plus the heaviest key's share — the numbers that justify
+    (or veto) the salting rewrite ``j7_salted_skew_join`` demos.
+
+    Scale shape: the per-key rollup cuts the stream to |keys| rows
+    with map-side partials FIRST; the rank and the two analytic
+    totals run over that key-sized table (bounded-input global
+    window, allowlisted); the Gini rank-sum formula
+    Σ(2·rank − n − 1)·c / (n·total) is exact integer arithmetic with
+    one final rounded division. (max(nk)/max(tot) inside the final
+    aggregate just re-reads the constant analytic columns — every row
+    carries the same value.)"""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nk"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.max("tot").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(
+                (2 * F.col("rn") - F.col("nk") - 1) * F.col("c")
+            ).cast("double")
+            / (F.max("nk") * F.max("tot")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.col("nk"), F.col("c"))
+            ).cast("double")
+            / F.max("tot"),
+            6,
+        ).alias("top1_share"),
+    )

@@ -462,3 +462,20 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r["ci_lo"] < r["ci_hi"]
     r2 = fn(spark, "/root/testdata/sf0.001").collect()[0]
     assert r.asDict() == r2.asDict()
+
+
+def test_key_skew_gini_extremes(spark):
+    """Gini formula sanity on the pinned corpus: bounded in [0, 1),
+    top-1 share >= 1/n_keys, and n_rows reconciles with the table."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    r = (
+        load_catalog()["profile_key_skew"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert 0.0 <= r["gini"] < 1.0
+    assert r["top1_share"] >= 1.0 / r["n_keys"]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert r["n_rows"] == ev.count()
+    assert r["n_keys"] == ev.select("user_id").distinct().count()

@@ -140,6 +140,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # means (the per-replicate aggregate cuts the exploded stream to
     # B rows first — same discipline)
     "a_bootstrap_ci",
+    # bounded-input global window: rank + analytic totals run over the
+    # |keys|-sized per-key rollup, never the raw stream
+    "profile_key_skew",
 }
 
 
