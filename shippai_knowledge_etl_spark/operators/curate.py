@@ -1507,3 +1507,69 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def remove_repeated_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document de-repetition (the self-repetition cleanup of
+    Lee et al. 2022's dedup study, doc-local form): every LATER
+    occurrence of a word ``n``-gram already seen earlier in the SAME
+    document is removed — all ``n`` token positions the repeated
+    window covers — and the text is rebuilt from the surviving
+    tokens in order. Returns (id, n_tokens, n_removed, text_clean).
+
+    Relational form: posexplode → n-gram start at each position
+    (lead-window concat, no HOF) → a start is REPEATED iff an equal
+    gram starts earlier in the doc (min-pos window over (doc, gram))
+    → a position is removed iff ANY of the ``n`` starts covering it
+    is repeated (max over a ROWS BETWEEN n-1 PRECEDING sliding
+    window) → rebuild via sort_array(collect_list(struct(pos, tok)))
+    and the array-of-struct ``getField`` projection — zero lambda
+    HOFs end to end.
+
+    Scale: everything rides doc-keyed windows over ONE posexplode
+    pass except the (doc, gram) min — a second hash shuffle whose
+    key count is bounded by corpus positions; state per position is
+    one boolean. The rebuild's collect_list is per-document (bounded
+    by doc length, the same bound any text column already has)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(wdoc) for i in range(1, n)],
+    )
+    has_gram = F.lead("tok", n - 1).over(wdoc).isNotNull()
+    g = ex.withColumn(
+        "gram", F.when(has_gram, gram)
+    )
+    wgram = Window.partitionBy("doc", "gram")
+    rep_start = (
+        F.col("gram").isNotNull()
+        & (F.min("pos").over(wgram) < F.col("pos"))
+    ).cast("int")
+    cover = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+        -(n - 1), 0
+    )
+    marked = g.withColumn("rep", rep_start).withColumn(
+        "removed", F.max("rep").over(cover)
+    )
+    return marked.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("removed") == 0,
+                        F.struct("pos", "tok"),
+                    )
+                )
+            ).getField("tok"),
+        ).alias("text_clean"),
+    )

@@ -743,3 +743,58 @@ def ext_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+@register(
+    "ext_derepetition",
+    survey_ref="[EXT] intra-document de-repetition (doc-local form of "
+    "Lee et al. 2022): later occurrences of a word 3-gram already "
+    "seen in the same doc are removed (all 3 covered positions) and "
+    "the text rebuilt in order — the self-repetition cleanup run "
+    "before training; zero lambda HOFs "
+    "(operators/curate.py:remove_repeated_ngrams)",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id AS doc, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    g AS (
+      SELECT doc, pos, tok,
+             CASE WHEN lead(tok, 2) OVER w IS NOT NULL THEN
+               concat_ws(' ', tok, lead(tok, 1) OVER w,
+                         lead(tok, 2) OVER w)
+             END AS gram
+      FROM ex WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+    r AS (
+      SELECT doc, pos, tok,
+             CASE WHEN gram IS NOT NULL
+                       AND min(pos) OVER (PARTITION BY doc, gram) < pos
+                  THEN 1 ELSE 0 END AS rep
+      FROM g),
+    m AS (
+      SELECT doc, pos, tok,
+             max(rep) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS removed
+      FROM r)
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN removed = 0 THEN tok END,
+                               ' ' ORDER BY pos), '') AS text_clean
+    FROM m GROUP BY doc
+    """,
+)
+def ext_derepetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every later occurrence of an already-seen 3-gram within
+    each document and rebuild the surviving text in order — the
+    boilerplate/self-repetition cleanup (navigation loops, repeated
+    disclaimers) applied doc-locally before training. Scale shape in
+    ``curate.remove_repeated_ngrams``: doc-keyed windows over one
+    posexplode pass + one (doc, gram) min shuffle; the rebuild is the
+    lambda-free sorted-struct ``getField`` projection."""
+    d = load(spark, sf_dir, "documents")
+    from shippai_knowledge_etl_spark.operators.curate import (
+        remove_repeated_ngrams,
+    )
+
+    return remove_repeated_ngrams(d, "doc_id", "text", n=3)

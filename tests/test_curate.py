@@ -648,3 +648,37 @@ def test_source_overlap_matrix_planted(spark):
     # wire's 3-grams: 5 of 6 token positions -> all contained in mirror
     assert r["n_shared"] == 5 and min(r["n_a"], r["n_b"]) == 5
     assert r["overlap"] == 1.0
+
+
+def test_derepetition_planted(spark):
+    """A doc that repeats a 3-gram loses exactly the later window; a
+    repetition-free doc is untouched; idempotent on its own output."""
+    from shippai_knowledge_etl_spark.operators.curate import (
+        remove_repeated_ngrams,
+    )
+
+    rows = [
+        # "a b c" repeats at positions 4-6 -> those 3 tokens removed
+        (1, "a b c x a b c y"),
+        (2, "all tokens here are fresh and never repeat themselves"),
+        # pure loop: "x y z x y z x y z" -> keep first window + nothing
+        (3, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in remove_repeated_ngrams(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (8, 3, "a b c x y")
+    assert out[2][1] == 0 and out[2][2] == rows[1][1]
+    assert out[3] == (9, 6, "x y z")
+
+    # idempotence: cleaning the cleaned text changes nothing
+    clean = spark.createDataFrame(
+        [(k, v[2]) for k, v in out.items()], ["doc_id", "text"]
+    )
+    again = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_ngrams(clean, "doc_id", "text").collect()
+    }
+    assert again == {k: v[2] for k, v in out.items()}
