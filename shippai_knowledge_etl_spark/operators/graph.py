@@ -550,3 +550,78 @@ def assortativity(edges: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_endpoints"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+def negative_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    salt: str = "negedge",
+) -> DataFrame:
+    """Link-prediction training pairs: every observed (undirected,
+    canonicalized) edge labeled 1, plus up to ``k`` DETERMINISTIC
+    non-edges per edge labeled 0 — corrupt the dst endpoint with an
+    md5 hash draw over the node-count range (the standard corrupted-
+    negative recipe of TransE/GNN pipelines), then anti-join the real
+    edge set so no false negative survives. Hash draws make the
+    sample a pure function of (edge, salt): reproducible across runs,
+    engines, partitionings — the auditable-sampling discipline of
+    ``curate.mix_sample``.
+
+    Returns (src, dst, label). Candidates that collide with a real
+    edge or a self-loop are DROPPED, not resampled (documented: the
+    negative ratio is ≤ k:1, slightly under on dense neighborhoods —
+    resampling loops are not expressible as one pass and the bias is
+    measurable by the caller from the label counts).
+
+    Scale: negatives derive from the edge list by a narrow map
+    (explode ×k + hash mod n); the false-negative filter is one
+    anti-join on the canonical edge key; no node-side shuffle at all
+    when ``n_nodes`` comes in as a literal — here it is computed once
+    from the nodes table (driver count, the pagerank convention)."""
+    n_nodes = nodes.count()
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    pos = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.lit(1).alias("label"),
+    )
+    cand = und.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).select(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                        F.lit(f":{salt}:"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("draw"),
+    )
+    neg0 = cand.select(
+        "u", (F.col("draw") % n_nodes).alias("w")
+    ).filter(F.col("u") != F.col("w"))
+    neg_key = neg0.select(
+        F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v")
+    )
+    neg = neg_key.join(und, ["u", "v"], "left_anti").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.lit(0).alias("label"),
+    )
+    return pos.unionAll(neg)

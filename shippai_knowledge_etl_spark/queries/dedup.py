@@ -1017,3 +1017,61 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
     return assortativity(e0)
+
+
+@register(
+    "graph_negative_edges",
+    survey_ref=(
+        "[EXT] link-prediction training pairs: observed edges labeled "
+        "1 + deterministic hash-corrupted non-edges labeled 0 "
+        "(TransE/GNN corrupted-negative recipe), false negatives "
+        "anti-joined away; md5 draws make the sample a pure function "
+        "of the graph (operators/graph.py:negative_edges)"
+    ),
+    oracle=f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    pos AS (SELECT u AS src, v AS dst, 1 AS label FROM und),
+    cand AS (
+      SELECT u,
+             CAST(CAST('0x' || substring(md5(CAST(u AS VARCHAR) || ':'
+                    || CAST(v AS VARCHAR) || ':negedge:'
+                    || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT)
+                  % {_LPA_N} AS BIGINT) AS w
+      FROM und CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i),
+    neg_key AS (
+      SELECT least(u, w) AS u, greatest(u, w) AS v
+      FROM cand WHERE u <> w),
+    neg AS (
+      SELECT n.u AS src, n.v AS dst, 0 AS label
+      FROM neg_key n ANTI JOIN und e ON e.u = n.u AND e.v = n.v)
+    SELECT src, dst, label FROM pos
+    UNION ALL
+    SELECT src, dst, label FROM neg
+    """,
+)
+def graph_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train pairs for a link predictor over the synthetic graph:
+    every canonical edge (label 1) plus ≤2 hash-corrupted non-edges
+    per edge (label 0), false negatives removed by an anti-join
+    against the real edge set. Deterministic md5 draws — the sample
+    is reproducible at any parallelism, and both engines generate
+    the identical multiset (duplicate negatives from colliding draws
+    are kept by both). Scale shape in
+    ``operators/graph.py:negative_edges``."""
+    from shippai_knowledge_etl_spark.operators.graph import negative_edges
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    nodes = d.select(i.alias("id"))
+    return negative_edges(nodes, edges, k=2)

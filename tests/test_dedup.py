@@ -520,3 +520,32 @@ def test_assortativity_known_graphs(spark):
     row = assortativity(star).collect()[0]
     assert row["n_endpoints"] == 10  # 5 undirected edges, both ways
     assert row["assortativity"] == -1.0
+
+
+def test_negative_edges_are_true_non_edges(spark):
+    """Every label-0 pair is a genuine non-edge and not a self-loop;
+    positives are exactly the canonical edge set; the negative ratio
+    is bounded by k; resampling is deterministic."""
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import negative_edges
+
+    nodes = spark.range(20).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], ["src", "dst"]
+    )
+    out = negative_edges(nodes, edges, k=3).collect()
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in [(i, (i * 3 + 1) % 20) for i in range(20)]
+        if a != b
+    }
+    pos = {(r["src"], r["dst"]) for r in out if r["label"] == 1}
+    negs = [(r["src"], r["dst"]) for r in out if r["label"] == 0]
+    assert pos == und
+    assert negs, "hash corruption produced no negatives at all"
+    assert len(negs) <= 3 * len(und)
+    for u, v in negs:
+        assert u != v and (u, v) not in und and u < v
+    out2 = negative_edges(nodes, edges, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
