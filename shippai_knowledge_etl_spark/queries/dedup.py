@@ -1075,3 +1075,112 @@ def graph_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
     nodes = d.select(i.alias("id"))
     return negative_edges(nodes, edges, k=2)
+
+
+@register(
+    "graph_node_profile",
+    survey_ref=(
+        "[EXT] graph-diagnostics composition flagship: PageRank + "
+        "k-core membership + triangles/clustering joined into ONE "
+        "node-profile table — the per-page feature row a crawl "
+        "scheduler or spam model consumes; each stage is the "
+        "registered operator, the oracle is the three unrolled "
+        "oracles joined on doc_id"
+    ),
+    oracle=(
+        "WITH "
+        + _PR_EDGES
+        + ", r0 AS (SELECT id, 1000000000000 // "
+        + _PR_N
+        + " AS r FROM nodes),"
+        + ",".join(
+            _PR_STEP.format(i=i, p=i - 1, n=_PR_N) for i in (1, 2, 3)
+        )
+        + f""",
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges),
+    adj AS (SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v, u FROM und),
+    s0 AS (SELECT doc_id AS id FROM documents),
+    """
+        + ",".join(_KCORE_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """,
+    tdeg AS (
+      SELECT id, count(*) AS deg FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+      GROUP BY id),
+    tori AS (
+      SELECT CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b,
+             CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN dv.deg ELSE du.deg END AS db
+      FROM und e
+      JOIN tdeg du ON du.id = e.u
+      JOIN tdeg dv ON dv.id = e.v),
+    ttri AS (
+      SELECT w1.a AS x, w1.b AS y, w2.b AS z
+      FROM tori w1
+      JOIN tori w2 ON w1.a = w2.a
+        AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))
+      JOIN tori w3 ON w3.a = w1.b AND w3.b = w2.b),
+    tper AS (
+      SELECT id, count(*) AS tri FROM (
+        SELECT x AS id FROM ttri
+        UNION ALL SELECT y FROM ttri
+        UNION ALL SELECT z FROM ttri)
+      GROUP BY id)
+    SELECT d.doc_id,
+           CAST(r3.r AS BIGINT) AS rank_scaled,
+           s.id IS NOT NULL AS in_core,
+           CAST(COALESCE(g.deg, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(p.tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN COALESCE(g.deg, 0) >= 2
+                THEN round(CAST(2 * COALESCE(p.tri, 0) AS DOUBLE)
+                           / (g.deg * (g.deg - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM documents d
+    JOIN r3 ON r3.id = d.doc_id
+    LEFT JOIN s3 s ON s.id = d.doc_id
+    LEFT JOIN tdeg g ON g.id = d.doc_id
+    LEFT JOIN tper p ON p.id = d.doc_id
+    """
+    ),
+)
+def graph_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One feature row per page: link authority (3-round scaled-int
+    PageRank), dense-subgraph membership (3-round k=3 core), and
+    local community density (triangles + clustering) — the node
+    profile a crawl scheduler, spam classifier, or mixture weighter
+    consumes. Every stage is the registered operator composed
+    unchanged; the joins are node-keyed equi-joins of three
+    node-sized tables, so the composition adds no shuffle class
+    beyond its parts."""
+    from shippai_knowledge_etl_spark.operators.graph import (
+        k_core,
+        pagerank,
+        triangle_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    nodes = d.select(i.alias("id"))
+    pr = pagerank(nodes, edges, n_iters=3, n_nodes=n).select(
+        F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
+    )
+    kc = k_core(nodes, edges, k=3, n_iters=3).select(
+        F.col("id").alias("doc_id"), "in_core"
+    )
+    tc = triangle_counts(nodes, edges).select(
+        F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering"
+    )
+    return pr.join(kc, "doc_id").join(tc, "doc_id")
