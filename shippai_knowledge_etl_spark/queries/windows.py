@@ -769,7 +769,7 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, event_id, t, event_type,
              max(CASE WHEN event_type <> 'purchase'
-                      THEN t * 10000000 + event_id END) OVER (
+                      THEN t * 1000000000 + event_id END) OVER (
                PARTITION BY user_id ORDER BY t, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS touch_key
@@ -778,11 +778,11 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id AS conv_event_id, t AS conv_t, touch_key
       FROM marked WHERE event_type = 'purchase')
     SELECT c.user_id, c.conv_event_id, c.conv_t,
-           c.touch_key % 10000000 AS touch_event_id,
+           c.touch_key % 1000000000 AS touch_event_id,
            e.event_type AS touch_type,
-           c.conv_t - c.touch_key // 10000000 AS gap_s
+           c.conv_t - c.touch_key // 1000000000 AS gap_s
     FROM conv c
-    LEFT JOIN ev e ON e.event_id = c.touch_key % 10000000
+    LEFT JOIN ev e ON e.event_id = c.touch_key % 1000000000
     """,
 )
 def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,8 +794,10 @@ def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the conditional running max rides the SAME
     user-keyed shuffle as w12/w13 (one hash partitioning serves the
     whole behavioral family); the (t, event_id) argmax packs into ONE
-    BIGINT (t*1e7 + id — integer-exact, no struct comparisons at the
-    gate boundary), so state per row is one long; the touch-type
+    BIGINT (t*1e9 + id — integer-exact, no struct comparisons at the
+    gate boundary; epoch*1e9 + id stays under 2^63 through year ~2262
+    for ids < 1e9, and an id-richer stream would carry a struct
+    argmax instead), so state per row is one long; the touch-type
     lookup is an event_id equi-join. Ordering is (epoch-second,
     event_id) on both engines."""
     from pyspark.sql import Window
@@ -813,7 +815,7 @@ def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = F.when(
         F.col("event_type") != "purchase",
-        F.col("t") * 10000000 + F.col("event_id"),
+        F.col("t") * 1000000000 + F.col("event_id"),
     )
     conv = (
         ev.withColumn("touch_key", F.max(packed).over(w))
@@ -831,7 +833,7 @@ def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         conv.withColumn(
-            "touch_event_id", F.col("touch_key") % 10000000
+            "touch_event_id", F.col("touch_key") % 1000000000
         )
         .join(touch, "touch_event_id", "left")
         .select(
@@ -841,7 +843,7 @@ def w14_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_event_id",
             "touch_type",
             (
-                F.col("conv_t") - F.expr("touch_key div 10000000")
+                F.col("conv_t") - F.expr("touch_key div 1000000000")
             ).alias("gap_s"),
         )
     )
