@@ -917,3 +917,92 @@ def w15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cusum"),
     )
+
+
+@register(
+    "w16_time_weighted_avg",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): "
+    "time-weighted average over irregularly sampled values — the "
+    "hypertable-rollup signature aggregate (left-constant "
+    "interpolation): per-user lead window on the shared user-keyed "
+    "shuffle, DECIMAL value x integer-second areas summed exactly",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value, 4) AS DECIMAL(18,4)) AS xr,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS nxt
+      FROM events),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_samples,
+             max(t) - min(t) AS span_s,
+             sum(CASE WHEN nxt IS NOT NULL
+                      THEN xr * (nxt - t)
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS area,
+             min(CASE WHEN rn = 1 THEN xr END) AS first_x
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY t, event_id) AS rn FROM o)
+      GROUP BY user_id)
+    SELECT user_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(span_s AS BIGINT) AS span_s,
+           CASE WHEN span_s > 0
+                THEN round(CAST(area AS DOUBLE) / span_s, 6)
+                ELSE round(CAST(first_x AS DOUBLE), 6) END AS twa
+    FROM agg
+    """,
+)
+def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of ``value`` per user over irregular event
+    times (left-constant / last-observation-carried-forward
+    interpolation): Σ value_i·(t_{i+1}−t_i) / (t_last−t_first). A
+    plain average over-weights bursts of samples; the TWA weights
+    each observation by how long it was current — the canonical
+    irregular-time-series rollup Spark has no builtin for.
+    Zero-span users (one event, or all within one second) fall back
+    to the first value, visibly via span_s = 0.
+
+    Scale shape: ONE user-keyed shuffle carries the lead window, the
+    first-value rank, and the rollup (the w12/w13/w14 shared
+    partitioning); areas are DECIMAL(18,4) values × integer-second
+    gaps — exact and partitioning-independent — with the single
+    division rounded 6 dp at the gate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value"), 4).cast("decimal(18,4)").alias("xr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = ev.withColumn("nxt", F.lead("t").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_s"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("xr") * (F.col("nxt") - F.col("t")),
+            ).otherwise(zero)
+        ).alias("area"),
+        F.min(F.when(F.col("rn") == 1, F.col("xr"))).alias("first_x"),
+    )
+    return agg.select(
+        "user_id",
+        "n_samples",
+        "span_s",
+        F.when(
+            F.col("span_s") > 0,
+            F.round(F.col("area").cast("double") / F.col("span_s"), 6),
+        )
+        .otherwise(F.round(F.col("first_x").cast("double"), 6))
+        .alias("twa"),
+    )

@@ -479,3 +479,49 @@ def test_key_skew_gini_extremes(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert r["n_rows"] == ev.count()
     assert r["n_keys"] == ev.select("user_id").distinct().count()
+
+
+def test_time_weighted_avg_semantics(spark):
+    """TWA weights each value by how long it was current: a planted
+    series holding 10.0 for 9s then 0.0 for 1s averages 9.0 (a plain
+    mean would say 5.0); single-sample users fall back to the value."""
+    import datetime
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: 10.0 over [0,9), 0.0 at t=9 -> area 90 / span 10... 
+        # span = 10? t_last - t_first = 10; value 0.0 holds [9,10)? no:
+        # last sample has no next -> excluded; span 9? t: 0, 9, 10
+        (1, ts(0), 1, 10.0),
+        (2, ts(9), 1, 0.0),
+        (3, ts(10), 1, 0.0),
+        (4, ts(0), 2, 42.5),  # single sample -> twa = value, span 0
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"]
+    ).select(
+        "event_id", "ts", "user_id", "value",
+        F.lit("{}").alias("props"), F.lit("click").alias("event_type"),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props").write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in load_catalog()["w16_time_weighted_avg"]
+            .fn(spark, td)
+            .collect()
+        }
+    # user 1: areas 10.0*9 + 0.0*1 = 90 over span 10 -> 9.0
+    assert out[1]["span_s"] == 10 and out[1]["twa"] == 9.0
+    assert out[2]["span_s"] == 0 and out[2]["twa"] == 42.5
