@@ -1006,3 +1006,112 @@ def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("first_x").cast("double"), 6))
         .alias("twa"),
     )
+
+
+@register(
+    "w17_gapfill_locf",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): "
+    "time_bucket_gapfill + last-observation-carried-forward — "
+    "resample each user's irregular series onto a regular 1-hour "
+    "grid, empty buckets filled from the last observed bucket; grid "
+    "generation is per-user sequence/explode (narrow), the fill is "
+    "one IGNORE NULLS window on the user-keyed shuffle",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bkt,
+             CAST(round(value, 4) AS DECIMAL(18,4)) AS xr,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+      FROM events),
+    per_bucket AS (
+      SELECT user_id, bkt,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             min(CASE WHEN rn = 1 THEN xr END) AS last_x
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, bkt
+              ORDER BY t DESC, event_id DESC) AS rn FROM o)
+      GROUP BY user_id, bkt),
+    bounds AS (
+      SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+      FROM per_bucket GROUP BY user_id),
+    grid AS (
+      SELECT b.user_id, unnest(range(b.lo, b.hi + 1)) AS bkt
+      FROM bounds b),
+    joined AS (
+      SELECT g.user_id, g.bkt,
+             coalesce(p.n_obs, 0) AS n_obs,
+             p.last_x
+      FROM grid g LEFT JOIN per_bucket p
+        ON p.user_id = g.user_id AND p.bkt = g.bkt)
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           n_obs = 0 AS filled,
+           round(CAST(last_value(last_x IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bkt
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS x_locf
+    FROM joined
+    """,
+)
+def w17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's event series onto a 1-hour grid: every
+    bucket between the user's first and last observation exists in
+    the output, empty buckets are marked ``filled`` and carry the
+    last observed bucket's closing value forward (LOCF) — the
+    time_bucket_gapfill + locf combination dashboards and
+    feature-window pipelines need before any rolling computation.
+
+    Scale shape: per-bucket closing values partial-aggregate on
+    (user, bucket); the grid is a per-user sequence/explode (narrow —
+    never a calendar cross join against the user dimension); the fill
+    is ONE ``last(..., ignorenulls)`` window on the same user-keyed
+    shuffle the behavioral family shares. The closing value per
+    bucket is picked by (t, event_id) DESC rank on both engines, so
+    within-bucket ties can't diverge; values are 4-dp DECIMAL until
+    the gate boundary."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value"), 4).cast("decimal(18,4)").alias("xr"),
+    ).withColumn("bkt", F.expr("t div 3600"))
+    wb = Window.partitionBy("user_id", "bkt").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    per_bucket = (
+        ev.withColumn("rn", F.row_number().over(wb))
+        .groupBy("user_id", "bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.min(F.when(F.col("rn") == 1, F.col("xr"))).alias("last_x"),
+        )
+    )
+    bounds = per_bucket.groupBy("user_id").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bkt"),
+    )
+    joined = grid.join(per_bucket, ["user_id", "bkt"], "left").select(
+        "user_id",
+        "bkt",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        "last_x",
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("bkt").cast("long").alias("bkt"),
+        "n_obs",
+        (F.col("n_obs") == 0).alias("filled"),
+        F.round(
+            F.last("last_x", ignorenulls=True).over(wfill).cast("double"),
+            4,
+        ).alias("x_locf"),
+    )

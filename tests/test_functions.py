@@ -525,3 +525,34 @@ def test_time_weighted_avg_semantics(spark):
     # user 1: areas 10.0*9 + 0.0*1 = 90 over span 10 -> 9.0
     assert out[1]["span_s"] == 10 and out[1]["twa"] == 9.0
     assert out[2]["span_s"] == 0 and out[2]["twa"] == 42.5
+
+
+def test_gapfill_locf_grid_and_fill(spark):
+    """The grid is dense between each user's first and last bucket,
+    filled buckets carry the last observed bucket's CLOSING value,
+    and observed buckets show their own closing value."""
+    from collections import defaultdict
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    out = (
+        load_catalog()["w17_gapfill_locf"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in out:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["bkt"])
+        bkts = [r["bkt"] for r in rows]
+        assert bkts == list(range(bkts[0], bkts[-1] + 1))  # dense grid
+        assert rows[0]["n_obs"] > 0 and not rows[0]["filled"]
+        last_seen = None
+        for r in rows:
+            assert r["filled"] == (r["n_obs"] == 0)
+            if r["n_obs"] > 0:
+                last_seen = r["x_locf"]
+            else:
+                assert r["x_locf"] == last_seen  # LOCF carries forward
