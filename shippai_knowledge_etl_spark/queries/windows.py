@@ -1115,3 +1115,32 @@ def w17_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("x_locf"),
     )
+
+
+@register(
+    "w18_lttb_downsample",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): "
+    "largest-triangle-three-buckets downsampling (Steinarsson 2013) — "
+    "per-series sequential selection as a grouped applyInPandas "
+    "(series independent, one series per task); no relational analog "
+    "for the recurrence → rows-only, golden kernel + invariants in "
+    "tests/test_functions.py (operators/timeseries.py:lttb_downsample)",
+)
+def w18_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's value series downsampled to <= 12 visually
+    representative points: endpoints always kept, each interior
+    bucket contributes the point forming the largest triangle with
+    the previous pick and the next bucket's centroid — peaks and
+    reversals survive where uniform sampling flattens them. Ties
+    break to the earliest point, so the result is deterministic at
+    any parallelism."""
+    from shippai_knowledge_etl_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.col("value").alias("x"),
+    )
+    return lttb_downsample(ev, "user_id", "t", "x", k=12)

@@ -556,3 +556,40 @@ def test_gapfill_locf_grid_and_fill(spark):
                 last_seen = r["x_locf"]
             else:
                 assert r["x_locf"] == last_seen  # LOCF carries forward
+
+
+def test_lttb_kernel_golden_and_invariants(spark):
+    """Golden: on a spike series LTTB keeps the spike; invariants:
+    endpoints kept, size min(k, n), output subset of input, kept_rank
+    dense, deterministic across runs."""
+    from shippai_knowledge_etl_spark.operators.timeseries import (
+        _lttb,
+        lttb_downsample,
+    )
+
+    # pure-kernel golden: flat line with one spike at index 7
+    ts = list(range(12))
+    xs = [0.0] * 12
+    xs[7] = 100.0
+    kept = _lttb(ts, xs, 5)
+    assert kept[0] == 0 and kept[-1] == 11
+    assert 7 in kept  # the spike survives
+    assert len(kept) == 5 and kept == sorted(kept)
+
+    rows = [(1, t, x) for t, x in zip(ts, xs)]
+    rows += [(2, t, float(t)) for t in range(4)]  # short series: n <= k
+    df = spark.createDataFrame(rows, ["user_id", "t", "x"])
+    out = lttb_downsample(df, "user_id", "t", "x", k=5).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["kept_rank"])
+    assert [r["t"] for r in u1][0] == 0 and [r["t"] for r in u1][-1] == 11
+    assert any(r["x"] == 100.0 for r in u1)
+    assert len(u1) == 5
+    assert {(r["t"], r["x"]) for r in u1} <= {(t, x) for t, x in zip(ts, xs)}
+    assert [r["kept_rank"] for r in u1] == [0, 1, 2, 3, 4]
+    u2 = by_user[2]
+    assert len(u2) == 4  # short series passes through whole
+    out2 = lttb_downsample(df, "user_id", "t", "x", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
