@@ -598,3 +598,110 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.subtract(o)  # EXCEPT (distinct) semantics, matches SQL EXCEPT
+
+
+@register(
+    "q14_promo_share",
+    survey_ref="TPC-H Q14 shape (beyond-reference built-in): promo "
+    "revenue share over a shipdate year — conditional-sum ratio over "
+    "one broadcast-part join; DECIMAL-exact numerator/denominator, "
+    "one rounded division at the gate",
+    oracle="""
+    SELECT round(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(5,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE),
+                 6) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of 1996 shipped revenue came from promo parts —
+    TPC-H Q14's conditional-sum-ratio shape. The part dim broadcasts
+    (it is partkey-sized, not fact-sized); the shipdate predicate
+    reaches the parquet scan as a pushed filter; numerator and
+    denominator aggregate in exact DECIMAL with the single division
+    rounded at the gate boundary."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+            )
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    survey_ref="TPC-H Q15 shape (beyond-reference built-in): ALL "
+    "suppliers tied at maximum quarterly revenue — supplier-keyed "
+    "rollup, 1-row broadcast max, tie-preserving equality filter "
+    "(LIMIT 1 would silently drop ties), broadcast supplier dim",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_rev AS DOUBLE), 2) AS total_rev
+    FROM rev r
+    JOIN mx ON r.total_rev = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum Q1-1996 revenue — TPC-H Q15's
+    tie-preserving max semantics: the max rides a 1-row broadcast and
+    the equality filter keeps EVERY tied supplier (an ORDER BY/LIMIT 1
+    would silently drop ties and make the answer
+    partitioning-dependent on equal DECIMALs). Comparison happens on
+    the exact DECIMAL revenue; the rounded cast is gate-interface
+    only. The supplier dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _out(F.col("total_rev"), "total_rev"),
+        )
+    )
