@@ -705,3 +705,51 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             _out(F.col("total_rev"), "total_rev"),
         )
     )
+
+
+@register(
+    "sql_correlated_scalar",
+    survey_ref="SQL-surface demo (beyond-reference built-in): "
+    "correlated scalar subqueries through Catalyst decorrelation — "
+    "orders priced above 1.5x their customer's own average, written "
+    "AS correlated subqueries (not hand-joined aggregates) so the "
+    "optimizer's RewriteCorrelatedScalarSubquery does the plan work; "
+    "the 1.5x-average test is an exact cross-multiplied DECIMAL "
+    "compare, no float boundary",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      AS DOUBLE), 2) AS o_totalprice
+    FROM orders o
+    WHERE 2 * (SELECT count(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            * CAST(o.o_totalprice AS DECIMAL(18,2))
+        > 3 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders more than 1.5x their own customer's average order value,
+    expressed with CORRELATED SCALAR SUBQUERIES — the declarative
+    form analysts write — and left to Catalyst to decorrelate into
+    aggregate + join (no hand-rewritten groupBy). The comparison
+    cross-multiplies: price > 1.5*avg becomes 2*cnt*price > 3*sum,
+    all in exact DECIMAL/integer terms, so no float-boundary row can
+    flip between engines. Scale: after decorrelation this is one
+    custkey-keyed aggregate joined back to the fact — the same
+    shuffle class as writing it by hand."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                          AS DOUBLE), 2) AS o_totalprice
+        FROM orders_v o
+        WHERE 2 * (SELECT count(*) FROM orders_v o2
+                   WHERE o2.o_custkey = o.o_custkey)
+                * CAST(o.o_totalprice AS DECIMAL(18,2))
+            > 3 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
