@@ -1144,3 +1144,111 @@ def w18_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
     )
     return lttb_downsample(ev, "user_id", "t", "x", k=12)
+
+
+@register(
+    "behavior_user_profile",
+    survey_ref="behavioral composition flagship (beyond-reference "
+    "built-in): per-user profile — event count, gap-based session "
+    "count (the w12 machinery), conversion count, modal event type, "
+    "exact value sum — everything served off ONE user-keyed hash "
+    "partitioning; the oracle re-assembles each stage's CTE",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, value,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev_t
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800
+                      THEN 1 ELSE 0 END) AS n_sessions
+      FROM o GROUP BY user_id),
+    mode_t AS (
+      SELECT user_id, event_type AS top_event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY user_id, event_type)
+      WHERE rn = 1),
+    base AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_conversions,
+             round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+                        AS DOUBLE), 4) AS sum_value
+      FROM events GROUP BY user_id)
+    SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+           CAST(s.n_sessions AS BIGINT) AS n_sessions,
+           CAST(b.n_conversions AS BIGINT) AS n_conversions,
+           m.top_event_type, b.sum_value
+    FROM base b
+    JOIN sess s USING (user_id)
+    JOIN mode_t m USING (user_id)
+    """,
+)
+def behavior_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One feature row per user: activity volume, gap-based session
+    count (30-min boundary, the w12_sessionization machinery),
+    conversion count, modal event type (count-desc, name-asc
+    tie-break), and the exact DECIMAL value sum — the profile a
+    personalization or LTV model consumes.
+
+    Scale shape: the session counter's lag window, the per-user
+    rollup, and the final joins all ride ONE user-keyed hash
+    partitioning (AQE coalesces, never re-shuffles); the modal type
+    adds a (user, type) partial agg whose argmax window is
+    user-partitioned; joins are user-keyed equi-joins of
+    user-sized tables."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = F.lag("t").over(w)
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(prev.isNull() | ((F.col("t") - prev) > 1800), 1)
+            .otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+    wmode = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    mode_t = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wmode))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"))
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_conversions"),
+        F.round(
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double"),
+            4,
+        ).alias("sum_value"),
+    )
+    return base.join(sess, "user_id").join(mode_t, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_sessions",
+        "n_conversions",
+        "top_event_type",
+        "sum_value",
+    )
