@@ -1457,12 +1457,18 @@ def source_overlap_matrix(
     of sources holding it (sources are tens, not millions), one
     shuffle on the shingle key, |sources|^2-bounded output. Counts
     are exact integers; the two divisions round 6 dp at the gate."""
-    from shippai_knowledge_etl_spark.operators.dedup import shingles
+    from shippai_knowledge_etl_spark.operators.dedup import shingle_structs
 
+    # codegen struct shingles (the lambda-HOF string form pays the
+    # documented CodegenFallback scan tax); the output consumes only
+    # DISTINCT counts, and struct equality == joined-string equality
+    # (space-free tokens), so the swap is result-invariant
     sv = (
         df.select(
             F.col(source_col).alias("src"),
-            F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
+            F.explode(
+                shingle_structs(F.col(text_col), n=n)
+            ).alias("shingle"),
         )
         .distinct()
     )
