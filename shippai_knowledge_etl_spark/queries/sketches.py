@@ -387,3 +387,142 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("verdict"),
     )
+
+
+@register(
+    "ext_hll_intersection",
+    survey_ref=(
+        "[EXT] sketch-algebra intersection: |A∩B| by inclusion-"
+        "exclusion over HLL register states — the union sketch is a "
+        "max-merge OF THE STORED per-half registers (never a rescan), "
+        "the audience-overlap / cross-shard-dedup estimator; register "
+        "sums exact integers, the float estimate pytest-pinned "
+        "(tests/test_sketches.py)"
+    ),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT
+             CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2
+                  = 0 THEN 'even' ELSE 'odd' END AS grp,
+             CAST(user_id AS VARCHAR) AS uid
+      FROM events),
+    h AS (SELECT grp, uid, md5(uid || ':hll') AS hx FROM ev),
+    parts AS (
+      SELECT grp, substring(hx, 1, 2) AS reg,
+             length(regexp_extract(substring(hx, 3, 13), '^(0*)', 1)) AS nz,
+             substring(substring(hx, 3, 13),
+                       length(regexp_extract(substring(hx, 3, 13),
+                                             '^(0*)', 1)) + 1, 1) AS first
+      FROM h),
+    regs AS (
+      SELECT grp, reg, max(least({_HLL_RANK}, 40)) AS rank
+      FROM parts GROUP BY grp, reg),
+    uregs AS (SELECT reg, max(rank) AS rank FROM regs GROUP BY reg),
+    summ AS (
+      SELECT grp,
+             CAST(sum(CAST(power(2, 40 - rank) AS BIGINT))
+                  + (256 - count(*)) * CAST(power(2, 40) AS BIGINT)
+                  AS BIGINT) AS sum_scaled,
+             CAST(256 - count(*) AS INT) AS zero_regs
+      FROM regs GROUP BY grp),
+    usumm AS (
+      SELECT CAST(sum(CAST(power(2, 40 - rank) AS BIGINT))
+                  + (256 - count(*)) * CAST(power(2, 40) AS BIGINT)
+                  AS BIGINT) AS u_sum_scaled,
+             CAST(256 - count(*) AS INT) AS u_zero_regs
+      FROM uregs),
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT uid) FROM ev WHERE grp = 'even') AS n_a,
+        (SELECT count(DISTINCT uid) FROM ev WHERE grp = 'odd') AS n_b,
+        (SELECT count(DISTINCT uid) FROM ev) AS n_union,
+        (SELECT count(*) FROM
+          (SELECT uid FROM ev WHERE grp = 'even'
+           INTERSECT SELECT uid FROM ev WHERE grp = 'odd'))
+          AS n_inter)
+    SELECT e.n_a AS n_a_exact, e.n_b AS n_b_exact,
+           e.n_union AS n_union_exact, e.n_inter AS n_inter_exact,
+           max(CASE WHEN s.grp = 'even' THEN s.sum_scaled END)
+             AS a_sum_scaled,
+           max(CASE WHEN s.grp = 'even' THEN s.zero_regs END)
+             AS a_zero_regs,
+           max(CASE WHEN s.grp = 'odd' THEN s.sum_scaled END)
+             AS b_sum_scaled,
+           max(CASE WHEN s.grp = 'odd' THEN s.zero_regs END)
+             AS b_zero_regs,
+           max(u.u_sum_scaled) AS u_sum_scaled,
+           max(u.u_zero_regs) AS u_zero_regs
+    FROM summ s CROSS JOIN usumm u CROSS JOIN exact e
+    GROUP BY e.n_a, e.n_b, e.n_union, e.n_inter
+    """,
+)
+def ext_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between even-day and odd-day active users,
+    sketch-algebraically: per-half HLL registers over user ids, a
+    union sketch MAX-MERGED FROM THE STORED REGISTERS (the whole
+    point — |A∪B| without rescanning either half), and the exact
+    ground truths beside the integer register summaries. The float
+    inclusion-exclusion estimate |A|+|B|−|A∪B| stays out of the hash
+    gate (the ext_hll_distinct convention) and is accuracy-pinned in
+    tests/test_sketches.py.
+
+    Scale shape: one scan → (grp, reg) max-rank partials (≤ 2·256
+    rows); the union is a 256-row re-aggregation of the register
+    table; exact ground truths are one distinct + aggregates at demo
+    scale (at 100 TB you'd drop them — they're the point of the
+    sketch)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.when(
+                F.expr(
+                    "(CAST(unix_timestamp(ts) AS LONG) div 86400) % 2"
+                )
+                == 0,
+                F.lit("even"),
+            )
+            .otherwise(F.lit("odd"))
+            .alias("grp"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .distinct()
+    )
+    regs = sketches.hll_register_rows(ev, ["grp"], "uid").persist()
+    summ = sketches.hll_summary(regs, ["grp"])
+    uregs = regs.groupBy("reg").agg(F.max("rank").alias("rank"))
+    usumm = sketches.hll_summary(
+        uregs.withColumn("g", F.lit("u")), ["g"]
+    ).select(
+        F.col("hll_sum_scaled").alias("u_sum_scaled"),
+        F.col("hll_zero_regs").alias("u_zero_regs"),
+    )
+    n_a = ev.filter(F.col("grp") == "even").select("uid").distinct().count()
+    n_b = ev.filter(F.col("grp") == "odd").select("uid").distinct().count()
+    n_union = ev.select("uid").distinct().count()
+    n_inter = n_a + n_b - n_union
+    piv = summ.groupBy().agg(
+        F.max(
+            F.when(F.col("grp") == "even", F.col("hll_sum_scaled"))
+        ).alias("a_sum_scaled"),
+        F.max(
+            F.when(F.col("grp") == "even", F.col("hll_zero_regs"))
+        ).alias("a_zero_regs"),
+        F.max(
+            F.when(F.col("grp") == "odd", F.col("hll_sum_scaled"))
+        ).alias("b_sum_scaled"),
+        F.max(
+            F.when(F.col("grp") == "odd", F.col("hll_zero_regs"))
+        ).alias("b_zero_regs"),
+    )
+    return piv.crossJoin(F.broadcast(usumm)).select(
+        F.lit(n_a).cast("long").alias("n_a_exact"),
+        F.lit(n_b).cast("long").alias("n_b_exact"),
+        F.lit(n_union).cast("long").alias("n_union_exact"),
+        F.lit(n_inter).cast("long").alias("n_inter_exact"),
+        "a_sum_scaled",
+        "a_zero_regs",
+        "b_sum_scaled",
+        "b_zero_regs",
+        "u_sum_scaled",
+        "u_zero_regs",
+    )

@@ -77,6 +77,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "ext_heaps_fit",  # 1-row x 1-row prefix-pivot cells cross join
     "w15_cusum_drift",  # 1-row broadcast integer floor-mean (k)
     "a_bootstrap_ci",  # 1-row broadcast full-sample mean/count
+    "ext_hll_intersection",  # 1-row broadcast union-sketch summary
 }
 
 

@@ -98,3 +98,30 @@ def test_hll_distinct_query_state_in_range(spark, sf_dir):
     for r in ext_hll_distinct(spark, sf_dir).collect():
         est = sketches.hll_estimate(r["hll_sum_scaled"], r["hll_zero_regs"])
         assert abs(est - r["exact_distinct"]) / max(r["exact_distinct"], 1) < 0.3
+
+
+def test_hll_intersection_estimate_accuracy(spark):
+    """Inclusion-exclusion over the register summaries lands near the
+    exact intersection, and the union registers are a true max-merge
+    (estimate(U) <= estimate(A) + estimate(B))."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.operators.sketches import hll_estimate
+
+    r = (
+        load_catalog()["ext_hll_intersection"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    ea = hll_estimate(r["a_sum_scaled"], r["a_zero_regs"])
+    eb = hll_estimate(r["b_sum_scaled"], r["b_zero_regs"])
+    eu = hll_estimate(r["u_sum_scaled"], r["u_zero_regs"])
+    est_inter = ea + eb - eu
+    # m=256 registers -> ~6.5% relative error per sketch; allow a
+    # generous additive band on the (small) intersection
+    assert abs(ea - r["n_a_exact"]) <= 0.25 * r["n_a_exact"] + 3
+    assert abs(eb - r["n_b_exact"]) <= 0.25 * r["n_b_exact"] + 3
+    assert abs(eu - r["n_union_exact"]) <= 0.25 * r["n_union_exact"] + 3
+    assert abs(est_inter - r["n_inter_exact"]) <= (
+        0.5 * r["n_union_exact"] * 0.065 + 0.3 * r["n_inter_exact"] + 3
+    )
+    assert eu <= ea + eb + 1e-9
