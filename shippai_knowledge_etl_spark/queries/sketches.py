@@ -526,3 +526,132 @@ def ext_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u_sum_scaled",
         "u_zero_regs",
     )
+
+
+@register(
+    "ext_hll_rolling_distinct",
+    survey_ref=(
+        "[EXT] sketch × window composition: 7-day ROLLING distinct "
+        "users — exact rolling distinct needs the raw id set per "
+        "window, the sketch form is a max(rank) window over stored "
+        "per-day registers (256 rows/day regardless of traffic); "
+        "integer register sums hash-gated beside the exact ground "
+        "truth, estimate pinned in tests/test_sketches.py"
+    ),
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(user_id AS VARCHAR) AS uid
+      FROM events),
+    h AS (SELECT day, uid, md5(uid || ':hll') AS hx FROM ev),
+    parts AS (
+      SELECT day, substring(hx, 1, 2) AS reg,
+             length(regexp_extract(substring(hx, 3, 13), '^(0*)', 1)) AS nz,
+             substring(substring(hx, 3, 13),
+                       length(regexp_extract(substring(hx, 3, 13),
+                                             '^(0*)', 1)) + 1, 1) AS first
+      FROM h),
+    dregs AS (
+      SELECT day, reg, max(least({_HLL_RANK}, 40)) AS rank
+      FROM parts GROUP BY day, reg),
+    days AS (SELECT DISTINCT day FROM ev),
+    grid AS (
+      SELECT d.day, r.reg FROM days d
+      CROSS JOIN (SELECT DISTINCT reg FROM dregs) r),
+    filled AS (
+      SELECT g.day, g.reg, coalesce(dr.rank, 0) AS rank
+      FROM grid g LEFT JOIN dregs dr
+        ON dr.day = g.day AND dr.reg = g.reg),
+    rolled AS (
+      SELECT day, reg,
+             max(rank) OVER (PARTITION BY reg ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS rank
+      FROM filled),
+    summ AS (
+      SELECT day,
+             CAST(sum(CASE WHEN rank > 0
+                           THEN CAST(power(2, 40 - rank) AS BIGINT)
+                           ELSE 0 END)
+                  + (256 - count(*) FILTER (WHERE rank > 0))
+                    * CAST(power(2, 40) AS BIGINT) AS BIGINT)
+               AS hll_sum_scaled,
+             CAST(256 - count(*) FILTER (WHERE rank > 0) AS INT)
+               AS hll_zero_regs
+      FROM rolled GROUP BY day),
+    exact AS (
+      SELECT d.day, count(DISTINCT e.uid) AS exact_rolling
+      FROM days d JOIN ev e
+        ON e.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT s.day, e.exact_rolling, s.hll_sum_scaled, s.hll_zero_regs
+    FROM summ s JOIN exact e USING (day)
+    """,
+)
+def ext_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over each trailing 7-day window, sketch-
+    algebraically: per-day HLL registers (the stored state — 256 rows
+    a day no matter the traffic), rolled with a ``max(rank)`` window
+    per register over the trailing week, summarized per day. The
+    exact rolling distinct beside it needs the raw per-day id SETS
+    (a range join re-touching every event — exactly what becomes
+    impossible at 100 TB and why the register form exists).
+
+    Exactness at the gate: register sums are pure integers; the float
+    estimate stays out (ext_hll_distinct convention), accuracy pinned
+    in tests. The register×day grid is filled densely so absent
+    (day, reg) cells roll as rank 0 — identical semantics in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias(
+                "day"
+            ),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .distinct()
+    )
+    dregs = sketches.hll_register_rows(ev, ["day"], "uid")
+    days = ev.select("day").distinct()
+    regs = dregs.select("reg").distinct()
+    grid = days.crossJoin(regs)
+    filled = grid.join(dregs, ["day", "reg"], "left").select(
+        "day", "reg", F.coalesce("rank", F.lit(0)).alias("rank")
+    )
+    wroll = (
+        Window.partitionBy("reg").orderBy("day").rowsBetween(-6, 0)
+    )
+    rolled = filled.withColumn("rank", F.max("rank").over(wroll))
+    pos = F.col("rank") > 0
+    summ = rolled.groupBy("day").agg(
+        (
+            F.sum(
+                F.when(
+                    pos,
+                    F.pow(F.lit(2.0), 40 - F.col("rank")).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            + (F.lit(256) - F.count_if(pos))
+            * F.pow(F.lit(2.0), 40).cast("long")
+        )
+        .cast("long")
+        .alias("hll_sum_scaled"),
+        (F.lit(256) - F.count_if(pos)).cast("int").alias("hll_zero_regs"),
+    )
+    e1, e2 = days.alias("d"), ev.alias("e")
+    exact = (
+        e1.join(
+            e2,
+            (F.col("e.day") >= F.col("d.day") - 6)
+            & (F.col("e.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.uid").alias("exact_rolling"))
+    )
+    return summ.join(exact, "day").select(
+        "day", "exact_rolling", "hll_sum_scaled", "hll_zero_regs"
+    )

