@@ -621,3 +621,104 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     MRR (first-hit depth)."""
     e = load(spark, sf_dir, "embeddings")
     return retrieval.ann_mrr_eval(e, "vec_id", "embedding", 50, 10)
+
+
+@register(
+    "retrieval_sentence_chunks",
+    survey_ref="[EXT] sentence-aware RAG chunking: sentences never "
+    "split mid-thought (the quality upgrade over fixed token windows "
+    "— ext_chunk_overlap); chunk assignment is start-offset "
+    "bucketing (floor(start_token/48)), window-expressible with NO "
+    "greedy recurrence, overshoot bounded by one sentence",
+    oracle="""
+    WITH sents0 AS (
+      SELECT doc_id, trim(s) AS sent,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY i) AS sidx
+      FROM (
+        SELECT doc_id, unnest(str_split_regex(text, '[.!?]+')) AS s,
+               unnest(range(len(str_split_regex(text, '[.!?]+')))) AS i
+        FROM documents)
+      WHERE trim(s) <> ''),
+    sents AS (
+      SELECT doc_id, sidx, sent,
+             len(list_filter(str_split(trim(regexp_replace(lower(sent),
+               '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> ''))
+               AS n_toks
+      FROM sents0),
+    offs AS (
+      SELECT doc_id, sidx, sent, n_toks,
+             coalesce(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY sidx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM sents)
+    SELECT doc_id, CAST(start_off // 48 AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           string_agg(sent, ' ' ORDER BY sidx) AS chunk_text
+    FROM offs GROUP BY doc_id, chunk_id
+    """,
+)
+def retrieval_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunks that never cut a sentence: split on [.!?] runs,
+    assign each sentence to chunk floor(start_token_offset / 48) —
+    every sentence lands wholly in one chunk, chunks overshoot the
+    48-token budget by at most one sentence, and the assignment is a
+    plain cumsum window (a true greedy packer is a sequential
+    recurrence; the start-offset rule keeps the 100 TB path
+    window-only, the documented pack_sequences trade).
+
+    Scale shape: one split/explode pass, doc-keyed windows for the
+    sentence index and running offset, one (doc, chunk) rollup with
+    the lambda-free sorted-struct text rebuild. Empty segments (the
+    trailing split artifact, runs of punctuation) are filtered
+    relationally on BOTH engines before indexing so sentence numbers
+    can't diverge."""
+    from pyspark.sql import Window
+
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("i", "s"),
+    ).withColumn("sent", F.trim("s"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sents = (
+        raw.filter(F.col("sent") != "")
+        .withColumn("sidx", F.row_number().over(w))
+        .withColumn("n_toks", F.size(tokenize(F.col("sent"))))
+    )
+    woff = Window.partitionBy("doc_id").orderBy("sidx")
+    offs = sents.withColumn(
+        "start_off",
+        F.coalesce(
+            F.sum("n_toks").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        offs.groupBy(
+            "doc_id",
+            F.expr("start_off div 48").alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.collect_list(F.struct("sidx", "sent"))
+                ).getField("sent"),
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_sentences",
+            "n_tokens",
+            "chunk_text",
+        )
+    )

@@ -346,3 +346,41 @@ def test_mrr_eval_consistency(spark):
     assert set(ndcg) == set(mrr)
     for q, n_hits in ndcg.items():
         assert (n_hits > 0) == (mrr[q][0] > 0)
+
+
+def test_sentence_chunks_never_split_sentences(spark):
+    """Every sentence appears whole in exactly one chunk, chunk token
+    counts respect the start-offset rule (start < 48*(chunk_id+1)),
+    and concatenating chunks in order reproduces the sentence stream."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    rows = (
+        load_catalog()["retrieval_sentence_chunks"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).collect()
+    import re
+
+    for d in docs[:50]:
+        sents = [
+            s.strip() for s in re.split(r"[.!?]+", d["text"]) if s.strip()
+        ]
+        chunks = sorted(by_doc.get(d["doc_id"], []), key=lambda r: r["chunk_id"])
+        if not sents:
+            assert not chunks
+            continue
+        joined = " ".join(c["chunk_text"] for c in chunks)
+        assert joined == " ".join(sents)  # whole sentences, in order
+        assert sum(c["n_sentences"] for c in chunks) == len(sents)
+        # every chunk's first sentence starts below the bucket boundary
+        running = 0
+        for c in chunks:
+            assert running < 48 * (c["chunk_id"] + 1)
+            running += c["n_tokens"]
