@@ -722,3 +722,123 @@ def retrieval_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text",
         )
     )
+
+
+# Misspelled query terms and their 1-char-delete keys, computed ONCE in
+# Python and shipped to BOTH engines as literals (the shared-literal
+# discipline: neither engine generates the query-side keys itself)
+_SPELL_QUERIES = ("windw", "qury", "mergge")
+
+
+def _delete_keys(term: str) -> list[str]:
+    return [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]
+
+
+_SPELL_QROWS = ", ".join(
+    f"('{q}', '{k}')" for q in _SPELL_QUERIES for k in _delete_keys(q)
+)
+
+
+@register(
+    "retrieval_spell_correct",
+    survey_ref="[EXT] did-you-mean spell correction via SymSpell "
+    "delete-key indexing (Garbe): vocabulary terms index under their "
+    "1-char-delete keys, query keys hash-join the index — candidates "
+    "are bounded by key collisions (never levenshtein against the "
+    "whole vocabulary), then exact edit-distance verify + "
+    "(distance, -freq, term) ranking",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT term, count(*) AS freq FROM (
+        SELECT unnest({{toks}}) AS term FROM documents)
+      GROUP BY term),
+    vkeys AS (
+      SELECT term, freq, unnest(
+        list_prepend(term, list_transform(range(1, len(term) + 1),
+          i -> substring(term, 1, i - 1)
+               || substring(term, i + 1, len(term) - i)))) AS k
+      FROM vocab),
+    qkeys AS (SELECT * FROM (VALUES {_SPELL_QROWS}) q(query_term, k)),
+    cand AS (
+      SELECT DISTINCT q.query_term, v.term, v.freq
+      FROM qkeys q JOIN vkeys v USING (k)),
+    verified AS (
+      SELECT query_term, term AS suggestion, freq,
+             levenshtein(query_term, term) AS dist
+      FROM cand WHERE levenshtein(query_term, term) <= 1),
+    ranked AS (
+      SELECT query_term, suggestion, CAST(dist AS INT) AS dist,
+             CAST(freq AS BIGINT) AS freq,
+             row_number() OVER (PARTITION BY query_term
+               ORDER BY dist ASC, freq DESC, suggestion ASC) AS rnk
+      FROM verified)
+    SELECT query_term, suggestion, dist, freq, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """.replace(
+        "{toks}",
+        "list_filter(str_split(trim(regexp_replace(lower(text), "
+        "'[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')",
+    ),
+)
+def retrieval_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 corrections per misspelled query term from the corpus
+    vocabulary, SymSpell style: every vocab term indexes under itself
+    plus its 1-char deletions; the query side ships its own delete
+    keys as SHARED LITERALS; a hash join on the key generates
+    candidates and exact levenshtein <= 1 verifies. Frequency breaks
+    ranking ties (the language-model prior), then the term itself.
+
+    Scale shape: the delete index is vocabulary-sized x (len+1) keys
+    — Heaps-bounded, built once and reusable at rest; the probe is a
+    handful of literal keys hash-joined against it, so NO levenshtein
+    ever runs against the full vocabulary (the all-pairs trap). The
+    one lambda HOF runs over the VOCABULARY table, not the corpus
+    (the BPE-train precedent for vocabulary-sized Python/HOF work)."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ln = F.length("term")
+    dels = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda i: F.concat(
+            F.substring("term", 1, i - 1),
+            F.col("term").substr(i + 1, ln - i),
+        ),
+    )
+    vkeys = vocab.select(
+        "term",
+        "freq",
+        F.explode(F.concat(F.array(F.col("term")), dels)).alias("k"),
+    )
+    qrows = [
+        (q, k) for q in _SPELL_QUERIES for k in _delete_keys(q)
+    ]
+    qkeys = spark.createDataFrame(qrows, ["query_term", "k"])
+    cand = (
+        vkeys.join(F.broadcast(qkeys), "k")
+        .select("query_term", "term", "freq")
+        .distinct()
+    )
+    dist = F.levenshtein("query_term", "term")
+    verified = cand.withColumn("dist", dist).filter(F.col("dist") <= 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_term").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("term")
+    )
+    return (
+        verified.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_term",
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

