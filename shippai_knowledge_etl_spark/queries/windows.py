@@ -1252,3 +1252,96 @@ def behavior_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_event_type",
         "sum_value",
     )
+
+
+@register(
+    "w19_burst_detection",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): per-key "
+    "burst detection — each event type's daily volume against its own "
+    "trailing-7-day baseline (CUSUM's per-key complement: CUSUM finds "
+    "sustained global drift, this finds per-category spikes); dense "
+    "(type, day) grid fill so ROWS frames equal time windows, "
+    "integer-exact burst flag gated on a FULL baseline week",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (SELECT t.event_type, d.day FROM types t CROSS JOIN days d),
+    filled AS (
+      SELECT g.event_type, g.day, coalesce(x.n, 0) AS n
+      FROM grid g LEFT JOIN daily x
+        ON x.event_type = g.event_type AND x.day = g.day),
+    scored AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS base7,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS days7
+      FROM filled)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(coalesce(base7, 0) AS BIGINT) AS base7,
+           CAST(days7 AS INT) AS days7,
+           round(CAST(days7 * n AS DOUBLE)
+                 / greatest(coalesce(base7, 0), 1), 6) AS burst_ratio,
+           days7 = 7 AND coalesce(base7, 0) > 0
+             AND 7 * n >= 2 * coalesce(base7, 0) AS is_burst
+    FROM scored
+    """,
+)
+def w19_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume against its own trailing-week
+    baseline: burst_ratio ≈ today / trailing-daily-average, and an
+    integer-exact flag at the 2x threshold (7·n ≥ 2·base7 — no float
+    boundary). CUSUM (w15) finds sustained global drift; this finds
+    which CATEGORY spiked today.
+
+    Scale shape: the (type, day) rollup cuts the stream first
+    (map-side partials); the grid fill is a dimension-by-dimension
+    cross of two SMALL distinct sets (types × days — never the raw
+    stream) so missing days count as zero and the ROWS frame equals a
+    true time window; the baseline is one type-partitioned window on
+    the rollup."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(days)
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = filled.withColumn(
+        "base7", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("days7", F.count(F.lit(1)).over(w))
+    return scored.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("base7").cast("long").alias("base7"),
+        F.col("days7").cast("int").alias("days7"),
+        F.round(
+            (F.col("days7") * F.col("n")).cast("double")
+            / F.greatest(F.col("base7"), F.lit(1)),
+            6,
+        ).alias("burst_ratio"),
+        (
+            (F.col("days7") == 7)
+            & (F.col("base7") > 0)
+            & (7 * F.col("n") >= 2 * F.col("base7"))
+        ).alias("is_burst"),
+    )

@@ -593,3 +593,39 @@ def test_lttb_kernel_golden_and_invariants(spark):
     assert len(u2) == 4  # short series passes through whole
     out2 = lttb_downsample(df, "user_id", "t", "x", k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_burst_detection_planted_spike(spark):
+    """A planted 10x single-day spike on one type flags is_burst for
+    exactly that (type, day); steady types never flag."""
+    import datetime
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(14):
+        for _ in range(5):  # steady: 5/day
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "steady", 1.0, "{}"))
+            eid += 1
+        n = 50 if day == 10 else 5  # spiky: 10x on day 10
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "spiky", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = (
+            load_catalog()["w19_burst_detection"]
+            .fn(spark, td)
+            .collect()
+        )
+    flagged = {(r["event_type"], r["day"]) for r in out if r["is_burst"]}
+    day0 = min(r["day"] for r in out)
+    assert flagged == {("spiky", day0 + 10)}

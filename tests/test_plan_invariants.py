@@ -83,6 +83,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # the exact ground truth is a non-equi trailing-window range join
     # against the day dimension (drops with the exact column at scale)
     "ext_hll_rolling_distinct",
+    # same bounded grid-fill shape: |event types| x |days| dimension
+    # cross, never the raw stream
+    "w19_burst_detection",
 }
 
 
