@@ -710,3 +710,59 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1_share"),
     )
+
+
+@register(
+    "quality_referential_integrity",
+    survey_ref="§2.3-adjacent (beyond-reference built-in): warehouse "
+    "referential-integrity audit — orphan counts for every FK edge of "
+    "the TPC-H-ish schema via LEFT ANTI joins (the dimension side "
+    "broadcasts; the fact side never shuffles for the probe), plus "
+    "row totals so the report is self-normalizing",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders o ANTI JOIN customer c
+        ON c.c_custkey = o.o_custkey) AS orphan_orders,
+      (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        ON o.o_orderkey = l.l_orderkey) AS orphan_lineitems,
+      (SELECT count(*) FROM lineitem l ANTI JOIN part p
+        ON p.p_partkey = l.l_partkey) AS orphan_part_refs,
+      (SELECT count(*) FROM lineitem l ANTI JOIN supplier s
+        ON s.s_suppkey = l.l_suppkey) AS orphan_supp_refs,
+      (SELECT count(*) FROM orders) AS n_orders,
+      (SELECT count(*) FROM lineitem) AS n_lineitems
+    """,
+)
+def quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orphan-row counts for each foreign-key edge (orders→customer,
+    lineitem→orders/part/supplier) — the load-audit run after every
+    ingest; zero means the snapshot is join-safe, nonzero localizes
+    WHICH edge broke. Anti-joins broadcast the key-only dimension
+    projection, so the fact side is scanned once per edge and never
+    shuffles; at 100 TB the four probes share the fact scan via
+    column pruning (each reads one key column)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey")
+    oo = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).count()
+    okeys = o.select("o_orderkey")
+    ol = li.join(
+        F.broadcast(okeys), li.l_orderkey == okeys.o_orderkey, "left_anti"
+    ).count()
+    op = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti"
+    ).count()
+    os_ = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(oo, ol, op, os_, o.count(), li.count())],
+        "orphan_orders long, orphan_lineitems long, orphan_part_refs long,"
+        " orphan_supp_refs long, n_orders long, n_lineitems long",
+    )

@@ -629,3 +629,52 @@ def test_burst_detection_planted_spike(spark):
     flagged = {(r["event_type"], r["day"]) for r in out if r["is_burst"]}
     day0 = min(r["day"] for r in out)
     assert flagged == {("spiky", day0 + 10)}
+
+
+def test_referential_integrity_detects_planted_orphans(spark):
+    """Planted FK breaks are counted on exactly the right edge; a
+    clean snapshot reports zeros (the pinned corpus is clean)."""
+    import os
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    fn = load_catalog()["quality_referential_integrity"].fn
+    clean = fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (
+        clean["orphan_orders"],
+        clean["orphan_lineitems"],
+        clean["orphan_part_refs"],
+        clean["orphan_supp_refs"],
+    ) == (0, 0, 0, 0)
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, "c", 0.0, "B")],
+            "c_custkey long, c_name string, c_acctbal double,"
+            " c_mktsegment string",
+        ).write.parquet(os.path.join(td, "customer.parquet"))
+        spark.createDataFrame(
+            # order 20 references missing customer 99
+            [(10, 1, "O", 5.0, "1-URGENT"), (20, 99, "O", 5.0, "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderpriority string",
+        ).write.parquet(os.path.join(td, "orders.parquet"))
+        spark.createDataFrame(
+            # line 2 references missing order 77; line 3 missing part 55
+            [(10, 1, 1, 1.0), (77, 1, 1, 1.0), (10, 55, 1, 1.0)],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_quantity double",
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "p")], "p_partkey long, p_name string"
+        ).write.parquet(os.path.join(td, "part.parquet"))
+        spark.createDataFrame(
+            [(1, "s")], "s_suppkey long, s_name string"
+        ).write.parquet(os.path.join(td, "supplier.parquet"))
+        r = fn(spark, td).collect()[0]
+    assert r["orphan_orders"] == 1
+    assert r["orphan_lineitems"] == 1
+    assert r["orphan_part_refs"] == 1
+    assert r["orphan_supp_refs"] == 0
+    assert (r["n_orders"], r["n_lineitems"]) == (2, 3)
