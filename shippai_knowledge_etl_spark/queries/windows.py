@@ -1345,3 +1345,82 @@ def w19_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (7 * F.col("n") >= 2 * F.col("base7"))
         ).alias("is_burst"),
     )
+
+
+@register(
+    "w20_forecast_backtest",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): "
+    "seasonal-naive forecast backtest — predict each (type, day) "
+    "volume as the same type's volume 7 days earlier, score MAE and "
+    "bias per type over the evaluable window; the baseline every "
+    "real forecaster must beat, and the backtest harness is the "
+    "reusable part (lag on the dense grid, integer errors)",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (SELECT t.event_type, d.day FROM types t CROSS JOIN days d),
+    filled AS (
+      SELECT g.event_type, g.day, coalesce(x.n, 0) AS n
+      FROM grid g LEFT JOIN daily x
+        ON x.event_type = g.event_type AND x.day = g.day),
+    preds AS (
+      SELECT event_type, day, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS pred
+      FROM filled)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_sum,
+           CAST(sum(n - pred) AS BIGINT) AS bias_sum,
+           round(CAST(sum(abs(n - pred)) AS DOUBLE) / count(*), 6)
+             AS mae
+    FROM preds WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w20_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict = value 7
+    days earlier) on per-type daily volumes: MAE and signed bias per
+    type over every day with a week of history. Seasonal-naive is
+    the floor any real model must beat, and this harness — dense
+    grid, lag-k prediction column, integer error aggregates — is
+    what a real backtest reuses with a better ``pred``.
+
+    Scale shape: identical to w19's — the (type, day) rollup cuts
+    the stream first, the grid is a small-dimension cross, the lag
+    and error aggregates ride the type-keyed partitioning; errors
+    are exact integers with one rounded division per type."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    filled = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    preds = filled.withColumn("pred", F.lag("n", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("n") - F.col("pred")
+    return preds.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.sum(F.abs(err)).cast("long").alias("abs_err_sum"),
+        F.sum(err).cast("long").alias("bias_sum"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae"),
+    )

@@ -678,3 +678,38 @@ def test_referential_integrity_detects_planted_orphans(spark):
     assert r["orphan_part_refs"] == 1
     assert r["orphan_supp_refs"] == 0
     assert (r["n_orders"], r["n_lineitems"]) == (2, 3)
+
+
+def test_forecast_backtest_perfect_on_weekly_periodic(spark):
+    """A perfectly 7-day-periodic series backtests to MAE 0 and zero
+    bias; a trending series shows positive bias (under-forecast)."""
+    import datetime
+    import os
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 3, 1)
+    rows, eid = [], 0
+    for day in range(21):
+        for _ in range(3 + (day % 7)):  # periodic: same weekday = same n
+            rows.append((eid, base + datetime.timedelta(days=day), eid % 2, "periodic", 1.0, "{}"))
+            eid += 1
+        for _ in range(day + 1):  # trending: grows every day
+            rows.append((eid, base + datetime.timedelta(days=day), eid % 2, "trending", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            r["event_type"]: r
+            for r in load_catalog()["w20_forecast_backtest"]
+            .fn(spark, td)
+            .collect()
+        }
+    assert out["periodic"]["mae"] == 0.0
+    assert out["periodic"]["bias_sum"] == 0
+    assert out["trending"]["bias_sum"] == 7 * 14  # +7/day over 14 days
+    assert out["trending"]["mae"] == 7.0

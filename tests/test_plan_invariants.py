@@ -86,6 +86,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # same bounded grid-fill shape: |event types| x |days| dimension
     # cross, never the raw stream
     "w19_burst_detection",
+    "w20_forecast_backtest",  # identical bounded grid-fill shape
 }
 
 
