@@ -1476,3 +1476,151 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, two rounded divisions at the gate."""
     d = load(spark, sf_dir, "documents")
     return curate.source_overlap_matrix(d, "text", "source", n=3)
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+_GOPHER_PLANT_SQL = """gplant AS (
+  SELECT doc_id, concat_ws(chr(10),
+    text,
+    CASE WHEN doc_id % 3 = 0 THEN '- bullet item one' END,
+    CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' END,
+    CASE WHEN doc_id % 7 = 0 THEN '12345 67890 42' END,
+    CASE WHEN doc_id % 11 = 0 THEN '# heading marker' END
+  ) AS page FROM documents
+)"""
+
+
+@register(
+    "curation_gopher_rules",
+    survey_ref=(
+        "[EXT] Gopher document-level quality rules (Rae et al. 2021 "
+        "table A1): word-count bounds, mean-word-length band, "
+        "symbol-to-word ratio, digit-only-word share, bullet/ellipsis "
+        "line ratios, minimum distinct stop words — all as integer "
+        "cross-multiplications, zero-shuffle scan-side map"
+    ),
+    oracle="WITH "
+    + _GOPHER_PLANT_SQL
+    + """,
+    feat AS (
+      SELECT doc_id, page,
+        list_filter(str_split(trim(regexp_replace(lower(page),
+          '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM gplant
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(length(array_to_string(toks, '')) AS BIGINT) AS n_word_chars,
+        CAST(len(regexp_extract_all(array_to_string(toks, chr(10)),
+          '(?m)^\\p{Nd}+$')) AS BIGINT) AS n_digit_words,
+        CAST(length(page) - length(replace(page, '#', ''))
+          + (length(page) - length(replace(page, '...', ''))) // 3
+          AS BIGINT) AS n_symbols,
+        CAST(len(str_split(page, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(regexp_extract_all(page, '(?m)^[-*•]')) AS BIGINT)
+          AS n_bullet_lines,
+        CAST(len(regexp_extract_all(page, '(?m)\\.\\.\\.$')) AS BIGINT)
+          AS n_ellipsis_lines,
+        CAST(list_contains(toks, 'and') AS BIGINT)
+          + CAST(list_contains(toks, 'be') AS BIGINT)
+          + CAST(list_contains(toks, 'have') AS BIGINT)
+          + CAST(list_contains(toks, 'of') AS BIGINT)
+          + CAST(list_contains(toks, 'that') AS BIGINT)
+          + CAST(list_contains(toks, 'the') AS BIGINT)
+          + CAST(list_contains(toks, 'to') AS BIGINT)
+          + CAST(list_contains(toks, 'with') AS BIGINT) AS n_stop_kinds
+      FROM feat
+    )
+    SELECT doc_id, n_words, n_word_chars, n_digit_words, n_symbols,
+           n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_kinds,
+           (n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= n_word_chars
+            AND n_word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 5 * n_digit_words <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND n_stop_kinds >= 2) AS keep
+    FROM m
+    """,
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's document-level quality gate (Rae et al. 2021, table A1)
+    over planted web-page-shaped documents: word-count bounds [50,
+    100k], mean word length in [3, 10], symbol-to-word ratio ≤ 0.1
+    ('#' chars + '...' runs), ≥ 80 % of words alphabetic (⟺ digit-only
+    words ≤ 20 %), bullet-started lines ≤ 90 %, ellipsis-ended lines
+    ≤ 30 %, and ≥ 2 distinct required stop words. The plant injects
+    bullet / ellipsis / digit-run / '#' lines on deterministic doc_id
+    residues so the driver run exercises every rule branch; the base
+    corpus's 10–99-word spread makes the word-count bound split too.
+
+    Scale shape: a pure per-row map riding the scan — zero shuffles,
+    no Python, no lambda HOFs (digit-only words are counted with one
+    multiline regexp_count over the newline-joined token array; word
+    chars via length(array_join(toks, ''))). Every ratio threshold is
+    an integer cross-multiplication, so the keep verdict is
+    bit-identical across engines and partitionings — no FP boundary
+    row can flip. At 100 TB this is the same shape as c4_rules: the
+    filter a crawl pass runs before anything shuffles."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("- bullet item one")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("to be continued...")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("12345 67890 42")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("# heading marker")),
+    )
+    planted = d.select("doc_id", page.alias("page"))
+    # Single tokenize evaluation pinned behind a Generate barrier (the
+    # curation-pipeline idiom: CollapseProject would otherwise inline
+    # the regex+split into every derived column).
+    toks = planted.select(
+        "doc_id", "page", F.explode(F.array(tokenize(F.col("page")))).alias("toks")
+    )
+    n_words = F.size("toks").cast("long")
+    m = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.length(F.array_join("toks", "")).cast("long").alias("n_word_chars"),
+        F.regexp_count(
+            F.array_join("toks", "\n"), F.lit(r"(?m)^\p{Nd}+$")
+        ).cast("long").alias("n_digit_words"),
+        (
+            F.length("page")
+            - F.length(F.replace(F.col("page"), F.lit("#"), F.lit("")))
+            + (
+                F.length("page")
+                - F.length(F.replace(F.col("page"), F.lit("..."), F.lit("")))
+            ).cast("long")
+            / F.lit(3)
+        ).cast("long").alias("n_symbols"),
+        F.size(F.split("page", "\n", -1)).cast("long").alias("n_lines"),
+        F.regexp_count(F.col("page"), F.lit("(?m)^[-*•]"))
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.regexp_count(F.col("page"), F.lit(r"(?m)\.\.\.$"))
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        sum(
+            F.array_contains("toks", w).cast("long") for w in _GOPHER_STOPS
+        ).alias("n_stop_kinds"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & (3 * F.col("n_words") <= F.col("n_word_chars"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_symbols") <= F.col("n_words"))
+        & (5 * F.col("n_digit_words") <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (F.col("n_stop_kinds") >= 2),
+    )

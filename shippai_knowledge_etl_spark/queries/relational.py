@@ -753,3 +753,58 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "q13_customer_distribution",
+    survey_ref="TPC-H Q13 shape (beyond-reference built-in): customer "
+    "order-count distribution — LEFT OUTER join that must preserve "
+    "zero-order customers, then a second aggregation over the first's "
+    "output (count-of-counts); the outer-join + two-level-agg plan "
+    "family's first catalog entry",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N (non-urgent) orders — TPC-H
+    Q13's count-of-counts shape, the canonical "distribution of
+    engagement" report. The LEFT OUTER join is load-bearing: customers
+    with zero qualifying orders must appear as c_count = 0, which an
+    inner join silently drops (and which is why Q13 famously cannot be
+    pre-aggregated on the orders side alone — the zero groups only
+    exist on the customer side).
+
+    Scale shape: the orders side is pre-aggregated to one row per
+    custkey BEFORE the join (cuts the join input from |orders| to
+    ≤|customer| rows — at 100 TB that is the difference between
+    shuffling the fact table and shuffling a per-key rollup), then a
+    custkey-keyed shuffle join against customer keeps zero-order rows
+    via coalesce(cnt, 0), and the final count-of-counts aggregates a
+    ≤|customer|-row input on a tiny key domain. The non-equi predicate
+    (o_orderpriority <> '1-URGENT') pushes into the orders scan as a
+    pushed filter, not a join residual. Both aggregations are integer
+    counts — hash-exact at any parallelism."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
