@@ -90,6 +90,72 @@ def shingle_structs(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(sz >= n, zipped).otherwise(short))
 
 
+def shingle_pos_structs(col: Column, n: int = 10) -> Column:
+    """ALL word n-grams in stream order (no distinct), as structs, so
+    ``posexplode`` yields (token_position, shingle) pairs — the input
+    substring-level dedup needs (duplicated-passage spans must know
+    WHERE a gram sits, not just that it exists). Same lambda-free
+    arrays_zip-of-slices construction as :func:`shingle_structs`
+    (whole-stage codegen, no HOF interpreter fallback); documents
+    shorter than ``n`` tokens yield an empty array — they cannot
+    contain an ``n``-token passage."""
+    toks = tokenize(col)
+    sz = F.size(toks)
+    win = F.greatest(sz - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, win).alias(f"t{i}") for i in range(n)]
+    )
+    return F.when(sz >= n, zipped).otherwise(F.slice(zipped, 1, 0))
+
+
+def duplicated_passage_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10
+) -> DataFrame:
+    """Maximal cross-document duplicated passages (substring dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" — the suffix-array NearDup's relational analog): every run
+    of consecutive token positions whose ``n``-gram also appears in at
+    least one OTHER document, merged into (span_start, span_tokens)
+    islands per document.
+
+    Shape (the 100 TB argument):
+      - ONE evaluation of tokenize+shingling pinned behind the
+        posexplode Generate barrier; positions ride as 4-byte ints.
+      - gram-keyed aggregation counts DISTINCT owning docs (map-side
+        partial agg on (gram, doc) first would double the shuffle — the
+        countDistinct partial handles it), then the positions re-join
+        the ≥2-doc grams ON THE SAME gram key: Catalyst reuses one
+        hash partitioning for both sides, no third shuffle.
+      - islands (gaps-and-islands: pos − row_number) run under a
+        doc-keyed window — the output-side shuffle carries only
+        duplicated positions, a tiny fraction of the corpus.
+      - boilerplate grams owned by thousands of docs would fan the
+        re-join out; production runs cap df exactly like
+        :func:`jaccard_pairs`' ``max_df`` (a cap only SHRINKS spans,
+        never invents them). Uncapped here for oracle exactness.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(shingle_pos_structs(F.col(text_col), n)).alias(
+            "pos", "gram"
+        ),
+    )
+    multi = (
+        base.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = base.join(multi, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy(id_col, "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("grp")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import dedup
+from shippai_knowledge_etl_spark.operators.textops import tokenize
 from shippai_knowledge_etl_spark.tables import load, scale_out
 
 
@@ -1184,3 +1185,74 @@ def graph_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering"
     )
     return pr.join(kc, "doc_id").join(tc, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-passage spans (substring dedup)
+# ---------------------------------------------------------------------------
+
+# Plant: a middle-slice fragment (tokens 11..40, 1-based) of every 25th
+# doc re-enters as its own document, so originals exhibit an INTERNAL
+# maximal duplicated passage (start=10, 30 tokens, 0-based) rather than
+# the full-copy degenerate case — exactly what substring dedup exists to
+# find and block dedup (dedup_spans) cannot localize.
+_FRAG_SQL = f"""
+    fragged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(list_slice({{toks}}, 11, 40), ' ') AS text
+      FROM documents
+      WHERE doc_id % 25 = 0 AND len({{toks}}) >= 40)
+"""
+
+
+@register(
+    "dedup_dup_passages",
+    survey_ref=(
+        "[EXT] duplicated-passage spans (substring dedup, Lee et al. "
+        "2022): maximal runs of 10-gram positions shared with another "
+        "document, merged gaps-and-islands style into (start, length) "
+        "spans — localizes WHAT to cut where block dedup only flags"
+    ),
+    oracle="WITH "
+    + _FRAG_SQL.format(toks=_TOKS_SQL)
+    + f""",
+    base AS (SELECT doc_id, {_TOKS_SQL} AS toks
+             FROM fragged),
+    sh0 AS (SELECT doc_id, toks, unnest(range(len(toks) - 9)) AS pos
+            FROM base WHERE len(toks) >= 10),
+    sh AS (SELECT doc_id, pos,
+                  array_to_string(list_slice(toks, pos + 1, pos + 10), ' ')
+                    AS gram
+           FROM sh0),
+    multi AS (SELECT gram FROM sh GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN multi USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens,
+           count(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated passages over a corpus with
+    planted middle-slice fragments: each fragmented original reports
+    one island at span_start 10 / span_tokens 30, the fragment doc
+    reports its full extent, and organic 10-gram collisions surface as
+    short spans. See ``dedup.duplicated_passage_spans`` for the
+    gram-shuffle + islands plan; this is the operator substring-level
+    dedup pipelines run where block-level (dedup_spans) merely flags."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    frags = d.filter((F.col("doc_id") % 25 == 0) & (F.size(toks) >= 40)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+    )
+    corpus = scale_out(d.select("doc_id", "text").unionByName(frags))
+    return dedup.duplicated_passage_spans(corpus, "doc_id", "text", n=10)

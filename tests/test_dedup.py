@@ -549,3 +549,52 @@ def test_negative_edges_are_true_non_edges(spark):
         assert u != v and (u, v) not in und and u < v
     out2 = negative_edges(nodes, edges, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_duplicated_passage_spans_localize_planted_fragment(spark):
+    """A doc whose tokens 5..24 re-enter as a fragment doc must report
+    exactly one island (span_start=5, span_tokens=20); a doc sharing
+    nothing reports none; the fragment itself spans its full extent."""
+    words = [f"w{i}x" for i in range(60)]
+    donor = " ".join(words)
+    frag = " ".join(words[5:25])
+    other = " ".join(f"q{i}z" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, donor), (2, frag), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_tokens, r.n_grams)
+        for r in dedup.duplicated_passage_spans(
+            df, "doc_id", "text", n=10
+        ).collect()
+    }
+    assert got == {1: (5, 20, 11), 2: (0, 20, 11)}
+
+
+def test_duplicated_passage_spans_merge_adjacent_runs(spark):
+    """Two overlapping shared regions in one doc merge into ONE maximal
+    island — the gaps-and-islands property block dedup lacks."""
+    words = [f"w{i}x" for i in range(50)]
+    donor = " ".join(words)
+    # f1 duplicates donor 10-gram positions 0..10, f2 positions 8..18:
+    # the position runs overlap, so ONE island [0..18] must come back
+    # (span_tokens = 18 + 10 = 28), never two abutting spans.
+    f1 = " ".join(words[0:20])
+    f2 = " ".join(words[8:28])
+    df = spark.createDataFrame(
+        [(1, donor), (2, f1), (3, f2)], ["doc_id", "text"]
+    )
+    got = dedup.duplicated_passage_spans(df, "doc_id", "text", n=10)
+    donor_spans = [
+        (r.span_start, r.span_tokens)
+        for r in got.filter(F.col("doc_id") == 1).collect()
+    ]
+    assert donor_spans == [(0, 28)]
+
+
+def test_duplicated_passage_spans_short_docs_empty(spark):
+    """Documents shorter than n tokens cannot host a passage."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    assert dedup.duplicated_passage_spans(df, "doc_id", "text", n=10).count() == 0
