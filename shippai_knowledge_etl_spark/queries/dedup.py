@@ -1256,3 +1256,67 @@ def dedup_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = scale_out(d.select("doc_id", "text").unionByName(frags))
     return dedup.duplicated_passage_spans(corpus, "doc_id", "text", n=10)
+
+
+@register(
+    "graph_link_prediction",
+    survey_ref=(
+        "[EXT] neighborhood link prediction (Liben-Nowell & Kleinberg "
+        "2003): common-neighbor / Adamic-Adar / neighbor-Jaccard "
+        "scores for every 2-hop pair, generated AT the shared "
+        "neighbor (wedge fan-out, never all-pairs); complements "
+        "graph_negative_edges' sampled training set with the "
+        "classical scoring side"
+    ),
+    oracle=f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    adj AS (SELECT u AS z, v AS nb FROM und
+            UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+    pairs AS (
+      SELECT a1.nb AS i, a2.nb AS j,
+             CAST(round(1.0 / ln(d.deg), 6) AS DECIMAL(18,6)) AS aa_term
+      FROM adj a1
+      JOIN adj a2 ON a1.z = a2.z AND a1.nb < a2.nb
+      JOIN deg d ON d.z = a1.z),
+    sc AS (SELECT i, j, count(*) AS common_neighbors, sum(aa_term) AS aa
+           FROM pairs GROUP BY i, j)
+    SELECT sc.i, sc.j,
+           CAST(sc.common_neighbors AS BIGINT) AS common_neighbors,
+           round(CAST(sc.aa AS DOUBLE), 6) AS adamic_adar,
+           round(CAST(sc.common_neighbors AS DOUBLE)
+                 / (di.deg + dj.deg - sc.common_neighbors), 6) AS jaccard,
+           COALESCE(e.ef, FALSE) AS is_edge
+    FROM sc
+    JOIN deg di ON di.z = sc.i
+    JOIN deg dj ON dj.z = sc.j
+    LEFT JOIN (SELECT u, v, TRUE AS ef FROM und) e
+      ON e.u = sc.i AND e.v = sc.j
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the synthetic link graph: every
+    node pair with a common neighbor gets common-neighbor,
+    Adamic-Adar, and neighbor-Jaccard scores plus an is_edge flag —
+    ranking the high-score non-edges IS the prediction
+    (graph_negative_edges supplies the matching negative training
+    sample; this supplies the classical feature/score side). See
+    ``graph.link_prediction_scores`` for the wedge-bounded plan."""
+    from shippai_knowledge_etl_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    return link_prediction_scores(edges)

@@ -1424,3 +1424,177 @@ def w20_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(err)).cast("double") / F.count(F.lit(1)), 6
         ).alias("mae"),
     )
+
+
+def _daily_grid(spark: SparkSession, sf_dir: str):
+    """Dense (event_type, day) daily-volume grid — the shared input of
+    the w19/w20/w21/w22 time-series family (missing days count as 0 so
+    ROWS frames equal true time windows)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(days)
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+_DAILY_GRID_SQL = """
+    daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (SELECT t.event_type, d.day FROM types t CROSS JOIN days d),
+    filled AS (
+      SELECT g.event_type, g.day, coalesce(x.n, 0) AS n
+      FROM grid g LEFT JOIN daily x
+        ON x.event_type = g.event_type AND x.day = g.day)
+"""
+
+# Dyadic EWMA kernel: alpha = 1/2 truncated at 7 taps. Integer weights
+# 64..1 (newest..oldest) sum to 127, so the smoother is ONE integer
+# dot product and ONE division — no float recurrence, no cross-engine
+# pow(), and the truncation error vs the infinite kernel is bounded by
+# x_max/128 (documented, deterministic).
+_EWMA_WEIGHTS = (64, 32, 16, 8, 4, 2, 1)
+
+
+@register(
+    "w21_ewma_smoother",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): EWMA "
+    "trend smoother over per-type daily volume — alpha=1/2 kernel "
+    "truncated at 7 taps with dyadic integer weights (64..1)/127, so "
+    "the recurrence becomes one integer dot product over lags on the "
+    "dense grid; NULL until a full window (ramp-in rows visible, the "
+    "w19 lesson)",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    lagged AS (
+      SELECT event_type, day, n,
+             {", ".join(
+                 f"lag(n, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+                 f" AS l{k}" for k in range(1, 7)
+             )},
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS days7
+      FROM filled)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CASE WHEN days7 = 7 THEN CAST(
+             64 * n + 32 * l1 + 16 * l2 + 8 * l3 + 4 * l4 + 2 * l5 + l6
+             AS BIGINT) END AS ewma_num,
+           CASE WHEN days7 = 7 THEN round(CAST(
+             64 * n + 32 * l1 + 16 * l2 + 8 * l3 + 4 * l4 + 2 * l5 + l6
+             AS DOUBLE) / 127.0, 6) END AS ewma
+    FROM lagged
+    """,
+)
+def w21_ewma_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each event type's
+    daily volume — the trend line dashboards draw and alerting
+    baselines subtract. The classic EWMA is a sequential float
+    recurrence (unexpressible exactly in either engine without UDFs);
+    at alpha = 1/2 the kernel is dyadic, so truncating at 7 taps gives
+    integer weights 64..1 over the lag columns — one codegen'd dot
+    product, numerator exact at any parallelism, a single rounded
+    division at the gate. Ramp-in rows (fewer than 7 grid days) emit
+    NULL rather than a silently-underweighted average.
+
+    Scale shape: the (type, day) rollup cuts the stream map-side; the
+    lag window and the full-window count share the one type-keyed
+    shuffle of the w19/w20 family; the grid fill crosses two SMALL
+    distinct dims, never the raw stream."""
+    from pyspark.sql import Window
+
+    filled = _daily_grid(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = filled.select(
+        "event_type",
+        "day",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 7)],
+        F.count(F.lit(1))
+        .over(w.rowsBetween(-6, 0))
+        .alias("days7"),
+    )
+    num = sum(
+        (F.lit(wt) * (F.col("n") if k == 0 else F.col(f"l{k}")))
+        for k, wt in enumerate(_EWMA_WEIGHTS)
+    )
+    full = F.col("days7") == 7
+    return lagged.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.when(full, num.cast("long")).alias("ewma_num"),
+        F.when(full, F.round(num.cast("double") / 127.0, 6)).alias("ewma"),
+    )
+
+
+@register(
+    "w22_mad_outliers",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): "
+    "median/MAD robust outlier flag per event type — the robust "
+    "complement of w19's trailing-mean burst ratio (one 10x day "
+    "cannot drag a median the way it drags a mean); exact "
+    "interpolated percentiles on integer counts are dyadic rationals, "
+    "so the 3-MAD threshold compare is bit-identical across engines",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med
+      FROM filled GROUP BY event_type),
+    dev AS (
+      SELECT f.event_type, f.day, f.n, m.med,
+             abs(f.n - m.med) AS adev
+      FROM filled f JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           round(d.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           d.n > d.med + 3 * m.mad AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def w22_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier days: flag any day whose volume exceeds
+    median + 3·MAD of that type's own daily history. The mean-based
+    burst ratio (w19) is itself dragged by the spike it is trying to
+    flag; median/MAD is the standard robust replacement (Leys et al.
+    2013). All quantities are exact interpolated percentiles of
+    integers — dyadic rationals that both engines represent exactly —
+    so the threshold comparison cannot flicker at the boundary.
+
+    Scale shape: the dense grid aggregates to |types| median rows
+    twice (exact percentile is a sort-based agg over each type's ~day
+    count — bounded by the calendar, not the stream); both joins
+    broadcast the tiny per-type tables back onto the grid."""
+    filled = _daily_grid(spark, sf_dir)
+    med = filled.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = filled.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("n") > F.col("med") + 3 * F.col("mad")).alias("is_outlier"),
+    )

@@ -713,3 +713,89 @@ def test_forecast_backtest_perfect_on_weekly_periodic(spark):
     assert out["periodic"]["bias_sum"] == 0
     assert out["trending"]["bias_sum"] == 7 * 14  # +7/day over 14 days
     assert out["trending"]["mae"] == 7.0
+
+
+def _write_events(spark, td, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(os.path.join(td, "events.parquet"))
+
+
+def test_ewma_constant_series_is_identity(spark):
+    """A constant daily volume must smooth to itself exactly (kernel
+    weights sum to 127 → num = 127·n), and the first 6 grid days emit
+    NULL — never a silently-underweighted average."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(10):
+        for _ in range(4):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "flat", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = load_catalog()["w21_ewma_smoother"].fn(spark, td).collect()
+    by_day = {r["day"]: r for r in sorted(out, key=lambda r: r["day"])}
+    days = sorted(by_day)
+    for d in days[:6]:
+        assert by_day[d]["ewma"] is None
+    for d in days[6:]:
+        assert by_day[d]["ewma"] == 4.0
+        assert by_day[d]["ewma_num"] == 127 * 4
+
+
+def test_ewma_reacts_with_dyadic_weights(spark):
+    """Day after a single 10x spike, the smoother carries exactly the
+    32/127 tap of it — the kernel is the documented dyadic one."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(10):
+        n = 40 if day == 8 else 4
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "spiky", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = load_catalog()["w21_ewma_smoother"].fn(spark, td).collect()
+    by_day = {r["day"]: r for r in out}
+    d0 = min(by_day)
+    # day 9: weights (64·4 + 32·40 + (16+8+4+2+1)·4) = 1660
+    assert by_day[d0 + 9]["ewma_num"] == 64 * 4 + 32 * 40 + 31 * 4
+    assert by_day[d0 + 9]["ewma"] == round((64 * 4 + 32 * 40 + 31 * 4) / 127.0, 6)
+
+
+def test_mad_outliers_flag_spike_not_neighbors(spark):
+    """One 10x day flags itself and cannot drag the median/MAD enough
+    to flag steady days — the robustness the trailing mean lacks."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(15):
+        # 4/5/6 alternation keeps MAD = 1 (a two-level series degrades
+        # to MAD 0, where ANY deviation flags); one 10x spike on day 7
+        n = 50 if day == 7 else 4 + (day % 3)
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "t", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = load_catalog()["w22_mad_outliers"].fn(spark, td).collect()
+    d0 = min(r["day"] for r in out)
+    flagged = {r["day"] for r in out if r["is_outlier"]}
+    assert flagged == {d0 + 7}
