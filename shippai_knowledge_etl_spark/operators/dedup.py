@@ -843,3 +843,65 @@ def prefix_filter_pairs(
             ),
         )
     )
+
+
+def cdc_chunk_profile(
+    df: DataFrame, id_col: str, text_col: str, mod: int = 16
+) -> DataFrame:
+    """Token-level content-defined chunking dedup profile (the
+    Rabin/FastCDC boundary idea, Muthitacharoen et al. 2001 LBFS,
+    applied to corpus text): a token opens a new chunk when its salted
+    md5 ≡ 0 (mod ``mod``) — expected chunk length = ``mod`` tokens —
+    so boundaries move WITH the content and an inserted/prepended edit
+    re-synchronizes at the next boundary, where every fixed-width
+    block shifts. Chunks fingerprint (md5 of the ordered token run)
+    and dedup across docs exactly; returns per-doc
+    (n_chunks, n_tokens, n_dup_chunks, n_dup_tokens).
+
+    Scale: one tokenize+posexplode pass; boundary cumsum, (doc, chunk)
+    rollup with the lambda-free sorted-struct rebuild, and the per-doc
+    rollup share ONE doc-keyed partitioning; the fingerprint
+    distinct-doc count is the exact-dedup shuffle class over
+    chunk-sized rows."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit(":cdc"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % mod
+        == 0
+    ).cast("int")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ch = ex.withColumn("chunk", F.sum(b).over(w))
+    chunks = ch.groupBy(id_col, "chunk").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok"),
+            )
+        ).alias("fp"),
+    )
+    fps = chunks.groupBy("fp").agg(F.countDistinct(id_col).alias("nd"))
+    dup = F.col("nd") >= 2
+    return (
+        chunks.join(fps, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+    )

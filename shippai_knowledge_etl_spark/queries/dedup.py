@@ -1320,3 +1320,75 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
     return link_prediction_scores(edges)
+
+
+@register(
+    "dedup_cdc_chunks",
+    survey_ref=(
+        "[EXT] content-defined chunking dedup (Rabin/FastCDC family, "
+        "token-level): chunk boundaries where a token's hash ≡ 0 "
+        "(mod 16), so boundaries move WITH the content — a prepended "
+        "edit shifts every fixed block (dedup_spans finds nothing) "
+        "but re-synchronizes CDC at the first boundary; chunk "
+        "fingerprints then dedup across docs like exact dedup"
+    ),
+    oracle=f"""
+    WITH shifted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             'prefix alpha beta ' || text AS text
+      FROM documents WHERE doc_id % 25 = 0),
+    base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM shifted),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN CAST('0x' || substring(md5(tok || ':cdc'),
+                       1, 4) AS INT) % 16 = 0 THEN 1 ELSE 0 END AS b
+           FROM ex),
+    ch AS (SELECT doc_id, pos, tok,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+           FROM fl),
+    chunks AS (
+      SELECT doc_id, chunk, count(*) AS n_toks,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM ch GROUP BY doc_id, chunk),
+    fps AS (SELECT fp, count(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY fp)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(c.n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN f.nd >= 2 THEN c.n_toks ELSE 0 END)
+             AS BIGINT) AS n_dup_tokens
+    FROM chunks c JOIN fps f USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over a corpus with planted
+    PREPENDED-edit variants (every 25th doc re-enters with 3 extra
+    leading tokens, id + 300000). Fixed-width blocks all shift under
+    a prepend — block dedup reports nothing — while CDC boundaries
+    (token md5 ≡ 0 mod 16 → ~16-token expected chunks) re-synchronize
+    at the first boundary after the edit, so the pair's chunks
+    fingerprint-match from there on: the storage-dedup argument
+    (Muthitacharoen et al. 2001 LBFS) applied to corpus text.
+
+    Scale shape: one tokenize+posexplode pass; the running boundary
+    count, the (doc, chunk) rollup (lambda-free sorted-struct text
+    rebuild → md5 fingerprint), and the final per-doc rollup all ride
+    ONE doc-keyed partitioning; the only other shuffle is the
+    fingerprint-keyed distinct-doc count over chunk-sized rows (the
+    exact-dedup class). Gate output is pure integers."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit("prefix alpha beta "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    return dedup.cdc_chunk_profile(scale_out(planted), "doc_id", "text")

@@ -808,3 +808,68 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    "q22_dormant_accounts",
+    survey_ref="TPC-H Q22 shape (beyond-reference built-in): "
+    "above-average-balance customers with NO recent orders — global "
+    "scalar aggregate (1-row broadcast) + anti join + rollup in one "
+    "plan; the balance test is cross-multiplied DECIMAL/integer, no "
+    "float boundary (the sql_correlated_scalar discipline)",
+    oracle="""
+    WITH stats AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             count(*) AS c
+      FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    SELECT c.c_mktsegment,
+           count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS totacctbal
+    FROM customer c, stats
+    WHERE stats.c * CAST(c.c_acctbal AS DECIMAL(18,2)) > stats.s
+      AND NOT EXISTS (SELECT 1 FROM recent r
+                      WHERE r.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment count and balance of customers whose balance beats
+    the positive-balance average but who placed no order since
+    2000-01-01 — TPC-H Q22's "sales opportunity" shape: a global
+    scalar aggregate feeding the filter, an anti join removing the
+    active customers, and a small-key rollup, all one plan.
+
+    Scale shape: the scalar stats are a 1-row broadcast (allowlisted
+    BNLJ class — broadcasting one row is the CORRECT plan; the
+    alternative is a shuffle to a single reducer); the recent-orders
+    probe side is date-pruned AT THE SCAN then distinct'd to ≤
+    |customer| keys before the LeftAnti (broadcastable at dim scale,
+    AQE decides); the balance predicate is exact cross-multiplied
+    DECIMAL so no float boundary row flips. The rollup key has ~5
+    values — map-side partials collapse it."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _money("c_acctbal").alias("bal")
+    )
+    stats = c.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c") * F.col("bal") > F.col("s"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _out(F.sum("bal"), "totacctbal"),
+        )
+    )

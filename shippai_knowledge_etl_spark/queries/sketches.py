@@ -655,3 +655,110 @@ def ext_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summ.join(exact, "day").select(
         "day", "exact_rolling", "hll_sum_scaled", "hll_zero_regs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (the fixed-width t-digest stand-in)
+# ---------------------------------------------------------------------------
+
+_HQ_W = 1_000_000  # bucket width in cents ($10k); ~50 buckets over orders
+_HQ_QS = (25, 50, 90, 99)  # probed quantiles, integer percent
+
+
+@register(
+    "ext_hist_quantiles",
+    survey_ref=(
+        "[EXT] mergeable histogram quantile sketch: fixed-width "
+        "value-bucket histogram → cumulative rank → in-bucket linear "
+        "interpolation; the one-pass, constant-state, merge-is-"
+        "addition quantile path a 100 TB scan takes where exact "
+        "percentile needs a global sort (approx_percentile's GK "
+        "cousin, but with a DuckDB-replicable deterministic state)"
+    ),
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+    tot AS (SELECT count(*) AS n FROM cents),
+    hist AS (SELECT c // {_HQ_W} AS b, count(*) AS nb
+             FROM cents GROUP BY b),
+    cum AS (SELECT b, nb, sum(nb) OVER (ORDER BY b) AS cum FROM hist),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+    tr AS (SELECT q, (q * n + 99) // 100 AS target_rank FROM qs, tot),
+    sel AS (
+      SELECT t.q, t.target_rank, min(c.b) AS bucket
+      FROM tr t JOIN cum c ON c.cum >= t.target_rank
+      GROUP BY t.q, t.target_rank)
+    SELECT s.q,
+           CAST(s.target_rank AS BIGINT) AS target_rank,
+           CAST(s.bucket AS BIGINT) AS bucket,
+           CAST(c.cum - c.nb AS BIGINT) AS cum_before,
+           CAST(c.nb AS BIGINT) AS n_in_bucket,
+           round((CAST(s.bucket * {_HQ_W} AS DOUBLE)
+                  + {_HQ_W}.0 * (s.target_rank - (c.cum - c.nb)) / c.nb)
+                 / 100.0, 2) AS est_price
+    FROM sel s JOIN cum c ON c.b = s.bucket
+    """,
+)
+def ext_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from a fixed-width bucket histogram — the
+    mergeable-sketch quantile path: ONE map-side-combinable count
+    aggregation is the whole state (merge = vector addition, the CMS/
+    HLL property), the cumulative walk and interpolation run on the
+    ≤~50-row histogram. Exact percentile (a_percentiles) needs the
+    full sort; approx_percentile's GK sketch is engine-internal; this
+    one is deterministic integer state both engines replicate, so the
+    full hash gate applies. Estimate error is bounded by the bucket
+    width by construction (pinned in tests/test_sketches.py against
+    the exact rank value).
+
+    Scale shape: the only stream-sized stage is the histogram groupBy
+    (key = value // width, ≤ value_range/width keys — a CONSTANT, so
+    the post-agg global cumsum window moves ≤50 rows through its
+    SinglePartition exchange at any corpus size; allowlisted with the
+    w15/zipf bounded-input discipline); the 4-row quantile-target ×
+    histogram non-equi join is a tiny-broadcast BNLJ (allowlisted)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    tot = cents.agg(F.count(F.lit(1)).alias("n"))
+    hist = cents.groupBy(
+        F.expr(f"c div {_HQ_W}").alias("b")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    cum = hist.withColumn(
+        "cum", F.sum("nb").over(Window.orderBy("b"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    )
+    tr = qs.crossJoin(F.broadcast(tot)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("target_rank")
+    )
+    sel = (
+        tr.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("b").alias("bucket"))
+    )
+    c2 = cum.select(
+        F.col("b").alias("bucket"), F.col("nb"), F.col("cum")
+    )
+    w = F.lit(_HQ_W)
+    return sel.join(c2, "bucket").select(
+        "q",
+        F.col("target_rank").cast("long").alias("target_rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("cum") - F.col("nb")).cast("long").alias("cum_before"),
+        F.col("nb").cast("long").alias("n_in_bucket"),
+        F.round(
+            (
+                (F.col("bucket") * w).cast("double")
+                + w.cast("double")
+                * (F.col("target_rank") - (F.col("cum") - F.col("nb")))
+                / F.col("nb")
+            )
+            / 100.0,
+            2,
+        ).alias("est_price"),
+    )

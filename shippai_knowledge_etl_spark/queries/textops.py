@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import textops
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 # DuckDB-side mirror of textops.tokenize (RE2 shares Java's \p classes).
 _TOKS = (
@@ -798,3 +798,81 @@ def ext_derepetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return remove_repeated_ngrams(d, "doc_id", "text", n=3)
+
+
+@register(
+    "ext_readability",
+    survey_ref=(
+        "[EXT] readability scoring (Flesch 1948 reading ease + "
+        "Flesch-Kincaid grade, Kincaid et al. 1975): vowel-group "
+        "syllable heuristic, sentence split on [.!?] runs — the "
+        "audience-level / complexity-mix signal curation pipelines "
+        "bucket corpora by; pure per-row map, zero shuffles"
+    ),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(array_to_string(toks, ' '),
+          '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+      CASE WHEN n_words > 0 THEN
+        round(206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+      END AS flesch_ease,
+      CASE WHEN n_words > 0 THEN
+        round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+              - 15.59, 6)
+      END AS fk_grade
+    FROM m
+    """,
+)
+def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document. The
+    syllable count is the standard cheap heuristic — maximal
+    [aeiouy]+ vowel groups over the token stream (counted with ONE
+    regexp_count over the space-joined token array: spaces cannot
+    merge groups across tokens, so this equals the per-token sum
+    without any HOF lambda) — and sentences are maximal [.!?] runs,
+    floored at 1 so fragments score rather than divide by zero.
+
+    Hash-safety: both scores are PER-ROW double expressions with
+    identical operand order in both engines (every IEEE op is
+    exactly rounded, so identical inputs give bit-identical doubles;
+    the banned pattern is cross-row double SUMS, which reorder under
+    parallelism — none here), then one round(, 6) each. Scale: pure
+    scan-side map riding the documents scan — the same zero-shuffle
+    class as quality_score/gopher_rules."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    toks = textops.tokenize(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.regexp_count(F.array_join(toks, " "), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    has = F.col("n_words") > 0
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            has, F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+        ).alias("flesch_ease"),
+        F.when(
+            has, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+        ).alias("fk_grade"),
+    )

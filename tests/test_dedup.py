@@ -598,3 +598,26 @@ def test_duplicated_passage_spans_short_docs_empty(spark):
         [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
     )
     assert dedup.duplicated_passage_spans(df, "doc_id", "text", n=10).count() == 0
+
+
+def test_cdc_chunks_resynchronize_after_prepended_edit(spark):
+    """A prepended edit shifts every fixed-width block, but CDC
+    boundaries re-synchronize at the first boundary after the edit:
+    the shifted pair must share the bulk of its tokens as duplicate
+    chunks, and a disjoint doc must share none."""
+    words = " ".join(f"tok{i}word" for i in range(200))
+    shifted = "zz yy xx " + words
+    other = " ".join(f"alien{i}term" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, shifted), (3, other)], ["doc_id", "text"]
+    )
+    prof = {
+        r.doc_id: r
+        for r in dedup.cdc_chunk_profile(df, "doc_id", "text").collect()
+    }
+    for d in (1, 2):
+        frac = prof[d].n_dup_tokens / prof[d].n_tokens
+        assert frac >= 0.7, (d, frac)
+    assert prof[3].n_dup_chunks == 0
+    # chunks before the first post-edit boundary differ → not all dup
+    assert prof[2].n_dup_chunks < prof[2].n_chunks

@@ -87,6 +87,15 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # cross, never the raw stream
     "w19_burst_detection",
     "w20_forecast_backtest",  # identical bounded grid-fill shape
+    "w21_ewma_smoother",  # identical bounded grid-fill shape
+    "w22_mad_outliers",  # identical bounded grid-fill shape
+    # 1-row broadcast of the global (sum, count) balance stats — the
+    # Q22 scalar-aggregate factor; the alternative is a single-reducer
+    # shuffle of the customer table
+    "q22_dormant_accounts",
+    # 4-row quantile-target table x <=50-bucket histogram non-equi
+    # join (cum >= target_rank), both sides constant-bounded
+    "ext_hist_quantiles",
 }
 
 
@@ -153,6 +162,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global window: rank + analytic totals run over the
     # |keys|-sized per-key rollup, never the raw stream
     "profile_key_skew",
+    # bounded-input global window: the cumulative-rank window runs on
+    # the fixed-width value histogram (<= value_range/width rows, a
+    # CONSTANT at any corpus size — the w15/zipf discipline)
+    "ext_hist_quantiles",
 }
 
 

@@ -146,3 +146,23 @@ def test_hll_rolling_estimate_tracks_exact(spark):
         assert abs(est - r["exact_rolling"]) <= (
             0.25 * r["exact_rolling"] + 3
         ), (r["day"], est, r["exact_rolling"])
+
+
+def test_hist_quantile_error_bounded_by_bucket_width(spark, sf_dir):
+    """The histogram estimate must land within one bucket width of the
+    exact rank value — the sketch's construction guarantee."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.tables import load
+
+    est = {
+        r["q"]: r["est_price"]
+        for r in load_catalog()["ext_hist_quantiles"].fn(spark, sf_dir).collect()
+    }
+    prices = sorted(
+        r["o_totalprice"]
+        for r in load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(prices)
+    for q, e in est.items():
+        exact = prices[(q * n + 99) // 100 - 1]  # value at ceil(q*n/100)
+        assert abs(e - exact) <= 10_000.0, (q, e, exact)
