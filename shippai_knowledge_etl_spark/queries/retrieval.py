@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import retrieval
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 # DuckDB-side mirror of textops.tokenize (RE2 shares Java's \p classes).
 _TOKS = (
@@ -841,4 +842,104 @@ def retrieval_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+@register(
+    "retrieval_proximity_window",
+    survey_ref=(
+        "[EXT] positional-index proximity retrieval: conjunctive AND "
+        "over the query vocabulary PLUS the minimal token window "
+        "containing all terms per doc — the phrase/near-operator "
+        "machinery BM25's bag-of-words scoring cannot express; "
+        "positions join doc-locally, fan-out bounded by per-doc "
+        "query-term tf products"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    hits AS (SELECT doc_id, tok, pos FROM ex
+             WHERE tok IN ('spark', 'join', 'window')),
+    spans AS (
+      SELECT a.doc_id,
+             min(greatest(a.pos, b.pos, c.pos)
+                 - least(a.pos, b.pos, c.pos)) AS min_span
+      FROM hits a
+      JOIN hits b ON b.doc_id = a.doc_id AND b.tok = 'join'
+      JOIN hits c ON c.doc_id = a.doc_id AND c.tok = 'window'
+      WHERE a.tok = 'spark'
+      GROUP BY a.doc_id),
+    tf AS (
+      SELECT doc_id,
+             sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS n_spark,
+             sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS n_join,
+             sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS n_window
+      FROM hits GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_spark AS BIGINT) AS n_spark,
+           CAST(t.n_join AS BIGINT) AS n_join,
+           CAST(t.n_window AS BIGINT) AS n_window,
+           CAST(s.min_span + 1 AS BIGINT) AS min_window_tokens,
+           s.min_span + 1 <= 12 AS within_12
+    FROM tf t JOIN spans s USING (doc_id)
+    """,
+)
+def retrieval_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL query terms, with the minimal token window
+    covering one occurrence of each — the positional-index operator
+    behind phrase and NEAR queries (Manning et al. IR ch. 2): ranking
+    by proximity rewards passages where the terms interact, which
+    bag-of-words tf cannot see.
+
+    Scale shape: the positional postings for the QUERY VOCABULARY only
+    (the ext_bm25 discipline — the explode filters to 3 terms before
+    anything shuffles, so postings are query-sized, not corpus-sized);
+    the window minimum is a doc-keyed 3-way self-join whose fan-out is
+    the per-doc tf product — the exact evaluation a positional index
+    does per candidate doc, production-capped by tf ceilings when a
+    term is pathological. Conjunctive docs only (inner joins = the AND
+    gate); all outputs integer."""
+    d = load(spark, sf_dir, "documents")
+    ex = scale_out(d).select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    hits = ex.filter(F.col("tok").isin(*QUERY_TERMS)).select(
+        "doc_id", "tok", "pos"
+    )
+    a = hits.filter(F.col("tok") == "spark").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = hits.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    c = hits.filter(F.col("tok") == "window").select(
+        "doc_id", F.col("pos").alias("pc")
+    )
+    spans = (
+        a.join(b, "doc_id")
+        .join(c, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.greatest("pa", "pb", "pc") - F.least("pa", "pb", "pc")
+            ).alias("min_span")
+        )
+    )
+    tf = hits.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("tok") == t).cast("int"))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in QUERY_TERMS
+        ]
+    )
+    return tf.join(spans, "doc_id").select(
+        "doc_id",
+        "n_spark",
+        "n_join",
+        "n_window",
+        (F.col("min_span") + 1).cast("long").alias("min_window_tokens"),
+        (F.col("min_span") + 1 <= 12).alias("within_12"),
     )

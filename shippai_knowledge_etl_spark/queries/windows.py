@@ -1598,3 +1598,62 @@ def w22_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         (F.col("n") > F.col("med") + 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+@register(
+    "w23_theil_sen_trend",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): Theil-Sen "
+    "robust trend per event type — median of all pairwise day-slopes "
+    "on the dense grid (Theil 1950/Sen 1968); the |days|²-bounded "
+    "pair expansion never touches the raw stream, and the slope "
+    "multiset is identical on both engines so the interpolated "
+    "median matches bit-for-bit",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    pairs AS (
+      SELECT a.event_type,
+             (b.n - a.n) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM filled a
+      JOIN filled b ON b.event_type = a.event_type AND b.day > a.day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS sen_slope,
+           quantile_cont(slope, 0.5) > 0 AS rising
+    FROM pairs GROUP BY event_type
+    """,
+)
+def w23_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of each event type's daily volume — the robust
+    trend estimate (median of all pairwise slopes) that one anomalous
+    day cannot drag, where least-squares moves with every outlier;
+    the w22 median/MAD philosophy applied to TREND instead of level.
+
+    Scale shape: the (type, day) rollup cuts the stream first; the
+    pair self-join is type-keyed with fan-out C(|days|, 2) — bounded
+    by the CALENDAR squared, not the corpus (a year is ~66k pairs per
+    type); the median is one exact interpolated percentile per type
+    over that bounded multiset. Slopes are integer-difference /
+    integer-difference doubles — the same multiset on both engines,
+    so the interpolated median is bit-identical; one round at the
+    gate, and the rising flag compares the raw (unrounded) median to
+    zero identically."""
+    filled = _daily_grid(spark, sf_dir)
+    a = filled.select(
+        "event_type", F.col("day").alias("da"), F.col("n").alias("na")
+    )
+    b = filled.select(
+        "event_type", F.col("day").alias("db"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("db") > F.col("da")).select(
+        "event_type",
+        (
+            (F.col("nb") - F.col("na"))
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("slope"),
+    )
+    med = F.percentile("slope", F.lit(0.5))
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(med, 6).alias("sen_slope"),
+        (med > 0).alias("rising"),
+    )

@@ -799,3 +799,30 @@ def test_mad_outliers_flag_spike_not_neighbors(spark):
     d0 = min(r["day"] for r in out)
     flagged = {r["day"] for r in out if r["is_outlier"]}
     assert flagged == {d0 + 7}
+
+
+def test_theil_sen_ignores_single_spike(spark):
+    """A flat series with one 10x day must still report slope 0 —
+    the robustness least-squares lacks; a steadily rising series
+    reports its exact unit slope."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(12):
+        for _ in range(50 if day == 5 else 5):  # flat + one spike
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "flat_spike", 1.0, "{}"))
+            eid += 1
+        for _ in range(3 + day):  # rising: slope exactly 1/day
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "rising", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = {r["event_type"]: r for r in load_catalog()["w23_theil_sen_trend"].fn(spark, td).collect()}
+    assert out["flat_spike"]["sen_slope"] == 0.0
+    assert not out["flat_spike"]["rising"]
+    assert out["rising"]["sen_slope"] == 1.0
+    assert out["rising"]["rising"]
