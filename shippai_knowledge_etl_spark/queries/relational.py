@@ -873,3 +873,69 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             _out(F.sum("bal"), "totacctbal"),
         )
     )
+
+
+@register(
+    "q12_fulfillment_latency",
+    survey_ref="TPC-H Q12 shape (beyond-reference built-in): "
+    "order-to-ship latency classes per priority — the catalog's first "
+    "RAW fact-to-fact equi-join (orders x lineitem on orderkey, "
+    "nothing pre-aggregated on either side); integer epoch-day lag, "
+    "exact dyadic median per priority",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             (CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+              - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400
+               AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fast,
+           CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_slow,
+           round(quantile_cont(lag_days, 0.5), 6) AS median_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q12_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority — TPC-H Q12's
+    "is expensive shipping actually faster" report re-expressed on
+    this schema: every lineitem joins its order, the lag classifies
+    fast (≤30 days) / slow (>90 days), and the exact median latency
+    rides along per priority.
+
+    Scale shape: a RAW fact-to-fact equi-join — orders and lineitem
+    both shuffle on orderkey (no pre-aggregation can stand in: the
+    lag needs both sides' dates row-by-row). This is THE shuffle the
+    bucketing/partitioned-layout modules exist to delete (co-located
+    bucketed tables turn it into a zero-exchange SortMergeJoin; see
+    tests/test_bucketing.py); expressed declaratively, AQE picks the
+    join strategy. Lag is integer epoch-day arithmetic (identical //
+    semantics both engines, no calendar/timezone functions); the
+    median of integers is a dyadic rational — exact at the gate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_timestamp("o_orderdate").alias("ot"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_timestamp("l_shipdate").alias("st")
+    )
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.expr("(st - ot) div 86400").alias("lag_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("lag_days") <= 30).cast("int"))
+        .cast("long")
+        .alias("n_fast"),
+        F.sum((F.col("lag_days") > 90).cast("int"))
+        .cast("long")
+        .alias("n_slow"),
+        F.round(F.percentile("lag_days", F.lit(0.5)), 6).alias(
+            "median_days"
+        ),
+    )

@@ -89,6 +89,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "w20_forecast_backtest",  # identical bounded grid-fill shape
     "w21_ewma_smoother",  # identical bounded grid-fill shape
     "w22_mad_outliers",  # identical bounded grid-fill shape
+    # same bounded grid-fill; the slope pair join itself is type-keyed
+    # equi with C(|days|,2) fan-out — calendar-bounded, never the stream
+    "w23_theil_sen_trend",
     # 1-row broadcast of the global (sum, count) balance stats — the
     # Q22 scalar-aggregate factor; the alternative is a single-reducer
     # shuffle of the customer table
