@@ -876,3 +876,106 @@ def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             has, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
         ).alias("fk_grade"),
     )
+
+
+@register(
+    "ext_langid_eval",
+    survey_ref=(
+        "[EXT] classifier evaluation: per-class precision/recall/F1 "
+        "of the n-gram language-ID against the corpus's true lang "
+        "labels — the eval loop every curation classifier needs; "
+        "F1 computed as 2·tp/(n_true+n_pred) so ONE division covers "
+        "it (no P·R/(P+R) float chain)"
+    ),
+    oracle=f"""
+    WITH preds AS (
+      SELECT doc_id, lang AS pred FROM ({_LANG_SCORE_SQL})
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang ASC) = 1),
+    j AS (SELECT d.lang AS true_lang, p.pred
+          FROM documents d JOIN preds p USING (doc_id)),
+    cls AS (SELECT DISTINCT true_lang AS lang FROM j
+            UNION SELECT DISTINCT pred FROM j),
+    tp AS (SELECT true_lang AS lang, count(*) AS tp FROM j
+           WHERE true_lang = pred GROUP BY 1),
+    tr AS (SELECT true_lang AS lang, count(*) AS n_true FROM j GROUP BY 1),
+    pr AS (SELECT pred AS lang, count(*) AS n_pred FROM j GROUP BY 1)
+    SELECT c.lang,
+           CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(pr.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+           CASE WHEN coalesce(pr.n_pred, 0) > 0 THEN
+             round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / pr.n_pred, 6)
+           END AS precision,
+           CASE WHEN coalesce(tr.n_true, 0) > 0 THEN
+             round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / tr.n_true, 6)
+           END AS recall,
+           CASE WHEN coalesce(tr.n_true, 0) + coalesce(pr.n_pred, 0) > 0
+           THEN round(CAST(2 * coalesce(tp.tp, 0) AS DOUBLE)
+                      / (coalesce(tr.n_true, 0) + coalesce(pr.n_pred, 0)),
+                      6)
+           END AS f1
+    FROM cls c
+    LEFT JOIN tp USING (lang)
+    LEFT JOIN tr USING (lang)
+    LEFT JOIN pr USING (lang)
+    """,
+)
+def ext_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the marker-based language
+    ID against the corpus's ground-truth lang column — the evaluation
+    loop a curation pipeline runs before trusting any classifier gate
+    (the langid family's missing third piece: scores → argmax → EVAL).
+
+    Hash-safety: counts are exact integers; precision and recall are
+    one rounded division each, and F1 uses the identity
+    2PR/(P+R) = 2·tp/(n_true+n_pred) — a single division on integer
+    operands instead of a float chain through already-divided P and
+    R. Scale: predictions aggregate to |langs| rows before the three
+    per-class joins (all tiny); the only stream-sized work is the
+    argmax the langid operator already does."""
+    d = load(spark, sf_dir, "documents")
+    preds = textops.langid_predict(
+        textops.langid_scores(d, "doc_id", "text"), "doc_id"
+    ).select("doc_id", "pred_lang")
+    j = d.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, "doc_id"
+    )
+    cls = (
+        j.select(F.col("true_lang").alias("lang"))
+        .union(j.select(F.col("pred_lang").alias("lang")))
+        .distinct()
+    )
+    tp = (
+        j.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    tr = j.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    pr = j.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    nt = F.coalesce(F.col("n_true"), F.lit(0))
+    np_ = F.coalesce(F.col("n_pred"), F.lit(0))
+    tpc = F.coalesce(F.col("tp"), F.lit(0))
+    return (
+        cls.join(tp, "lang", "left")
+        .join(tr, "lang", "left")
+        .join(pr, "lang", "left")
+        .select(
+            "lang",
+            nt.cast("long").alias("n_true"),
+            np_.cast("long").alias("n_pred"),
+            tpc.cast("long").alias("tp"),
+            F.when(np_ > 0, F.round(tpc.cast("double") / F.col("n_pred"), 6))
+            .alias("precision"),
+            F.when(nt > 0, F.round(tpc.cast("double") / F.col("n_true"), 6))
+            .alias("recall"),
+            F.when(
+                nt + np_ > 0,
+                F.round((2 * tpc).cast("double") / (nt + np_), 6),
+            ).alias("f1"),
+        )
+    )

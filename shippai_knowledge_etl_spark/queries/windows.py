@@ -1657,3 +1657,83 @@ def w23_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("sen_slope"),
         (med > 0).alias("rising"),
     )
+
+
+@register(
+    "behavior_ab_test",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): two-"
+    "proportion z-test for an A/B experiment — deterministic "
+    "event_id%2 assignment, purchase-rate per variant, pooled-"
+    "variance z statistic; the experimentation readout every product "
+    "analytics stack runs, as ONE map-side-combined global aggregate",
+    oracle="""
+    WITH t AS (
+      SELECT event_id % 2 AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    s AS (
+      SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS c_a,
+             sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS c_b
+      FROM t)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+           abs((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+               / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM s
+    """,
+)
+def behavior_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase rate between a deterministic
+    50/50 split (event_id parity stands in for the experiment's
+    assignment hash): the readout every experimentation platform
+    computes. Pooled-variance z (the standard test statistic); the
+    1.96 significance gate compares the RAW z on both engines — the
+    whole chain (two divisions, pooled p, sqrt) is IEEE-exactly-
+    rounded ops in identical order on integer inputs, so the doubles
+    are bit-identical and the flag cannot flicker.
+
+    Scale shape: ONE global aggregate with map-side partials (four
+    conditional integer sums) — the 100 TB cost is a scan plus a
+    1-row exchange; no join, no window, no per-variant shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    s = ev.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    ra = F.col("c_a") / F.col("n_a").cast("double")
+    rb = F.col("c_b") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

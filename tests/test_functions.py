@@ -826,3 +826,37 @@ def test_theil_sen_ignores_single_spike(spark):
     assert not out["flat_spike"]["rising"]
     assert out["rising"]["sen_slope"] == 1.0
     assert out["rising"]["rising"]
+
+
+def test_ab_test_detects_planted_effect(spark):
+    """A planted 2x conversion-rate difference must flag significant
+    with the right sign; identical variants must not."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def build(effect):
+        rows = []
+        for eid in range(4000):
+            v = eid % 2
+            # variant A converts at 20%; B at 20% or 10% (effect)
+            thr = 5 if (v == 0 or not effect) else 10
+            etype = "purchase" if eid // 2 % thr == 0 else "click"
+            rows.append((eid, base + datetime.timedelta(minutes=eid % 600), eid % 40, etype, 1.0, "{}"))
+        return rows
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, build(effect=True))
+        out = load_catalog()["behavior_ab_test"].fn(spark, td).collect()[0]
+    assert out["significant"]
+    assert out["z_score"] > 0  # A converts more
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, build(effect=False))
+        out = load_catalog()["behavior_ab_test"].fn(spark, td).collect()[0]
+    assert not out["significant"]
+    assert out["rate_a"] == out["rate_b"]
