@@ -939,3 +939,83 @@ def q12_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_days"
         ),
     )
+
+
+@register(
+    "a_contribution_shares",
+    survey_ref="§2.4/§2.8 composition (beyond-reference built-in): "
+    "percent-of-total contribution reporting — nation revenue share "
+    "of its region and region share of grand total, both as windows "
+    "OVER THE ROLLUP (25 nation rows), never the fact stream; the "
+    "ratio_to_report pattern every BI layer ships",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS nrev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation,
+           round(CAST(nrev AS DOUBLE), 2) AS nation_rev,
+           round(CAST(nrev AS DOUBLE)
+                 / CAST(sum(nrev) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region,
+           round(CAST(sum(nrev) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(sum(nrev) OVER () AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM rev
+    """,
+)
+def a_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue contribution report: each nation's share of its region
+    and each region's share of the grand total — the percent-of-total
+    (ratio_to_report) window pattern. The fact stream aggregates ONCE
+    to 25 (region, nation) DECIMAL rows; both share windows run over
+    that rollup (the global window moves 25 rows at any scale — the
+    f14 fixed-dimension discipline), so the report costs one fact
+    shuffle no matter how wide the warehouse is. Revenue sums are
+    exact DECIMAL; each share is one rounded division of DECIMAL-
+    backed doubles with identical operand order."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("rev").alias("nrev"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("nrev").cast("double"), 2).alias("nation_rev"),
+        F.round(
+            F.col("nrev").cast("double")
+            / F.sum("nrev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("nrev").over(wr).cast("double")
+            / F.sum("nrev").over(wg).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )

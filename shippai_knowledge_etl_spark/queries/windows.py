@@ -1737,3 +1737,96 @@ def behavior_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "w24_interval_coverage",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): interval "
+    "union length via relational sweep line — each event opens a "
+    "5-minute activity interval, overlaps within a user merge (+1/-1 "
+    "boundary points, running active count, lead-gap sum where "
+    "active > 0); the overlap-dedup every time-accounting / uptime / "
+    "billing pipeline needs, one user-keyed shuffle",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e, -1 FROM iv),
+    sw AS (
+      SELECT user_id, t, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS active,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, d DESC)
+               AS nxt
+      FROM pts),
+    sg AS (
+      SELECT user_id, t, d, nxt, active,
+             coalesce(lag(active) OVER (PARTITION BY user_id
+                                        ORDER BY t, d DESC), 0) AS prev
+      FROM sw)
+    SELECT user_id,
+           CAST(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+                    THEN nxt - t ELSE 0 END) AS BIGINT)
+             AS covered_seconds,
+           CAST(sum(CASE WHEN active > 0 AND prev = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_segments
+    FROM sg GROUP BY user_id
+    """,
+)
+def w24_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total activity-covered seconds per user when every event opens
+    a 5-minute interval and overlaps must NOT double-count — the
+    interval-union problem behind uptime, billing, and session-
+    coverage accounting. Relational sweep line: interval ends become
+    +1/−1 boundary points, a running sum gives the active count, and
+    the union length is the sum of gaps to the next boundary while
+    active > 0. Ties order (t, d DESC) so an interval opening at the
+    exact second another closes keeps coverage contiguous — written
+    identically in both engines.
+
+    Scale shape: 2 boundary rows per event; the running sum, the
+    lead, and the per-user rollup all share ONE user-keyed shuffle
+    (the w12/w13/w14 behavioral-family partitioning). Pure integer
+    epoch arithmetic — exact at any parallelism."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    iv = ev.select("user_id", "s", (F.col("s") + 300).alias("e"))
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("d").desc())
+    sw = pts.select(
+        "user_id",
+        "t",
+        "d",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "active"
+        ),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    sg = sw.withColumn(
+        "prev", F.coalesce(F.lag("active").over(w), F.lit(0))
+    )
+    act = F.col("active") > 0
+    return sg.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                act & F.col("nxt").isNotNull(), F.col("nxt") - F.col("t")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered_seconds"),
+        F.sum((act & (F.col("prev") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_segments"),
+    )

@@ -860,3 +860,39 @@ def test_ab_test_detects_planted_effect(spark):
         out = load_catalog()["behavior_ab_test"].fn(spark, td).collect()[0]
     assert not out["significant"]
     assert out["rate_a"] == out["rate_b"]
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Three overlapping intervals count their union once; disjoint
+    intervals sum; back-to-back intervals stay contiguous."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def at(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: events at 0s, 60s, 120s → union [0, 420) = 420s, 1 segment
+        (1, at(0), 1, "click", 1.0, "{}"),
+        (2, at(60), 1, "click", 1.0, "{}"),
+        (3, at(120), 1, "click", 1.0, "{}"),
+        # user 2: events at 0s and 1000s → 600s in 2 segments
+        (4, at(0), 2, "click", 1.0, "{}"),
+        (5, at(1000), 2, "click", 1.0, "{}"),
+        # user 3: back-to-back at 0s and 300s → 600s, ONE segment
+        (6, at(0), 3, "click", 1.0, "{}"),
+        (7, at(300), 3, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = {
+            r["user_id"]: (r["covered_seconds"], r["n_segments"])
+            for r in load_catalog()["w24_interval_coverage"].fn(spark, td).collect()
+        }
+    assert out[1] == (420, 1)
+    assert out[2] == (600, 2)
+    assert out[3] == (600, 1)
