@@ -165,6 +165,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global window: rank + analytic totals run over the
     # |keys|-sized per-key rollup, never the raw stream
     "profile_key_skew",
+    # bounded-input global window: the grand-total share runs over the
+    # 25-row (region, nation) rollup — the f14 fixed-dimension class
+    "a_contribution_shares",
     # bounded-input global window: the cumulative-rank window runs on
     # the fixed-width value histogram (<= value_range/width rows, a
     # CONSTANT at any corpus size — the w15/zipf discipline)
