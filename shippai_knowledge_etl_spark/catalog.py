@@ -61,7 +61,16 @@ DRIVER_WINDOW = (
     "p10_missing_fields",
     "u2_status_partition",
     "q1_pricing_summary",
-    "q3_top_revenue",
+    # q3_top_revenue rotated out in round 7 (it remains a PINNED BENCH
+    # HEADLINE measured every round and oracle-green in
+    # tests/test_oracle_parity.py at both SFs; the global top-k
+    # TakeOrderedAndProject family stays witnessed in-window by
+    # simsearch_topk_blas and retrieval_hybrid/retrieval_eval_ndcg's
+    # ranked cuts); the slot pins the catalog's FIRST raw fact-to-fact
+    # shuffle join (orders x lineitem on orderkey, nothing
+    # pre-aggregable) — the join class every warehouse bucketing
+    # strategy exists to serve, previously driver-unwitnessed
+    "q12_fulfillment_latency",
     # j1_lookup_join rotated out (broadcast-lookup family stays
     # witnessed in-window by j4_multiway_region_revenue, whose
     # region→nation→customer chain IS the J1 shape, broadcast dims and
@@ -207,7 +216,16 @@ DRIVER_WINDOW = (
     # flagship, whose plan contains the full dense-BM25 chain — so
     # ext_bm25_topk is pass-via through it
     "retrieval_hybrid",
-    "ext_tfidf",
+    # ext_tfidf rotated out in round 7 (the idf-weighted postings
+    # machinery stays witnessed in-window by retrieval_hybrid — whose
+    # plan CONTAINS the full dense-BM25 idf/tf weighting chain — and
+    # by ext_bm25_batch's postings scoring; ext_tfidf itself stays
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins duplicated-passage span detection — substring-level
+    # dedup (Lee et al. 2022), a genuinely new plan family (positional
+    # shingles → gram-keyed distinct-doc count → same-key position
+    # re-join → gaps-and-islands windows) with no prior driver row
+    "dedup_dup_passages",
     # dedup_exact rotated out (exact dedup stays witnessed in-window by
     # curation_pipeline_e2e, whose first stage IS the sha2 hash-group
     # dedup, and it remains the bench headline); ext_bloom_membership

@@ -979,3 +979,98 @@ def ext_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+@register(
+    "ext_score_lift",
+    survey_ref=(
+        "[EXT] cumulative gains / lift table for a ranking score "
+        "(the campaign-targeting readout): English-marker score vs "
+        "true lang='en' labels, score-bucketed (bounded domain, "
+        "capped at 10) — per-bucket precision, cumulative capture "
+        "rate and lift scanning from the highest score down"
+    ),
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang = 'en' AS pos,
+             least(len(list_filter({_TOKS},
+               x -> x IN ('the','and','of','to','is'))), 10) AS bucket
+      FROM documents),
+    b AS (
+      SELECT bucket, count(*) AS n,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+      FROM s GROUP BY bucket),
+    t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM b),
+    c AS (
+      SELECT bucket, n, n_pos,
+             sum(n) OVER (ORDER BY bucket DESC) AS cum_n,
+             sum(n_pos) OVER (ORDER BY bucket DESC) AS cum_pos
+      FROM b)
+    SELECT c.bucket,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n_pos AS BIGINT) AS n_pos,
+           CAST(c.cum_n AS BIGINT) AS cum_n,
+           CAST(c.cum_pos AS BIGINT) AS cum_pos,
+           round(CAST(c.n_pos AS DOUBLE) / c.n, 6) AS bucket_precision,
+           round(CAST(c.cum_pos AS DOUBLE) / t.tp, 6) AS capture_rate,
+           round((CAST(c.cum_pos AS DOUBLE) / c.cum_n)
+                 / (CAST(t.tp AS DOUBLE) / t.tn), 6) AS lift
+    FROM c, t
+    """,
+)
+def ext_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the English-marker score against true
+    lang = 'en' labels — the standard "how much better than random is
+    targeting the top buckets" readout (per-bucket precision,
+    cumulative capture rate, lift vs base rate), the eval that turns
+    any ranking score into a business decision.
+
+    Scale shape: scores bucket into a BOUNDED domain (stopword count
+    capped at 10) so the per-bucket rollup is ≤11 rows and the two
+    cumulative windows move ≤11 rows through their SinglePartition
+    exchange at any corpus size (allowlisted, the w15/zipf
+    discipline); base-rate totals ride a 1-row broadcast
+    (allowlisted). Counts exact; three rounded divisions with
+    identical operand order."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = textops.tokenize(F.col("text"))
+    stop_hits = sum(
+        (F.size("toks") - F.size(F.array_remove(F.col("toks"), w)))
+        for w in ("the", "and", "of", "to", "is")
+    )
+    s = d.select(
+        "doc_id", (F.col("lang") == "en").alias("pos"), toks.alias("toks")
+    ).select(
+        "doc_id", "pos", F.least(stop_hits, F.lit(10)).alias("bucket")
+    )
+    b = s.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pos").cast("int")).alias("n_pos"),
+    )
+    t = b.agg(F.sum("n").alias("tn"), F.sum("n_pos").alias("tp"))
+    w = Window.orderBy(F.col("bucket").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.withColumn("cum_n", F.sum("n").over(w)).withColumn(
+        "cum_pos", F.sum("n_pos").over(w)
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "bucket_precision"
+        ),
+        F.round(F.col("cum_pos").cast("double") / F.col("tp"), 6).alias(
+            "capture_rate"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tp").cast("double") / F.col("tn")),
+            6,
+        ).alias("lift"),
+    )

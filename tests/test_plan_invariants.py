@@ -96,6 +96,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # Q22 scalar-aggregate factor; the alternative is a single-reducer
     # shuffle of the customer table
     "q22_dormant_accounts",
+    # 1-row base-rate totals broadcast onto the <=11-row bucket table
+    "ext_score_lift",
     # 4-row quantile-target table x <=50-bucket histogram non-equi
     # join (cum >= target_rank), both sides constant-bounded
     "ext_hist_quantiles",
@@ -165,6 +167,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global window: rank + analytic totals run over the
     # |keys|-sized per-key rollup, never the raw stream
     "profile_key_skew",
+    # bounded-input global windows: the two cumulative sums run over
+    # the <=11-row capped-score bucket rollup (w15/zipf discipline)
+    "ext_score_lift",
     # bounded-input global window: the grand-total share runs over the
     # 25-row (region, nation) rollup — the f14 fixed-dimension class
     "a_contribution_shares",
