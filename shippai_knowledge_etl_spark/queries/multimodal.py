@@ -125,3 +125,78 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(corpus, "doc_id", "text")
     sigs = multimodal.ahash_signatures(payloads)
     return multimodal.image_near_dup(sigs, max_hamming=3)
+
+
+@register(
+    "mm_scene_cuts",
+    survey_ref=(
+        "[EXT] video scene-cut detection shape (PySceneDetect-style "
+        "content detector): sample 8 frames per payload, per-frame "
+        "16-bit feature, cut where consecutive-frame distance beats "
+        "the threshold — the shot-segmentation pass a video training "
+        "pipeline runs before captioning/sampling; decode stubbed "
+        "(env posture), the Arrow frame plumbing and the windowed "
+        "cut logic real and hash-gated"
+    ),
+    oracle="""
+    WITH n AS (SELECT doc_id, text, greatest(1, strlen(text) // 8)
+                 AS step FROM documents),
+    f AS (SELECT doc_id, text, step,
+                 unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS frame_idx FROM n),
+    feats AS (
+      SELECT doc_id, frame_idx,
+             CAST('0x' || substring(
+               md5(substr(text, frame_idx * step + 1, step)), 1, 4)
+               AS INT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx, feat,
+             abs(feat - lag(feat) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)) AS diff
+      FROM feats)
+    SELECT doc_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN diff > 24000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(1 + sum(CASE WHEN diff > 24000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_scenes,
+           CAST(min(CASE WHEN diff > 24000 THEN frame_idx END) AS INT)
+             AS first_cut_idx
+    FROM d GROUP BY doc_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene/shot boundaries over binary video payloads: 8 sampled
+    frames per payload, a 16-bit content feature per frame (md5 of
+    the frame bytes — the deterministic stand-in for a histogram
+    feature, same env posture as every mm_* decode), and a cut
+    wherever the consecutive-frame feature distance exceeds the
+    threshold — PySceneDetect's content-detector shape, the pass a
+    video pipeline runs before per-scene captioning or sampling.
+
+    Scale shape: frame sampling is the Arrow mapInPandas
+    one-row→n-rows plumbing shared with mm_frame_sample (8 rows of
+    36 bytes per payload — frames never materialize as pixels); the
+    lag window and the per-doc rollup share one doc-keyed shuffle.
+    The feature/cut arithmetic is integer (hex-prefix int, abs
+    difference, integer threshold) so the full hash gate applies."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    frames = multimodal.sample_frames(payloads, n_frames=8)
+    feat = F.conv(F.substring("frame_hash", 1, 4), 16, 10).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    dd = frames.select("doc_id", "frame_idx", feat.alias("feat")).withColumn(
+        "diff", F.abs(F.col("feat") - F.lag("feat").over(w))
+    )
+    cut = F.col("diff") > 24000
+    return dd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(cut.cast("int")).cast("long").alias("n_cuts"),
+        (F.lit(1) + F.sum(cut.cast("int"))).cast("long").alias("n_scenes"),
+        F.min(F.when(cut, F.col("frame_idx"))).cast("int").alias(
+            "first_cut_idx"
+        ),
+    )
