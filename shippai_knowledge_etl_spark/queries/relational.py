@@ -1019,3 +1019,127 @@ def a_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     )
+
+
+@register(
+    "quality_cdc_merge",
+    survey_ref=(
+        "warehouse-maintenance demo (beyond-reference built-in): "
+        "CDC / MERGE-upsert semantics relationally — a derived change "
+        "log (updates, deletes, inserts, conflicting seqs) applied "
+        "latest-wins per key over a FULL OUTER join: the Delta/Iceberg "
+        "MERGE INTO shape expressed as a plain declarative plan"
+    ),
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'D', NULL FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey + 10000000, 1, 'I',
+             CAST(o_totalprice AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(o_totalprice AS DECIMAL(18,2)) + 2000
+      FROM orders WHERE o_orderkey % 100 = 0),
+    last AS (
+      SELECT k, op, price FROM ch
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1),
+    merged AS (
+      SELECT coalesce(l.k, b.o_orderkey) AS o_orderkey,
+             CASE WHEN l.k IS NULL
+                  THEN CAST(b.o_totalprice AS DECIMAL(18,2))
+                  ELSE l.price END AS price,
+             CASE WHEN l.k IS NULL THEN 'base'
+                  WHEN b.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'upsert' END AS src
+      FROM orders b FULL OUTER JOIN last l ON l.k = b.o_orderkey
+      WHERE coalesce(l.op, '') <> 'D')
+    SELECT o_orderkey, round(CAST(price AS DOUBLE), 2) AS price, src
+    FROM merged
+    """,
+)
+def quality_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log to a base table with MERGE semantics —
+    updates replace, deletes drop, inserts add, and conflicting
+    changes to one key resolve LATEST-WINS by sequence number (orders
+    keys ≡0 mod 100 carry two competing updates; the seq-2 one must
+    land). This is Delta/Iceberg's MERGE INTO expressed as a plain
+    plan: dedupe the log per key (row_number over seq DESC — the
+    w7/as-of machinery), FULL OUTER join against the base, one CASE
+    per column. The change log is derived deterministically from the
+    base so both engines hold the identical log.
+
+    Scale shape: the per-key log dedupe shuffles only the CHANGE LOG
+    (in real CDC: hours of changes, a sliver of the base); the merge
+    itself is one key-equi FULL OUTER join — the q12 fact-fact class,
+    bucketing's other marquee customer (a bucketed base makes nightly
+    MERGE a zero-exchange join). Money stays DECIMAL until the gate
+    round; row provenance (src) is part of the output contract."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", _money("o_totalprice").alias("bprice")
+    )
+    k = F.col("o_orderkey")
+    ch = (
+        o.filter(k % 10 == 0)
+        .select(
+            k.alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("bprice") + 1000).alias("price"),
+        )
+        .unionByName(
+            o.filter(k % 10 == 1).select(
+                k.alias("k"),
+                F.lit(1).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("decimal(19,2)").alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(k % 10 == 2).select(
+                (k + 10000000).alias("k"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+                F.col("bprice").cast("decimal(19,2)").alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(k % 100 == 0).select(
+                k.alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("bprice") + 2000).alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    last = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "price")
+    )
+    merged = (
+        o.join(last, o.o_orderkey == last.k, "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("k"), F.col("o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("k").isNull(), F.col("bprice").cast("decimal(19,2)"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+            F.when(F.col("k").isNull(), F.lit("base"))
+            .when(F.col("o_orderkey").isNull(), F.lit("insert"))
+            .otherwise(F.lit("upsert"))
+            .alias("src"),
+        )
+    )
+    return merged.select(
+        "o_orderkey",
+        F.round(F.col("price").cast("double"), 2).alias("price"),
+        "src",
+    )

@@ -943,3 +943,98 @@ def retrieval_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("min_span") + 1).cast("long").alias("min_window_tokens"),
         (F.col("min_span") + 1 <= 12).alias("within_12"),
     )
+
+
+# Standing queries (alerting/routing filters), shared literals on both
+# engines — the percolate direction: queries are DATA, documents stream
+# past them. q4 carries a vocabulary-absent term so the zero-match path
+# is exercised and visibly reported.
+_STANDING_QUERIES = (
+    (1, ("spark", "join")),
+    (2, ("window", "stream", "data")),
+    (3, ("the",)),
+    (4, ("spark", "quantumfoo")),
+    (5, ("join", "window", "stream", "data", "spark")),
+)
+
+
+@register(
+    "retrieval_standing_queries",
+    survey_ref=(
+        "[EXT] standing-query matching (the Elasticsearch percolate / "
+        "streaming-alert direction — queries are DATA, documents "
+        "stream past them): conjunctive term-set queries matched via "
+        "one vocabulary-filtered postings join + per-(query, doc) "
+        "count == query size; zero-match queries stay visible"
+    ),
+    oracle=f"""
+    WITH qt (qid, term) AS (VALUES {", ".join(
+        f"({qid}, '{t}')" for qid, terms in _STANDING_QUERIES for t in terms
+    )}),
+    qsz AS (SELECT qid, count(*) AS k FROM qt GROUP BY qid),
+    dt AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      WHERE tok IN (SELECT term FROM qt)),
+    m AS (SELECT q.qid, d.doc_id, count(*) AS c
+          FROM dt d JOIN qt q ON q.term = d.tok
+          GROUP BY q.qid, d.doc_id),
+    hit AS (SELECT m.qid, m.doc_id
+            FROM m JOIN qsz s ON s.qid = m.qid AND m.c = s.k)
+    SELECT s.qid,
+           CAST(s.k AS INT) AS n_terms,
+           CAST(count(h.doc_id) AS BIGINT) AS n_matching_docs,
+           CAST(min(h.doc_id) AS BIGINT) AS first_doc
+    FROM qsz s LEFT JOIN hit h ON h.qid = s.qid
+    GROUP BY s.qid, s.k
+    """,
+)
+def retrieval_standing_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match a TABLE of standing conjunctive queries against the
+    corpus — the percolate/alerting direction of retrieval (documents
+    are the stream, queries are the index): content routing, saved
+    searches, and compliance filters all run this shape. A doc
+    matches a query when it contains EVERY query term, computed as
+    per-(query, doc) distinct-term count equal to the query's size —
+    no per-query scan, no OR-of-ANDs blowup.
+
+    Scale shape: the corpus explodes ONCE, filtered to the standing
+    vocabulary before any shuffle (postings are alert-vocabulary-
+    sized, not corpus-sized); the query-term table is a broadcast
+    literal; the (query, doc) count partial-aggregates map-side.
+    Zero-match queries (q4 carries a vocabulary-absent term) survive
+    through the LEFT JOIN with n_matching_docs = 0 — an alerting
+    system that silently drops dead rules is unauditable."""
+    d = load(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _STANDING_QUERIES for t in terms],
+        "qid int, term string",
+    )
+    qsz = qt.groupBy("qid").agg(F.count(F.lit(1)).alias("k"))
+    vocab = sorted({t for _, terms in _STANDING_QUERIES for t in terms})
+    dt = (
+        scale_out(d)
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*vocab))
+        .distinct()
+    )
+    m = dt.join(F.broadcast(qt), dt.tok == qt.term).groupBy(
+        "qid", "doc_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hit = m.join(F.broadcast(qsz), ["qid"]).filter(
+        F.col("c") == F.col("k")
+    ).select("qid", "doc_id")
+    return (
+        qsz.join(hit, "qid", "left")
+        .groupBy("qid", "k")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_matching_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(
+            "qid",
+            F.col("k").cast("int").alias("n_terms"),
+            "n_matching_docs",
+            "first_doc",
+        )
+    )
