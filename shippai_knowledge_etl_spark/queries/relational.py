@@ -1143,3 +1143,214 @@ def quality_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price").cast("double"), 2).alias("price"),
         "src",
     )
+
+
+# Benford expected first-digit probabilities, computed ONCE in Python
+# and shipped to BOTH engines as shared literals (the nDCG discount
+# discipline — neither engine's own log10 participates).
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "quality_benford_audit",
+    survey_ref=(
+        "data-quality audit (beyond-reference built-in): Benford's-law "
+        "first-digit test on order amounts — the fraud/synthetic-data "
+        "screen auditors run; expected probabilities are SHARED Python "
+        "literals, chi-square terms round-then-DECIMAL-sum so the "
+        "9-term total is order-independent"
+    ),
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0),
+    dg AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+           FROM cents),
+    n AS (SELECT count(*) AS n FROM dg),
+    obs AS (SELECT d, count(*) AS n_obs FROM dg GROUP BY d),
+    exp AS (SELECT d, CAST(p AS DOUBLE) AS p FROM (VALUES {", ".join(
+        f"({d}, {p!r})" for d, p in sorted(_BENFORD_P.items())
+    )}) AS t(d, p)),
+    terms AS (
+      SELECT e.d, coalesce(o.n_obs, 0) AS n_obs,
+             CAST(round(n.n * e.p, 2) AS DECIMAL(18,2)) AS n_exp,
+             CAST(round((coalesce(o.n_obs, 0) - n.n * e.p)
+                        * (coalesce(o.n_obs, 0) - n.n * e.p)
+                        / (n.n * e.p), 6) AS DECIMAL(18,6)) AS term
+      FROM exp e LEFT JOIN obs o ON o.d = e.d, n)
+    SELECT d,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(n_exp AS DOUBLE), 2) AS n_exp,
+           round(CAST(term AS DOUBLE), 6) AS chi2_term,
+           round(CAST(sum(term) OVER () AS DOUBLE), 6) AS chi2_total,
+           CAST(sum(term) OVER () AS DOUBLE) > 15.51 AS rejected_95
+    FROM terms
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order amounts: observed first-digit
+    counts vs log10(1 + 1/d) expectations and the chi-square statistic
+    (8 degrees of freedom, 15.51 = 95 % critical value) — the screen
+    auditors run against fabricated or unit-biased numeric columns.
+
+    Hash-safety: expected probabilities are shared Python literals;
+    each chi-square term is a per-row double expression rounded then
+    DECIMAL(18,6)-summed (the dsir discipline) so the 9-term total is
+    order-independent; the rejection flag compares the DECIMAL-backed
+    total. Scale: one scan to first digits (string head of the cents
+    integer — no float log), a 9-key count, and 9-row literal joins;
+    the chi2 window moves 9 rows (allowlisted bounded class)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    dg = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    n = dg.agg(F.count(F.lit(1)).alias("n"))
+    obs = dg.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_P.items()), "d int, p double"
+    )
+    j = (
+        exp.join(obs, "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            (F.col("n") * F.col("p")).alias("ne"),
+        )
+    )
+    term = F.round(
+        (F.col("n_obs") - F.col("ne"))
+        * (F.col("n_obs") - F.col("ne"))
+        / F.col("ne"),
+        6,
+    ).cast("decimal(18,6)")
+    terms = j.select(
+        "d",
+        "n_obs",
+        F.round(F.col("ne"), 2).cast("decimal(18,2)").alias("n_exp"),
+        term.alias("term"),
+    )
+    tot = F.sum("term").over(Window.partitionBy())
+    return terms.select(
+        "d",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(F.col("n_exp").cast("double"), 2).alias("n_exp"),
+        F.round(F.col("term").cast("double"), 6).alias("chi2_term"),
+        F.round(tot.cast("double"), 6).alias("chi2_total"),
+        (tot.cast("double") > 15.51).alias("rejected_95"),
+    )
+
+
+@register(
+    "a_ks_test_bucketed",
+    survey_ref=(
+        "distribution-drift test (beyond-reference built-in): two-"
+        "sample Kolmogorov-Smirnov on bucketed ECDFs — click vs "
+        "purchase value distributions; the drift gate every feature "
+        "store / model monitor runs; D maximized in INTEGER cross-"
+        "multiplied form so no float boundary picks the wrong bucket"
+    ),
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+             CAST(floor(value / 10) AS INT) AS b
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    n AS (
+      SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n2
+      FROM t),
+    h AS (
+      SELECT b,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c2
+      FROM t GROUP BY b),
+    c AS (
+      SELECT b,
+             sum(c1) OVER (ORDER BY b) AS cum1,
+             sum(c2) OVER (ORDER BY b) AS cum2
+      FROM h),
+    d AS (SELECT c.b, abs(cum1 * n.n2 - cum2 * n.n1) AS dn FROM c, n),
+    m AS (SELECT max(dn) AS md FROM d)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           CAST(m.md AS BIGINT) AS d_num,
+           round(CAST(m.md AS DOUBLE) / (n.n1 * n.n2), 6) AS ks_d,
+           CAST(min(CASE WHEN d.dn = m.md THEN d.b END) AS INT)
+             AS at_bucket
+    FROM d, m, n
+    GROUP BY n.n1, n.n2, m.md
+    """,
+)
+def a_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the click and purchase value
+    distributions on a bucketed grid (width-10 value buckets) — the
+    distribution-drift gate feature stores and model monitors run
+    between snapshots. Bucketing makes the ECDF state bounded (the
+    hist-quantile discipline: value_range/width rows, a constant),
+    and the D statistic maximizes |cum1·n2 − cum2·n1| in INTEGER form
+    — the exact fraction comparison — so the winning bucket cannot
+    flip on a float boundary; one division at the gate.
+
+    Scale shape: one conditional-count rollup per bucket (map-side
+    partials over the stream), cumulative windows over the ≤35-row
+    bucket grid (allowlisted bounded class), 1-row totals and max
+    broadcast back."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    t = ev.select(
+        (F.col("event_type") != "click").cast("int").alias("g"),
+        F.floor(F.col("value") / 10).cast("int").alias("b"),
+    )
+    n = t.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    h = t.groupBy("b").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("b").rangeBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "b",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    d = c.crossJoin(F.broadcast(n)).select(
+        "b",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "dn"
+        ),
+    )
+    m = d.agg(F.max("dn").alias("md"))
+    return (
+        d.crossJoin(F.broadcast(m))
+        .groupBy("n1", "n2", "md")
+        .agg(
+            F.min(F.when(F.col("dn") == F.col("md"), F.col("b")))
+            .cast("int")
+            .alias("at_bucket")
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("md").cast("long").alias("d_num"),
+            F.round(
+                F.col("md").cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("ks_d"),
+            "at_bucket",
+        )
+    )

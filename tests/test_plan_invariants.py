@@ -98,6 +98,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "q22_dormant_accounts",
     # 1-row base-rate totals broadcast onto the <=11-row bucket table
     "ext_score_lift",
+    # 1-row count broadcast onto the 9-digit literal table (chi2)
+    "quality_benford_audit",
+    # 1-row totals + 1-row max broadcast onto the bounded bucket grid
+    "a_ks_test_bucketed",
     # 4-row quantile-target table x <=50-bucket histogram non-equi
     # join (cum >= target_rank), both sides constant-bounded
     "ext_hist_quantiles",
@@ -170,6 +174,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global windows: the two cumulative sums run over
     # the <=11-row capped-score bucket rollup (w15/zipf discipline)
     "ext_score_lift",
+    # bounded-input global window: the chi2 total moves 9 digit rows
+    "quality_benford_audit",
+    # bounded-input global windows: ECDF cumsums over the
+    # value_range/width bucket grid (hist-quantile discipline)
+    "a_ks_test_bucketed",
     # bounded-input global window: the grand-total share runs over the
     # 25-row (region, nation) rollup — the f14 fixed-dimension class
     "a_contribution_shares",
