@@ -1624,3 +1624,136 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
         & (F.col("n_stop_kinds") >= 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfill allocation
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 26_000  # ~93% of the sf0.001/sf0.01 corpus: mixed caps
+
+
+@register(
+    "curation_token_budget",
+    survey_ref=(
+        "[EXT] token-budget waterfill allocation: spend a global "
+        "training-token budget across sources by capping the largest "
+        "(max-min fairness / progressive filling) — the data-mix "
+        "allocator between proportional sampling (mix_sample) and "
+        "temperature reweighting; exact integer waterfill over the "
+        "|sources|-row rollup"
+    ),
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) AS k,
+             sum(n_tokens) OVER (ORDER BY n_tokens, source
+                                 ROWS UNBOUNDED PRECEDING) AS pk,
+             count(*) OVER () AS m,
+             sum(n_tokens) OVER () AS total
+      FROM t),
+    feas AS (
+      SELECT max(CASE WHEN pk + (m - k) * n_tokens <= {_BUDGET_TOKENS}
+                 THEN k ELSE 0 END) AS ks
+      FROM s),
+    cap AS (
+      SELECT CASE WHEN (SELECT max(total) FROM s) <= {_BUDGET_TOKENS}
+                  THEN NULL
+                  WHEN f.ks = 0 THEN {_BUDGET_TOKENS}
+                       // (SELECT max(m) FROM s)
+                  ELSE ({_BUDGET_TOKENS} - (SELECT pk FROM s
+                                            WHERE k = f.ks))
+                       // ((SELECT max(m) FROM s) - f.ks) END AS c
+      FROM feas f)
+    SELECT s.source,
+           s.n_tokens,
+           CAST(CASE WHEN cap.c IS NULL THEN s.n_tokens
+                     ELSE least(s.n_tokens, cap.c) END AS BIGINT)
+             AS alloc_tokens,
+           (cap.c IS NOT NULL AND s.n_tokens > cap.c) AS capped,
+           CAST(cap.c AS BIGINT) AS cap
+    FROM s, cap
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a global token budget across sources waterfill-style:
+    every source keeps its tokens up to a common cap, the cap chosen
+    so allocations sum to (just under) the budget — max-min fairness,
+    the allocator that caps hot sources without starving small ones
+    (the knob BETWEEN proportional mix_sample and temperature
+    reweighting). Exact integer search: sort sources ascending, the
+    largest k where prefix_k + (m−k)·t_k still fits determines the
+    cap segment, cap = (B − prefix_k) // (m−k); the ≤(m−k)-token
+    floor remainder is reported via the cap column, never silently
+    spent. Uncapped corpora (total ≤ budget) return cap NULL with
+    full allocations — visible, not fabricated.
+
+    Scale shape: one per-source rollup cuts the corpus to |sources|
+    rows; ranking, prefix sums, feasibility max, and the cap formula
+    all run on that bounded table (allowlisted global-window class);
+    allocations join the 1-row cap back (allowlisted broadcast)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    wo = Window.orderBy("n_tokens", "source")
+    wall = Window.partitionBy()
+    s = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(wo).alias("k"),
+        F.sum("n_tokens")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+        F.sum("n_tokens").over(wall).alias("total"),
+    )
+    b = F.lit(_BUDGET_TOKENS)
+    feas = s.agg(
+        F.max(
+            F.when(
+                F.col("pk") + (F.col("m") - F.col("k")) * F.col("n_tokens")
+                <= b,
+                F.col("k"),
+            ).otherwise(0)
+        ).alias("ks"),
+        F.max("m").alias("m"),
+        F.max("total").alias("total"),
+    )
+    pk_at_ks = s.join(
+        feas.select(F.col("ks").alias("k")), "k"
+    ).select(F.col("pk").alias("pks"))
+    cap = (
+        feas.crossJoin(
+            F.broadcast(
+                pk_at_ks.agg(F.max("pks").alias("pks"))
+            )
+        )
+        .select(
+            F.when(F.col("total") <= b, F.lit(None).cast("long"))
+            .when(F.col("ks") == 0, (b / F.col("m")).cast("long"))
+            .otherwise(
+                ((b - F.col("pks")) / (F.col("m") - F.col("ks"))).cast(
+                    "long"
+                )
+            )
+            .alias("c")
+        )
+    )
+    return s.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("c").isNull(), F.col("n_tokens"))
+        .otherwise(F.least(F.col("n_tokens"), F.col("c")))
+        .cast("long")
+        .alias("alloc_tokens"),
+        (F.col("c").isNotNull() & (F.col("n_tokens") > F.col("c"))).alias(
+            "capped"
+        ),
+        F.col("c").cast("long").alias("cap"),
+    )

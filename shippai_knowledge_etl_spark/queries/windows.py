@@ -1830,3 +1830,90 @@ def w24_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_segments"),
     )
+
+
+@register(
+    "w25_rolling_correlation",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): trailing "
+    "14-day Pearson correlation between two metric series (click vs "
+    "purchase daily volume) — the metric-coupling monitor; all five "
+    "sufficient statistics are INTEGER window sums on the dense day "
+    "grid, the r formula is one per-row double expression, so the "
+    "gate holds exactly despite a rolling float statistic",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY day),
+    w AS (
+      SELECT day, x, y,
+             count(*) OVER win AS n,
+             sum(x) OVER win AS sx,
+             sum(y) OVER win AS sy,
+             sum(x * y) OVER win AS sxy,
+             sum(x * x) OVER win AS sxx,
+             sum(y * y) OVER win AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                     AND CURRENT ROW))
+    SELECT day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(n AS INT) AS n_days,
+           CASE WHEN n = 14
+                 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+             round((n * sxy - sx * sy)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r
+    FROM w
+    """,
+)
+def w25_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day Pearson correlation between click and purchase
+    daily volumes — do conversions still track traffic, or has the
+    coupling broken (the incident signal a pure volume alert misses).
+    The rolling statistic is float, but every sufficient statistic
+    (Σx, Σy, Σxy, Σx², Σy²) is an INTEGER window sum over integer
+    counts, so both engines hold identical integers and the single
+    per-row r expression (cross-multiplied covariance over the sqrt
+    of integer variances) is bit-identical; ramp-in and zero-variance
+    windows emit NULL visibly rather than a fake r.
+
+    Scale shape: the day rollup cuts the stream map-side (two
+    conditional sums); all five window sums share ONE bounded global
+    window over |days| rows (the w15/zipf discipline, allowlisted)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-13, 0)
+    w = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return w.select(
+        "day",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("n").cast("int").alias("n_days"),
+        F.when(
+            (F.col("n") == 14) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        ).alias("r"),
+    )

@@ -682,3 +682,54 @@ def test_derepetition_planted(spark):
         for r in remove_repeated_ngrams(clean, "doc_id", "text").collect()
     }
     assert again == {k: v[2] for k, v in out.items()}
+
+
+def test_token_budget_waterfill_properties(spark, sf_dir):
+    """Waterfill invariants: allocations never exceed the budget, the
+    floor remainder is smaller than the number of capped sources (so
+    nothing is silently over- or under-spent beyond flooring), every
+    uncapped source keeps all its tokens, and every capped source
+    sits exactly at the cap."""
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.queries.curate_ops import _BUDGET_TOKENS
+
+    rows = load_catalog()["curation_token_budget"].fn(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    alloc = sum(r.alloc_tokens for r in rows)
+    if total <= _BUDGET_TOKENS:
+        assert alloc == total
+        assert all(r.cap is None for r in rows)
+    else:
+        n_capped = sum(1 for r in rows if r.capped)
+        assert alloc <= _BUDGET_TOKENS
+        assert _BUDGET_TOKENS - alloc < max(n_capped, 1)
+        for r in rows:
+            if r.capped:
+                assert r.alloc_tokens == r.cap
+            else:
+                assert r.alloc_tokens == r.n_tokens
+
+
+def test_token_budget_all_capped_branch(spark):
+    """Budget below m*min(tokens): the k*=0 branch caps EVERY source
+    at budget//m."""
+    from shippai_knowledge_etl_spark.operators.textops import tokenize  # noqa
+    import shippai_knowledge_etl_spark.queries.curate_ops as co
+    import os
+    import tempfile
+
+    # 4 sources x 7000 tokens: total 28000 > budget 26000 AND
+    # m*min = 28000 > budget, so no prefix is feasible (k* = 0) and
+    # every source caps at budget // m = 6500.
+    docs = [(i, " ".join(f"w{j}" for j in range(100)), "en", f"s{i % 4}", 100)
+            for i in range(280)]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        from shippai_knowledge_etl_spark.catalog import load_catalog
+
+        rows = load_catalog()["curation_token_budget"].fn(spark, td).collect()
+    assert all(r.cap == 6500 and r.alloc_tokens == 6500 and r.capped
+               for r in rows)

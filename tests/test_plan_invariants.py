@@ -100,6 +100,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "ext_score_lift",
     # 1-row count broadcast onto the 9-digit literal table (chi2)
     "quality_benford_audit",
+    # 1-row cap broadcast onto the |sources|-row rollup (waterfill)
+    "curation_token_budget",
     # 1-row totals + 1-row max broadcast onto the bounded bucket grid
     "a_ks_test_bucketed",
     # 4-row quantile-target table x <=50-bucket histogram non-equi
@@ -176,6 +178,12 @@ _ALLOWED_GLOBAL_WINDOW = {
     "ext_score_lift",
     # bounded-input global window: the chi2 total moves 9 digit rows
     "quality_benford_audit",
+    # bounded-input global windows: rank/prefix/total over the
+    # |sources|-row rollup (waterfill cap search)
+    "curation_token_budget",
+    # bounded-input global window: five integer sufficient-statistic
+    # sums over the |days| rollup (w15/zipf discipline)
+    "w25_rolling_correlation",
     # bounded-input global windows: ECDF cumsums over the
     # value_range/width bucket grid (hist-quantile discipline)
     "a_ks_test_bucketed",
