@@ -1354,3 +1354,130 @@ def a_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_bucket",
         )
     )
+
+
+@register(
+    "a_trimmed_mean",
+    survey_ref=(
+        "robust-stats completion (beyond-reference built-in): 10 % "
+        "two-sided trimmed mean of order value per priority — the "
+        "robust LEVEL estimate beside w22's MAD (spread) and w23's "
+        "Theil-Sen (trend); exact dyadic decile bounds on integer "
+        "cents, one gate division"
+    ),
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    b AS (
+      SELECT pri,
+             quantile_cont(cents, 0.1) AS lo,
+             quantile_cont(cents, 0.9) AS hi
+      FROM c GROUP BY pri)
+    SELECT c.pri AS o_orderpriority,
+           count(*) AS n_kept,
+           round(CAST(sum(c.cents) AS DOUBLE) / count(*) / 100.0, 4)
+             AS trimmed_mean
+    FROM c JOIN b ON b.pri = c.pri
+    WHERE c.cents >= b.lo AND c.cents <= b.hi
+    GROUP BY c.pri
+    """,
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 % two-sided trimmed mean of order value per priority: drop
+    everything outside the [p10, p90] band, average the rest — the
+    robust level estimate (a handful of fat-finger orders cannot move
+    it) completing the robust-stats family (w22 MAD = spread, w23
+    Theil-Sen = trend, this = level).
+
+    Hash-safety: trim bounds are exact interpolated percentiles of
+    integer cents — dyadic rationals both engines hold bit-identically
+    — so the keep/drop comparison cannot flicker; the kept sum is an
+    integer, with one rounded division at the gate. Scale: one
+    per-priority percentile rollup (≤5 rows) broadcast back onto the
+    scan; no global sort."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.groupBy("pri").agg(
+        F.percentile("cents", F.lit(0.1)).alias("lo"),
+        F.percentile("cents", F.lit(0.9)).alias("hi"),
+    )
+    return (
+        o.join(F.broadcast(b), "pri")
+        .filter((F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi")))
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 4
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"), "n_kept", "trimmed_mean"
+        )
+    )
+
+
+@register(
+    "quality_sequence_gaps",
+    survey_ref=(
+        "data-completeness audit (beyond-reference built-in): "
+        "block-level sequence-gap detection over a dense key domain "
+        "(planted ~1% key losses) — the 'did the loader drop rows' "
+        "check; per-block expected-vs-actual counts instead of a "
+        "global sort, so the audit is one rollup at any scale"
+    ),
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 13),
+    g AS (SELECT min(k) AS mn, max(k) AS mx FROM src),
+    blk AS (SELECT k // 1000 AS b, count(*) AS n_actual
+            FROM src GROUP BY b)
+    SELECT CAST(blk.b AS BIGINT) AS block,
+           CAST(least(g.mx, blk.b * 1000 + 999)
+                - greatest(g.mn, blk.b * 1000) + 1 AS BIGINT)
+             AS n_expected,
+           CAST(blk.n_actual AS BIGINT) AS n_actual,
+           CAST(least(g.mx, blk.b * 1000 + 999)
+                - greatest(g.mn, blk.b * 1000) + 1
+                - blk.n_actual AS BIGINT) AS n_missing
+    FROM blk, g
+    """,
+)
+def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which 1000-key blocks of the order-key sequence are missing
+    rows — the load-completeness audit that localizes a dropped batch
+    without sorting the key column globally: per-block actual counts
+    against the expected span (edge blocks clipped by the global
+    min/max, a 1-row broadcast). Planted losses (every 97th key ≡ 13)
+    make the driver run detect real gaps; a clean load reports zeros.
+
+    Scale: one block-keyed rollup with map-side partials (block =
+    key div 1000 — blocks inherit the scan's natural ordering, no
+    shuffle skew), one 1-row global min/max broadcast; no window, no
+    sort. Relational sibling of the referential-integrity audit
+    (quality_referential_integrity): that one checks FK edges, this
+    one checks the key sequence itself."""
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 13)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    g = src.agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+    blk = src.groupBy(F.expr("k div 1000").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    exp = (
+        F.least(F.col("mx"), F.col("b") * 1000 + 999)
+        - F.greatest(F.col("mn"), F.col("b") * 1000)
+        + 1
+    )
+    return blk.crossJoin(F.broadcast(g)).select(
+        F.col("b").cast("long").alias("block"),
+        exp.cast("long").alias("n_expected"),
+        F.col("n_actual").cast("long").alias("n_actual"),
+        (exp - F.col("n_actual")).cast("long").alias("n_missing"),
+    )

@@ -102,6 +102,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "quality_benford_audit",
     # 1-row cap broadcast onto the |sources|-row rollup (waterfill)
     "curation_token_budget",
+    # 1-row global min/max broadcast onto the block rollup
+    "quality_sequence_gaps",
     # 1-row totals + 1-row max broadcast onto the bounded bucket grid
     "a_ks_test_bucketed",
     # 4-row quantile-target table x <=50-bucket histogram non-equi
