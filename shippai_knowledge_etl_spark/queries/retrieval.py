@@ -1038,3 +1038,89 @@ def retrieval_standing_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_doc",
         )
     )
+
+
+@register(
+    "retrieval_prf_expansion",
+    survey_ref=(
+        "[EXT] pseudo-relevance-feedback query expansion (RM3-lite, "
+        "Lavrenko & Croft 2001): BM25 top-10 feedback docs → candidate "
+        "terms scored fb_tf/df as a SCALED INTEGER (collection-"
+        "frequent noise self-penalizes; no float ordering) → top-10 "
+        "expansion terms — the second retrieval stage that lifts "
+        "recall without a learned model"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    fb AS (
+      SELECT doc_id FROM bm25
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+    cand AS (
+      SELECT term, count(*) AS fb_tf,
+             count(DISTINCT t.doc_id) AS n_fb_docs
+      FROM (SELECT d.doc_id, unnest(d.t) AS term
+            FROM docs d JOIN fb USING (doc_id)) t
+      WHERE term NOT IN ('spark', 'join', 'window')
+      GROUP BY term),
+    gdf AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(t) AS term FROM docs)
+      GROUP BY term)
+    SELECT c.term,
+           CAST(c.fb_tf AS BIGINT) AS fb_tf,
+           CAST(c.n_fb_docs AS BIGINT) AS n_fb_docs,
+           CAST(g.df AS BIGINT) AS collection_df,
+           CAST(c.fb_tf * 1000000 // g.df AS BIGINT) AS rm3_score
+    FROM cand c
+    JOIN gdf g USING (term)
+    ORDER BY rm3_score DESC, c.term ASC LIMIT 10
+    """,
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand the fixed query from its own top-10 BM25 results: terms
+    frequent in the feedback docs but NOT collection-frequent become
+    the expansion candidates (RM3's core move, integerized) — the
+    classic no-model recall lift between plain BM25 and a learned
+    reranker, and the catalog's first RETRIEVE → FEEDBACK → RERANK
+    two-pass retrieval plan.
+
+    Determinism: the feedback cut orders by (rounded bm25 DESC,
+    doc_id); the RM3 relevance weight fb_tf/df is carried as the
+    scaled integer fb_tf·10⁶ // df — collection-frequent terms
+    self-penalize without any float ordering — and the final cut
+    orders by (rm3_score DESC, term): total orders everywhere.
+    Scale: feedback docs are 10 rows joined back semi-join-style, so
+    the candidate explode touches 10 documents; the collection df agg
+    is the standard postings rollup; both cuts are
+    TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    fb = retrieval.bm25_topk(d, "doc_id", "text", QUERY_TERMS, 10).select(
+        "doc_id"
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*QUERY_TERMS))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("fb_tf"),
+            F.countDistinct("doc_id").alias("n_fb_docs"),
+        )
+    )
+    gdf = toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        cand.join(gdf, "term")
+        .select(
+            "term",
+            F.col("fb_tf").cast("long").alias("fb_tf"),
+            F.col("n_fb_docs").cast("long").alias("n_fb_docs"),
+            F.col("df").cast("long").alias("collection_df"),
+            F.expr("fb_tf * 1000000 div df").cast("long").alias("rm3_score"),
+        )
+        .orderBy(F.col("rm3_score").desc(), F.col("term"))
+        .limit(10)
+    )
