@@ -104,6 +104,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "curation_token_budget",
     # 1-row global min/max broadcast onto the block rollup
     "quality_sequence_gaps",
+    # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
+    # BM25 feedback stage
+    "retrieval_prf_expansion",
     # 1-row totals + 1-row max broadcast onto the bounded bucket grid
     "a_ks_test_bucketed",
     # 4-row quantile-target table x <=50-bucket histogram non-equi
