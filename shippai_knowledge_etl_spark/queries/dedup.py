@@ -1392,3 +1392,70 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.cdc_chunk_profile(scale_out(planted), "doc_id", "text")
+
+
+@register(
+    "dedup_threshold_histogram",
+    survey_ref=(
+        "[EXT] dedup-threshold calibration: histogram of candidate-"
+        "pair Jaccard similarities in INTEGER-DIVISION buckets "
+        "(n_inter·10 // union — no float boundary can move a pair "
+        "across a bucket edge) — the report that picks the dedup "
+        "threshold BEFORE committing a corpus-wide delete"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM planted))),
+    counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.block = b.block AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT n_inter * 10 // (ca.n_shingles + cb.n_shingles - n_inter)
+               AS bucket
+      FROM inter
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b)
+    SELECT CAST(bucket AS INT) AS sim_decile,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY bucket
+    """,
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of candidate-pair similarity over the planted
+    corpus, bucketed by Jaccard decile — the calibration report run
+    BEFORE choosing a dedup threshold (where does the organic-pair
+    mass end and the duplicate mass begin). Buckets come from pure
+    integer division (n_inter·10 // union-size), so a pair can never
+    straddle a bucket edge differently across engines — the float
+    form floor(j·10) can, exactly at the decile boundaries.
+
+    Scale shape: identical single-pass blocked-shingle machinery as
+    dedup_ngram_jaccard (one shingle evaluation, owner lists, i<j
+    pairs) with NO similarity threshold — every candidate pair lands
+    in a bucket — then a ≤10-key count; the histogram is the
+    mergeable-sketch class (one map-side-combined agg)."""
+    d = scale_out(documents_with_planted_dups(spark, sf_dir))
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", "source", threshold=0.0
+    )
+    return (
+        pairs.select(
+            F.expr("n_inter * 10 div (n_a + n_b - n_inter)")
+            .cast("int")
+            .alias("sim_decile")
+        )
+        .groupBy("sim_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
