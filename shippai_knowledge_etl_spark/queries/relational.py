@@ -1481,3 +1481,73 @@ def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_actual").cast("long").alias("n_actual"),
         (exp - F.col("n_actual")).cast("long").alias("n_missing"),
     )
+
+
+_FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+@register(
+    "quality_fd_profile",
+    survey_ref=(
+        "schema-inference audit (beyond-reference built-in): "
+        "functional-dependency profiling (Metanome-style) — does "
+        "LHS determine RHS, measured as distinct(LHS) vs "
+        "distinct(LHS, RHS); key columns must hold, attribute pairs "
+        "must report their violation counts, all exact integers"
+    ),
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{l}' AS lhs, '{r}' AS rhs,
+           count(DISTINCT {l}) AS n_lhs_values,
+           count(DISTINCT ({l}, {r})) AS n_lhs_rhs_pairs,
+           CAST(count(DISTINCT ({l}, {r})) - count(DISTINCT {l})
+             AS BIGINT) AS n_violating,
+           count(DISTINCT ({l}, {r})) = count(DISTINCT {l}) AS fd_holds
+    FROM orders"""
+        for l, r in _FD_CANDIDATES
+    ),
+)
+def quality_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which functional dependencies actually hold in the loaded data
+    — the schema-inference / constraint-discovery audit (Papenbrock
+    et al.'s Metanome family, the two-distinct-count special case):
+    distinct(LHS) == distinct(LHS, RHS) ⟺ LHS → RHS. The key column
+    (o_orderkey) must determine everything; attribute pairs report
+    how many LHS groups carry conflicting RHS values — the number a
+    MERGE or dimension build would silently mangle.
+
+    Scale shape: one aggregate per candidate over a two-column pruned
+    scan (count-distinct partials merge map-side); candidates are a
+    fixed literal list, so the plan is |candidates| independent
+    scan+agg branches unioned — embarrassingly parallel, no joins.
+    Exact integer counts only."""
+    o = load(spark, sf_dir, "orders")
+    parts = []
+    for l, r in _FD_CANDIDATES:
+        parts.append(
+            o.agg(
+                F.countDistinct(l).alias("n_lhs_values"),
+                F.countDistinct(l, r).alias("n_lhs_rhs_pairs"),
+            ).select(
+                F.lit(l).alias("lhs"),
+                F.lit(r).alias("rhs"),
+                "n_lhs_values",
+                "n_lhs_rhs_pairs",
+                (F.col("n_lhs_rhs_pairs") - F.col("n_lhs_values"))
+                .cast("long")
+                .alias("n_violating"),
+                (F.col("n_lhs_rhs_pairs") == F.col("n_lhs_values")).alias(
+                    "fd_holds"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
