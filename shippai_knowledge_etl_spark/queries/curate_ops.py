@@ -1757,3 +1757,107 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c").cast("long").alias("cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-switching (mixed-language document) detection
+# ---------------------------------------------------------------------------
+
+_CS_MIN_HITS = 2  # a language "is present" at >= 2 marker hits
+
+
+@register(
+    "curation_code_switching",
+    survey_ref=(
+        "[EXT] code-switching detection: how many LANGUAGES are "
+        "present in each doc (≥2 marker hits each) — mixed-language "
+        "documents degrade monolingual training slices and LID-routed "
+        "pipelines silently mislabel them; zero-shuffle scan-side map "
+        "over the langid marker sets"
+    ),
+    oracle=f"""
+    WITH planted_cs AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 25 = 0
+                  THEN text || ' der die und das nicht der die'
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM planted_cs),
+    h AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            "len(list_filter(toks, x -> x IN ("
+            + ", ".join("'" + w + "'" for w in words)
+            + f"))) AS h_{lang}"
+            for lang, words in sorted(
+                __import__("shippai_knowledge_etl_spark.operators.textops",
+                           fromlist=["LANG_MARKERS"]).LANG_MARKERS.items()
+            )
+        )}
+      FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(h_de AS BIGINT) AS h_de,
+           CAST(h_en AS BIGINT) AS h_en,
+           CAST(h_es AS BIGINT) AS h_es,
+           CAST(h_fr AS BIGINT) AS h_fr,
+           CAST(h_zh AS BIGINT) AS h_zh,
+           CAST((h_de >= {_CS_MIN_HITS})::INT + (h_en >= {_CS_MIN_HITS})::INT
+              + (h_es >= {_CS_MIN_HITS})::INT + (h_fr >= {_CS_MIN_HITS})::INT
+              + (h_zh >= {_CS_MIN_HITS})::INT AS INT) AS n_langs_present,
+           (h_de >= {_CS_MIN_HITS})::INT + (h_en >= {_CS_MIN_HITS})::INT
+              + (h_es >= {_CS_MIN_HITS})::INT + (h_fr >= {_CS_MIN_HITS})::INT
+              + (h_zh >= {_CS_MIN_HITS})::INT >= 2 AS is_code_switched
+    FROM h
+    """,
+)
+def curation_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mixture profile: marker hits for EVERY
+    language (not just the argmax langid reports), a language counts
+    as present at ≥2 hits, and a doc with ≥2 present languages is
+    code-switched — the docs a monolingual training slice must drop
+    and an argmax LID silently mislabels (its label is still reported
+    alongside for the contrast).
+
+    Scale shape: a pure per-row map over one tokenize evaluation —
+    marker hits via the lambda-free array_remove counting idiom (the
+    ext_score_lift trick), zero shuffles, whole-stage codegen.
+    Integer hits and integer threshold compares only."""
+    from shippai_knowledge_etl_spark.operators.textops import LANG_MARKERS
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(" der die und das nicht der die")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    toks.alias("toks"))
+    hit_cols = {
+        lang: sum(
+            (F.size("toks") - F.size(F.array_remove(F.col("toks"), w)))
+            for w in words
+        ).cast("long")
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    h = base.select(
+        "doc_id",
+        "labeled_lang",
+        *[c.alias(f"h_{lang}") for lang, c in hit_cols.items()],
+    )
+    present = [
+        (F.col(f"h_{lang}") >= _CS_MIN_HITS).cast("int")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    n_present = sum(present)
+    return h.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"h_{lang}" for lang in sorted(LANG_MARKERS)],
+        n_present.cast("int").alias("n_langs_present"),
+        (n_present >= 2).alias("is_code_switched"),
+    )

@@ -1551,3 +1551,109 @@ def quality_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "quality_table_checksum",
+    survey_ref=(
+        "replication-validation audit (beyond-reference built-in): "
+        "block-level order-independent table checksums (the "
+        "pt-table-checksum / anti-entropy pattern) — base vs a "
+        "replica with planted silent corruption; per-block row counts "
+        "+ SUMS of per-row 32-bit content hashes localize the "
+        "divergent block without moving either table"
+    ),
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    replica AS (
+      SELECT k,
+             CASE WHEN k % 501 = 7 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE k <> 42),
+    bsum AS (
+      SELECT k // 1000 AS block, count(*) AS n_rows,
+             sum(CAST('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+                 || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)) AS crc
+      FROM base GROUP BY block),
+    rsum AS (
+      SELECT k // 1000 AS block, count(*) AS n_rows,
+             sum(CAST('0x' || substring(md5(CAST(k AS VARCHAR) || '|'
+                 || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)) AS crc
+      FROM replica GROUP BY block)
+    SELECT b.block,
+           CAST(b.n_rows AS BIGINT) AS n_base,
+           CAST(coalesce(r.n_rows, 0) AS BIGINT) AS n_replica,
+           CAST(b.crc AS BIGINT) AS base_crc,
+           CAST(coalesce(r.crc, 0) AS BIGINT) AS replica_crc,
+           (b.n_rows = coalesce(r.n_rows, 0)
+            AND b.crc = coalesce(r.crc, 0)) AS block_matches
+    FROM bsum b LEFT JOIN rsum r USING (block)
+    """,
+)
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the replica still equal the base — without shipping either
+    table: per-1000-key-block row counts and ORDER-INDEPENDENT content
+    checksums (sum of per-row 32-bit md5 prefixes; addition commutes,
+    so partitioning and row order cannot change the block value — the
+    pt-table-checksum / Cassandra anti-entropy pattern). The planted
+    replica silently corrupts every 501st price by one cent and drops
+    one row; the mismatching blocks localize both without a row-level
+    diff. At warehouse scale the 32-bit-sum checksum would move to a
+    DECIMAL(38) or modular sum — the shape (per-block agg + tiny
+    join) is unchanged.
+
+    Scale shape: one block-keyed rollup per side (map-side partials),
+    a block-count-sized join; no sort, no row shipping. Integer
+    output only."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    replica = o.filter(F.col("k") != 42).select(
+        "k",
+        F.when(F.col("k") % 501 == 7, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def block_sums(df: DataFrame) -> DataFrame:
+        crc = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit("|"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy(F.expr("k div 1000").alias("block")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(crc).alias("crc"),
+        )
+
+    b = block_sums(o)
+    r = block_sums(replica)
+    rb = r.select(
+        F.col("block"),
+        F.col("n_rows").alias("rn"),
+        F.col("crc").alias("rcrc"),
+    )
+    return b.join(rb, "block", "left").select(
+        "block",
+        F.col("n_rows").cast("long").alias("n_base"),
+        F.coalesce("rn", F.lit(0)).cast("long").alias("n_replica"),
+        F.col("crc").cast("long").alias("base_crc"),
+        F.coalesce("rcrc", F.lit(0)).cast("long").alias("replica_crc"),
+        (
+            (F.col("n_rows") == F.coalesce("rn", F.lit(0)))
+            & (F.col("crc") == F.coalesce("rcrc", F.lit(0)))
+        ).alias("block_matches"),
+    )
