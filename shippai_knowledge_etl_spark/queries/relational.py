@@ -1657,3 +1657,91 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("crc") == F.coalesce("rcrc", F.lit(0)))
         ).alias("block_matches"),
     )
+
+
+@register(
+    "a_pareto_concentration",
+    survey_ref=(
+        "BI concentration analysis (beyond-reference built-in): "
+        "Lorenz/Pareto report over customer revenue in log2 revenue "
+        "bands (the curation_length_batches bucketing) — 'does 20% of "
+        "the base drive 80% of revenue'; cumulative shares as windows "
+        "over the ≤40-band rollup, never a global customer sort"
+    ),
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT CAST(floor(log2(cents)) AS INT) AS band,
+             count(*) AS n_cust,
+             sum(cents) AS band_cents
+      FROM cr GROUP BY band),
+    t AS (SELECT sum(n_cust) AS tc, sum(band_cents) AS tr FROM b),
+    c AS (
+      SELECT band, n_cust, band_cents,
+             sum(n_cust) OVER (ORDER BY band DESC) AS cum_cust,
+             sum(band_cents) OVER (ORDER BY band DESC) AS cum_cents
+      FROM b)
+    SELECT c.band,
+           CAST(c.n_cust AS BIGINT) AS n_cust,
+           round(CAST(c.band_cents AS DOUBLE) / 100.0, 2) AS band_revenue,
+           round(CAST(c.cum_cust AS DOUBLE) / t.tc, 6) AS cust_share,
+           round(CAST(c.cum_cents AS DOUBLE) / t.tr, 6) AS revenue_share
+    FROM c, t
+    """,
+)
+def a_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) report: customers roll up
+    into log2 revenue bands, and cumulative customer-share vs
+    revenue-share scanning from the highest band answers "what
+    fraction of the base drives what fraction of revenue". The exact
+    Lorenz curve needs a global customer sort; banding (the
+    length_batches floor(log2) discipline) makes the curve's support
+    BOUNDED (≤~40 bands for any revenue range), which is what a
+    100 TB warehouse can afford — and band resolution is a knob, not
+    a rewrite.
+
+    Hash-safety: integer cents throughout; floor(log2(cents)) on an
+    integer only misrounds if log2 lands within an ulp of an integer,
+    i.e. cents within 1 ulp of a power of two — impossible for
+    IEEE-exact integer inputs below 2^53 since log2 of a power of two
+    is exact in both engines. Shares are single rounded divisions
+    against 1-row totals."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    b = cr.groupBy(
+        F.floor(F.log2("cents")).cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("cents").alias("band_cents"),
+    )
+    t = b.agg(
+        F.sum("n_cust").alias("tc"), F.sum("band_cents").alias("tr")
+    )
+    w = Window.orderBy(F.col("band").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.withColumn("cum_cust", F.sum("n_cust").over(w)).withColumn(
+        "cum_cents", F.sum("band_cents").over(w)
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "band",
+        F.col("n_cust").cast("long").alias("n_cust"),
+        F.round(F.col("band_cents").cast("double") / 100.0, 2).alias(
+            "band_revenue"
+        ),
+        F.round(F.col("cum_cust").cast("double") / F.col("tc"), 6).alias(
+            "cust_share"
+        ),
+        F.round(F.col("cum_cents").cast("double") / F.col("tr"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -1917,3 +1917,46 @@ def w25_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
         ).alias("r"),
     )
+
+
+@register(
+    "w26_percentile_bands",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): daily "
+    "p10/p50/p90 value bands — the dashboard envelope chart behind "
+    "every latency/value SLO; exact dyadic percentiles of integer "
+    "cents per day-keyed rollup, no global sort",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT day,
+           count(*) AS n,
+           round(quantile_cont(cents, 0.1) / 100.0, 4) AS p10,
+           round(quantile_cont(cents, 0.5) / 100.0, 4) AS p50,
+           round(quantile_cont(cents, 0.9) / 100.0, 4) AS p90
+    FROM c GROUP BY day
+    """,
+)
+def w26_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 envelope of event value — the band chart
+    behind every SLO dashboard (is today's median inside its usual
+    envelope). Exact interpolated percentiles of integer cents are
+    dyadic rationals both engines represent identically (the w22
+    discipline), divided back to currency once at the gate.
+
+    Scale shape: one day-keyed rollup; exact percentile is a
+    sort-based agg WITHIN each day group (bounded by the day's
+    traffic, distributed across days), never a global sort. The
+    mergeable-sketch path for heavier tails is ext_hist_quantiles."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return c.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("cents", F.lit(0.1)) / 100.0, 4).alias("p10"),
+        F.round(F.percentile("cents", F.lit(0.5)) / 100.0, 4).alias("p50"),
+        F.round(F.percentile("cents", F.lit(0.9)) / 100.0, 4).alias("p90"),
+    )

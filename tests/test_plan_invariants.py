@@ -104,6 +104,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "curation_token_budget",
     # 1-row global min/max broadcast onto the block rollup
     "quality_sequence_gaps",
+    # 1-row grand totals broadcast onto the <=40-band rollup (Lorenz)
+    "a_pareto_concentration",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
     # BM25 feedback stage
     "retrieval_prf_expansion",
@@ -192,6 +194,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global windows: ECDF cumsums over the
     # value_range/width bucket grid (hist-quantile discipline)
     "a_ks_test_bucketed",
+    # bounded-input global windows: Lorenz cumsums over the <=40
+    # log2-revenue-band rollup (length_batches discipline)
+    "a_pareto_concentration",
     # bounded-input global window: the grand-total share runs over the
     # 25-row (region, nation) rollup — the f14 fixed-dimension class
     "a_contribution_shares",
