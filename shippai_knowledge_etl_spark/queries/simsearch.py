@@ -559,3 +559,84 @@ def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tb, 6).alias("between_dist2"),
         F.round(tb / tw, 6).alias("separation"),
     )
+
+
+@register(
+    "emb_participation_ratio",
+    survey_ref=(
+        "[EXT] embedding-space participation ratio (Σλ)²/Σλ² over "
+        "per-dimension variances — the anisotropy / dimensional-"
+        "collapse diagnostic (Gao et al. 2019 representation "
+        "degeneration): PR ≈ d is healthy, PR ≪ d means the space "
+        "collapsed onto few directions; one posexplode pass + a "
+        "64-row reduction"
+    ),
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (
+      SELECT i.dim,
+             CAST(round(CAST(e.embedding[i.dim + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS xr
+      FROM embeddings e CROSS JOIN idx i),
+    v AS (
+      SELECT dim,
+             CAST(round((CAST(sum(xr * xr) AS DOUBLE)
+                  - CAST(sum(xr) AS DOUBLE) * CAST(sum(xr) AS DOUBLE)
+                    / count(*)) / count(*), 6) AS DECIMAL(18,6)) AS var_x
+      FROM x GROUP BY dim)
+    SELECT count(*) AS n_dims,
+           round(CAST(sum(var_x) AS DOUBLE), 6) AS sum_var,
+           round(CAST(sum(var_x) AS DOUBLE)
+                 * CAST(sum(var_x) AS DOUBLE)
+                 / CAST(sum(var_x * var_x) AS DOUBLE), 6)
+             AS participation_ratio,
+           round(CAST(sum(var_x) AS DOUBLE)
+                 * CAST(sum(var_x) AS DOUBLE)
+                 / CAST(sum(var_x * var_x) AS DOUBLE) / count(*), 6)
+             AS effective_dim_frac
+    FROM v
+    """,
+)
+def emb_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One number for "has the embedding space collapsed": the
+    participation ratio (Σ var_d)² / Σ var_d² of the per-dimension
+    variances — equal variance in every direction gives PR = d,
+    one dominant direction gives PR → 1 (the diagonal-covariance
+    proxy for the eigenvalue PR; the full-covariance eigenspectrum
+    lives in simsearch_pca_whiten). The pre-index health check that
+    catches representation degeneration before a corpus-scale ANN
+    build bakes it in.
+
+    Exactness: the emb_dim_stats variance discipline (6 dp-quantized
+    DECIMAL sums → order-independent variances), variances themselves
+    re-quantized to DECIMAL(18,6) so Σvar and Σvar² are exact; the
+    two PR divisions happen once on the 1-row reduction. Shape: one
+    posexplode pass, a 64-key aggregate, a 64-row reduction."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "x"))
+    xr = F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(xr)
+    sxx = F.sum(xr * xr)
+    v = x.groupBy("dim").agg(
+        F.round(
+            (
+                sxx.cast("double")
+                - sx.cast("double") * sx.cast("double") / n
+            )
+            / n,
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("var_x")
+    )
+    sv = F.sum("var_x").cast("double")
+    svv = F.sum(F.col("var_x") * F.col("var_x")).cast("double")
+    return v.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(sv, 6).alias("sum_var"),
+        F.round(sv * sv / svv, 6).alias("participation_ratio"),
+        F.round(sv * sv / svv / F.count(F.lit(1)), 6).alias(
+            "effective_dim_frac"
+        ),
+    )

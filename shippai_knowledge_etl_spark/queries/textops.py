@@ -1074,3 +1074,53 @@ def ext_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@register(
+    "ext_hapax_rate",
+    survey_ref=(
+        "[EXT] hapax-legomena vocabulary health per source: the "
+        "fraction of a slice's vocabulary seen exactly once — "
+        "Zipf's tail mass; near-zero hapax rate marks templated/"
+        "machine-generated slices, Heaps' law (ext_heaps_fit) gives "
+        "the growth curve, this gives the per-slice scalar"
+    ),
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, count(*) AS tf
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY source, tok)
+    SELECT source,
+           count(*) AS n_terms,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_rate
+    FROM tf GROUP BY source
+    """,
+)
+def ext_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena rate: what fraction of the slice's
+    vocabulary occurs exactly once. Natural text keeps a fat Zipf
+    tail (hapax ≈ 40-60 % of vocabulary); templated or generated
+    slices re-use a closed vocabulary and the rate collapses — the
+    one-scalar vocabulary-health screen beside Heaps' growth fit.
+
+    Scale shape: one (source, token) count with map-side partials —
+    the postings rollup every text query already pays — then a
+    per-source reduction over vocabulary-sized rows; exact integer
+    counts, one rounded division."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(textops.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    one = (F.col("tf") == 1).cast("int")
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(one).cast("long").alias("n_hapax"),
+        F.round(F.sum(one).cast("double") / F.count(F.lit(1)), 6).alias(
+            "hapax_rate"
+        ),
+    )
