@@ -640,3 +640,54 @@ def emb_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_dim_frac"
         ),
     )
+
+
+_RANGE_TAU = 0.2
+
+
+@register(
+    "simsearch_range_query",
+    survey_ref=(
+        "[EXT] cosine RANGE query (radius search) — the other ANN "
+        "query type beside top-k: ALL vectors within similarity ≥ τ "
+        "of the query; the semantics dedup thresholds, recommendation "
+        "floors, and near-dup sweeps actually want (top-k silently "
+        "truncates dense neighborhoods and pads sparse ones)"
+    ),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb_d FROM e
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT q.query_id, a.vec_id, {_COS} AS sim
+    FROM e a, q
+    WHERE a.vec_id <> q.query_id AND {_COS} >= {_RANGE_TAU}
+    """,
+)
+def simsearch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every vector with cosine ≥ τ of the query — the
+    query type a similarity THRESHOLD semantics needs (dedup floors,
+    "anything at least this related"), where top-k either truncates a
+    dense neighborhood or pads a sparse one with junk. Result size is
+    data-dependent by design.
+
+    Determinism: the threshold compares the ROUNDED similarity
+    (round 6 both sides — the established cosine discipline), so the
+    τ boundary cannot flicker on summation order. Scale shape: the
+    same 1-row query broadcast + corpus scan as top-k (allowlisted
+    BNLJ class) but with NO TakeOrderedAndProject — the filter
+    replaces the sort entirely, making range queries CHEAPER than
+    top-k at any corpus size; an IVF/LSH bucket prune composes in
+    front exactly as in simsearch_ivf_bucket."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sim = F.round(simsearch.cosine(F.col("embedding"), F.col("query_vec")), 6)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= _RANGE_TAU)
+    )

@@ -54,6 +54,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "j5_range_join_buckets",  # ≤ handful of buckets, non-equi bounds
     "ext_tfidf",  # 1-row total-doc-count factor
     "simsearch_topk_cosine",  # 1-row query embedding
+    "simsearch_range_query",  # same 1-row query embedding shape
     "simsearch_hard_negatives",  # same 1-row query embedding shape
     "simsearch_ivf_kmeans",  # k centroid rows
     "dedup_semantic",  # same k-centroid assign as ivf_kmeans
