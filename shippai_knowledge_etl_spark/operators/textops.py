@@ -92,8 +92,20 @@ def quality_metrics(col: Column) -> dict[str, Column]:
 def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Long-format language scores: one row per (doc, lang) with the
     marker-hit count. Relational on purpose — argmax is then a window,
-    and the 5× row expansion is trivial next to the text itself."""
-    toks = tokenize(F.col(text_col))
+    and the 5× row expansion is trivial next to the text itself.
+
+    The tokenize evaluation is pinned behind a Generate barrier
+    (``explode(array(...))``): the score array references the token
+    array from 25 marker_hits sub-expressions (5 langs × 5 words × 2
+    array passes each), and without the barrier CollapseProject
+    inlines the regex+split pipeline into every one — measured 11.7 s
+    warm vs 0.6 s for the identical query at sf0.1 (the
+    queries/curation.py lesson, applied here in round 7)."""
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.array(tokenize(F.col(text_col)))).alias("toks"),
+    )
+    toks = F.col("toks")
     scores = F.array(
         *[
             F.struct(
@@ -103,7 +115,7 @@ def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for lang, words in sorted(LANG_MARKERS.items())
         ]
     )
-    return df.select(F.col(id_col), F.explode(scores).alias("s")).select(
+    return base.select(F.col(id_col), F.explode(scores).alias("s")).select(
         id_col, "s.lang", "s.score"
     )
 
