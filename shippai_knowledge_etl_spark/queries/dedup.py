@@ -1459,3 +1459,70 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "dedup_savings_report",
+    survey_ref=(
+        "[EXT] dedup cost/benefit summary: docs, bytes, and share "
+        "removable by exact dedup over the planted corpus — the "
+        "one-row report that justifies (or kills) running the heavier "
+        "near-dup passes; pure rollup over the hash groups"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    g AS (
+      SELECT doc_id, length(text) AS chars,
+             min(doc_id) OVER (PARTITION BY text) AS canonical_id
+      FROM planted)
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_docs,
+           CAST(sum(chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id <> canonical_id THEN chars ELSE 0 END)
+             AS BIGINT) AS chars_removable,
+           round(CAST(sum(CASE WHEN doc_id <> canonical_id
+                          THEN chars ELSE 0 END) AS DOUBLE)
+                 / sum(chars), 6) AS savings_frac
+    FROM g
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row that answers "is dedup worth running here": document
+    and character counts removable by exact dedup (keep the min-id
+    canonical per content group). Production flow: run THIS cheap
+    report on a sample first; a high savings fraction justifies the
+    heavier near-dup passes (minhash/CDC/substring), a near-zero one
+    kills them. Sizes are CHARACTER counts on purpose: DuckDB
+    ``strlen`` is bytes while Spark ``length`` is characters — equal
+    on this ASCII corpus but silently divergent on any multibyte one,
+    so the contract pins the unit both engines define identically.
+    Exact integer sums; one rounded division.
+
+    Scale shape: the exact-dedup hash-group window (one sha2-class
+    shuffle — here the oracle's text-partition ground-truth form)
+    followed by a map-side-combinable global rollup; lengths ride the
+    shuffle as longs."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text")
+    g = df.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+    dup = F.col("doc_id") != F.col("canonical_id")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dup.cast("int")).cast("long").alias("n_dup_docs"),
+        F.sum("chars").cast("long").alias("chars_total"),
+        F.sum(F.when(dup, F.col("chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_removable"),
+        F.round(
+            F.sum(F.when(dup, F.col("chars")).otherwise(0)).cast("double")
+            / F.sum("chars"),
+            6,
+        ).alias("savings_frac"),
+    )
