@@ -691,3 +691,103 @@ def simsearch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", sim.alias("sim"))
         .filter(F.col("sim") >= _RANGE_TAU)
     )
+
+
+@register(
+    "emb_drift_check",
+    survey_ref=(
+        "[EXT] embedding-drift monitor: cosine between the mean "
+        "vectors of two deterministic halves (even/odd vec_id — the "
+        "stand-in for yesterday's vs today's encoder output) per "
+        "label — the model-monitoring check that catches silent "
+        "encoder/version drift before retrieval quality decays; "
+        "per-dim DECIMAL sums, dot-product terms rounded-then-"
+        "DECIMAL-summed (the dsir discipline)"
+    ),
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS dim),
+    x AS (
+      SELECT e.label, e.vec_id % 2 AS half, i.dim,
+             CAST(round(CAST(e.embedding[i.dim + 1] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS xr
+      FROM embeddings e CROSS JOIN idx i),
+    m AS (
+      SELECT label, half, dim,
+             count(*) AS n,
+             round(CAST(sum(xr) AS DOUBLE) / count(*), 6) AS mean_d
+      FROM x GROUP BY label, half, dim),
+    j AS (
+      SELECT a.label, a.dim,
+             a.n AS n_a, b.n AS n_b,
+             CAST(round(a.mean_d * b.mean_d, 6) AS DECIMAL(18,6)) AS ab,
+             CAST(round(a.mean_d * a.mean_d, 6) AS DECIMAL(18,6)) AS aa,
+             CAST(round(b.mean_d * b.mean_d, 6) AS DECIMAL(18,6)) AS bb
+      FROM m a JOIN m b ON b.label = a.label AND b.dim = a.dim
+      WHERE a.half = 0 AND b.half = 1)
+    SELECT label,
+           CAST(max(n_a) AS BIGINT) AS n_even,
+           CAST(max(n_b) AS BIGINT) AS n_odd,
+           round(CAST(sum(ab) AS DOUBLE)
+                 / (sqrt(CAST(sum(aa) AS DOUBLE))
+                    * sqrt(CAST(sum(bb) AS DOUBLE))), 6) AS centroid_cosine,
+           CAST(sum(ab) AS DOUBLE)
+             / (sqrt(CAST(sum(aa) AS DOUBLE))
+                * sqrt(CAST(sum(bb) AS DOUBLE))) < 0.98 AS drifted
+    FROM j GROUP BY label
+    """,
+)
+def emb_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-cosine drift between two deterministic halves of each
+    label's embeddings (even/odd vec_id — the batch-A/batch-B or
+    yesterday/today split): same-distribution halves give centroid
+    cosine ≈ 1, an encoder change or index corruption drops it — the
+    silent-drift alarm run before retrieval quality visibly decays.
+
+    Hash-safety: per-dim means come from 6 dp-quantized DECIMAL sums
+    (order-independent); the three dot-product accumulations (a·b,
+    a·a, b·b) are per-dim terms ROUNDED THEN DECIMAL-SUMMED over the
+    64 dims, so no cross-row double sum exists; the final cosine and
+    its 0.98 gate evaluate once per label on DECIMAL-backed doubles
+    with identical operand order. Shape: one posexplode pass into a
+    (label × 2 × 64)-key aggregate, a dim-keyed self-join of that
+    tiny table, a per-label reduction."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias("xr"),
+    )
+    m = x.groupBy("label", "half", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("xr").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_d"
+        ),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_a"), F.col("mean_d").alias("ma")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_b"), F.col("mean_d").alias("mb")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.col("ma") * F.col("mb"), 6).cast("decimal(18,6)").alias("ab"),
+        F.round(F.col("ma") * F.col("ma"), 6).cast("decimal(18,6)").alias("aa"),
+        F.round(F.col("mb") * F.col("mb"), 6).cast("decimal(18,6)").alias("bb"),
+    )
+    cos = F.sum("ab").cast("double") / (
+        F.sqrt(F.sum("aa").cast("double")) * F.sqrt(F.sum("bb").cast("double"))
+    )
+    return j.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_even"),
+        F.max("n_b").cast("long").alias("n_odd"),
+        F.round(cos, 6).alias("centroid_cosine"),
+        (cos < 0.98).alias("drifted"),
+    )

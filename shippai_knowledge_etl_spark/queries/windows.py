@@ -1960,3 +1960,53 @@ def w26_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("cents", F.lit(0.5)) / 100.0, 4).alias("p50"),
         F.round(F.percentile("cents", F.lit(0.9)) / 100.0, 4).alias("p90"),
     )
+
+
+@register(
+    "stream_window_topk",
+    survey_ref="§2.10-adjacent: per-window top event type — the "
+    "windowed-rank composition (F.window tumbling buckets + one "
+    "max(struct) argmax per window) that powers 'trending now' "
+    "panels; defined on the batch/stream-shared window operators so "
+    "the same plan runs under readStream",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+             event_type, count(*) AS n
+      FROM events GROUP BY hour_bucket, event_type)
+    SELECT hour_bucket,
+           CAST(max(n) AS BIGINT) AS top_n,
+           string_split(max(
+             lpad(CAST(n AS VARCHAR), 10, '0') || '|' || event_type
+           ), '|')[2] AS top_type,
+           count(*) AS n_types
+    FROM w GROUP BY hour_bucket
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most active event type per hour — the 'trending now' rollup.
+    Argmax inside each window is ONE ``max(struct(n, event_type))``
+    aggregate (no rank window, no per-window shuffle beyond the
+    rollup's own): the conditional-max pivot idiom, here with the
+    (count, type) struct max mirrored in DuckDB as a zero-padded
+    sortable string — ties break toward the lexically larger type in
+    BOTH engines by the same total order.
+
+    Scale/streaming shape: the (window, type) rollup partial-
+    aggregates map-side; under ``readStream`` the identical plan runs
+    with a watermark bounding window state (the stream_tumbling
+    machinery — the windowed aggregation operators are batch/stream
+    shared by construction, SURVEY §2.10)."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 3600").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = F.max(F.struct(F.col("n"), F.col("event_type")))
+    return w.groupBy("hour_bucket").agg(
+        F.max("n").cast("long").alias("top_n"),
+        top.getField("event_type").alias("top_type"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
