@@ -200,3 +200,96 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_cut_idx"
         ),
     )
+
+
+_VAD_THRESHOLD = 24170  # ≈ corpus median frame energy: both flags exercised
+
+
+@register(
+    "mm_audio_vad",
+    survey_ref=(
+        "[EXT] energy-threshold voice-activity detection shape: "
+        "256-byte frames → REAL numpy per-frame energies (Arrow "
+        "mapInPandas) → threshold flags → gaps-and-islands merge into "
+        "speech segments — the silence-stripping pass an audio "
+        "training pipeline runs before transcription/packing; decode "
+        "env-stubbed, frame plumbing and the windowed segment logic "
+        "real and hash-gated"
+    ),
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) // 256 AS nf
+               FROM documents WHERE length(text) >= 256),
+    f AS (SELECT doc_id, unnest(range(0, nf)) AS fi, text FROM d),
+    e AS (SELECT doc_id, fi,
+                 list_sum(list_transform(range(1, 257),
+                   i -> ord(substr(text, fi * 256 + i, 1)))) AS energy
+          FROM f),
+    sp AS (SELECT doc_id, fi FROM e WHERE energy > {_VAD_THRESHOLD}),
+    isl AS (SELECT doc_id, fi,
+                   fi - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY fi) AS grp
+            FROM sp),
+    seg AS (SELECT doc_id, grp, count(*) AS seg_len FROM isl
+            GROUP BY doc_id, grp)
+    SELECT e.doc_id,
+           count(DISTINCT e.fi) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN e.energy > {_VAD_THRESHOLD}
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_speech_frames,
+           CAST(coalesce(max(s.n_segs), 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(s.longest), 0) AS BIGINT) AS longest_segment
+    FROM e
+    LEFT JOIN (SELECT doc_id, count(*) AS n_segs,
+                      max(seg_len) AS longest
+               FROM seg GROUP BY doc_id) s ON s.doc_id = e.doc_id
+    GROUP BY e.doc_id
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over binary audio payloads: real
+    numpy frame energies (byte sums over 256-byte frames — codepoint
+    energy equals byte energy on this ASCII corpus, the
+    dedup_savings_report unit discipline), an energy threshold at the
+    corpus median so both flags carry mass, and gaps-and-islands
+    merging consecutive active frames into speech segments — the
+    silence-stripping front of an audio pipeline (real PCM decode is
+    the documented env-stubbed branch).
+
+    Scale shape: the Arrow mapInPandas edge emits (doc, frame,
+    energy) ints — 12 bytes per frame, never waveforms; the islands
+    window and both rollups share one doc-keyed partitioning. Integer
+    energies and counts end to end — full hash gate despite the
+    Python edge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    e = multimodal.audio_energy_frames(payloads, frame_bytes=256)
+    sp = e.filter(F.col("energy") > _VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    isl = sp.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    segs = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.max("seg_len").alias("longest"),
+    )
+    base = e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((F.col("energy") > _VAD_THRESHOLD).cast("int"))
+        .cast("long")
+        .alias("n_speech_frames"),
+    )
+    return base.join(segs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_speech_frames",
+        F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("longest", F.lit(0)).cast("long").alias(
+            "longest_segment"
+        ),
+    )

@@ -99,3 +99,34 @@ def test_image_near_dup_pigeonhole_guarantee(spark):
     }
     assert got[(1, 2)] == 3 and got[(1, 3)] == 3
     assert (1, 4) not in got  # hamming 4 > threshold, correctly dropped
+
+
+def test_audio_vad_segments_merge_and_split(spark):
+    """Synthetic multi-frame payloads: H=high-energy frame ('z'*256),
+    L=low ('!'*256). HHLHH → 2 segments (longest 2); LLLL → 0; HHHH →
+    1 segment of 4 — the islands merge exactly."""
+    import os
+    import tempfile
+
+    H = "z" * 256  # ord z = 122 → energy 31232 > threshold
+    L = "!" * 256  # ord ! = 33  → energy 8448  < threshold
+    docs = [
+        (1, H + H + L + H + H, "en", "s", 5 * 256),
+        (2, L + L + L + L, "en", "s", 4 * 256),
+        (3, H + H + H + H, "en", "s", 4 * 256),
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        from shippai_knowledge_etl_spark.catalog import load_catalog
+
+        out = {
+            r["doc_id"]: (r["n_frames"], r["n_speech_frames"],
+                          r["n_segments"], r["longest_segment"])
+            for r in load_catalog()["mm_audio_vad"].fn(spark, td).collect()
+        }
+    assert out[1] == (5, 4, 2, 2)
+    assert out[2] == (4, 0, 0, 0)
+    assert out[3] == (4, 4, 1, 4)
