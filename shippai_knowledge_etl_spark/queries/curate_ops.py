@@ -1861,3 +1861,107 @@ def curation_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_present.cast("int").alias("n_langs_present"),
         (n_present >= 2).alias("is_code_switched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_leakage_safe_split",
+    survey_ref=(
+        "[EXT] leakage-safe train/val/test split: hash the CONTENT, "
+        "not the row id — id-hash splits scatter duplicate docs "
+        "across train and test (silent eval contamination), "
+        "content-hash splits keep every duplicate group in one split "
+        "BY CONSTRUCTION; both strategies run side by side and the "
+        "leaky-group counts are the lesson"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    s AS (
+      SELECT doc_id, text,
+             CAST('0x' || substring(md5(text), 1, 4) AS INT) % 10
+               AS sc,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               AS INT) % 10 AS si
+      FROM planted),
+    bd AS (
+      SELECT 'content_hash' AS strategy, text, sc AS split FROM s
+      UNION ALL
+      SELECT 'id_hash', text, si FROM s),
+    leaks AS (
+      SELECT strategy, text, count(DISTINCT split) AS n_splits
+      FROM bd GROUP BY strategy, text)
+    SELECT b.strategy,
+           CAST(sum(CASE WHEN b.split <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN b.split = 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(sum(CASE WHEN b.split = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST(count(DISTINCT b.text) AS BIGINT) AS n_groups,
+           CAST((SELECT count(*) FROM leaks l
+                 WHERE l.strategy = b.strategy AND l.n_splits > 1)
+             AS BIGINT) AS n_leaky_groups
+    FROM bd b GROUP BY b.strategy
+    """,
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of the planted-duplicate corpus,
+    computed two ways side by side: hashing the row id scatters the
+    planted duplicate pairs across splits (n_leaky_groups > 0 — the
+    doc in train and its copy in test is SILENT eval contamination),
+    hashing the CONTENT cannot (same text ⇒ same hash ⇒ same split;
+    n_leaky_groups = 0 by construction). The two-row output IS the
+    argument for content-keyed splitting; in production the key
+    generalizes to the dedup canonical id so near-dups split
+    together too.
+
+    Scale shape: one md5 per row per strategy (scan-side map), split
+    counters partial-aggregate map-side; the leak check groups by
+    content — the exact-dedup shuffle class. All integers."""
+    d = documents_with_planted_dups(spark, sf_dir)
+    sc = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("int")
+        % 10
+    )
+    si = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 10
+    )
+    both = d.select(
+        F.lit("content_hash").alias("strategy"),
+        "text",
+        sc.alias("split"),
+    ).unionByName(
+        d.select(
+            F.lit("id_hash").alias("strategy"), "text", si.alias("split")
+        )
+    )
+    leaks = (
+        both.groupBy("strategy", "text")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .groupBy("strategy")
+        .agg(F.count(F.lit(1)).alias("n_leaky_groups"))
+    )
+    stats = both.groupBy("strategy").agg(
+        F.sum((F.col("split") <= 7).cast("int")).cast("long").alias("n_train"),
+        F.sum((F.col("split") == 8).cast("int")).cast("long").alias("n_val"),
+        F.sum((F.col("split") == 9).cast("int")).cast("long").alias("n_test"),
+        F.countDistinct("text").alias("n_groups"),
+    )
+    return stats.join(leaks, "strategy", "left").select(
+        "strategy",
+        "n_train",
+        "n_val",
+        "n_test",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.coalesce("n_leaky_groups", F.lit(0))
+        .cast("long")
+        .alias("n_leaky_groups"),
+    )
