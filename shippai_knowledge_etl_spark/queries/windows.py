@@ -2010,3 +2010,73 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.getField("event_type").alias("top_type"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@register(
+    "behavior_dau_wau",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): DAU / "
+    "trailing-7-day WAU / stickiness per day — THE product-health "
+    "triple; WAU via a bounded 7× fan-out of the (day, user) distinct "
+    "rollup onto the day grid (COUNT(DISTINCT) over a trailing window "
+    "exists in neither engine; the fan-out form is exact and linear)",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d
+      JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT d.day,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM days d JOIN dau a USING (day) JOIN wau w USING (day)
+    """,
+)
+def behavior_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio — the product-health triple on every
+    growth dashboard. Neither engine supports COUNT(DISTINCT) over a
+    sliding window, so WAU fans the (day, user) DISTINCT rollup out
+    to the ≤7 trailing grid days it serves and re-counts distinct per
+    day — exact, and the fan-out is a constant 7× of the rollup (per-
+    user-day rows, already a tiny fraction of the raw stream). The
+    HLL-register form (ext_hll_rolling_distinct) is the constant-
+    state alternative when even the rollup is too hot.
+
+    Hash-safety: distinct integer counts and one rounded division."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d = days.alias("d")
+    u = du.alias("u")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") >= F.col("d.day") - 6)
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -87,6 +87,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # same bounded grid-fill shape: |event types| x |days| dimension
     # cross, never the raw stream
     "w19_burst_detection",
+    # bounded trailing-window range join: the (day, user) DISTINCT
+    # rollup fans out to <=7 trailing grid days (ext_hll_rolling's
+    # exact-ground-truth class)
+    "behavior_dau_wau",
     "w20_forecast_backtest",  # identical bounded grid-fill shape
     "w21_ewma_smoother",  # identical bounded grid-fill shape
     "w22_mad_outliers",  # identical bounded grid-fill shape
