@@ -169,6 +169,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # same bounded-input shape: the Zipf rank window runs after the
     # global top-100 TakeOrderedAndProject cut (<=100 rows moved)
     "ext_zipf_fit",
+    # heuristic false positive, the ext_bm25_batch class: the canonical
+    # window partitions by text; the SinglePartition exchange is the
+    # 1-row savings rollup
+    "dedup_savings_report",
     # heuristic false positive, the ext_bm25_batch class: the lead
     # window partitions by doc_id; the SinglePartition exchange is the
     # 1-row bigram grand-total aggregate (PMI denominator)
