@@ -2080,3 +2080,106 @@ def behavior_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "behavior_market_basket",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): market-"
+    "basket association over (user, day) baskets — support / "
+    "confidence / lift for every event-type pair (the 2-itemset "
+    "Apriori core): candidate pairs generated AT the basket by an "
+    "i<j self-join of the distinct basket-item rollup, counts "
+    "integer-exact, three rounded divisions per output row",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             event_type
+      FROM events),
+    nb AS (SELECT count(DISTINCT (user_id, day)) AS n_baskets FROM items),
+    sup AS (SELECT event_type, count(*) AS n FROM items
+            GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             count(*) AS n_ab
+      FROM items a
+      JOIN items b ON b.user_id = a.user_id AND b.day = a.day
+                   AND b.event_type > a.event_type
+      GROUP BY item_a, item_b)
+    SELECT p.item_a, p.item_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(p.n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) / sa.n, 6) AS confidence_a_b,
+           round(CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+                 / (CAST(sa.n AS DOUBLE) * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.event_type = p.item_a
+    JOIN sup sb ON sb.event_type = p.item_b
+    CROSS JOIN nb
+    """,
+)
+def behavior_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur in the same (user, day) basket more
+    than chance — support, confidence, and lift for every type pair
+    (the Apriori 2-itemset core behind cross-sell and feature-bundle
+    analysis; lift > 1 = genuinely associated, < 1 = substitutes).
+
+    Scale shape: baskets collapse to DISTINCT (user, day, type) rows
+    first (the stream never self-joins); the pair join is basket-
+    keyed with i<j halving and fan-out bounded by items-per-basket²
+    (≤|event types|² here — itemset mining always caps basket width);
+    per-item supports and the 1-row basket count broadcast back.
+    Exact integer counts; three rounded divisions with identical
+    operand order."""
+    ev = load(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+        "event_type",
+    ).distinct()
+    nb = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    sup = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day") == F.col("a.day"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = sup.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
+    sb = sup.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_baskets"), 6)
+            .alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -111,6 +111,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "quality_sequence_gaps",
     # 1-row grand totals broadcast onto the <=40-band rollup (Lorenz)
     "a_pareto_concentration",
+    # 1-row basket-count broadcast onto the |types|^2 pair rollup
+    "behavior_market_basket",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
     # BM25 feedback stage
     "retrieval_prf_expansion",
