@@ -1745,3 +1745,92 @@ def a_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@register(
+    "a_moments_profile",
+    survey_ref=(
+        "distribution-profiling completion (beyond-reference "
+        "built-in): skewness and excess kurtosis per event type from "
+        "exact DECIMAL power sums (Σx..Σx⁴ on integer cents — an "
+        "int64 Σx⁴ overflows at ~2k rows, DECIMAL(38,0) does not); "
+        "the shape stats a data profiler reports beside min/max/mean"
+    ),
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+               AS x
+      FROM events),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+      FROM c GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(s3 AS DOUBLE) / n AS m3,
+             CAST(s4 AS DOUBLE) / n AS m4
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(m1 / 100.0, 4) AS mean_value,
+           round(sqrt(m2 - m1 * m1) / 100.0, 4) AS stddev_value,
+           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1)), 6)
+             AS skewness,
+           round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                  - 3 * m1 * m1 * m1 * m1)
+                 / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3, 6)
+             AS excess_kurtosis
+    FROM m
+    """,
+)
+def a_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of event value per type — the
+    distribution-shape stats a profiler reports beside mean/stddev
+    (positive skew = long right tail; positive excess kurtosis =
+    outlier-prone): computed from raw power sums Σx..Σx⁴ on integer
+    cents held in DECIMAL(38,0) (Σx⁴ of cents ~3e4 overflows int64
+    by ~2000 rows; DECIMAL(38) has 10¹⁸ headroom at 100 TB), so every
+    cross-row sum is exact and order-independent, and the central-
+    moment algebra runs once per group on DECIMAL-backed doubles with
+    identical operand order; the x^1.5 and x² denominators are written
+    as sqrt(x)·x and x·x — sqrt and multiplication are IEEE
+    exactly-rounded, general pow() is NOT guaranteed to be (the
+    temperature-mix lesson).
+
+    Scale shape: ONE map-side-combined aggregate per type — the same
+    single-pass class as a1; no second pass, no window."""
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(m1 / 100.0, 4).alias("mean_value"),
+        F.round(F.sqrt(var) / 100.0, 4).alias("stddev_value"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var), 6
+        ).alias("skewness"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / (var * var)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )
