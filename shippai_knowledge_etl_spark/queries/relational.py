@@ -1834,3 +1834,51 @@ def a_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "sql_exists_decorrelation",
+    survey_ref="SQL-surface demo (beyond-reference built-in): "
+    "correlated EXISTS / NOT EXISTS written declaratively and left to "
+    "Catalyst's RewritePredicateSubquery — the optimizer must plan "
+    "the semi/anti joins itself (sql_correlated_scalar's sibling for "
+    "the predicate-subquery surface; the hand-joined forms are "
+    "j2/j3/q22)",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def sql_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with a big-ticket order but no urgent one, written as
+    correlated EXISTS / NOT EXISTS predicates — the declarative form —
+    and left to Catalyst's RewritePredicateSubquery to plan as a
+    LeftSemi + LeftAnti pair (the hand-written joins are demonstrated
+    by j2/j3/q22; THIS witnesses the optimizer surface that turns
+    analyst SQL into them). Price predicate on raw doubles is safe
+    here: it selects rows, never aggregates them.
+
+    Scale shape: after decorrelation both probes are custkey-keyed
+    semi/anti joins with the order-side predicates pushed to the
+    scans — identical plan class to writing the joins by hand, which
+    is the point."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )

@@ -1124,3 +1124,75 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rm3_score").desc(), F.col("term"))
         .limit(10)
     )
+
+
+@register(
+    "retrieval_kwic_snippets",
+    survey_ref=(
+        "[EXT] KWIC snippet generation (keyword-in-context, the "
+        "search-result preview): first query-term occurrence per doc "
+        "(min (pos, term) struct — deterministic argmin) with a "
+        "±4-token context window sliced from the token array; the "
+        "user-facing rendering step after any retrieval stage"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    hits AS (
+      SELECT doc_id, pos, tok FROM ex
+      WHERE tok IN ('spark', 'join', 'window')
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY pos, tok) = 1)
+    SELECT h.doc_id,
+           CAST(h.pos AS BIGINT) AS first_pos,
+           h.tok AS matched_term,
+           array_to_string(list_slice(b.toks,
+             greatest(h.pos - 4, 0) + 1, h.pos + 5), ' ') AS snippet
+    FROM hits h JOIN base b USING (doc_id)
+    """,
+)
+def retrieval_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context preview for the fixed query: the FIRST
+    occurrence of any query term per document with four tokens of
+    context on each side — what a result page renders under each hit
+    (and the last mile every retrieval pipeline here feeds:
+    bm25/hybrid rank, THIS renders). Argmin is the deterministic
+    min-(pos, term) struct; the context window is one array slice on
+    the already-tokenized doc.
+
+    Scale shape: positional postings filtered to the query vocabulary
+    before any shuffle (the proximity-window discipline), a doc-keyed
+    argmin aggregate, then one join back to the tokenized doc for the
+    slice — snippet assembly touches only MATCHING docs. Snippets are
+    plain VARCHAR; hash-gate-safe."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    ex = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    hits = (
+        ex.filter(F.col("tok").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("pos", "tok")).alias("h"))
+        .select(
+            "doc_id",
+            F.col("h.pos").alias("pos"),
+            F.col("h.tok").alias("matched_term"),
+        )
+    )
+    return hits.join(base, "doc_id").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("first_pos"),
+        "matched_term",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.greatest(F.col("pos") - 4, F.lit(0)) + 1,
+                F.col("pos") + 5 - F.greatest(F.col("pos") - 4, F.lit(0)),
+            ),
+            " ",
+        ).alias("snippet"),
+    )
