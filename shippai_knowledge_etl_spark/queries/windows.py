@@ -2183,3 +2183,81 @@ def behavior_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "w27_time_to_convert",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): funnel "
+    "latency — per-user first signup → first SUBSEQUENT purchase gap, "
+    "p50/p90/max over converters plus the never-converted count "
+    "(w10 gives the conversion RATE; this gives the HOW LONG); "
+    "conditional min-aggs on one user-keyed rollup, exact dyadic "
+    "percentiles of integer seconds",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s0
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p0
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= u.s0
+      GROUP BY e.user_id),
+    g AS (
+      SELECT u.user_id, u.s0, p.p0, p.p0 - u.s0 AS gap_s
+      FROM u LEFT JOIN p ON p.user_id = u.user_id
+      WHERE u.s0 IS NOT NULL)
+    SELECT count(*) AS n_signed_up,
+           CAST(count(gap_s) AS BIGINT) AS n_converted,
+           CAST(count(*) - count(gap_s) AS BIGINT) AS n_never,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_seconds,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_seconds,
+           CAST(max(gap_s) AS BIGINT) AS max_seconds
+    FROM g
+    """,
+)
+def w27_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from first signup to first subsequent purchase — the
+    funnel-LATENCY readout beside w10's conversion rate (a funnel can
+    hold its rate while its latency doubles; only this query sees
+    it). Per-user first-signup and first-qualifying-purchase are
+    conditional min-aggregates; non-converters stay visible in
+    n_never rather than silently dropping.
+
+    Scale shape: one user-keyed rollup for signups, one filtered
+    user-keyed min for qualifying purchases (the join probe pushes
+    the signup floor per user), a 1-row reduction with exact dyadic
+    percentiles of integer-second gaps over the converter set."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t"))).alias(
+            "s0"
+        )
+    ).filter(F.col("s0").isNotNull())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("t") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("p0"))
+    )
+    g = u.join(p, "user_id", "left").select(
+        "user_id", (F.col("p0") - F.col("s0")).alias("gap_s")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count("gap_s").cast("long").alias("n_converted"),
+        (F.count(F.lit(1)) - F.count("gap_s"))
+        .cast("long")
+        .alias("n_never"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_seconds"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_seconds"),
+        F.max("gap_s").cast("long").alias("max_seconds"),
+    )
