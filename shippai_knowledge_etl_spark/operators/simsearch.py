@@ -940,3 +940,34 @@ def pca_whiten(
         f"pc{j + 1} double" for j in range(k)
     )
     return emb.select(id_col, vec_col).mapInPandas(project, schema)
+
+
+def probe_clusters(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` nearest centroids per query vector — IVF's
+    recall knob (Jégou et al. 2011): a query near a cell boundary has
+    true neighbors in the ADJACENT cell, so production IVF probes
+    several; nprobe=1 is the fastest/lowest-recall corner
+    (simsearch_ivf_kmeans), nprobe=k degenerates to brute force.
+    Returns (query id, cluster) rows — ≤ nprobe per query. Broadcast
+    centroid table, per-query top-nprobe by (dist, cluster): the
+    query side is tiny by construction, so the rank window is
+    query-partitioned and the corpus is untouched here."""
+    from pyspark.sql import Window
+
+    scored = query.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cluster"),
+        F.round(_sq_dist(F.col(vec_col), F.col("centroid")), 9).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cluster")
+    )

@@ -791,3 +791,58 @@ def emb_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cosine"),
         (cos < 0.98).alias("drifted"),
     )
+
+
+@register(
+    "simsearch_ivf_multiprobe",
+    survey_ref="[EXT] IVF multi-probe search (nprobe=2, Jégou et al. "
+    "2011): the recall knob between ivf_kmeans' nprobe=1 corner and "
+    "brute force — boundary queries recover neighbors from the "
+    "adjacent cell at 2/k of the full scan; iterative k-means FP → "
+    "rows-only, superset-of-single-probe and recall-ordering "
+    "invariants pytest-pinned",
+)
+def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over the UNION of the query's 2 nearest learned
+    cells. The output carries n_probed (how many corpus vectors the
+    probe actually scanned) so the cost side of the recall/cost trade
+    is visible next to the results — the number a production tuner
+    watches while turning nprobe.
+
+    Scale shape: centroid probing touches only the centroid table;
+    the candidate filter is a broadcast semi-join of (cluster) keys —
+    with cluster-partitioned storage this is partition pruning at
+    2/k of the corpus; exact cosine re-ranks candidates only."""
+    from shippai_knowledge_etl_spark.operators.simsearch import (
+        kmeans_fit,
+        probe_clusters,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_fit(e, k=8, n_iter=3)
+    corpus = e.join(assigned.select("vec_id", "cluster"), "vec_id")
+    q = e.filter(F.col("vec_id") == 0)
+    probes = probe_clusters(q, centroids, nprobe=2)
+    cand = corpus.join(
+        F.broadcast(probes.select("cluster").distinct()), "cluster"
+    )
+    n_probed = cand.count()
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sim = F.round(
+        simsearch.cosine(F.col("embedding"), F.col("query_vec")), 6
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            sim.alias("sim"),
+            F.lit(n_probed).alias("n_probed"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -57,6 +57,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "simsearch_range_query",  # same 1-row query embedding shape
     "simsearch_hard_negatives",  # same 1-row query embedding shape
     "simsearch_ivf_kmeans",  # k centroid rows
+    "simsearch_ivf_multiprobe",  # same k-centroid assign/probe class
     "dedup_semantic",  # same k-centroid assign as ivf_kmeans
     "ext_bm25_topk",  # 1-row corpus stats (N, sum_dl) factor
     "ext_bm25_batch",  # same 1-row corpus stats factor

@@ -433,3 +433,38 @@ def test_class_separation_planted(spark):
         }
     assert set(sep) == {0, 1}
     assert all(s > 100 for s in sep.values()), sep
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 candidates ⊇ the nprobe=1 bucket, and recall@10 vs the
+    exact brute-force top-10 is >= the single-probe recall — the knob
+    must only ever ADD candidates."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+    from shippai_knowledge_etl_spark.operators.simsearch import (
+        kmeans_fit,
+        probe_clusters,
+    )
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_fit(e, k=8, n_iter=3)
+    q = e.filter(F.col("vec_id") == 0)
+    p1 = {r.cluster for r in probe_clusters(q, centroids, 1).collect()}
+    p2 = {r.cluster for r in probe_clusters(q, centroids, 2).collect()}
+    assert p1 <= p2 and len(p2) == 2
+
+    exact = {
+        r.vec_id
+        for r in load_catalog()["simsearch_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in load_catalog()["simsearch_ivf_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    single = {
+        r.vec_id
+        for r in load_catalog()["simsearch_ivf_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
