@@ -2261,3 +2261,121 @@ def w27_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_seconds"),
         F.max("gap_s").cast("long").alias("max_seconds"),
     )
+
+
+@register(
+    "w28_anomaly_consensus",
+    survey_ref="§2.9-adjacent composition flagship: three anomaly "
+    "detectors — trailing-mean burst (w19), median/MAD robust (w22), "
+    "EWMA deviation (w21's dyadic smoother) — voting on ONE dense "
+    "(type, day) grid with every window sharing the same type-keyed "
+    "shuffle; consensus ≥ 2 of 3 is the alert that pages (single-"
+    "detector alerts page on their own failure modes)",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    lagged AS (
+      SELECT event_type, day, n,
+             sum(n) OVER w7p AS base7,
+             count(*) OVER w7p AS days7,
+             {", ".join(
+                 f"lag(n, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+                 f" AS l{k}" for k in range(1, 8)
+             )}
+      FROM filled
+      WINDOW w7p AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM filled GROUP BY event_type),
+    dev AS (SELECT f.event_type, f.day, abs(f.n - m.med) AS adev
+            FROM filled f JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type),
+    flags AS (
+      SELECT l.event_type, l.day, l.n,
+             (l.days7 = 7 AND coalesce(l.base7, 0) > 0
+              AND 7 * l.n >= 2 * coalesce(l.base7, 0)) AS f_burst,
+             (l.n > m.med + 3 * d.mad) AS f_mad,
+             (l.days7 = 7 AND 127 * l.n > 2 *
+              (64 * l.l1 + 32 * l.l2 + 16 * l.l3 + 8 * l.l4
+               + 4 * l.l5 + 2 * l.l6 + l.l7)) AS f_ewma
+      FROM lagged l
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type))
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           f_burst, f_mad, f_ewma,
+           CAST(f_burst::INT + f_mad::INT + f_ewma::INT AS INT)
+             AS n_flags,
+           f_burst::INT + f_mad::INT + f_ewma::INT >= 2 AS consensus
+    FROM flags
+    """,
+)
+def w28_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three independent detectors vote per (type, day): the trailing-
+    mean burst test (drags with sustained shifts), the median/MAD
+    robust test (immune to the spike it flags), and an EWMA-deviation
+    test (n > 2× the PRIOR day's dyadic smoother, full-window-gated) — alert on
+    consensus ≥ 2. Each detector alone pages on its own failure mode;
+    the vote is the standard ensembling fix, and because all three
+    are integer-exact relational tests the ensemble is hash-exact
+    too.
+
+    Scale shape: ONE dense grid feeds all three — the burst window,
+    seven EWMA lag taps, and the full-window counters share a single
+    type-keyed shuffle (WINDOW clause reuse); the median/MAD tables
+    are per-type rows broadcast back. The composition adds no shuffle
+    class beyond its parts (the graph_node_profile discipline)."""
+    from pyspark.sql import Window
+
+    filled = _daily_grid(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = filled.select(
+        "event_type",
+        "day",
+        "n",
+        F.coalesce(F.sum("n").over(w.rowsBetween(-7, -1)), F.lit(0)).alias(
+            "base7"
+        ),
+        F.count(F.lit(1)).over(w.rowsBetween(-7, -1)).alias("days7"),
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    med = filled.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = filled.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("n") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    # PRIOR-day smoother (lags 1..7): a kernel including the current
+    # day carries it at weight 64/127, capping n/ewma below 2 — the
+    # deviation test could NEVER fire (caught by the planted-spike
+    # pytest). The forecast form compares today against yesterday's
+    # smoothed level.
+    ewma_num = sum(
+        F.lit(wt) * F.col(f"l{k + 1}")
+        for k, wt in enumerate(_EWMA_WEIGHTS)
+    )
+    j = lagged.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    f_burst = (
+        (F.col("days7") == 7)
+        & (F.col("base7") > 0)
+        & (7 * F.col("n") >= 2 * F.col("base7"))
+    )
+    f_mad = F.col("n") > F.col("med") + 3 * F.col("mad")
+    f_ewma = (F.col("days7") == 7) & (
+        127 * F.col("n") > 2 * ewma_num
+    )
+    nf = f_burst.cast("int") + f_mad.cast("int") + f_ewma.cast("int")
+    return j.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        f_burst.alias("f_burst"),
+        f_mad.alias("f_mad"),
+        f_ewma.alias("f_ewma"),
+        nf.cast("int").alias("n_flags"),
+        (nf >= 2).alias("consensus"),
+    )

@@ -896,3 +896,28 @@ def test_interval_coverage_merges_overlaps(spark):
     assert out[1] == (420, 1)
     assert out[2] == (600, 2)
     assert out[3] == (600, 1)
+
+
+def test_anomaly_consensus_planted_spike_trips_all_three(spark):
+    """A 10x spike after a steady full week must trip burst, MAD, and
+    EWMA detectors at once → consensus; steady days trip none."""
+    import datetime
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    base = datetime.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for day in range(14):
+        n = 50 if day == 10 else 4 + (day % 3)  # MAD-safe alternation
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=eid % 60), eid % 3, "t", 1.0, "{}"))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = {r["day"]: r for r in load_catalog()["w28_anomaly_consensus"].fn(spark, td).collect()}
+    d0 = min(out)
+    spike = out[d0 + 10]
+    assert spike["f_burst"] and spike["f_mad"] and spike["f_ewma"]
+    assert spike["consensus"] and spike["n_flags"] == 3
+    assert all(not r["consensus"] for d, r in out.items() if d != d0 + 10)

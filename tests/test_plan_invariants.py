@@ -98,6 +98,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # same bounded grid-fill; the slope pair join itself is type-keyed
     # equi with C(|days|,2) fan-out — calendar-bounded, never the stream
     "w23_theil_sen_trend",
+    "w28_anomaly_consensus",  # identical bounded grid-fill shape
     # 1-row broadcast of the global (sum, count) balance stats — the
     # Q22 scalar-aggregate factor; the alternative is a single-reducer
     # shuffle of the customer table
