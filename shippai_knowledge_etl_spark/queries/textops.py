@@ -1146,3 +1146,45 @@ def ext_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_rate"
         ),
     )
+
+
+@register(
+    "ext_quantile_normalize",
+    survey_ref=(
+        "[EXT] per-source quantile normalization (percent_rank): the "
+        "feature-normalization that makes length/quality scores "
+        "comparable ACROSS sources with different distributions — "
+        "rank-based, so source-specific scale/skew cancels; "
+        "source-partitioned window, never a global sort"
+    ),
+    oracle="""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6)
+             AS length_pctile
+    FROM documents
+    """,
+)
+def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document length within each source: a 700-
+    char doc may be long for a tweets source and short for a papers
+    source — rank-based normalization makes cross-source thresholds
+    (quality gates, length batching) mean the same thing everywhere.
+    percent_rank has identical semantics in both engines; (value, id)
+    ordering makes ties deterministic; the single rounded value is a
+    ratio of integer ranks.
+
+    Scale shape: one source-partitioned window — the shuffle key is
+    the natural layout key (source-partitioned storage makes it
+    exchange-free); never a global sort."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.percent_rank().over(w), 6).alias("length_pctile"),
+    )

@@ -2379,3 +2379,75 @@ def w28_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         nf.cast("int").alias("n_flags"),
         (nf >= 2).alias("consensus"),
     )
+
+
+@register(
+    "w29_peak_concurrency",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): peak "
+    "concurrent activity per user from the w24 sweep line — the "
+    "capacity/licensing metric (max simultaneous open intervals = "
+    "max of the running +1/−1 boundary sum); same one user-keyed "
+    "shuffle, deterministic earliest-peak tie-break",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e, -1 FROM iv),
+    sw AS (
+      SELECT user_id, t,
+             sum(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS active
+      FROM pts)
+    SELECT user_id,
+           CAST(max(active) AS BIGINT) AS peak_concurrent,
+           CAST(min(CASE WHEN active = m THEN t END) AS BIGINT)
+             AS first_peak_epoch
+    FROM (SELECT user_id, t, active,
+                 max(active) OVER (PARTITION BY user_id) AS m
+          FROM sw)
+    GROUP BY user_id
+    """,
+)
+def w29_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous activity per user — how many 5-minute
+    intervals were open at once at the worst moment, and when it
+    first happened: the capacity-planning / licensing metric (w24
+    answers how MUCH time was covered; this answers how DEEP the
+    overlap got). The peak is the max of the same +1/−1 running
+    boundary sum the coverage sweep uses; the timestamp takes the
+    EARLIEST boundary achieving it (min over the max-filter —
+    deterministic without a second sort).
+
+    Scale shape: identical to w24 — 2 boundary rows per event, the
+    running sum, the per-user max window, and the rollup share ONE
+    user-keyed shuffle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    iv = ev.select("user_id", "s", (F.col("s") + 300).alias("e"))
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("d").desc())
+    sw = pts.select(
+        "user_id",
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "active"
+        ),
+    ).withColumn("m", F.max("active").over(Window.partitionBy("user_id")))
+    return sw.groupBy("user_id").agg(
+        F.max("active").cast("long").alias("peak_concurrent"),
+        F.min(F.when(F.col("active") == F.col("m"), F.col("t")))
+        .cast("long")
+        .alias("first_peak_epoch"),
+    )
