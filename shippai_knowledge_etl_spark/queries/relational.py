@@ -1882,3 +1882,58 @@ def sql_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_orderpriority = '1-URGENT')
         """
     )
+
+
+@register(
+    "quality_status_coherence",
+    survey_ref=(
+        "cross-field consistency audit (beyond-reference built-in): "
+        "order status x lineitem linestatus contingency table with "
+        "row shares — the semantic-coherence check after any load or "
+        "MERGE (fields that must agree drifting apart is the bug "
+        "row-level constraints can't see); one fact-fact join + "
+        "tiny-key rollup"
+    ),
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderstatus, l.l_linestatus
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    c AS (
+      SELECT o_orderstatus, l_linestatus, count(*) AS n
+      FROM j GROUP BY o_orderstatus, l_linestatus),
+    t AS (SELECT o_orderstatus, sum(n) AS tn FROM c
+          GROUP BY o_orderstatus)
+    SELECT c.o_orderstatus, c.l_linestatus,
+           CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.tn, 6) AS row_share
+    FROM c JOIN t USING (o_orderstatus)
+    """,
+)
+def quality_status_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table of order status against lineitem line status
+    with per-order-status row shares — do the two status fields still
+    tell one story after loads and merges (a finished order whose
+    lines are mostly open is the inconsistency row-level NOT NULL /
+    FK checks cannot see; this surfaces it as a share shift).
+
+    Scale shape: the q12 fact-fact orderkey join feeding a ≤|status|²
+    rollup with map-side partials, then a per-status total join on
+    tiny keys. Exact counts, one rounded division."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus"
+    )
+    c = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("o_orderstatus").agg(F.sum("n").alias("tn"))
+    return c.join(F.broadcast(t), "o_orderstatus").select(
+        "o_orderstatus",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tn"), 6).alias(
+            "row_share"
+        ),
+    )

@@ -2451,3 +2451,52 @@ def w29_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_peak_epoch"),
     )
+
+
+@register(
+    "w30_usage_heatmap",
+    survey_ref="§2.9-adjacent (beyond-reference built-in): the "
+    "day-of-week x hour usage heatmap behind every traffic dashboard "
+    "— one (dow, hour) rollup (≤168 cells at any stream size) with "
+    "per-cell share of total; epoch integer arithmetic, no "
+    "calendar/timezone functions (the q12 discipline)",
+    oracle="""
+    WITH c AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour
+      FROM events),
+    g AS (SELECT dow, hour, count(*) AS n FROM c GROUP BY dow, hour),
+    t AS (SELECT sum(n) AS tn FROM g)
+    SELECT CAST(g.dow AS INT) AS dow,
+           CAST(g.hour AS INT) AS hour,
+           CAST(g.n AS BIGINT) AS n,
+           round(CAST(g.n AS DOUBLE) / t.tn, 6) AS share
+    FROM g, t
+    """,
+)
+def w30_usage_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by (day-of-week, hour-of-day) with share of total
+    — the 7×24 heatmap behind every traffic dashboard and the input
+    to load-based scheduling. Day-of-week comes from pure epoch
+    integer arithmetic ((epoch_days + 4) % 7 — 1970-01-01 was a
+    Thursday; 0 = Sunday), NOT from calendar functions whose locale/
+    timezone defaults differ between engines.
+
+    Scale shape: one rollup onto ≤168 cells with map-side partials —
+    the whole stream collapses in the scan stage — plus a 1-row total
+    broadcast (allowlisted class)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("t")
+    )
+    c = ev.select(
+        ((F.expr("t div 86400") + 4) % 7).alias("dow"),
+        F.expr("(t % 86400) div 3600").alias("hour"),
+    )
+    g = c.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("tn"))
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("share"),
+    )

@@ -115,6 +115,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "a_pareto_concentration",
     # 1-row basket-count broadcast onto the |types|^2 pair rollup
     "behavior_market_basket",
+    # 1-row grand total broadcast onto the <=168-cell (dow, hour) grid
+    "w30_usage_heatmap",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
     # BM25 feedback stage
     "retrieval_prf_expansion",
