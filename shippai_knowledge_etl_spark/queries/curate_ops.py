@@ -1965,3 +1965,88 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaky_groups"),
     )
+
+
+@register(
+    "curation_ngram_coverage",
+    survey_ref=(
+        "[EXT] train→test n-gram coverage: what fraction of the test "
+        "split's distinct trigrams the train split already contains — "
+        "high coverage means test metrics measure recombination, not "
+        "generalization (the split-quality diagnostic beside "
+        "leakage_safe_split's exact-dup check); one shingle pass + "
+        "one semi-join on the gram key"
+    ),
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             CAST('0x' || substring(md5(text), 1, 4) AS INT) % 10
+               AS split
+      FROM documents),
+    g AS (
+      SELECT split, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             ELSE [array_to_string(toks, ' ')] END)) AS gram
+      FROM s WHERE split <= 7 OR split = 9),
+    tr AS (SELECT DISTINCT gram FROM g WHERE split <= 7),
+    te AS (SELECT DISTINCT gram FROM g WHERE split = 9)
+    SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_train_grams,
+           CAST(count(*) AS BIGINT) AS n_test_grams,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           round(CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS coverage
+    FROM te LEFT JOIN tr USING (gram)
+    """,
+)
+def curation_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the test split's trigram vocabulary the train split
+    already contains (content-hash 80/10/10 split, the
+    leakage_safe_split keying): near-1.0 coverage means test scores
+    measure recombination of seen phrases rather than generalization
+    — the distribution-level split diagnostic after exact-dup leakage
+    is ruled out.
+
+    Scale shape: ONE tokenize+shingle evaluation over the two splits
+    (the dedup shingle discipline), distinct gram sets per side, and
+    a gram-keyed LEFT join of the (much smaller) test vocabulary
+    against the train vocabulary — both sides vocabulary-sized, never
+    corpus-sized. Exact counts, one division."""
+    d = load(spark, sf_dir, "documents")
+    split = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("int")
+        % 10
+    )
+    base = scale_out(
+        d.select("doc_id", "text", split.alias("split")).filter(
+            (F.col("split") <= 7) | (F.col("split") == 9)
+        )
+    )
+    from shippai_knowledge_etl_spark.operators.dedup import shingle_structs
+
+    g = base.select(
+        "split",
+        F.explode(shingle_structs(F.col("text"), n=3)).alias("gram"),
+    )
+    tr = g.filter(F.col("split") <= 7).select("gram").distinct()
+    te = g.filter(F.col("split") == 9).select("gram").distinct()
+    trj = tr.select(F.col("gram").alias("gram"), F.lit(1).alias("hit"))
+    n_train = tr.agg(F.count(F.lit(1)).alias("n_train_grams"))
+    cov = te.join(trj, "gram", "left").agg(
+        F.count(F.lit(1)).alias("n_test_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_covered"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+    return cov.crossJoin(F.broadcast(n_train)).select(
+        F.col("n_train_grams").cast("long").alias("n_train_grams"),
+        "n_test_grams",
+        "n_covered",
+        "coverage",
+    )

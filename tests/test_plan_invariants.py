@@ -117,6 +117,8 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "behavior_market_basket",
     # 1-row grand total broadcast onto the <=168-cell (dow, hour) grid
     "w30_usage_heatmap",
+    # 1-row train-vocab count broadcast onto the 1-row coverage agg
+    "curation_ngram_coverage",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
     # BM25 feedback stage
     "retrieval_prf_expansion",
