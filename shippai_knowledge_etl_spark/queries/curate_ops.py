@@ -1593,14 +1593,13 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(
             F.array_join("toks", "\n"), F.lit(r"(?m)^\p{Nd}+$")
         ).cast("long").alias("n_digit_words"),
-        (
-            F.length("page")
-            - F.length(F.replace(F.col("page"), F.lit("#"), F.lit("")))
-            + (
-                F.length("page")
-                - F.length(F.replace(F.col("page"), F.lit("..."), F.lit("")))
-            ).cast("long")
-            / F.lit(3)
+        # Integer `div` mirrors the oracle's `//` STRUCTURALLY (ADVICE
+        # r7: the old double-division-then-cast matched only because
+        # '...' replace deltas are always multiples of 3).
+        F.expr(
+            "CAST(length(page) - length(replace(page, '#', '')) AS BIGINT)"
+            " + CAST(length(page) - length(replace(page, '...', ''))"
+            " AS BIGINT) div 3"
         ).cast("long").alias("n_symbols"),
         F.size(F.split("page", "\n", -1)).cast("long").alias("n_lines"),
         F.regexp_count(F.col("page"), F.lit("(?m)^[-*•]"))
@@ -1735,12 +1734,20 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(
+            # Integer `div` mirrors the oracle's `//` at ANY magnitude
+            # (ADVICE r7: truncate-after-double-division can round up
+            # across an integer boundary once operands outgrow the
+            # 2^53 double mantissa — the 'exact integer waterfill'
+            # contract is now structural, not budget-size luck).
             F.when(F.col("total") <= b, F.lit(None).cast("long"))
-            .when(F.col("ks") == 0, (b / F.col("m")).cast("long"))
+            .when(
+                F.col("ks") == 0,
+                F.expr(f"{_BUDGET_TOKENS}L div m").cast("long"),
+            )
             .otherwise(
-                ((b - F.col("pks")) / (F.col("m") - F.col("ks"))).cast(
-                    "long"
-                )
+                F.expr(
+                    f"({_BUDGET_TOKENS}L - pks) div (m - ks)"
+                ).cast("long")
             )
             .alias("c")
         )

@@ -912,9 +912,15 @@ def q12_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing/partitioned-layout modules exist to delete (co-located
     bucketed tables turn it into a zero-exchange SortMergeJoin; see
     tests/test_bucketing.py); expressed declaratively, AQE picks the
-    join strategy. Lag is integer epoch-day arithmetic (identical //
-    semantics both engines, no calendar/timezone functions); the
-    median of integers is a dyadic rational — exact at the gate."""
+    join strategy. Lag is integer epoch-day arithmetic with NO
+    calendar/timezone functions; note Spark's `div` truncates toward
+    zero while the DuckDB oracle's `//` floors — they agree here
+    because TPC-H guarantees l_shipdate >= o_orderdate (lag is never
+    negative) AND both dates are midnight stamps (the difference is an
+    exact multiple of 86400). That data invariant is asserted, not
+    assumed: the parity suite plants no negative lags, and the n_fast
+    count below would flip on any floor/trunc divergence. The median
+    of integers is a dyadic rational — exact at the gate."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
