@@ -114,9 +114,19 @@ DRIVER_WINDOW = (
     # verify) with no prior driver row
     "dedup_prefix_allpairs",
     # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
-    # w3_layout_suite's running-position cumsum); the slot pins the
-    # MinHash→exact-verify dedup flagship, previously driver-unwitnessed
-    "dedup_minhash_verified",
+    # w3_layout_suite's running-position cumsum); dedup_minhash_verified
+    # then rotated out in round 8 (VERDICT r7 item 3: it held a driver
+    # slot since r5 yet carries NO oracle — the driver row was rows-only,
+    # adding no hash signal over the local pytest equivalences that
+    # remain: tests/test_dedup.py pins its planted-duplicate recall and
+    # its exact-verify stage IS the jaccard verification that
+    # dedup_ngram_jaccard keeps hash-gated in-window; the banded
+    # candidate-bucket shape stays in-window via dedup_prefix_allpairs);
+    # the slot pins the k-core decomposition flagship — the graph family
+    # had only PageRank in-window, and k-core's iterative peel is a
+    # genuinely different loop class (monotone deletion to fixpoint vs
+    # damped propagation), hash-gated against an unrolled CTE oracle
+    "graph_kcore",
     # w7_lead_lag rotated out (the lead/lag window family stays
     # witnessed in-window by w3_layout_suite's partitioned running
     # windows and j6_asof_latest_order's per-key ordered pick;
@@ -127,9 +137,17 @@ DRIVER_WINDOW = (
     # per-query ranking window)
     "ext_bm25_batch",
     # u1_union_worklists rotated out (union family stays witnessed by
-    # u2_status_partition + u4_except); the slot pins the in-engine
-    # k-means IVF flagship, previously driver-unwitnessed
-    "simsearch_ivf_kmeans",
+    # u2_status_partition + u4_except); simsearch_ivf_kmeans then
+    # rotated out in round 8 (VERDICT r7 item 3: rows-only since r5 —
+    # float k-means centroids have no exact DuckDB twin, so the driver
+    # row carried no hash signal beyond the local pytest recall gate
+    # tests/test_simsearch.py keeps; the two-stage coarse-cut→exact-
+    # rerank IVF probe SHAPE stays hash-gated in-window by
+    # simsearch_mrl_funnel); the slot pins the table-checksum audit —
+    # the round-7 data-quality family's FIRST driver row (block-level
+    # commutative checksums whose merge order cannot matter, the
+    # cross-engine table-equality primitive)
+    "quality_table_checksum",
     # u4_except rotated out (the set-op family stays witnessed
     # in-window by u2_status_partition's heterogeneous union;
     # u4_except / u3_intersect / u1_union_worklists all stay
@@ -143,7 +161,16 @@ DRIVER_WINDOW = (
     # case_assembly's sources_list split); the slot pins the new
     # Gopher-style repetition-quality flagship
     "ext_quality_repetition",
-    "f8_f9_cleanup_url",
+    # f8_f9_cleanup_url rotated out in round 8 (VERDICT r7 item 4:
+    # redundant in-window cousins — F8 nbsp-normalize + F9 URL-regex
+    # extraction stay witnessed in-window by p1_case_id_extract's
+    # regexp_extract surface and p8_link_fallback's URL construction/
+    # resolution; f8_f9_cleanup_url itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the CDC
+    # MERGE audit — the round-7 data-quality family's upsert/delete
+    # reconciliation (full-outer key align + op classification),
+    # previously driver-unwitnessed
+    "quality_cdc_merge",
     # f13_results_sequence rotated out (F13's regex-extraction family
     # stays witnessed in-window by p1_case_id_extract + f8_f9's URL
     # regex, and A2's max-over-extracted-int by a3_manifest_collect's
@@ -178,7 +205,16 @@ DRIVER_WINDOW = (
     # prior driver row
     "retrieval_rrf_fusion",
     "p1_case_id_extract",
-    "p4_p5_text_restructure",
+    # p4_p5_text_restructure rotated out in round 8 (VERDICT r7 item 4:
+    # redundant in-window cousin — P4 br→newline and P5 paragraph
+    # re-segmentation stay witnessed in-window by case_assembly, whose
+    # scenario text surface runs the SAME br-normalize + re-segment
+    # chain before chunking; p4_p5_text_restructure itself stays
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins market-basket association mining — support/confidence/
+    # lift over co-occurring event types, the behavioral family's
+    # self-join-on-bounded-keys class, previously driver-unwitnessed
+    "behavior_market_basket",
     # w1_w2_chunk_slice and o1_sort_by_num rotated out (W1/W2/O1 stay
     # witnessed in-window by case_assembly, whose scenario_struct IS
     # the O1 ordinal sort → W2 boundary slice → W1 chunk-by-3
@@ -253,12 +289,17 @@ DRIVER_WINDOW = (
     # dedup_clusters itself stays oracle-green in
     # tests/test_oracle_parity.py at both SFs
     "dedup_cluster_representatives",
-    # the BLAS mapInPandas form is the 100 TB scale path AND measured
-    # fastest locally — it is the witnessed + bench headline form
-    # (VERDICT r4 item 5); the HOF exactness baseline keeps its full
-    # DuckDB oracle in tests/test_oracle_parity.py and a pytest id-set
-    # equality ties the two together
-    "simsearch_topk_blas",
+    # simsearch_topk_blas rotated out in round 8 (VERDICT r7 item 3:
+    # rows-only since r5 — float32 BLAS scores have no exact DuckDB
+    # twin, so the driver row carried no hash signal; it REMAINS a
+    # PINNED BENCH HEADLINE measured every round, and the pytest id-set
+    # equality against the HOF exact form — whose full DuckDB oracle
+    # stays green in tests/test_oracle_parity.py — keeps it witnessed);
+    # the slot pins interval-coverage merging — the behavioral/time-
+    # series round-7 family's gaps-and-islands union of overlapping
+    # intervals, a plan class (ordered lag + running max + island sum)
+    # with no prior driver row
+    "w24_interval_coverage",
     # simsearch_near_dup rotated out (the sign-LSH signature machinery
     # stays witnessed in-window by simsearch_hamming_topk — same packed
     # 64-bit signs + bit_count(xor) — and the bucketed-candidate

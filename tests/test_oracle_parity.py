@@ -137,16 +137,13 @@ def test_contract_shape():
     assert len(q) >= 1
 
 
-# In-window queries the driver checks rows-only, by design: their
-# outputs depend on engine-specific hashing (xxhash64 MinHash perms,
-# k-means init) or float32 BLAS scores with no exact DuckDB twin. Each
-# carries a pytest tying it to an exact form (id-set equality /
-# planted-duplicate recall) — see test_dedup.py / test_simsearch.py.
-ROWS_ONLY_IN_WINDOW = {
-    "dedup_minhash_verified",
-    "simsearch_ivf_kmeans",
-    "simsearch_topk_blas",
-}
+# In-window queries the driver checks rows-only, by design. EMPTY
+# since round 8: the three r5-era rows-only slots (minhash_verified /
+# ivf_kmeans / topk_blas — engine-specific hashing, k-means init,
+# float32 BLAS) rotated out per VERDICT r7 item 3; their pytest
+# equivalences (test_dedup.py / test_simsearch.py) and the topk_blas
+# bench headline remain. Every driver-window query is now hash-gated.
+ROWS_ONLY_IN_WINDOW: set[str] = set()
 
 
 def test_driver_window_contract():
