@@ -2500,3 +2500,191 @@ def w30_usage_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming replay witnesses (VERDICT r7 item 8): batch-shaped queries
+# that run the EXACT streaming/windows.py operator code over generation
+# slices (micro-batch stand-ins) and hash-gate the MERGED final state
+# against a one-shot oracle — the stream_sketch_state_merge precedent
+# applied to the window family. The property proven is the one the
+# incremental design rests on: per-batch partial window state, merged,
+# equals the one-shot computation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_replay",
+    survey_ref=(
+        "§2.10 streaming tumbling-window state merge (batch-shaped "
+        "witness): three micro-batch generations through the SAME "
+        "tumbling_counts operator the streaming pipeline runs, partial "
+        "(window,type) states sum-merged (the update-mode state-store "
+        "accumulation), watermark-closed flag derived from the final "
+        "max event time — hash-gated against a one-shot oracle"
+    ),
+    oracle="""
+    WITH good AS (
+      SELECT * FROM events
+      WHERE NOT (value IS NULL OR value < 0 OR event_type = 'error')
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS sv
+      FROM good GROUP BY 1, 2),
+    wm AS (
+      SELECT CAST(floor(max(epoch(ts))) AS BIGINT) - 900 AS wm FROM good)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(sv AS DOUBLE), 4) AS sum_value,
+           window_start + 600 <= wm.wm AS closed
+    FROM agg, wm
+    """,
+)
+def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the streaming tumbling-count pipeline batch-shaped: the
+    dead-letter split, then THREE generations (event_id mod 3 — stand-
+    ins for micro-batches) each through ``W.tumbling_counts`` (the same
+    code ``streaming_pipeline`` wires behind ``writeStream``), then the
+    per-(window, type) partial states merged by summation — exactly
+    what the update-mode state store does across micro-batches. The
+    ``closed`` flag marks windows whose end the final watermark
+    (max event time − 15 min, the ``with_watermark`` delay) has passed
+    — the append-mode emission predicate.
+
+    The oracle computes the aggregation ONE-SHOT, so the hash gate
+    proves the partial-state merge is exact (counts and DECIMAL sums
+    are associative and order-free; a float sum here would flunk the
+    gate, which is WHY tumbling_counts aggregates in DECIMAL).
+
+    Scale shape: each generation's partial agg collapses map-side onto
+    (window, type) cells before any shuffle; the merge is a second
+    bounded-key agg over cells, never events; the watermark is a 1-row
+    broadcast (allowlisted class)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    good, _bad = W.dead_letter_split(ev)
+    parts = [
+        W.tumbling_counts(good.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    merged = u.groupBy("window_start", "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_value").alias("sv"),
+    )
+    wm = good.agg(
+        (F.max(F.unix_timestamp("ts")) - F.lit(900)).alias("wm")
+    )
+    return merged.crossJoin(F.broadcast(wm)).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+        (F.col("window_start") + 600 <= F.col("wm")).alias("closed"),
+    )
+
+
+@register(
+    "stream_session_replay",
+    survey_ref=(
+        "§2.10 streaming session-window state merge (batch-shaped "
+        "witness): per-generation session_window states merged by the "
+        "interval-within-gap rule (the session-state-store merge), "
+        "hash-gated against the one-shot gaps-and-islands oracle — "
+        "proving cross-batch session stitching is exact"
+    ),
+    oracle="""
+    WITH good AS (
+      SELECT * FROM events
+      WHERE NOT (value IS NULL OR value < 0 OR event_type = 'error')
+    ),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM good WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed per generation (event_id mod 3) with
+    the SAME ``session_window`` operator the streaming pipeline uses,
+    then stitched across generations: per user, order the partial
+    sessions and merge any whose gap to the running latest event is
+    <= the 30-minute threshold — the exact merge Spark's session-window
+    state store performs when a new micro-batch's events bridge two
+    stored sessions. The one-shot oracle never sees generations, so a
+    hash match proves the stitching reproduces one-shot sessionization
+    exactly (session structure depends only on the event SET; each
+    partial session is internally gap-valid, and two partials merge iff
+    their boundary events are within the gap — the connected-component
+    argument in the docstring of W.session_counts applies).
+
+    Scale shape: per-generation session aggs shuffle once on user_id;
+    the stitch is ONE user-keyed sort window over per-session rows
+    (corpus cut to sessions already, orders of magnitude smaller), then
+    a bounded re-rollup. No event row is ever re-shuffled."""
+    from pyspark.sql import Window as SqlWindow
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    good, _bad = W.dead_letter_split(ev)
+    parts = [
+        W.session_counts(good.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    segs = (
+        parts[0]
+        .unionAll(parts[1])
+        .unionAll(parts[2])
+        .select(
+            "user_id",
+            F.col("session_start").alias("s"),
+            (F.col("session_end") - F.lit(1800)).alias("l"),  # last event
+            "n",
+        )
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("s", "l")
+    prev_max_l = F.max("l").over(
+        w.rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    marked = segs.select(
+        "user_id",
+        "s",
+        "l",
+        "n",
+        F.when(
+            prev_max_l.isNull() | (F.col("s") - prev_max_l > 1800),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sessed = marked.select(
+        "user_id",
+        "s",
+        "l",
+        "n",
+        F.sum("new_sess")
+        .over(w.rowsBetween(SqlWindow.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    return sessed.groupBy("user_id", "sess_id").agg(
+        F.min("s").alias("session_start"),
+        (F.max("l") + F.lit(1800)).alias("session_end"),
+        F.sum("n").cast("long").alias("n"),
+    ).select("user_id", "session_start", "session_end", "n")

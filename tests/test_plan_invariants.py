@@ -117,6 +117,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "behavior_market_basket",
     # 1-row grand total broadcast onto the <=168-cell (dow, hour) grid
     "w30_usage_heatmap",
+    # 1-row final-watermark broadcast onto the (window, type) cell
+    # rollup — the streaming replay witness's append-mode closed flag;
+    # the alternative is a single-reducer shuffle of the cell table
+    "stream_window_replay",
     # 1-row train-vocab count broadcast onto the 1-row coverage agg
     "curation_ngram_coverage",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
