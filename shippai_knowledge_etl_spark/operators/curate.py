@@ -1579,3 +1579,196 @@ def remove_repeated_ngrams(
             ).getField("tok"),
         ).alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-frequency boilerplate dedup (CCNet-style paragraph-hash filter)
+# ---------------------------------------------------------------------------
+
+
+def line_frequency_filter(
+    lines: DataFrame,
+    id_col: str,
+    line_col: str,
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """CCNet-style line/paragraph dedup (Wenzek et al. 2020 §3.1): a
+    line appearing verbatim in more than ``max_doc_freq`` DISTINCT
+    documents is boilerplate (nav menus, footers, cookie banners) and
+    is dropped corpus-wide; unique content survives. Returns the input
+    rows with ``df_docs`` (distinct-document frequency) and ``kept``.
+
+    Scale shape: the frequency rollup groups on ``md5(line)`` — a
+    fixed-width 32-char key — so the shuffle carries hashes, never the
+    line text; the verdict join re-uses the same hash partitioning
+    (AQE reuses the exchange). At 100 TB this is the exact-dedup
+    shuffle class: one wide exchange keyed on content hash, map-side
+    distinct collapse before it."""
+    lh = lines.withColumn("_lh", F.md5(F.col(line_col)))
+    freq = (
+        lh.select("_lh", id_col)
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    )
+    return lh.join(freq, "_lh").drop("_lh").withColumn(
+        "kept", F.col("df_docs") <= max_doc_freq
+    )
+
+
+def token_lines(
+    df: DataFrame, id_col: str, text_col: str, width: int = 10
+) -> DataFrame:
+    """Deterministic "lines" for a corpus whose text carries no
+    newlines: consecutive ``width``-token chunks (the chunk_tokens
+    geometry with stride == width). Lambda-free: chunk indices come
+    from posexplode(sequence(...)), the text from slice + array_join —
+    all codegen'd. Docs with zero tokens emit no lines (both engines
+    filter identically). Returns (id_col, line_no, line)."""
+    base = df.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    nz = base.filter(F.col("_n") >= 1)
+    idx = nz.select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.expr(f"(_n - 1) div {width}"))
+        ).alias("line_no", "_i"),
+    )
+    return idx.select(
+        id_col,
+        "line_no",
+        F.array_join(
+            F.slice(
+                F.col("_toks"),
+                F.col("_i") * width + 1,
+                F.lit(width),
+            ),
+            " ",
+        ).alias("line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (deterministic denoising masks)
+# ---------------------------------------------------------------------------
+
+
+def span_corruption_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 3,
+    mask_pct: float = 0.15,
+) -> DataFrame:
+    """Span-corruption accounting for denoising pretraining (Raffel et
+    al. 2020 §3.1.4, the T5 objective): tokens are grouped into
+    consecutive ``span``-token groups and each group is masked by a
+    deterministic 16-bit md5 draw at ``mask_pct`` — the input sequence
+    replaces each masked span with ONE sentinel, the target emits the
+    masked tokens each prefixed by its sentinel plus a final EOS.
+    Returns per-doc exact token accounting: n_tokens, n_spans,
+    n_masked_spans, n_masked_tokens, n_input_tokens, n_target_tokens.
+
+    Deterministic md5 masking (the mix_keep idiom) means the SAME doc
+    gets the SAME mask on any engine/partitioning/run — reproducible
+    training data, and the whole profile is hash-gateable. Scale
+    shape: one posexplode to span rows (n/span fan-out), one doc-keyed
+    rollup; no shuffle beyond the rollup, no lambda HOFs."""
+    thr = format(int(mask_pct * 65536), "04x")
+    base = df.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    nz = base.filter(F.col("_n") >= 1)
+    spans = nz.select(
+        id_col,
+        "_n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.expr(f"(_n - 1) div {span}"))
+        ).alias("_s", "_ignored"),
+    )
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":sc:"),
+                F.col("_s").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    marked = spans.select(
+        id_col,
+        "_n",
+        F.least(F.lit(span), F.col("_n") - F.col("_s") * span).alias(
+            "_len"
+        ),
+        (draw < F.lit(thr)).cast("int").alias("_m"),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.max("_n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("_m").cast("long").alias("n_masked_spans"),
+        F.sum(F.col("_m") * F.col("_len")).cast("long").alias(
+            "n_masked_tokens"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "n_masked_spans",
+        "n_masked_tokens",
+        (
+            F.col("n_tokens")
+            - F.col("n_masked_tokens")
+            + F.col("n_masked_spans")
+        ).alias("n_input_tokens"),
+        (
+            F.col("n_masked_tokens") + F.col("n_masked_spans") + 1
+        ).alias("n_target_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling via replicated min-hash
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_keys(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weighted sampling keys: each row draws
+    ``weight`` independent md5 hashes (one per integer weight unit)
+    and keeps the MINIMUM — ordering the corpus by that key makes
+    P(row is the global minimum) exactly weight_i / sum(weights), the
+    replicated-min-hash weighted draw (integer-weight analog of
+    Efraimidis-Spirakis A-ES keys, which need u^(1/w) floats whose ln
+    is NOT exactly-rounded cross-engine — this form is string-exact).
+    Top-k by (wkey, id) is then a reproducible weighted sample.
+
+    Scale shape: the explode fan-out is bounded by the weight cap
+    (small integer), the min collapses map-side, and the top-k is
+    TakeOrderedAndProject — per-partition heaps, k-row driver merge.
+    Returns (id_col, weight_col, wkey)."""
+    copies = df.select(
+        id_col,
+        weight_col,
+        F.posexplode(
+            F.sequence(F.lit(0), F.col(weight_col).cast("int") - 1)
+        ).alias("_j", "_ignored"),
+    )
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(f":{salt}:"),
+            F.col("_j").cast("string"),
+        )
+    )
+    return copies.select(id_col, weight_col, h.alias("_h")).groupBy(
+        id_col, weight_col
+    ).agg(F.min("_h").alias("wkey"))

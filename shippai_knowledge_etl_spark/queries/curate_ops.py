@@ -2057,3 +2057,305 @@ def curation_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covered",
         "coverage",
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style line-frequency boilerplate dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_line_dedup",
+    survey_ref=(
+        "[EXT] CCNet line/paragraph-hash boilerplate dedup (Wenzek et "
+        "al. 2020 §3.1): lines appearing verbatim in >5 distinct docs "
+        "are dropped corpus-wide; the frequency shuffle carries md5 "
+        "hashes, never line text"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, source, toks, len(toks) AS n FROM base
+           WHERE len(toks) >= 1),
+    idx AS (SELECT doc_id, toks,
+                   unnest(range(0, ((n - 1) // 10) + 1)) AS i
+            FROM nz),
+    content AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),
+                             ' ') AS line
+      FROM idx),
+    boiler AS (
+      SELECT doc_id, 'copyright footer ' || source AS line FROM nz
+      UNION ALL
+      SELECT doc_id, 'all rights reserved navigation menu' FROM nz),
+    lines AS (SELECT * FROM content UNION ALL SELECT * FROM boiler),
+    lh AS (SELECT doc_id, line, md5(line) AS h FROM lines),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS df_docs
+             FROM lh GROUP BY h),
+    j AS (SELECT l.doc_id, l.line, f.df_docs
+          FROM lh l JOIN freq f USING (h))
+    SELECT doc_id,
+           count(*) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN df_docs <= 5 THEN 1 END), 0)
+             AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN df_docs > 5 THEN 1 END), 0)
+             AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN df_docs <= 5
+                             THEN length(line) END), 0)
+             AS BIGINT) AS kept_chars
+    FROM j GROUP BY doc_id
+    """,
+)
+def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-frequency boilerplate removal — the CCNet
+    paragraph-dedup pass that kills nav menus / footers / cookie
+    banners BEFORE any quality model sees them (they dominate naive
+    quality scores). The corpus carries no newlines, so "lines" are
+    deterministic 10-token chunks (curate.token_lines), plus two
+    PLANTED boilerplate lines per doc: a per-source copyright footer
+    (doc-frequency = |source| >> 5 → dropped) and a corpus-wide
+    navigation line (dropped); organic content chunks are mostly
+    unique → kept. Any organic chunk repeated across >5 docs is
+    dropped too — that is the operator working, and the oracle agrees
+    by construction.
+
+    Scale shape: curate.line_frequency_filter — ONE md5(line)-keyed
+    shuffle (32-char hash keys, never text) with map-side distinct
+    collapse, verdict join reusing the same partitioning; per-doc
+    rollup after. The exact-dedup shuffle class."""
+    d = load(spark, sf_dir, "documents")
+    content = curate.token_lines(d, "doc_id", "text", 10).select(
+        "doc_id", "line"
+    )
+    nz = d.select(
+        "doc_id", "source", F.size(tokenize(F.col("text"))).alias("n")
+    ).filter(F.col("n") >= 1)
+    boiler = nz.select(
+        "doc_id",
+        F.concat(F.lit("copyright footer "), F.col("source")).alias(
+            "line"
+        ),
+    ).unionAll(
+        nz.select(
+            "doc_id",
+            F.lit("all rights reserved navigation menu").alias("line"),
+        )
+    )
+    lines = content.unionAll(boiler)
+    verdicts = curate.line_frequency_filter(lines, "doc_id", "line", 5)
+    return verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("int")).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.length("line"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_span_corruption",
+    survey_ref=(
+        "[EXT] T5 span-corruption accounting (Raffel et al. 2020 "
+        "§3.1.4): deterministic md5-drawn 3-token mask spans at 15%, "
+        "exact input/target sequence-length accounting per doc"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, len(toks) AS n FROM base WHERE len(toks) >= 1),
+    spans AS (SELECT doc_id, n,
+                     unnest(range(0, ((n - 1) // 3) + 1)) AS s
+              FROM nz),
+    marked AS (
+      SELECT doc_id, n,
+             least(3, n - s * 3) AS slen,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':sc:'
+                                 || CAST(s AS VARCHAR)), 1, 4)
+                       < '2666' THEN 1 ELSE 0 END AS m
+      FROM spans),
+    agg AS (
+      SELECT doc_id, max(n) AS n_tokens, count(*) AS n_spans,
+             sum(m) AS n_masked_spans,
+             sum(m * slen) AS n_masked_tokens
+      FROM marked GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked_spans AS BIGINT) AS n_masked_spans,
+           CAST(n_masked_tokens AS BIGINT) AS n_masked_tokens,
+           CAST(n_tokens - n_masked_tokens + n_masked_spans AS BIGINT)
+             AS n_input_tokens,
+           CAST(n_masked_tokens + n_masked_spans + 1 AS BIGINT)
+             AS n_target_tokens
+    FROM agg
+    """,
+)
+def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-pretraining mask accounting: group tokens into
+    3-token spans, mask each span on a deterministic 16-bit md5 draw
+    at 15 % (0x2666/0x10000 — the mix_keep idiom, so the SAME doc gets
+    the SAME mask on any engine/run/partitioning), and report the
+    exact input/target lengths the T5 objective produces (masked span →
+    one sentinel in the input; target = masked tokens + one sentinel
+    each + final EOS). This is the sequence-length planning input for
+    packing (curation_packing) and batch shaping — at 100 TB you size
+    the packed batches from THIS profile, not by re-tokenizing.
+
+    Scale shape: one posexplode to n/3 span rows pipelined into a
+    doc-keyed rollup; no joins, no lambda HOFs, exact integers
+    (curate.span_corruption_profile)."""
+    d = load(spark, sf_dir, "documents")
+    return curate.span_corruption_profile(d, "doc_id", "text", 3, 0.15)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling via replicated min-hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_weighted_sample",
+    survey_ref=(
+        "[EXT] deterministic weighted sampling (replicated-min-hash "
+        "keys, the string-exact integer-weight analog of "
+        "Efraimidis-Spirakis A-ES): quality-weighted top-50 draw, "
+        "P(selected first) exactly w_i/sum(w)"
+    ),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             least(4, 1 + n_chars // 200) AS weight
+      FROM documents),
+    copies AS (
+      SELECT doc_id, weight, unnest(range(0, weight)) AS j FROM w),
+    keys AS (
+      SELECT doc_id, weight,
+             min(md5(CAST(doc_id AS VARCHAR) || ':ws:'
+                     || CAST(j AS VARCHAR))) AS wkey
+      FROM copies GROUP BY doc_id, weight)
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight, wkey
+    FROM keys ORDER BY wkey, doc_id LIMIT 50
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 50 docs, weight = length-quality bucket
+    (1..4 from n_chars): each doc draws ``weight`` md5 keys and keeps
+    the minimum, so ordering by that key is a weighted draw —
+    P(doc is FIRST) = weight/sum(weights) exactly, by symmetry of the
+    per-copy hashes. The A-ES float form (u^(1/w)) needs ln(), which
+    is not exactly-rounded cross-engine and so can flip an ordering at
+    the hash gate; the replicated form is pure string comparison —
+    reproducible on ANY engine.
+
+    Scale shape: explode fan-out bounded by the weight cap (4), min
+    collapses map-side, top-50 is TakeOrderedAndProject (per-partition
+    heaps + 50-row driver merge). No global sort, no shuffle beyond
+    the bounded-key min (curate.weighted_sample_keys)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.lit(4), F.lit(1) + F.expr("n_chars div 200")
+        ).alias("weight"),
+    )
+    keys = curate.weighted_sample_keys(d, "doc_id", "weight", "ws")
+    return (
+        keys.orderBy(F.asc("wkey"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.col("weight").cast("long").alias("weight"), "wkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) budget apportionment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_apportion_budget",
+    survey_ref=(
+        "[EXT] largest-remainder (Hamilton) apportionment of an "
+        "integer sample budget across sources: floor quotas + bonus "
+        "seats by remainder rank — allocations sum to the budget "
+        "EXACTLY, the property proportional rounding loses"
+    ),
+    oracle=f"""
+    WITH t AS (
+      SELECT source, sum(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS nt, count(*) AS m FROM t),
+    q AS (
+      SELECT t.source, t.n_tokens,
+             (1000 * t.n_tokens) // tot.nt AS base,
+             (1000 * t.n_tokens) % tot.nt AS rem
+      FROM t, tot),
+    l AS (SELECT 1000 - sum(base) AS bonus FROM q),
+    r AS (
+      SELECT source, n_tokens, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q)
+    SELECT r.source,
+           CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST(r.base + CASE WHEN r.rk <= l.bonus THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc,
+           r.rk <= l.bonus AS got_bonus
+    FROM r, l
+    """,
+)
+def curation_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment: split a 1000-doc
+    sample budget across sources proportionally to token mass with
+    EXACT integer allocations summing to the budget (floor quotas,
+    then the leftover seats go to the largest remainders — the
+    apportionment that proportional-rounding schemes can miss by
+    ±|sources|). The integer complement of curation_token_budget's
+    waterfill: waterfill caps hot sources, Hamilton divides a fixed
+    budget with zero remainder.
+
+    Scale shape: one per-source rollup cuts the corpus to |sources|
+    rows; the totals ride a 1-row broadcast (allowlisted BNLJ class)
+    and the remainder-rank window runs over the bounded source
+    dimension only (f14 fixed-dimension class, allowlisted)."""
+    from pyspark.sql import Window as SqlWindow
+
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        )
+    )
+    tot = t.agg(
+        F.sum("n_tokens").alias("nt"), F.count(F.lit(1)).alias("m")
+    )
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("(1000 * n_tokens) div nt").alias("base"),
+        ((F.lit(1000) * F.col("n_tokens")) % F.col("nt")).alias("rem"),
+    )
+    bonus = q.agg((F.lit(1000) - F.sum("base")).alias("bonus"))
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(
+            SqlWindow.orderBy(F.desc("rem"), F.asc("source"))
+        ),
+    )
+    return r.crossJoin(F.broadcast(bonus)).select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("bonus"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+        (F.col("rk") <= F.col("bonus")).alias("got_bonus"),
+    )

@@ -846,3 +846,154 @@ def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+_MARGIN_COS_XQ = (
+    "round(list_inner_product(a.emb_d, q.emb_d) / "
+    "(sqrt(list_inner_product(a.emb_d, a.emb_d)) * "
+    "sqrt(list_inner_product(q.emb_d, q.emb_d))), 6)"
+)
+_MARGIN_COS_XY = (
+    "round(list_inner_product(a.emb_d, y.emb_d) / "
+    "(sqrt(list_inner_product(a.emb_d, a.emb_d)) * "
+    "sqrt(list_inner_product(y.emb_d, y.emb_d))), 6)"
+)
+
+
+@register(
+    "simsearch_margin_mining",
+    survey_ref=(
+        "[EXT] margin-based pair mining (Artetxe & Schwenk 2019): "
+        "candidate pair accepted when cos(x,y) beats the AVERAGE of "
+        "both endpoints' kNN neighborhoods — the ratio-margin "
+        "criterion that kills hub vectors absolute-threshold mining "
+        "keeps; the bitext-mining/alignment workhorse"
+    ),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb_d FROM e WHERE vec_id % 100 = 0),
+    sx AS (SELECT q.query_id, a.vec_id, {_MARGIN_COS_XQ} AS sim
+           FROM e a, q WHERE a.vec_id <> q.query_id),
+    rx AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rk
+           FROM sx),
+    kx AS (SELECT query_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum4x
+           FROM rx WHERE rk <= 4 GROUP BY query_id),
+    top1 AS (SELECT query_id, vec_id AS matched_id, sim
+             FROM rx WHERE rk = 1),
+    ys AS (SELECT DISTINCT matched_id FROM top1),
+    yv AS (SELECT ys.matched_id, e.emb_d
+           FROM ys JOIN e ON e.vec_id = ys.matched_id),
+    sy AS (SELECT y.matched_id, a.vec_id, {_MARGIN_COS_XY} AS sim
+           FROM e a, yv y WHERE a.vec_id <> y.matched_id),
+    ry AS (SELECT matched_id, sim,
+                  row_number() OVER (PARTITION BY matched_id
+                                     ORDER BY sim DESC, vec_id) AS rk
+           FROM sy),
+    ky AS (SELECT matched_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum4y
+           FROM ry WHERE rk <= 4 GROUP BY matched_id)
+    SELECT t.query_id, t.matched_id, t.sim,
+           round(8 * t.sim / CAST(kx.sum4x + ky.sum4y AS DOUBLE), 6)
+             AS margin,
+           8 * t.sim / CAST(kx.sum4x + ky.sum4y AS DOUBLE) > 1.0
+             AS accepted
+    FROM top1 t
+    JOIN kx USING (query_id)
+    JOIN ky USING (matched_id)
+    """,
+)
+def simsearch_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext miner): for each query vector x, its top-1
+    neighbor y is ACCEPTED only when cos(x,y) exceeds the mean of the
+    two endpoints' 4-NN neighborhoods — margin(x,y) = cos(x,y) /
+    ((avg4(x) + avg4(y)) / 2) > 1. Absolute thresholds keep hub
+    vectors (high cosine to EVERYTHING); the ratio margin normalizes
+    by each endpoint's local density, which is the whole trick.
+
+    Hash discipline: per-pair cosines round(6); the two neighborhood
+    sums are round-then-DECIMAL(18,6) (order-free, exact); the margin
+    is ONE division of identically-derived doubles (8·cos /
+    (sum4x+sum4y), folding both /4 averages and the /2 into integer
+    factors) — same operands, same IEEE result, round(6) at the gate.
+
+    Scale shape: two broadcast-query crossJoin passes (queries, then
+    their <=|queries| distinct matches — the retrieval_eval class,
+    allowlisted) with per-query WindowGroupLimit top-4 below each
+    shuffle; at mining scale the corpus side would be the LSH/IVF
+    candidate stream instead of the full cross — the margin math is
+    unchanged."""
+    from pyspark.sql import Window as SqlWindow
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sx = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                simsearch.cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("sim"),
+        )
+    )
+    wx = SqlWindow.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    rx = sx.withColumn("rk", F.row_number().over(wx))
+    kx = (
+        rx.filter(F.col("rk") <= 4)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("sum4x")
+        )
+    )
+    top1 = rx.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("matched_id"), "sim"
+    )
+    yv = (
+        top1.select("matched_id")
+        .distinct()
+        .join(e, F.col("matched_id") == F.col("vec_id"))
+        .select("matched_id", F.col("embedding").alias("yvec"))
+    )
+    sy = (
+        e.crossJoin(F.broadcast(yv))
+        .filter(F.col("vec_id") != F.col("matched_id"))
+        .select(
+            "matched_id",
+            "vec_id",
+            F.round(
+                simsearch.cosine(F.col("embedding"), F.col("yvec")), 6
+            ).alias("sim"),
+        )
+    )
+    wy = SqlWindow.partitionBy("matched_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    ky = (
+        sy.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= 4)
+        .groupBy("matched_id")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("sum4y")
+        )
+    )
+    denom = (F.col("sum4x") + F.col("sum4y")).cast("double")
+    ratio = F.lit(8) * F.col("sim") / denom
+    return (
+        top1.join(kx, "query_id")
+        .join(ky, "matched_id")
+        .select(
+            "query_id",
+            "matched_id",
+            "sim",
+            F.round(ratio, 6).alias("margin"),
+            (ratio > 1.0).alias("accepted"),
+        )
+    )

@@ -1188,3 +1188,112 @@ def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round(F.percent_rank().over(w), 6).alias("length_pctile"),
     )
+
+
+@register(
+    "ext_distinct_ngrams",
+    survey_ref=(
+        "[EXT] distinct-n-gram diversity (the distinct-n generation/"
+        "corpus-diversity metric, Li et al. 2016): per-source type-"
+        "token ratios at n=1/2/3 — collapsing diversity flags "
+        "template-generated or over-deduplicated slices"
+    ),
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, source, unnest(toks) AS tok,
+                  unnest(range(len(toks))) AS pos FROM base),
+    g AS (
+      SELECT source, tok,
+             lead(tok, 1) OVER w AS nxt,
+             lead(tok, 2) OVER w AS nxt2
+      FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    r AS (
+      SELECT source, tok AS uni,
+             CASE WHEN nxt IS NOT NULL
+                  THEN tok || ' ' || nxt END AS bi,
+             CASE WHEN nxt2 IS NOT NULL
+                  THEN tok || ' ' || nxt || ' ' || nxt2 END AS tri
+      FROM g)
+    SELECT source,
+           count(uni) AS n_1, count(DISTINCT uni) AS d_1,
+           count(bi) AS n_2, count(DISTINCT bi) AS d_2,
+           count(tri) AS n_3, count(DISTINCT tri) AS d_3,
+           round(CAST(count(DISTINCT uni) AS DOUBLE) / count(uni), 6)
+             AS ttr_1,
+           round(CAST(count(DISTINCT bi) AS DOUBLE) / count(bi), 6)
+             AS ttr_2,
+           round(CAST(count(DISTINCT tri) AS DOUBLE) / count(tri), 6)
+             AS ttr_3
+    FROM r GROUP BY source
+    """,
+)
+def ext_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: unique/total ratio for
+    unigrams, bigrams, trigrams — the corpus-health dial that drops
+    when a slice is template-generated, boilerplate-heavy, or
+    synthetic-model output (distinct-n is the standard generation-
+    diversity metric; at corpus level it screens SOURCES the same
+    way). Ratios near 1 at n=3 = healthy natural text; a source whose
+    ttr_3 collapses is repeating itself.
+
+    Scale shape: n-grams assemble inside ONE doc-keyed sort window
+    (two leads, no self-join, no explode beyond the token pass); the
+    per-source multi-distinct aggregate is Spark's Expand strategy —
+    3x the gram rows map-side, partials collapse before the single
+    source-keyed exchange. Grand totals are integers; each ratio is
+    one rounded division at the gate."""
+    from pyspark.sql import Window as SqlWindow
+
+    d = load(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(textops.tokenize(F.col("text"))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = SqlWindow.partitionBy("doc_id").orderBy("pos")
+    g = ex.select(
+        "source",
+        "tok",
+        F.lead("tok", 1).over(w).alias("nxt"),
+        F.lead("tok", 2).over(w).alias("nxt2"),
+    )
+    r = g.select(
+        "source",
+        F.col("tok").alias("uni"),
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.concat_ws(" ", "tok", "nxt"),
+        ).alias("bi"),
+        F.when(
+            F.col("nxt2").isNotNull(),
+            F.concat_ws(" ", "tok", "nxt", "nxt2"),
+        ).alias("tri"),
+    )
+    a = r.groupBy("source").agg(
+        F.count("uni").alias("n_1"),
+        F.countDistinct("uni").alias("d_1"),
+        F.count("bi").alias("n_2"),
+        F.countDistinct("bi").alias("d_2"),
+        F.count("tri").alias("n_3"),
+        F.countDistinct("tri").alias("d_3"),
+    )
+    return a.select(
+        "source",
+        "n_1",
+        "d_1",
+        "n_2",
+        "d_2",
+        "n_3",
+        "d_3",
+        F.round(F.col("d_1").cast("double") / F.col("n_1"), 6).alias(
+            "ttr_1"
+        ),
+        F.round(F.col("d_2").cast("double") / F.col("n_2"), 6).alias(
+            "ttr_2"
+        ),
+        F.round(F.col("d_3").cast("double") / F.col("n_3"), 6).alias(
+            "ttr_3"
+        ),
+    )

@@ -72,6 +72,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "curation_temperature_mix",  # 1-row corpus total + 1-row normalizer
     "retrieval_eval_ndcg",  # 10-row broadcast query sample, twice
     "retrieval_eval_mrr",  # same 10-row broadcast query sample, twice
+    # two bounded broadcast crossJoins: the query sample, then its
+    # <=|queries| distinct top-1 matches (the retrieval_eval class);
+    # per-query WindowGroupLimit top-4 below each shuffle
+    "simsearch_margin_mining",
     # (the recall-eval shape: crossJoin of the corpus with the tiny
     # deterministic query batch, per-query top-k below the shuffle)
     "graph_hits",  # 1-row L1-normalization totals, once per half-round
@@ -109,6 +113,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "quality_benford_audit",
     # 1-row cap broadcast onto the |sources|-row rollup (waterfill)
     "curation_token_budget",
+    # 1-row totals + 1-row bonus-count broadcasts onto the
+    # |sources|-row rollup (Hamilton apportionment, waterfill class)
+    "curation_apportion_budget",
     # 1-row global min/max broadcast onto the block rollup
     "quality_sequence_gaps",
     # 1-row grand totals broadcast onto the <=40-band rollup (Lorenz)
@@ -209,6 +216,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # bounded-input global windows: rank/prefix/total over the
     # |sources|-row rollup (waterfill cap search)
     "curation_token_budget",
+    # bounded-input global window: the remainder-rank row_number runs
+    # over the |sources|-row rollup only (Hamilton apportionment —
+    # curation_token_budget's dimension class)
+    "curation_apportion_budget",
     # bounded-input global window: five integer sufficient-statistic
     # sums over the |days| rollup (w15/zipf discipline)
     "w25_rolling_correlation",
