@@ -733,3 +733,114 @@ def test_token_budget_all_capped_branch(spark):
         rows = load_catalog()["curation_token_budget"].fn(spark, td).collect()
     assert all(r.cap == 6500 and r.alloc_tokens == 6500 and r.capped
                for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: line dedup, span corruption, weighted sample,
+# apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_token_lines_partition_tokens_exactly(spark):
+    """Lines are a PARTITION of the token stream: re-joining them in
+    line order reproduces the tokenized text; every line but the last
+    has exactly `width` tokens; empty docs emit nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(23))),
+            (2, "a b c"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curate.token_lines(df, "doc_id", "text", 10).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["line_no"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["line"])
+    assert 3 not in by_doc
+    assert " ".join(by_doc[1]) == " ".join(f"t{i}" for i in range(23))
+    assert [len(x.split()) for x in by_doc[1]] == [10, 10, 3]
+    assert by_doc[2] == ["a b c"]
+
+
+def test_line_frequency_filter_drops_planted_boilerplate(spark):
+    """The corpus-wide planted line is dropped, unique content kept —
+    and the threshold is on DISTINCT docs, so one doc repeating its
+    own line cannot get it globally banned."""
+    rows = [(i, "footer line shared everywhere") for i in range(10)]
+    rows += [(i, f"unique content line {i}") for i in range(10)]
+    rows += [(99, "self repeated line")] * 8  # 8 copies, ONE doc
+    df = spark.createDataFrame(rows, "doc_id long, line string")
+    out = curate.line_frequency_filter(df, "doc_id", "line", 5).collect()
+    verdict = {}
+    for r in out:
+        verdict.setdefault(r["line"], set()).add(r["kept"])
+    assert verdict["footer line shared everywhere"] == {False}
+    assert verdict["unique content line 3"] == {True}
+    assert verdict["self repeated line"] == {True}  # df_docs == 1
+
+
+def test_span_corruption_identities_and_determinism(spark, sf_dir):
+    """Exact accounting identities hold per doc, the corpus-wide mask
+    rate lands near 15%, and the md5 masks are run-stable."""
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    a = curate.span_corruption_profile(d, "doc_id", "text").collect()
+    b = curate.span_corruption_profile(d, "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    tot_spans = tot_masked = 0
+    for r in a:
+        assert r["n_input_tokens"] == (
+            r["n_tokens"] - r["n_masked_tokens"] + r["n_masked_spans"]
+        )
+        assert r["n_target_tokens"] == (
+            r["n_masked_tokens"] + r["n_masked_spans"] + 1
+        )
+        # input sentinels + target tokens re-assemble the doc + EOS
+        assert (
+            r["n_input_tokens"] + r["n_target_tokens"]
+            == r["n_tokens"] + 2 * r["n_masked_spans"] + 1
+        )
+        assert 0 <= r["n_masked_spans"] <= r["n_spans"]
+        tot_spans += r["n_spans"]
+        tot_masked += r["n_masked_spans"]
+    assert 0.10 < tot_masked / tot_spans < 0.20  # 15% draw, corpus-size CI
+
+
+def test_weighted_sample_keys_favor_heavy_rows(spark):
+    """Among rows with identical hash material apart from weight, the
+    weight-4 population wins far more top slots than the weight-1
+    population (P(min over 4 draws < min over 1 draw) = 4/5 per pair);
+    and each wkey is the true min of the per-copy hashes (golden
+    md5)."""
+    import hashlib
+
+    rows = [(i, 4 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    keys = curate.weighted_sample_keys(df, "doc_id", "weight").collect()
+    for r in keys[:10]:
+        want = min(
+            hashlib.md5(f"{r['doc_id']}:ws:{j}".encode()).hexdigest()
+            for j in range(r["weight"])
+        )
+        assert r["wkey"] == want
+    top50 = sorted(keys, key=lambda r: (r["wkey"], r["doc_id"]))[:50]
+    n_heavy = sum(1 for r in top50 if r["weight"] == 4)
+    assert n_heavy > 30  # E[n_heavy] = 40; 30 is a >6-sigma floor
+
+
+def test_apportionment_sums_to_budget_exactly(spark, sf_dir):
+    """The Hamilton guarantee: allocations sum to the budget EXACTLY
+    and each allocation is floor-quota or floor-quota+1."""
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        curation_apportion_budget,
+    )
+
+    rows = curation_apportion_budget(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    nt = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        base = (1000 * r["n_tokens"]) // nt
+        assert r["alloc"] in (base, base + 1)
+        assert r["got_bonus"] == (r["alloc"] == base + 1)

@@ -468,3 +468,48 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         for r in load_catalog()["simsearch_ivf_kmeans"].fn(spark, sf_dir).collect()
     }
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_margin_mining_matches_numpy_bruteforce(spark, sf_dir):
+    """Third-implementation check for the margin criterion: replicate
+    the whole query (top-1 match, both 4-NN neighborhood sums, the
+    8*cos/(sumx+sumy) margin) in numpy from the raw parquet and
+    require identical matches/acceptance and margins to 1e-6 — the
+    DuckDB oracle shares the rounding discipline with the Spark plan,
+    numpy does not, so this pins the MATH, not the mirroring."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from shippai_knowledge_etl_spark.queries.simsearch import (
+        simsearch_margin_mining,
+    )
+
+    got = {
+        r["query_id"]: r
+        for r in simsearch_margin_mining(spark, sf_dir).collect()
+    }
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    m = np.array([np.array(v, dtype=np.float64) for v in t["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+
+    def knn(i, k):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-cos[i, j], ids[j]),
+        )
+        return order[:k]
+
+    for qi in np.nonzero(ids % 100 == 0)[0]:
+        nn = knn(qi, 4)
+        top1 = nn[0]
+        sum4x = sum(cos[qi, j] for j in nn)
+        sum4y = sum(cos[top1, j] for j in knn(top1, 4))
+        margin = 8 * cos[qi, top1] / (sum4x + sum4y)
+        r = got[ids[qi]]
+        assert r["matched_id"] == ids[top1]
+        assert abs(r["sim"] - cos[qi, top1]) < 1e-9
+        assert abs(r["margin"] - margin) < 1e-6
+        assert r["accepted"] == (margin > 1.0)
+    assert len(got) == int((ids % 100 == 0).sum())
