@@ -192,3 +192,25 @@ def hll_estimate(sum_scaled: int, zero_regs: int) -> float:
     if raw <= 2.5 * m and zero_regs > 0:
         return m * math.log(m / zero_regs)
     return raw
+
+
+def bloom_contains_expr(val: Column, bloom_map: Column) -> Column:
+    """Scan-side Bloom membership as a PURE EXPRESSION over a broadcast
+    (word -> bits) map — the sideways-information-passing / runtime-
+    filter shape: unlike :func:`bloom_might_contain` (explode + regroup
+    per probe key) this adds NO shuffle at all, so it can prefilter a
+    fact table BEFORE its join exchange. Lambda-free: the K cell checks
+    unroll to K element_at lookups AND-ed together. False positives
+    possible (the join downstream removes them — result-invariant);
+    false negatives never, so no row a join needs is ever dropped."""
+    pred = None
+    for j in range(BLOOM_K):
+        word, mask = _word_and_mask(_bloom_pos(val, j))
+        hit = (
+            F.coalesce(F.element_at(bloom_map, word), F.lit(0)).bitwiseAND(
+                mask
+            )
+            == mask
+        )
+        pred = hit if pred is None else (pred & hit)
+    return pred

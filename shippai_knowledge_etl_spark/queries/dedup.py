@@ -1526,3 +1526,113 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("savings_frac"),
     )
+
+
+@register(
+    "dedup_blocking_eval",
+    survey_ref=(
+        "[EXT] blocking-quality evaluation (pair completeness + "
+        "reduction ratio, the Christen 2012 blocking metrics): does "
+        "the source-block + shared-shingle candidate generation find "
+        "every true duplicate pair, and how many of the O(N^2) pairs "
+        "did it never have to score — the report you run BEFORE "
+        "trusting any blocked dedup at 100 TB"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM (SELECT doc_id, source,
+                     list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM planted))),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.block = b.block AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM planted a JOIN planted b
+        ON a.text = b.text AND a.doc_id < b.doc_id),
+    n AS (SELECT count(*) AS n_docs FROM planted),
+    m AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth t
+              JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+               AS n_found)
+    SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(m.n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(m.n_candidates AS BIGINT) AS n_candidates,
+           CAST(m.n_found AS BIGINT) AS n_found,
+           round(CAST(m.n_found AS DOUBLE) / m.n_true_pairs, 6)
+             AS pair_completeness,
+           round(1 - CAST(2 * m.n_candidates AS DOUBLE)
+                     / CAST(n.n_docs * (n.n_docs - 1) AS DOUBLE), 6)
+             AS reduction_ratio
+    FROM n, m
+    """,
+)
+def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking quality report for the catalog's candidate-generation
+    scheme (source block + >=1 shared 3-gram shingle, the
+    dedup.jaccard_pairs machinery at threshold 0): PAIR COMPLETENESS
+    (found true pairs / all true pairs, truth = exact-text equality —
+    the planted copies plus any organic twins) and REDUCTION RATIO
+    (1 - candidates / C(N,2) — the fraction of the quadratic pair
+    space the blocking never scores). The eval loop every blocked
+    dedup needs before a corpus-wide delete: completeness < 1 means
+    real duplicates cross blocks (here: same text under different
+    sources), and reduction ~1 is WHY blocking scales where all-pairs
+    cannot.
+
+    Scale shape: candidates reuse the single-pass owner-list expansion
+    (never a corpus self-join); truth pairs join on the sha2 content
+    hash (group sizes are duplicate-class sizes, tiny); the four
+    grand totals are 1-row aggregates crossJoined for the two gate
+    divisions (allowlisted 1-row stats class)."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    cand = dedup.jaccard_pairs(
+        df, "doc_id", "text", "source", threshold=0.0
+    ).select("id_a", "id_b")
+    h = df.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    truth = (
+        h.select(F.col("doc_id").alias("id_a"), "h")
+        .join(h.select(F.col("doc_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nf = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    row = (
+        nd.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nf))
+    )
+    return row.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_true_pairs"), 6
+        ).alias("pair_completeness"),
+        F.round(
+            F.lit(1)
+            - (F.lit(2) * F.col("n_candidates")).cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators import sketches as sketches_ops
 from shippai_knowledge_etl_spark.tables import load
 
 
@@ -1942,4 +1943,78 @@ def quality_status_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("tn"), 6).alias(
             "row_share"
         ),
+    )
+
+
+@register(
+    "j7_bloom_semi_reduction",
+    survey_ref=(
+        "beyond-reference built-in (§2.6): Bloom runtime-filter join "
+        "reduction — the sideways-information-passing trick: build a "
+        "4096-word Bloom over the dimension-side join keys, prefilter "
+        "the fact table with a SCAN-SIDE expression BEFORE its join "
+        "exchange; false positives die in the join, so the result is "
+        "invariant and the oracle is the plain join"
+    ),
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '2000-01-01'
+                            AND TIMESTAMP '2000-03-31'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j7_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-2000 revenue per priority with a Bloom RUNTIME FILTER ahead
+    of the fact join: the date-windowed orders' keys build a fixed
+    4096-word Bloom (sketches.bloom_build), the filter rides a 1-row
+    broadcast as a (word -> bits) map, and lineitem is prefiltered by
+    the pure-expression probe (sketches.bloom_contains_expr) IN THE
+    SCAN STAGE — before the join exchange ever sees the dropped rows.
+    At 100 TB this is what engine-native runtime filters / DPP do for
+    you when the dimension predicate is selective: the ~99% of fact
+    rows whose order is outside the window never shuffle. No false
+    negatives (no lost rows), false positives bounded by the geometry
+    and REMOVED by the inner join — so the result is bit-identical to
+    the plain join, which is exactly what the oracle runs.
+
+    Scale shape: bloom build collapses map-side to <=4096 words; the
+    probe is zero-shuffle scan-side expression; the residual join
+    shuffles only surviving rows; the rollup key has 5 values."""
+    lo = F.lit("2000-01-01").cast("timestamp")
+    hi = F.lit("2000-03-31").cast("timestamp")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between(lo, hi))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bloom = sketches_ops.bloom_build(
+        o.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    bmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("bm")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_money("l_extendedprice") * (1 - _rate("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    pred = sketches_ops.bloom_contains_expr(
+        F.col("l_orderkey").cast("string"), F.col("bm")
+    )
+    li_f = li.crossJoin(F.broadcast(bmap)).filter(pred).drop("bm")
+    return (
+        li_f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _out(F.sum("rev"), "revenue"),
+        )
     )

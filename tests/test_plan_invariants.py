@@ -128,6 +128,12 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # rollup — the streaming replay witness's append-mode closed flag;
     # the alternative is a single-reducer shuffle of the cell table
     "stream_window_replay",
+    # four 1-row grand-total aggregates crossJoined for the two gate
+    # divisions (blocking-metrics report — the a_bootstrap_ci class)
+    "dedup_blocking_eval",
+    # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
+    # the runtime-filter shape; the map is <=4096 entries at ANY scale
+    "j7_bloom_semi_reduction",
     # 1-row train-vocab count broadcast onto the 1-row coverage agg
     "curation_ngram_coverage",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
