@@ -2359,3 +2359,107 @@ def curation_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc"),
         (F.col("rk") <= F.col("bonus")).alias("got_bonus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WOE / Information Value feature screening
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_woe_iv",
+    survey_ref=(
+        "[EXT] weight-of-evidence / information-value feature "
+        "screening (the credit-scoring WOE/IV recipe applied to "
+        "quality-classifier features): per-bucket WOE with Laplace "
+        "smoothing, IV terms round-then-DECIMAL so the bucket sum is "
+        "order-free"
+    ),
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             least(9, n_chars // 100) AS bucket,
+             CASE WHEN len(list_intersect(list_distinct({_TOKS}),
+               ['and','be','have','of','that','the','to','with'])) >= 2
+               THEN 1 ELSE 0 END AS good
+      FROM documents),
+    b AS (
+      SELECT bucket,
+             count(*) AS n,
+             sum(good) AS n_good,
+             count(*) - sum(good) AS n_bad
+      FROM base GROUP BY bucket),
+    tot AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb,
+                   count(*) AS n_buckets FROM b)
+    SELECT b.bucket,
+           CAST(b.n AS BIGINT) AS n,
+           CAST(b.n_good AS BIGINT) AS n_good,
+           CAST(b.n_bad AS BIGINT) AS n_bad,
+           round(ln((CAST(b.n_good + 1 AS DOUBLE)
+                     / (tot.tg + tot.n_buckets))
+                    / (CAST(b.n_bad + 1 AS DOUBLE)
+                       / (tot.tb + tot.n_buckets))), 6) AS woe,
+           round((CAST(b.n_good + 1 AS DOUBLE)
+                  / (tot.tg + tot.n_buckets)
+                  - CAST(b.n_bad + 1 AS DOUBLE)
+                    / (tot.tb + tot.n_buckets))
+                 * round(ln((CAST(b.n_good + 1 AS DOUBLE)
+                             / (tot.tg + tot.n_buckets))
+                            / (CAST(b.n_bad + 1 AS DOUBLE)
+                               / (tot.tb + tot.n_buckets))), 6),
+                 6) AS iv_term
+    FROM b, tot
+    """,
+)
+def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of a
+    quality-classifier feature: bucket docs by length (n_chars//100,
+    capped decile), label "good" = >=2 Gopher stopword kinds (the
+    cheap fluency proxy), and report per-bucket WOE =
+    ln(good-share / bad-share) with Laplace +1 smoothing (no ln(0),
+    integer-exact numerators) and the IV term (share-diff x WOE; the
+    bucket sum is the feature's IV — >0.3 strong, <0.02 useless, the
+    screening gate BEFORE training logreg_quality on a feature). WOE
+    is the one ln() in the chain and is rounded 6 on both engines
+    BEFORE the IV multiply, so the only cross-engine float op follows
+    the round-then-multiply discipline; IV terms come out rounded —
+    summing them is a <=10-row exact add for the caller.
+
+    Scale shape: one scan-side map → <=10-bucket integer rollup
+    (map-side partials), 1-row totals broadcast for the shares
+    (allowlisted); nothing else moves."""
+    d = load(spark, sf_dir, "documents")
+    stops = F.array([F.lit(w) for w in _GOPHER_STOPS])
+    n_stop_kinds = F.size(
+        F.array_intersect(F.array_distinct(tokenize(F.col("text"))), stops)
+    )
+    base = d.select(
+        F.least(F.lit(9), F.expr("n_chars div 100")).alias("bucket"),
+        (n_stop_kinds >= 2).cast("int").alias("good"),
+    )
+    b = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("good").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("good")).alias("n_bad"),
+    )
+    tot = b.agg(
+        F.sum("n_good").alias("tg"),
+        F.sum("n_bad").alias("tb"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    gshare = (F.col("n_good") + 1).cast("double") / (
+        F.col("tg") + F.col("n_buckets")
+    )
+    bshare = (F.col("n_bad") + 1).cast("double") / (
+        F.col("tb") + F.col("n_buckets")
+    )
+    woe = F.round(F.log(gshare / bshare), 6)
+    return j.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        woe.alias("woe"),
+        F.round((gshare - bshare) * woe, 6).alias("iv_term"),
+    )

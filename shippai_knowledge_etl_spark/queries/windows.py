@@ -2688,3 +2688,134 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("l") + F.lit(1800)).alias("session_end"),
         F.sum("n").cast("long").alias("n"),
     ).select("user_id", "session_start", "session_end", "n")
+
+
+@register(
+    "w31_paa_sax",
+    survey_ref=(
+        "[EXT] PAA + SAX time-series symbolization (Lin et al. 2003): "
+        "weekly piecewise-aggregate means of per-type daily volume, "
+        "z-normalized against INTEGER sufficient statistics of the "
+        "daily series, mapped to a 3-letter alphabet — the "
+        "dimensionality-reduced representation similarity indexes and "
+        "motif mining run on"
+    ),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             count(*) AS nd,
+             sum(cnt) AS sx,
+             sum(cnt * cnt) AS sxx,
+             min(day) AS d0
+      FROM daily GROUP BY event_type),
+    seg AS (
+      SELECT d.event_type,
+             (d.day - s.d0) // 7 AS segment,
+             sum(d.cnt) AS seg_sum,
+             count(*) AS seg_days,
+             max(s.nd) AS nd, max(s.sx) AS sx, max(s.sxx) AS sxx
+      FROM daily d JOIN stats s USING (event_type)
+      GROUP BY 1, 2),
+    z AS (
+      SELECT event_type, segment, seg_sum, seg_days,
+             round(CAST(seg_sum AS DOUBLE) / seg_days, 6) AS paa,
+             round((CAST(seg_sum AS DOUBLE) / seg_days
+                    - CAST(sx AS DOUBLE) / nd)
+                   / nullif(sqrt(CAST(sxx AS DOUBLE) / nd
+                                 - (CAST(sx AS DOUBLE) / nd)
+                                   * (CAST(sx AS DOUBLE) / nd)), 0.0),
+                   6) AS zn
+      FROM seg)
+    SELECT event_type,
+           CAST(segment AS BIGINT) AS segment,
+           CAST(seg_sum AS BIGINT) AS seg_sum,
+           CAST(seg_days AS BIGINT) AS seg_days,
+           paa,
+           zn,
+           CASE WHEN zn IS NULL THEN 'b'
+                WHEN zn < -0.43 THEN 'a'
+                WHEN zn < 0.43 THEN 'b'
+                ELSE 'c' END AS sax
+    FROM z
+    """,
+)
+def w31_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic Aggregate approXimation of per-type daily event volume:
+    7-day PAA segments (piecewise means), z-normalized, discretized to
+    {a,b,c} at the 3-symbol Gaussian breakpoints ±0.43 — the
+    representation under SAX motif/discord mining and the string-space
+    similarity indexes (Lin et al. 2003). Hash discipline: the mean
+    and variance come from INTEGER sufficient statistics (n, Σx, Σx²)
+    of the daily series — never a cross-row double sum — so μ, σ, and
+    every z are single per-row double expressions with identical
+    operand order on both engines; z is rounded 6 BEFORE the
+    breakpoint CASE so the letter compare reads the same value both
+    sides; constant series (σ=0) map to NULL z → 'b', visibly.
+
+    Scale shape: the daily rollup is the family's ONE type-keyed
+    shuffle; segments re-aggregate the bounded ≤|days| grid; the
+    stats join moves |event_type| rows. Letters per (type, week) —
+    constant-size output at any event volume."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+        F.min("day").alias("d0"),
+    )
+    seg = (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            F.expr("(day - d0) div 7").alias("segment"),
+            "cnt",
+            "nd",
+            "sx",
+            "sxx",
+        )
+        .groupBy("event_type", "segment")
+        .agg(
+            F.sum("cnt").alias("seg_sum"),
+            F.count(F.lit(1)).alias("seg_days"),
+            F.max("nd").alias("nd"),
+            F.max("sx").alias("sx"),
+            F.max("sxx").alias("sxx"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("nd")
+    sd = F.sqrt(
+        F.col("sxx").cast("double") / F.col("nd") - mu * mu
+    )
+    zn = F.round(
+        (F.col("seg_sum").cast("double") / F.col("seg_days") - mu)
+        / F.nullif(sd, F.lit(0.0)),
+        6,
+    )
+    out = seg.select(
+        "event_type",
+        F.col("segment").cast("long").alias("segment"),
+        F.col("seg_sum").cast("long").alias("seg_sum"),
+        F.col("seg_days").cast("long").alias("seg_days"),
+        F.round(
+            F.col("seg_sum").cast("double") / F.col("seg_days"), 6
+        ).alias("paa"),
+        zn.alias("zn"),
+    )
+    return out.withColumn(
+        "sax",
+        F.when(F.col("zn").isNull(), F.lit("b"))
+        .when(F.col("zn") < -0.43, F.lit("a"))
+        .when(F.col("zn") < 0.43, F.lit("b"))
+        .otherwise(F.lit("c")),
+    )

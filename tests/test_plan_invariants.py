@@ -131,6 +131,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # four 1-row grand-total aggregates crossJoined for the two gate
     # divisions (blocking-metrics report — the a_bootstrap_ci class)
     "dedup_blocking_eval",
+    # 1-row good/bad totals broadcast onto the <=10-bucket rollup
+    # (WOE/IV shares — the ext_score_lift class)
+    "quality_woe_iv",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j7_bloom_semi_reduction",
