@@ -2018,3 +2018,142 @@ def j7_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             _out(F.sum("rev"), "revenue"),
         )
     )
+
+
+@register(
+    "layout_zonemap_pruning",
+    survey_ref=(
+        "beyond-reference physical-layout op (§4.2): zone-map / "
+        "min-max data skipping under TWO layouts of the same table — "
+        "random-key blocks (zone maps useless, skip 0) vs "
+        "date-partitioned blocks (the warehouse norm, skip ~15/16ths "
+        "for a quarter predicate); the match count is computed only "
+        "from surviving blocks and must equal the full-scan answer in "
+        "BOTH rows (result-invariance of skipping, the parquet "
+        "row-group-stats contract)"
+    ),
+    oracle="""
+    WITH blocks AS (
+      SELECT 'random_key' AS layout,
+             o_orderkey // 1000 AS blk, o_orderkey, o_orderdate
+      FROM orders
+      UNION ALL
+      SELECT 'date_partitioned' AS layout,
+             (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) // 32
+               AS blk, o_orderkey, o_orderdate
+      FROM orders),
+    b AS (
+      SELECT layout, blk,
+             min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+             count(*) AS c
+      FROM blocks GROUP BY 1, 2),
+    f AS (
+      SELECT layout, blk, c,
+             (mx < TIMESTAMP '2000-01-01'
+              OR mn > TIMESTAMP '2000-03-31') AS skipped
+      FROM b),
+    t AS (
+      SELECT layout,
+             count(*) AS n_blocks,
+             CAST(coalesce(sum(CASE WHEN skipped THEN 1 END), 0)
+               AS BIGINT) AS n_skipped,
+             CAST(coalesce(sum(CASE WHEN NOT skipped THEN c END), 0)
+               AS BIGINT) AS n_candidate_rows
+      FROM f GROUP BY layout),
+    m AS (
+      SELECT o.layout, count(*) AS n_match
+      FROM blocks o
+      JOIN f ON f.layout = o.layout AND f.blk = o.blk
+                AND NOT f.skipped
+      WHERE o.o_orderdate BETWEEN TIMESTAMP '2000-01-01'
+                              AND TIMESTAMP '2000-03-31'
+      GROUP BY o.layout)
+    SELECT t.layout,
+           CAST(t.n_blocks AS BIGINT) AS n_blocks,
+           t.n_skipped,
+           t.n_candidate_rows,
+           CAST(m.n_match AS BIGINT) AS n_match,
+           round(CAST(t.n_skipped AS DOUBLE) / t.n_blocks, 6)
+             AS skip_frac
+    FROM t JOIN m ON m.layout = t.layout
+    """,
+)
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping under two layouts of the same orders
+    table: 1000-key blocks of a RANDOM-key layout (dates uniform in
+    every block → no block can be skipped — the measured lesson in why
+    unsorted layouts defeat min/max stats) versus ~monthly
+    DATE-PARTITIONED blocks (the time-partitioned-fact norm → a
+    quarter predicate skips all but ~3 partitions + edges). Each
+    block carries (min, max) o_orderdate zone stats; the predicate
+    skips blocks whose range cannot intersect it; the residual exact
+    filter runs ONLY over surviving blocks, and the output pins
+    RESULT-INVARIANCE: n_match is identical in both layout rows and
+    equals the full-scan count — min/max skipping can never lose a
+    matching row, the contract parquet row-group stats, Delta/Iceberg
+    file stats, and partition pruning all rest on. The Z-order module
+    is the multi-column generalization of the date-sorted layout.
+
+    Scale shape: one block-keyed rollup per layout builds the zone
+    maps (map-side partials, |orders|/1000-ish rows); the candidate
+    join broadcasts surviving block ids; the per-layout report is a
+    2-row join."""
+    lo = F.lit("2000-01-01").cast("timestamp")
+    hi = F.lit("2000-03-31").cast("timestamp")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    blocks = o.select(
+        F.lit("random_key").alias("layout"),
+        F.expr("o_orderkey div 1000").alias("blk"),
+        "o_orderdate",
+    ).unionAll(
+        o.select(
+            F.lit("date_partitioned").alias("layout"),
+            F.expr(
+                "(unix_timestamp(o_orderdate) div 86400) div 32"
+            ).alias("blk"),
+            "o_orderdate",
+        )
+    )
+    b = blocks.groupBy("layout", "blk").agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    f = b.select(
+        "layout",
+        "blk",
+        "c",
+        ((F.col("mx") < lo) | (F.col("mn") > hi)).alias("skipped"),
+    )
+    t = f.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.coalesce(F.sum(F.col("skipped").cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_skipped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("skipped"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_candidate_rows"),
+    )
+    m = (
+        blocks.join(
+            F.broadcast(
+                f.filter(~F.col("skipped")).select("layout", "blk")
+            ),
+            ["layout", "blk"],
+        )
+        .filter(F.col("o_orderdate").between(lo, hi))
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    return t.join(m, "layout").select(
+        "layout",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "n_skipped",
+        "n_candidate_rows",
+        "n_match",
+        F.round(
+            F.col("n_skipped").cast("double") / F.col("n_blocks"), 6
+        ).alias("skip_frac"),
+    )

@@ -144,3 +144,85 @@ def test_stream_static_enrich_runs_as_stream(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_replay_stitches_bridged_sessions(spark):
+    """The cross-batch merge case the one-shot oracle can't isolate:
+    a user whose generation-0 events and generation-1 events are each
+    >gap apart internally but interleave to within-gap — the stitched
+    result must be ONE session (the session-state-store merge), and a
+    genuinely separated user must stay TWO."""
+    import shippai_knowledge_etl_spark.streaming.windows as W
+    from pyspark.sql import functions as F
+
+    def ts(minute):
+        return f"2024-01-01 00:{minute:02d}:00"
+
+    rows = [
+        # user 1: gen0 at 0min and 40min (gap 40 > 30), gen1 at 20min
+        # bridges them -> one session of 3 events
+        (0, ts(0), 1, "click", 1.0, None),
+        (2, ts(40), 1, "click", 1.0, None),
+        (1, ts(20), 1, "click", 1.0, None),
+        # user 2: 0min and 59min in different gens, nothing bridging
+        # -> two sessions
+        (3, ts(0), 2, "click", 1.0, None),
+        (4, ts(59), 2, "click", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    parts = [
+        W.session_counts(ev.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    segs = (
+        parts[0]
+        .unionAll(parts[1])
+        .unionAll(parts[2])
+        .select(
+            "user_id",
+            F.col("session_start").alias("s"),
+            (F.col("session_end") - F.lit(1800)).alias("l"),
+            "n",
+        )
+    )
+    from pyspark.sql import Window as SqlWindow
+
+    w = SqlWindow.partitionBy("user_id").orderBy("s", "l")
+    prev_max_l = F.max("l").over(
+        w.rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    stitched = (
+        segs.select(
+            "user_id",
+            "s",
+            "l",
+            "n",
+            F.when(
+                prev_max_l.isNull() | (F.col("s") - prev_max_l > 1800),
+                1,
+            )
+            .otherwise(0)
+            .alias("ns"),
+        )
+        .select(
+            "user_id",
+            "s",
+            "l",
+            "n",
+            F.sum("ns")
+            .over(w.rowsBetween(SqlWindow.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in stitched:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(per_user[1]) == [3]  # bridged into ONE session
+    assert sorted(per_user[2]) == [1, 1]  # stays two
