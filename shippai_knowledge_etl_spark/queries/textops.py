@@ -1297,3 +1297,70 @@ def ext_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr_3"
         ),
     )
+
+
+@register(
+    "ext_cms_pruned_frequent",
+    survey_ref=(
+        "[EXT] sketch-pruned exact frequent-term mining: CMS "
+        "candidates (one-sided error -> NO false negatives) + exact "
+        "verification of the candidate vocabulary only — the "
+        "j7_bloom_semi_reduction pattern applied to heavy hitters; "
+        "the qualified set provably equals a plain HAVING filter"
+    ),
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    tc AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+      SELECT j, substring(md5(tok || ':cms' || CAST(j AS VARCHAR)), 1, 2)
+               AS bucket,
+             sum(exact) AS counter
+      FROM tc CROSS JOIN js GROUP BY j, bucket),
+    est AS (
+      SELECT p.tok, p.exact, min(c.counter) AS cms_est
+      FROM tc p CROSS JOIN js u
+      JOIN cells c ON c.j = u.j AND c.bucket =
+        substring(md5(p.tok || ':cms' || CAST(u.j AS VARCHAR)), 1, 2)
+      GROUP BY p.tok, p.exact)
+    SELECT tok,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(exact AS BIGINT) AS exact,
+           exact >= 400 AS qualified
+    FROM est WHERE cms_est >= 400
+    """,
+)
+def ext_cms_pruned_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All tokens with exact count >= 400, found the sketch-pruned
+    way: the count-min estimate NEVER underestimates (one-sided
+    error), so `cms_est >= T` is a SUPERSET of the true frequent set —
+    exact counting then runs over the candidate vocabulary only, and
+    the `qualified` rows provably equal `GROUP BY tok HAVING count >=
+    T`. The un-qualified rows ARE the sketch's false positives,
+    reported rather than hidden. At 100 TB the first pass is the
+    constant-size mergeable CMS grid (map-side partials, d x 256 cells
+    shuffle); the second pass filters the token stream to the
+    candidate vocabulary BEFORE its aggregation — the ext_bm25
+    vocabulary-filter discipline — instead of shuffling every distinct
+    term's count. The j7_bloom_semi_reduction pattern, applied to
+    aggregation instead of a join.
+
+    Scale shape: sketch grid broadcast to the probe (1024 cells);
+    candidate vocabulary is threshold-bounded; no full-vocabulary
+    shuffle survives in the scale path."""
+    d = load(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(textops.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = textops.countmin_sketch(tok_counts)
+    est = textops.countmin_estimate(
+        sketch, tok_counts.select("tok", F.col("cnt").alias("exact"))
+    )
+    return est.filter(F.col("cms_est") >= 400).select(
+        "tok",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.col("exact").cast("long").alias("exact"),
+        (F.col("exact") >= 400).alias("qualified"),
+    )

@@ -343,3 +343,58 @@ def test_zorder_roundtrip_random(spark, xs):
         xb = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
         yb = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (xb, yb) == (r["x"], r["y"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "x", "y"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_terms=st.integers(min_value=1, max_value=4),
+)
+@_slow
+def test_min_cover_span_equals_bruteforce_random(spark, docs, n_terms):
+    """Adversarial pin for the round-8 proximity sweep: on random
+    token streams and query-term subsets the window sort-sweep must
+    equal the O(n^2) brute-force minimal cover span, doc for doc
+    (docs missing a term are absent from both)."""
+    from shippai_knowledge_etl_spark.operators import retrieval
+
+    terms = tuple("abcd"[:n_terms])
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    hits = (
+        spark.createDataFrame(rows, "doc_id int, toks array<string>")
+        .select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .filter(F.col("tok").isin(*terms))
+    )
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in retrieval.min_cover_span(
+            hits, "doc_id", "tok", "pos", terms
+        ).collect()
+    }
+
+    def brute(toks):
+        pos = [(i, t) for i, t in enumerate(toks) if t in terms]
+        best = None
+        for i, (pa, _) in enumerate(pos):
+            need = set(terms)
+            for pb, tb in pos[i:]:
+                need.discard(tb)
+                if not need:
+                    span = pb - pa
+                    best = span if best is None else min(best, span)
+                    break
+        return best
+
+    want = {
+        i: s
+        for i, s in ((i, brute(toks)) for i, toks in rows)
+        if s is not None
+    }
+    assert got == want
