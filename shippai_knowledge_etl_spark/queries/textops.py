@@ -1364,3 +1364,133 @@ def ext_cms_pruned_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact").cast("long").alias("exact"),
         (F.col("exact") >= 400).alias("qualified"),
     )
+
+
+@register(
+    "ext_cms_join_cardinality",
+    survey_ref=(
+        "[EXT] CMS inner-product join-size estimation (Cormode & "
+        "Muthukrishnan 2005 §4.2): |orders JOIN lineitem| estimated "
+        "from two constant-size sketches as min_j sum_b A[j,b]*B[j,b] "
+        "— a one-sided overestimate, all-integer; the statistic a "
+        "cost-based planner needs BEFORE committing to a join "
+        "strategy, computed without touching either table twice"
+    ),
+    oracle="""
+    WITH ak AS (SELECT CAST(o_orderkey AS VARCHAR) AS tok, count(*) AS cnt
+                FROM orders GROUP BY 1),
+    bk AS (SELECT CAST(l_orderkey AS VARCHAR) AS tok, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    ca AS (
+      SELECT j, substring(md5(tok || ':cms' || CAST(j AS VARCHAR)), 1, 4)
+               AS bucket,
+             sum(cnt) AS counter
+      FROM ak CROSS JOIN js GROUP BY j, bucket),
+    cb AS (
+      SELECT j, substring(md5(tok || ':cms' || CAST(j AS VARCHAR)), 1, 4)
+               AS bucket,
+             sum(cnt) AS counter
+      FROM bk CROSS JOIN js GROUP BY j, bucket),
+    dots AS (
+      SELECT ca.j, sum(ca.counter * cb.counter) AS dot
+      FROM ca JOIN cb ON cb.j = ca.j AND cb.bucket = ca.bucket
+      GROUP BY ca.j),
+    est AS (SELECT min(dot) AS est_join_size FROM dots),
+    ex AS (
+      SELECT count(*) AS exact_join_size
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(e.est_join_size AS BIGINT) AS est_join_size,
+           CAST(x.exact_join_size AS BIGINT) AS exact_join_size,
+           e.est_join_size >= x.exact_join_size AS is_overestimate
+    FROM est e, ex x
+    """,
+)
+def ext_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches: |A ⋈ B| on a key equals the
+    inner product of the two key-frequency vectors, and the CMS
+    estimator min_j Σ_b A[j,b]·B[j,b] overestimates it one-sidedly
+    (collisions only ADD cross terms) — the cardinality statistic a
+    cost-based planner consults before picking broadcast vs shuffle vs
+    sort-merge, here computed from two 1024-cell grids instead of a
+    trial join. The demo carries the exact join count alongside and
+    pins the one-sided-error contract (is_overestimate is part of the
+    hash gate, so a sketch regression that ever underestimates fails
+    the driver).
+
+    Scale shape: each side collapses to per-key counts then to the
+    d×256 mergeable grid map-side (the countmin_sketch path); the
+    grid-grid join moves ≤1024 rows; the exact count is the one real
+    key-keyed shuffle — which is the POINT: at 100 TB you run the
+    sketch path and skip the trial join entirely. Two 1-row stats
+    crossJoined at the gate (allowlisted class)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("string").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("string").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Wider grid than the heavy-hitter default: inner-product error is
+    # ~N1*N2/width per hash row, so 2^16 buckets (4 hex chars) sizes
+    # the estimate to ~1.2x at this key count where 256 buckets would
+    # be ~60x (measured) — the width is the planner's error budget,
+    # the construction is unchanged (min over d rows of cell-product
+    # sums, mergeable, one-sided).
+    def wide_cms(tc):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("tok"), F.lit(f":cms{j}"))
+                        ),
+                        1,
+                        4,
+                    ).alias("bucket"),
+                )
+                for j in range(4)
+            ]
+        )
+        return (
+            tc.select(F.explode(cells).alias("c"), F.col("cnt"))
+            .groupBy(
+                F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+            )
+            .agg(F.sum("cnt").alias("counter"))
+        )
+
+    ca = wide_cms(o)
+    cb = wide_cms(li)
+    dots = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.j"))
+        .agg(
+            F.sum(F.col("a.counter") * F.col("b.counter")).alias("dot")
+        )
+    )
+    est = dots.agg(F.min("dot").alias("est_join_size"))
+    lo = load(spark, sf_dir, "orders").select("o_orderkey")
+    ll = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ex = (
+        lo.join(ll, lo.o_orderkey == ll.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.col("est_join_size").cast("long").alias("est_join_size"),
+        F.col("exact_join_size").cast("long").alias("exact_join_size"),
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "is_overestimate"
+        ),
+    )

@@ -2819,3 +2819,64 @@ def w31_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("zn") < 0.43, F.lit("b"))
         .otherwise(F.lit("c")),
     )
+
+
+@register(
+    "stream_dedup_replay",
+    survey_ref=(
+        "§2.10 streaming keyed-dedup state merge (batch-shaped "
+        "witness, completing the replay triple with "
+        "stream_window_replay/stream_session_replay): per-generation "
+        "first-occurrence state on (user_id, event_type), merged by "
+        "keyed min — the dropDuplicatesWithinWatermark state-store "
+        "keep-earliest rule — hash-gated against the one-shot oracle"
+    ),
+    oracle="""
+    WITH good AS (
+      SELECT * FROM events
+      WHERE NOT (value IS NULL OR value < 0 OR event_type = 'error')
+    )
+    SELECT user_id, event_type,
+           CAST(floor(min(epoch(ts))) AS BIGINT) AS first_seen,
+           count(*) AS n_events
+    FROM good GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-dedup state replay: each generation (event_id mod 3)
+    reduces to its per-(user, type) earliest-timestamp state — what
+    ``dropDuplicatesWithinWatermark`` keeps per key — and the merged
+    state takes the keyed MIN across generations plus the summed
+    event counts. The one-shot oracle proves the keep-earliest merge
+    is exact (min and count are associative; a state store that ever
+    kept a later-generation first-seen would hash-mismatch). Within
+    the watermark horizon this IS the streaming dedup semantics; the
+    unbounded-history batch analog is o3_first_occurrence_dedup.
+
+    Scale shape: each generation collapses map-side onto its key set
+    before one keyed shuffle; the merge re-aggregates key-sized rows.
+    No event row crosses the exchange twice."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    good, _bad = W.dead_letter_split(ev)
+    parts = [
+        good.filter(F.col("event_id") % 3 == i)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("fs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for i in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionAll(parts[1])
+        .unionAll(parts[2])
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("fs").cast("long").alias("first_seen"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
+    return merged

@@ -134,6 +134,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row good/bad totals broadcast onto the <=10-bucket rollup
     # (WOE/IV shares — the ext_score_lift class)
     "quality_woe_iv",
+    # 1-row sketch-estimate x 1-row exact-count crossJoin (join-size
+    # report — the a_bootstrap_ci 1-row stats class)
+    "ext_cms_join_cardinality",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j7_bloom_semi_reduction",
