@@ -2463,3 +2463,108 @@ def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         woe.alias("woe"),
         F.round((gshare - bshare) * woe, 6).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_chi2_independence",
+    survey_ref=(
+        "[EXT] chi-square test of INDEPENDENCE over the lang x source "
+        "contingency table (the Benford audit is goodness-of-fit; "
+        "this is the two-way cousin): is language distribution "
+        "homogeneous across sources, the routing-assumption check a "
+        "lang-sliced pipeline makes; full grid including zero cells, "
+        "per-cell terms round-then-DECIMAL so the sum is order-free"
+    ),
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+      SELECT rt.lang, ct.source, rt.r, ct.c, n.n,
+             coalesce(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+    terms AS (
+      SELECT lang, source,
+             round((CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                   * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                   / (CAST(r * c AS DOUBLE) / n), 6) AS t
+      FROM grid)
+    SELECT (SELECT count(*) FROM rt) AS n_langs,
+           (SELECT count(*) FROM ct) AS n_sources,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS df,
+           round(CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS chi2
+    FROM terms
+    """,
+)
+def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the lang x source
+    contingency table — "does every source carry the same language
+    mix?", the homogeneity assumption behind routing a corpus by
+    source and slicing it by language. The FULL grid participates
+    (zero-observation cells contribute (0-E)^2/E — dropping them
+    silently understates chi2, the classic implementation bug);
+    expected counts come from integer row/col/N totals in one operand
+    order, each cell's term is rounded 6 then DECIMAL-summed so the
+    statistic is order-independent at the gate. df = (r-1)(c-1) rides
+    along for the caller's critical-value lookup.
+
+    Scale shape: the corpus collapses to the |langs| x |sources|
+    contingency rollup map-side; the grid fill is a bounded
+    dimension-by-dimension cross (allowlisted grid class); everything
+    after moves <=|cells| rows."""
+    d = load(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    exp = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - exp)
+        * (F.col("o").cast("double") - exp)
+        / exp,
+        6,
+    )
+    terms = grid.select(term.alias("t"))
+    nl = rt.agg(F.count(F.lit(1)).alias("n_langs"))
+    ns = ct.agg(F.count(F.lit(1)).alias("n_sources"))
+    tot = terms.agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("chi2")
+    )
+    return (
+        nl.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+            .cast("long")
+            .alias("df"),
+            "chi2",
+        )
+    )

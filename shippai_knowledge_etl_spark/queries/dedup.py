@@ -1636,3 +1636,177 @@ def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reduction_ratio"),
     )
+
+
+@register(
+    "dedup_fellegi_sunter",
+    survey_ref=(
+        "[EXT] Fellegi-Sunter record-linkage scoring (1969; the "
+        "probabilistic ER canon behind Splink/dedupe.io): per-field "
+        "m/u probabilities estimated from the labeled candidate set, "
+        "agreement/disagreement log-weights (rounded-6 ln, computed "
+        "ONCE on 1-row stats), per-pair score = fixed-order 3-term "
+        "sum — the decision scores a match threshold is set on"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    sh AS (
+      SELECT doc_id, source AS block, unnest(list_distinct(sh0)) AS shingle
+      FROM (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh0
+        FROM (SELECT doc_id, source,
+                     list_filter(str_split(trim(regexp_replace(
+                       lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM planted))),
+    counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.block = b.block AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT id_a, id_b, n_inter,
+             ca.n_shingles AS n_a, cb.n_shingles AS n_b
+      FROM inter
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b),
+    hx AS (SELECT doc_id, md5(text) AS h FROM planted),
+    lab AS (
+      SELECT c.*,
+             (ha.h = hb.h) AS is_match,
+             (10 * abs(c.n_a - c.n_b) <= least(c.n_a, c.n_b)) AS agr_len,
+             (c.n_a = c.n_b) AS agr_eq,
+             (2 * c.n_inter >= c.n_a) AS agr_sim
+      FROM cand c
+      JOIN hx ha ON ha.doc_id = c.id_a
+      JOIN hx hb ON hb.doc_id = c.id_b),
+    mu AS (
+      SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS nm,
+             sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS nu,
+             sum(CASE WHEN is_match AND agr_len THEN 1 ELSE 0 END) AS m1,
+             sum(CASE WHEN NOT is_match AND agr_len THEN 1 ELSE 0 END) AS u1,
+             sum(CASE WHEN is_match AND agr_eq THEN 1 ELSE 0 END) AS m2,
+             sum(CASE WHEN NOT is_match AND agr_eq THEN 1 ELSE 0 END) AS u2,
+             sum(CASE WHEN is_match AND agr_sim THEN 1 ELSE 0 END) AS m3,
+             sum(CASE WHEN NOT is_match AND agr_sim THEN 1 ELSE 0 END) AS u3
+      FROM lab),
+    w AS (
+      SELECT
+        round(ln((CAST(m1 + 1 AS DOUBLE) / (nm + 2))
+                 / (CAST(u1 + 1 AS DOUBLE) / (nu + 2))), 6) AS wa1,
+        round(ln((1 - CAST(m1 + 1 AS DOUBLE) / (nm + 2))
+                 / (1 - CAST(u1 + 1 AS DOUBLE) / (nu + 2))), 6) AS wd1,
+        round(ln((CAST(m2 + 1 AS DOUBLE) / (nm + 2))
+                 / (CAST(u2 + 1 AS DOUBLE) / (nu + 2))), 6) AS wa2,
+        round(ln((1 - CAST(m2 + 1 AS DOUBLE) / (nm + 2))
+                 / (1 - CAST(u2 + 1 AS DOUBLE) / (nu + 2))), 6) AS wd2,
+        round(ln((CAST(m3 + 1 AS DOUBLE) / (nm + 2))
+                 / (CAST(u3 + 1 AS DOUBLE) / (nu + 2))), 6) AS wa3,
+        round(ln((1 - CAST(m3 + 1 AS DOUBLE) / (nm + 2))
+                 / (1 - CAST(u3 + 1 AS DOUBLE) / (nu + 2))), 6) AS wd3
+      FROM mu)
+    SELECT l.id_a, l.id_b, l.is_match, l.agr_len, l.agr_eq, l.agr_sim,
+           round((CASE WHEN l.agr_len THEN w.wa1 ELSE w.wd1 END
+                  + CASE WHEN l.agr_eq THEN w.wa2 ELSE w.wd2 END)
+                 + CASE WHEN l.agr_sim THEN w.wa3 ELSE w.wd3 END,
+                 6) AS score
+    FROM lab l, w
+    """,
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the blocked candidate
+    pairs: three deterministic agreement fields (shingle counts within
+    10%, exactly equal, containment >= 1/2), per-field m/u rates
+    estimated from the exact-text truth labels with Laplace smoothing
+    (integer counts), and the classic agreement/disagreement weights
+    ln(m/u) / ln((1-m)/(1-u)) — rounded 6 ONCE on the 1-row stats, so
+    the per-pair score is a fixed-order sum of three pre-rounded
+    doubles (identical both engines; never a cross-row float sum).
+    Scores separate: planted duplicates land at the positive weight
+    sum, organic pairs at the negative — the distribution a linkage
+    threshold (and Splink-style EM refinement) is set on.
+
+    Scale shape: candidates come from the owner-list blocking pass
+    (never all-pairs); the truth join is content-hash keyed; m/u is
+    ONE 1-row aggregate broadcast back (allowlisted); scoring is a
+    per-row CASE expression."""
+    df = documents_with_planted_dups(spark, sf_dir)
+    cand = dedup.jaccard_pairs(
+        df, "doc_id", "text", "source", threshold=0.0
+    ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    hx = df.select("doc_id", F.md5(F.col("text")).alias("h"))
+    lab = (
+        cand.join(
+            hx.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha")),
+            "id_a",
+        )
+        .join(
+            hx.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ha") == F.col("hb")).alias("is_match"),
+            (
+                10 * F.abs(F.col("n_a") - F.col("n_b"))
+                <= F.least("n_a", "n_b")
+            ).alias("agr_len"),
+            (F.col("n_a") == F.col("n_b")).alias("agr_eq"),
+            (2 * F.col("n_inter") >= F.col("n_a")).alias("agr_sim"),
+        )
+    )
+    mu = lab.agg(
+        F.sum(F.col("is_match").cast("int")).alias("nm"),
+        F.sum((~F.col("is_match")).cast("int")).alias("nu"),
+        *[
+            F.sum((F.col("is_match") & F.col(c)).cast("int")).alias(f"m{i}")
+            for i, c in enumerate(
+                ("agr_len", "agr_eq", "agr_sim"), start=1
+            )
+        ],
+        *[
+            F.sum((~F.col("is_match") & F.col(c)).cast("int")).alias(
+                f"u{i}"
+            )
+            for i, c in enumerate(
+                ("agr_len", "agr_eq", "agr_sim"), start=1
+            )
+        ],
+    )
+
+    def wcols():
+        out = []
+        for i in (1, 2, 3):
+            m = (F.col(f"m{i}") + 1).cast("double") / (F.col("nm") + 2)
+            u = (F.col(f"u{i}") + 1).cast("double") / (F.col("nu") + 2)
+            out.append(F.round(F.log(m / u), 6).alias(f"wa{i}"))
+            out.append(
+                F.round(F.log((1 - m) / (1 - u)), 6).alias(f"wd{i}")
+            )
+        return out
+
+    w = mu.select(*wcols())
+    score = F.round(
+        (
+            F.when(F.col("agr_len"), F.col("wa1")).otherwise(F.col("wd1"))
+            + F.when(F.col("agr_eq"), F.col("wa2")).otherwise(F.col("wd2"))
+        )
+        + F.when(F.col("agr_sim"), F.col("wa3")).otherwise(F.col("wd3")),
+        6,
+    )
+    return lab.crossJoin(F.broadcast(w)).select(
+        "id_a",
+        "id_b",
+        "is_match",
+        "agr_len",
+        "agr_eq",
+        "agr_sim",
+        score.alias("score"),
+    )

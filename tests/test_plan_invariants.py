@@ -137,6 +137,13 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row sketch-estimate x 1-row exact-count crossJoin (join-size
     # report — the a_bootstrap_ci 1-row stats class)
     "ext_cms_join_cardinality",
+    # 1-row m/u weight stats broadcast onto the candidate pairs
+    # (Fellegi-Sunter — the q22 scalar-aggregate factor class)
+    "dedup_fellegi_sunter",
+    # bounded |langs| x |sources| dimension cross for the full
+    # contingency grid (zero cells must contribute) + 1-row totals —
+    # the w19 bounded grid-fill class
+    "quality_chi2_independence",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j7_bloom_semi_reduction",
