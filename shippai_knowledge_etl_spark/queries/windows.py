@@ -2880,3 +2880,160 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@register(
+    "behavior_survival_km",
+    survey_ref=(
+        "[EXT] Kaplan-Meier survival estimator with right-censoring "
+        "(Kaplan & Meier 1958): hourly user-lifetime curve where users "
+        "still active near the corpus edge are CENSORED, not counted as "
+        "churned — the estimator naive retention curves get wrong; "
+        "per-day hazard factors ln-rounded then DECIMAL-cumsummed "
+        "(the BM25 round-6 ln discipline), at-risk counts pure "
+        "integer running sums over the bounded lifetime grid"
+    ),
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(floor(min(epoch(ts))) AS BIGINT) AS t0,
+             CAST(floor(max(epoch(ts))) AS BIGINT) AS t1
+      FROM events GROUP BY user_id),
+    mx AS (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) AS m FROM events),
+    lif AS (
+      SELECT (u.t1 - u.t0) // 3600 AS life,
+             CASE WHEN mx.m - u.t1 < 6 * 3600 THEN 1 ELSE 0 END
+               AS censored
+      FROM u, mx),
+    tot AS (SELECT count(*) AS n_users FROM lif),
+    days AS (
+      SELECT life,
+             sum(1 - censored) AS d,
+             sum(censored) AS c
+      FROM lif GROUP BY life),
+    r AS (
+      SELECT life, d, c,
+             tot.n_users
+               - coalesce(sum(d + c) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_at_risk
+      FROM days, tot),
+    f AS (
+      SELECT life, d, c, n_at_risk,
+             CASE WHEN d > 0 AND n_at_risk > d
+                  THEN round(ln(CAST(n_at_risk - d AS DOUBLE)
+                                / n_at_risk), 6)
+                  ELSE 0.0 END AS lf,
+             CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS extinct
+      FROM r),
+    s AS (
+      SELECT life, d, c, n_at_risk,
+             sum(CAST(lf AS DECIMAL(18,6))) OVER (ORDER BY life
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+             max(extinct) OVER (ORDER BY life
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext
+      FROM f)
+    SELECT CAST(life AS BIGINT) AS lifetime_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN ext = 1 THEN 0.0
+                ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+    FROM s
+    """,
+)
+def behavior_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve, Kaplan-Meier: lifetime = hours
+    between a user's first and last event, but users whose last event
+    falls within 7 days of the corpus edge are RIGHT-CENSORED — they
+    leave the at-risk pool without counting as churn, which is exactly
+    what a naive retention curve gets wrong (it books every
+    still-active user as a death at the observation boundary). S(t) =
+    prod over death-days <= t of (1 - d/n): hazard factors take ONE
+    rounded-6 ln each (the BM25 discipline — ln is the only
+    non-exactly-rounded op, so it rounds immediately), the cumulative
+    sum runs in exact DECIMAL over the bounded lifetime grid, and the
+    final exp/round(6) reads identical inputs on both engines. Total
+    extinction (d = n at some day) zeroes the curve explicitly via a
+    running flag rather than feeding ln(0) — DuckDB says -inf, Spark
+    says NULL, so the case must never reach ln.
+
+    Scale shape: the event stream collapses to per-user (first, last)
+    in one user-keyed rollup; everything after lives on the <=|days|
+    lifetime grid (bounded-input global windows, allowlisted w15
+    class); the corpus max and user total are 1-row broadcasts
+    (allowlisted)."""
+    from pyspark.sql import Window as SqlWindow
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    mx = ev.agg(F.max("t").alias("m"))
+    lif = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(t1 - t0) div 3600").alias("life"),
+        (F.col("m") - F.col("t1") < 6 * 3600).cast("int").alias(
+            "censored"
+        ),
+    )
+    tot = lif.agg(F.count(F.lit(1)).alias("n_users"))
+    days = lif.groupBy("life").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    wo = SqlWindow.orderBy("life")
+    r = days.crossJoin(F.broadcast(tot)).select(
+        "life",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    wo.rowsBetween(SqlWindow.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    lf = F.when(
+        (F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    f = r.select(
+        "life",
+        "d",
+        "c",
+        "n_at_risk",
+        lf.alias("lf"),
+        (F.col("d") >= F.col("n_at_risk")).cast("int").alias("extinct"),
+    )
+    s = f.select(
+        "life",
+        "d",
+        "c",
+        "n_at_risk",
+        F.sum(F.col("lf").cast("decimal(18,6)"))
+        .over(wo.rowsBetween(SqlWindow.unboundedPreceding, 0))
+        .alias("cl"),
+        F.max("extinct")
+        .over(wo.rowsBetween(SqlWindow.unboundedPreceding, 0))
+        .alias("ext"),
+    )
+    return s.select(
+        F.col("life").cast("long").alias("lifetime_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("ext") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cl").cast("double")), 6))
+        .alias("survival"),
+    )

@@ -144,6 +144,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # contingency grid (zero cells must contribute) + 1-row totals —
     # the w19 bounded grid-fill class
     "quality_chi2_independence",
+    # 1-row corpus-max + 1-row user-total broadcasts onto the
+    # per-user rollup / lifetime grid (Kaplan-Meier — q22 class)
+    "behavior_survival_km",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j7_bloom_semi_reduction",
@@ -239,6 +242,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # over the |sources|-row rollup only (Hamilton apportionment —
     # curation_token_budget's dimension class)
     "curation_apportion_budget",
+    # bounded-input global windows: at-risk running sums + hazard
+    # cumsum + extinction flag over the <=|lifetime-hours| grid
+    # (Kaplan-Meier — the w15 bounded-rollup discipline)
+    "behavior_survival_km",
     # bounded-input global window: five integer sufficient-statistic
     # sums over the |days| rollup (w15/zipf discipline)
     "w25_rolling_correlation",
