@@ -2157,3 +2157,192 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_skipped").cast("double") / F.col("n_blocks"), 6
         ).alias("skip_frac"),
     )
+
+
+@register(
+    "quality_k_anonymity",
+    survey_ref=(
+        "beyond-reference data-governance audit: k-anonymity + "
+        "l-diversity over quasi-identifier groups (Sweeney 2002 / "
+        "Machanavajjhala 2007) — which (nation, segment) equivalence "
+        "classes are small enough to re-identify a customer, and "
+        "which expose a near-constant sensitive attribute; the "
+        "release gate BEFORE a table leaves the governed zone"
+    ),
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           count(*) AS group_size,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             AS n_sensitive,
+           count(*) < 5 AS k_violation,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+             AS l_violation
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: treat (nationkey, mktsegment) as the
+    quasi-identifier an adversary can link on, and the coarse balance
+    band (1000-unit buckets) as the sensitive attribute. A group
+    smaller than k=5 re-identifies its members by the QI alone
+    (k-anonymity violation); a group whose members share fewer than
+    l=3 distinct sensitive values leaks the attribute even without
+    re-identification (l-diversity violation — the homogeneity attack
+    k-anonymity alone misses). Per-group verdicts, integer-exact; the
+    negative-balance bucket keeps DuckDB's floor // semantics matched
+    by flooring on the Spark side explicitly.
+
+    Scale shape: ONE QI-keyed rollup with a distinct-count (Expand,
+    map-side partials); output is the bounded |nations| x |segments|
+    group table. No joins."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("long")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(band).alias("n_sensitive"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        (F.col("group_size") < 5).alias("k_violation"),
+        (F.col("n_sensitive") < 3).alias("l_violation"),
+    )
+
+
+@register(
+    "layout_encoding_advisor",
+    survey_ref=(
+        "beyond-reference physical-layout op (§4.2): columnar "
+        "encoding advisor — per-column cardinality ratio, average "
+        "run length (in table order), and the dictionary/RLE/plain "
+        "recommendation a parquet writer derives from them; the "
+        "storage-layout twin of the zone-map demo (that one reads "
+        "stats, this one decides how to WRITE them)"
+    ),
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_custkey AS VARCHAR) AS o_custkey_s
+      FROM orders),
+    longcols AS (
+      SELECT 'o_orderpriority' AS col, o_orderkey AS k,
+             o_orderpriority AS v FROM src
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderkey, o_orderstatus FROM src
+      UNION ALL
+      SELECT 'o_custkey', o_orderkey, o_custkey_s FROM src),
+    runs AS (
+      SELECT col, v,
+             CASE WHEN lag(v) OVER (PARTITION BY col ORDER BY k)
+                       IS DISTINCT FROM v
+                  THEN 1 ELSE 0 END AS run_start
+      FROM longcols),
+    stats AS (
+      SELECT col,
+             count(*) AS n_rows,
+             count(DISTINCT v) AS n_distinct,
+             sum(run_start) AS n_runs
+      FROM runs GROUP BY col)
+    SELECT col,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           round(CAST(n_distinct AS DOUBLE) / n_rows, 6)
+             AS distinct_ratio,
+           round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len,
+           CASE WHEN 2 * n_rows <= 3 * n_runs AND 20 * n_distinct
+                     >= n_rows THEN 'plain'
+                WHEN 2 * n_rows > 3 * n_runs THEN 'rle_dict'
+                ELSE 'dict' END AS recommendation
+    FROM stats
+    """,
+)
+def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column storage-encoding advisor over three orders columns
+    with very different shapes: o_orderstatus (3 values, long runs →
+    RLE+dictionary), o_orderpriority (5 values, short runs →
+    dictionary), o_custkey (near-unique → plain). Cardinality ratio
+    says whether a dictionary pays for itself; average run length IN
+    TABLE ORDER (runs counted with one lag window per column — the
+    IS DISTINCT FROM form so NULLs break runs identically on both
+    engines) says whether run-length encoding adds anything on top.
+    The thresholds (avg run >= 1.5 → RLE wins; distinct ratio > 5% and
+    no runs → plain) are expressed as INTEGER cross-multiplications so
+    the verdict can't flicker on a float boundary. This is the advisor
+    a parquet/ORC writer runs implicitly; surfacing it makes layout
+    regressions visible (a re-sort that destroys runs shows up as
+    avg_run_len collapsing — the zone-map demo's write-side twin).
+
+    Scale shape: the three columns unpivot into one (col, key, value)
+    stream; run detection is one col-keyed sort window; the rollup is
+    a 3-group aggregate with a distinct-count Expand. At a real scan
+    these stats come per row-group from the writer — same math,
+    block-local."""
+    from pyspark.sql import Window as SqlWindow
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_custkey").cast("string").alias("o_custkey_s"),
+    )
+    longcols = (
+        o.select(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_orderstatus").alias("col"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_custkey").alias("col"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey_s").alias("v"),
+            )
+        )
+    )
+    w = SqlWindow.partitionBy("col").orderBy("k")
+    runs = longcols.select(
+        "col",
+        "v",
+        F.when(
+            ~F.lag("v").over(w).eqNullSafe(F.col("v")), 1
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    stats = runs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum("run_start").alias("n_runs"),
+    )
+    return stats.select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_runs"), 6
+        ).alias("avg_run_len"),
+        F.when(
+            (2 * F.col("n_rows") <= 3 * F.col("n_runs"))
+            & (20 * F.col("n_distinct") >= F.col("n_rows")),
+            F.lit("plain"),
+        )
+        .when(2 * F.col("n_rows") > 3 * F.col("n_runs"), F.lit("rle_dict"))
+        .otherwise(F.lit("dict"))
+        .alias("recommendation"),
+    )
