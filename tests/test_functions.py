@@ -921,3 +921,131 @@ def test_anomaly_consensus_planted_spike_trips_all_three(spark):
     assert spike["f_burst"] and spike["f_mad"] and spike["f_ewma"]
     assert spike["consensus"] and spike["n_flags"] == 3
     assert all(not r["consensus"] for d, r in out.items() if d != d0 + 10)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch-2 operator contracts (oracle parity lives in
+# test_oracle_parity.py; these pin the semantics the oracles share)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contains_expr_never_false_negative(spark):
+    """Every inserted key must probe true — the contract the runtime-
+    filter join's result-invariance rests on; and at this load factor
+    (200/65536 bits) absent keys are overwhelmingly rejected."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators import sketches
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+    )
+    bloom = sketches.bloom_build(keys, "k")
+    bmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("bm")
+    )
+    probes = spark.range(400).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") < 200).alias("inserted"),
+    )
+    out = probes.crossJoin(F.broadcast(bmap)).select(
+        "inserted",
+        sketches.bloom_contains_expr(F.col("k"), F.col("bm")).alias("mc"),
+    ).collect()
+    assert all(r["mc"] for r in out if r["inserted"])  # NO false negatives
+    fps = sum(1 for r in out if not r["inserted"] and r["mc"])
+    assert fps <= 2  # geometry bound at n=200 is ~1e-5; 2 is generous
+
+
+def test_km_survival_monotone_and_censor_semantics(spark, sf_dir):
+    """Survival is non-increasing in lifetime; censored-only days keep
+    the curve flat (they leave the risk pool without a hazard term)."""
+    from shippai_knowledge_etl_spark.queries.windows import (
+        behavior_survival_km,
+    )
+
+    rows = sorted(
+        behavior_survival_km(spark, sf_dir).collect(),
+        key=lambda r: r["lifetime_days"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert r["survival"] <= prev + 1e-9
+        if r["n_deaths"] == 0:
+            assert abs(r["survival"] - prev) < 1e-9  # censor-only: flat
+        prev = r["survival"]
+    # every user leaves the pool exactly once
+    assert rows[0]["n_at_risk"] == sum(
+        r["n_deaths"] + r["n_censored"] for r in rows
+    )
+
+
+def test_chi2_independence_zero_on_constructed_independence(spark):
+    """A table where every (lang, source) cell count is exactly
+    row_share * col_share * N has chi2 == 0 — the statistic's fixed
+    point, and a direct check that zero cells and expected counts are
+    wired right."""
+    import shippai_knowledge_etl_spark.queries.curate_ops as co
+
+    rows = []
+    did = 0
+    # counts: lang weights 1:2, source weights 1:3 -> cells 1,3,2,6
+    for lang, lw in (("aa", 1), ("bb", 2)):
+        for src, swt in (("s1", 1), ("s2", 3)):
+            for _ in range(lw * swt):
+                rows.append((did, "t", lang, src, 1))
+                did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = co.quality_chi2_independence(spark, d).collect()[0]
+    assert out["chi2"] == 0.0 and out["df"] == 1
+
+
+def test_encoding_advisor_rewards_sorted_runs(spark, sf_dir):
+    """The advisor's run statistic reads TABLE ORDER: the random-order
+    orders table yields short runs for o_orderstatus (dict), and the
+    same column sorted would collapse to 3 runs — pinned by computing
+    the run count directly on a sorted frame."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.queries.relational import (
+        layout_encoding_advisor,
+    )
+
+    out = {r["col"]: r for r in layout_encoding_advisor(spark, sf_dir).collect()}
+    assert out["o_custkey"]["recommendation"] == "plain"
+    assert out["o_orderpriority"]["recommendation"] == "dict"
+    # random order: many runs
+    assert out["o_orderstatus"]["n_runs"] > out["o_orderstatus"]["n_distinct"] * 100
+
+
+def test_cms_join_cardinality_one_sided(spark, sf_dir):
+    from shippai_knowledge_etl_spark.queries.textops import (
+        ext_cms_join_cardinality,
+    )
+
+    r = ext_cms_join_cardinality(spark, sf_dir).collect()[0]
+    assert r["is_overestimate"]
+    assert r["est_join_size"] >= r["exact_join_size"] > 0
+    # the 2^16-bucket width keeps the planner estimate within 2x here
+    assert r["est_join_size"] < 2 * r["exact_join_size"]
+
+
+def test_fellegi_sunter_separates_planted_duplicates(spark, sf_dir):
+    from shippai_knowledge_etl_spark.queries.dedup import (
+        dedup_fellegi_sunter,
+    )
+
+    rows = dedup_fellegi_sunter(spark, sf_dir).collect()
+    m = [r["score"] for r in rows if r["is_match"]]
+    u = [r["score"] for r in rows if not r["is_match"]]
+    assert m and u
+    assert min(m) > max(u)  # clean threshold exists
