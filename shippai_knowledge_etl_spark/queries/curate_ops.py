@@ -2568,3 +2568,115 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (delta-apply == recompute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_ivm_delta",
+    survey_ref=(
+        "[EXT] incremental view maintenance: apply an UPDATE delta to "
+        "a per-source aggregate as old_agg - retracted + inserted "
+        "contributions (the self-maintainable-view algebra) and pin "
+        "it EQUAL to full recomputation over the updated table — the "
+        "contract that lets a 100 TB rollup absorb a 1 GB delta "
+        "without rescanning anything"
+    ),
+    oracle=f"""
+    WITH upd AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 25 = 0
+                  THEN text || ' appended delta tokens xyz'
+                  ELSE text END AS text
+      FROM documents),
+    base_agg AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY source),
+    delta AS (
+      SELECT d.source,
+             sum(len(list_filter(str_split(trim(regexp_replace(
+                   lower(u.text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                   x -> x <> ''))
+                 - len(list_filter(str_split(trim(regexp_replace(
+                   lower(d.text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+                   x -> x <> ''))) AS tok_delta
+      FROM documents d
+      JOIN upd u ON u.doc_id = d.doc_id
+      WHERE d.doc_id % 25 = 0
+      GROUP BY d.source),
+    maintained AS (
+      SELECT b.source, b.n_docs,
+             b.n_tokens + coalesce(dl.tok_delta, 0) AS n_tokens_m
+      FROM base_agg b LEFT JOIN delta dl ON dl.source = b.source),
+    recomputed AS (
+      SELECT source, sum(len(list_filter(str_split(trim(regexp_replace(
+               lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+               x -> x <> ''))) AS n_tokens_r
+      FROM upd GROUP BY source)
+    SELECT m.source,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.n_tokens_m AS BIGINT) AS n_tokens_maintained,
+           CAST(r.n_tokens_r AS BIGINT) AS n_tokens_recomputed,
+           m.n_tokens_m = r.n_tokens_r AS consistent
+    FROM maintained m JOIN recomputed r ON r.source = m.source
+    """,
+)
+def quality_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate:
+    every 25th document receives an UPDATE (text append); the
+    per-source token rollup is maintained by adding each updated
+    row's (new - old) contribution — never rescanning the unchanged
+    96% — and the output pins `maintained == recomputed` per source
+    (the `consistent` column is part of the hash gate, so an algebra
+    bug fails the driver). This is the view-maintenance contract
+    behind materialized rollups, streaming upsert sinks, and the
+    CDC MERGE audit's downstream aggregates: distributive/algebraic
+    aggregates (SUM/COUNT, AVG via sum+count) absorb deltas;
+    holistic ones (exact MEDIAN) do not — which is WHY the catalog's
+    quantile path is the mergeable histogram sketch.
+
+    Scale shape: the delta branch scans ONLY the updated keys (a
+    pushed `doc_id % 25 = 0` predicate — at a real lakehouse this is
+    the CDC feed, not a rescan); the maintained view is a
+    |sources|-row join; the recompute branch exists purely as the
+    in-query proof and would be absent in production."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    upd_text = F.when(
+        F.col("doc_id") % 25 == 0,
+        F.concat(F.col("text"), F.lit(" appended delta tokens xyz")),
+    ).otherwise(F.col("text"))
+    base_agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens"),
+    )
+    changed = d.filter(F.col("doc_id") % 25 == 0)
+    delta = changed.groupBy("source").agg(
+        F.sum(
+            F.size(tokenize(upd_text)) - F.size(tokenize(F.col("text")))
+        ).alias("tok_delta")
+    )
+    maintained = base_agg.join(delta, "source", "left").select(
+        "source",
+        "n_docs",
+        (
+            F.col("n_tokens") + F.coalesce(F.col("tok_delta"), F.lit(0))
+        ).alias("n_tokens_m"),
+    )
+    recomputed = (
+        d.select("source", upd_text.alias("text"))
+        .groupBy("source")
+        .agg(F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens_r"))
+    )
+    return maintained.join(recomputed, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens_m").cast("long").alias("n_tokens_maintained"),
+        F.col("n_tokens_r").cast("long").alias("n_tokens_recomputed"),
+        (F.col("n_tokens_m") == F.col("n_tokens_r")).alias("consistent"),
+    )

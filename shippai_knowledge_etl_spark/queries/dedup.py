@@ -1810,3 +1810,76 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agr_sim",
         score.alias("score"),
     )
+
+
+_PPR_STEP = """
+    pc{i} AS (
+      SELECT e.dst, sum(r.r // o.outdeg) AS inflow
+      FROM edges e JOIN outdeg o USING (src) JOIN pr{p} r ON r.id = e.src
+      GROUP BY e.dst),
+    pr{i} AS (
+      SELECT nodes.id,
+             CASE WHEN nodes.id % 50 = 0
+                  THEN ((1000000000000 // {s}) * 15) // 100
+                  ELSE 0 END
+               + (85 * COALESCE(pc{i}.inflow, 0)) // 100 AS r
+      FROM nodes LEFT JOIN pc{i} ON pc{i}.dst = nodes.id)
+"""
+
+_PPR_S = "(SELECT count(*) FROM documents WHERE doc_id % 50 = 0)"
+
+
+@register(
+    "graph_personalized_pagerank",
+    survey_ref=(
+        "[EXT] personalized / topic-sensitive PageRank (Haveliwala "
+        "2002): teleport mass returns ONLY to the seed set, so ranks "
+        "measure proximity-to-seeds (recommendation / related-items / "
+        "crawl-focus) instead of global centrality; same "
+        "scaled-integer exactly-checkable rounds as graph_pagerank"
+    ),
+    oracle=(
+        "WITH "
+        + _PR_EDGES
+        + ", pr0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN "
+        + "1000000000000 // "
+        + _PPR_S
+        + " ELSE 0 END AS r FROM nodes),"
+        + ",".join(
+            _PPR_STEP.format(i=i, p=i - 1, s=_PPR_S) for i in (1, 2, 3)
+        )
+        + " SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled"
+        + " FROM pr3"
+    ),
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-iteration personalized PageRank over the same deterministic
+    synthetic link graph as ``graph_pagerank``, seeded at every 50th
+    doc: the teleport CASE makes non-seed ranks pure link-inherited
+    mass, so high-ranked non-seeds are the graph's
+    'related-to-the-seeds' answer — what a recommender or a focused
+    crawler actually consumes. The oracle unrolls the identical three
+    seeded rounds as CTEs (the graph_pagerank discipline: iterative
+    Spark vs declarative SQL, bit-exact through scaled-integer floor
+    arithmetic). Scale shape in
+    ``operators/graph.py:personalized_pagerank``: seed membership is a
+    broadcast flag, everything else identical to pagerank's one
+    dst-keyed shuffle per round."""
+    from shippai_knowledge_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    seeds = nodes.filter(F.col("id") % 50 == 0)
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    ranks = personalized_pagerank(nodes, edges, seeds, n_iters=3)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
+    )
