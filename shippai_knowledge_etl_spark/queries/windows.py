@@ -3037,3 +3037,194 @@ def behavior_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cl").cast("double")), 6))
         .alias("survival"),
     )
+
+
+_BT_STEP = """
+    bt{i} AS (
+      SELECT pl.id,
+             CASE WHEN pl.w = 0 THEN 0
+                  ELSE (pl.w * 1000000000000000000)
+                       // (SELECT sum((p.n * 1000000000000000000)
+                                      // (ra.s + rb.s))
+                           FROM pairs p
+                           JOIN bt{p} ra ON ra.id = p.lo
+                           JOIN bt{p} rb ON rb.id = p.hi
+                           WHERE p.lo = pl.id OR p.hi = pl.id)
+             END AS s
+      FROM players pl)
+"""
+
+
+@register(
+    "behavior_bradley_terry",
+    survey_ref=(
+        "[EXT] Bradley-Terry preference-strength estimation (1952; "
+        "the pairwise-comparison model behind RLHF reward-data "
+        "curation and match ranking): 3 minorization-maximization "
+        "rounds in scaled-integer floor arithmetic, bit-exact against "
+        "unrolled CTEs — the graph_pagerank discipline applied to an "
+        "MM fixpoint instead of damped propagation"
+    ),
+    oracle=(
+        """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    docs AS (SELECT doc_id, length(text) AS len FROM documents),
+    m0 AS (
+      SELECT d.doc_id AS a, (d.doc_id * 3 + 1) % (SELECT n FROM n) AS b
+      FROM docs d
+      UNION ALL
+      SELECT d.doc_id, (d.doc_id * 11 + 4) % (SELECT n FROM n)
+      FROM docs d),
+    matches AS (
+      SELECT m.a, m.b,
+             CASE WHEN da.len > db.len THEN m.a
+                  WHEN db.len > da.len THEN m.b
+                  WHEN m.a < m.b THEN m.a ELSE m.b END AS winner
+      FROM m0 m
+      JOIN docs da ON da.doc_id = m.a
+      JOIN docs db ON db.doc_id = m.b
+      WHERE m.a <> m.b),
+    players AS (
+      SELECT d.doc_id AS id,
+             coalesce(w.w, 0) AS w,
+             coalesce(g.g, 0) AS g
+      FROM docs d
+      LEFT JOIN (SELECT winner, count(*) AS w FROM matches
+                 GROUP BY winner) w ON w.winner = d.doc_id
+      LEFT JOIN (SELECT id, count(*) AS g FROM (
+                   SELECT a AS id FROM matches
+                   UNION ALL SELECT b FROM matches)
+                 GROUP BY id) g ON g.id = d.doc_id),
+    pairs AS (
+      SELECT least(a, b) AS lo, greatest(a, b) AS hi, count(*) AS n
+      FROM matches GROUP BY 1, 2),
+    bt0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS s FROM players
+            WHERE g > 0),
+"""
+        + ",".join(_BT_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+    SELECT pl.id AS doc_id,
+           CAST(pl.w AS BIGINT) AS wins,
+           CAST(pl.g AS BIGINT) AS games,
+           CAST(bt3.s AS BIGINT) AS strength_scaled
+    FROM players pl JOIN bt3 ON bt3.id = pl.id
+    WHERE pl.g > 0
+    """
+    ),
+)
+def behavior_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over a deterministic pairwise-preference
+    tournament (each doc challenges (3i+1) mod N and (11i+4) mod N;
+    longer text wins, ties to the smaller id — a stand-in for the
+    human-preference labels RLHF reward datasets carry). Three MM
+    rounds pi'_i = w_i / sum_j n_ij/(pi_i + pi_j) run in scaled-
+    integer floor arithmetic (pi in 1e9 units, per-pair terms scaled
+    by 1e18 BEFORE the floor-div so ~9 digits of precision survive;
+    all magnitudes bounded within int64 because n_ij <= 2 and w <= g),
+    making the iterative Spark loop bit-exact against the oracle's
+    unrolled CTEs — the graph_pagerank discipline applied to an MM
+    fixpoint. Zero-win players pin to 0 (their true BT limit); an
+    undefeated player's strength grows round over round, which is the
+    model's honest divergence, visible rather than clamped.
+
+    Scale shape: matches and wins are one key-keyed rollup each; each
+    MM round joins the bounded pair table (2 rows per player) to the
+    strength state twice and re-aggregates per player — the
+    per-round cost of pagerank with |edges| = 2N; localCheckpoint
+    truncates lineage."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    docs = d.select("doc_id", F.length("text").alias("len"))
+    m0 = docs.select(
+        F.col("doc_id").alias("a"),
+        ((F.col("doc_id") * 3 + 1) % n).alias("b"),
+    ).unionAll(
+        docs.select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 11 + 4) % n).alias("b"),
+        )
+    )
+    da = docs.select(F.col("doc_id").alias("a"), F.col("len").alias("la"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("len").alias("lb"))
+    matches = (
+        m0.filter(F.col("a") != F.col("b"))
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.when(F.col("la") > F.col("lb"), F.col("a"))
+            .when(F.col("lb") > F.col("la"), F.col("b"))
+            .otherwise(F.least("a", "b"))
+            .alias("winner"),
+        )
+    )
+    wins = matches.groupBy(F.col("winner").alias("id")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    games = (
+        matches.select(F.col("a").alias("id"))
+        .unionAll(matches.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    players = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(wins, "id", "left")
+        .join(games, "id", "left")
+        .select(
+            "id",
+            F.coalesce("w", F.lit(0)).alias("w"),
+            F.coalesce("g", F.lit(0)).alias("g"),
+        )
+        .filter(F.col("g") > 0)
+        .persist()
+    )
+    pairs = matches.groupBy(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("pn")).persist()
+    s = players.select("id", F.lit(1000000000).cast("long").alias("s"))
+    for _ in range(3):
+        terms = (
+            pairs.join(
+                s.select(F.col("id").alias("lo"), F.col("s").alias("sa")),
+                "lo",
+            )
+            .join(
+                s.select(F.col("id").alias("hi"), F.col("s").alias("sb")),
+                "hi",
+            )
+            .select(
+                "lo",
+                "hi",
+                F.expr(
+                    "(pn * 1000000000000000000) div (sa + sb)"
+                ).alias("t"),
+            )
+        )
+        denom = (
+            terms.select(F.col("lo").alias("id"), "t")
+            .unionAll(terms.select(F.col("hi").alias("id"), "t"))
+            .groupBy("id")
+            .agg(F.sum("t").alias("den"))
+        )
+        s = players.join(denom, "id", "left").select(
+            "id",
+            F.when(F.col("w") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(w * 1000000000000000000) div den")
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        s = s.localCheckpoint(eager=False)
+    out = players.join(s, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("w").cast("long").alias("wins"),
+        F.col("g").cast("long").alias("games"),
+        F.col("s").cast("long").alias("strength_scaled"),
+    )
+    out = out.localCheckpoint(eager=True)
+    players.unpersist()
+    pairs.unpersist()
+    return out
