@@ -1185,3 +1185,80 @@ def retrieval_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("snippet"),
     )
+
+
+@register(
+    "retrieval_postings_size_advisor",
+    survey_ref=(
+        "[EXT] inverted-index storage advisor: per-term Elias-Fano "
+        "posting-list size estimate (Vigna 2013: n*(2 + "
+        "floor(log2(U/n))) bits) vs raw 32-bit ids — the "
+        "layout_encoding_advisor twin for the retrieval index; "
+        "floor-log2 computed as binary-string length so both engines "
+        "share one integer semantics (no float log)"
+    ),
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+    n AS (SELECT count(*) AS u FROM documents),
+    t AS (
+      SELECT term, count(*) AS df FROM toks GROUP BY term
+      HAVING count(*) >= 20)
+    SELECT t.term,
+           CAST(t.df AS BIGINT) AS df,
+           CAST(n.u AS BIGINT) AS universe,
+           CAST(32 * t.df AS BIGINT) AS raw_bits,
+           CAST(t.df * (2 + length(bin(n.u // t.df)) - 1) AS BIGINT)
+             AS ef_bits,
+           round(CAST(t.df * (2 + length(bin(n.u // t.df)) - 1)
+                 AS DOUBLE) / (32 * t.df), 6) AS compression,
+           t.df * (2 + length(bin(n.u // t.df)) - 1) < 32 * t.df
+             AS ef_wins
+    FROM t, n
+    """,
+)
+def retrieval_postings_size_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage planning for the postings index at rest
+    (streaming/index.py): per term, the Elias-Fano quasi-succinct
+    size estimate n·(2 + ⌊log2(U/n)⌋) bits against raw 32-bit doc ids
+    — dense terms (df near U) compress toward ~2 bits/posting, rare
+    terms approach ⌊log2 U⌋+2 and may not beat raw. The advisor says
+    per term which representation the index writer should pick, the
+    same decision layout_encoding_advisor makes for columnar pages.
+    ⌊log2 x⌋ is the length of x's binary string minus one (Spark
+    conv(x,10,2) / DuckDB bin(x)) — pure integer semantics, no float
+    log anywhere, so the whole report is hash-exact.
+
+    Scale shape: one distinct (doc, term) rollup to df (map-side
+    partials); the universe is a 1-row broadcast (allowlisted);
+    per-term math is scan-side expressions over the vocabulary-sized
+    table."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    ).distinct()
+    n = d.agg(F.count(F.lit(1)).alias("u"))
+    t = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 20)
+    )
+    j = t.crossJoin(F.broadcast(n))
+    log2q = (
+        F.length(F.conv(F.expr("u div df").cast("string"), 10, 2)) - 1
+    )
+    ef_bits = (F.col("df") * (F.lit(2) + log2q)).cast("long")
+    raw_bits = (F.lit(32) * F.col("df")).cast("long")
+    return j.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("u").cast("long").alias("universe"),
+        raw_bits.alias("raw_bits"),
+        ef_bits.alias("ef_bits"),
+        F.round(ef_bits.cast("double") / raw_bits, 6).alias(
+            "compression"
+        ),
+        (ef_bits < raw_bits).alias("ef_wins"),
+    )

@@ -140,6 +140,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row m/u weight stats broadcast onto the candidate pairs
     # (Fellegi-Sunter — the q22 scalar-aggregate factor class)
     "dedup_fellegi_sunter",
+    # 1-row universe-count broadcast onto the vocabulary-sized df
+    # table (Elias-Fano size advisor — the ext_tfidf 1-row factor)
+    "retrieval_postings_size_advisor",
     # bounded |langs| x |sources| dimension cross for the full
     # contingency grid (zero cells must contribute) + 1-row totals —
     # the w19 bounded grid-fill class
