@@ -194,23 +194,49 @@ def hll_estimate(sum_scaled: int, zero_regs: int) -> float:
     return raw
 
 
-def bloom_contains_expr(val: Column, bloom_map: Column) -> Column:
-    """Scan-side Bloom membership as a PURE EXPRESSION over a broadcast
-    (word -> bits) map — the sideways-information-passing / runtime-
-    filter shape: unlike :func:`bloom_might_contain` (explode + regroup
-    per probe key) this adds NO shuffle at all, so it can prefilter a
-    fact table BEFORE its join exchange. Lambda-free: the K cell checks
-    unroll to K element_at lookups AND-ed together. False positives
-    possible (the join downstream removes them — result-invariant);
-    false negatives never, so no row a join needs is ever dropped."""
+def bloom_word_values(bloom: DataFrame) -> list:
+    """Densify a sparse (word, bits) Bloom into a 4096-long Python
+    list (word w's bits at index conv(w,16,10)) — ONE bounded driver
+    collect (<=4096 ints, the codebook class). The caller embeds it as
+    a constant-folded array literal so probing is an O(1) element_at.
+
+    Why this exact shape (two slower forms were measured and killed):
+    a broadcast MapType column probed with element_at is a LINEAR scan
+    of the 4096 entries per lookup (~78 s for sf0.1's 2.4M probes);
+    a 16 KiB hex-string literal probed with dynamic-position substring
+    is O(position) per call (UTF8String counts code points from the
+    start — ~44 s). The folded array literal runs the same prefilter
+    in ~1 s. Dense fixed-domain lookups want ARRAY literals."""
+    rows = bloom.collect()
+    words = [0] * (16 ** (BLOOM_HEX - 1))
+    for r in rows:
+        words[int(r["word"], 16)] = r["bits"]
+    return words
+
+
+def bloom_contains_array_expr(val: Column, words: list) -> Column:
+    """Scan-side Bloom membership against the dense word array (see
+    bloom_word_values): K salted md5 draws -> word index -> O(1)
+    element_at into the constant-folded literal array -> mask test.
+    Same geometry and bits as bloom_build/bloom_contains_expr: no
+    false negatives ever, deterministic false positives. Lambda-free,
+    fully codegen'd; the 4096-literal array folds to a single Literal
+    at plan time, and it is built as ONE F.expr string — 4096
+    individual F.lit() calls cost ~1 ms of py4j round-trip EACH
+    (~8 s of driver time per plan, measured), a single 20 KiB SQL
+    string parses in milliseconds."""
+    arr = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    )
     pred = None
     for j in range(BLOOM_K):
-        word, mask = _word_and_mask(_bloom_pos(val, j))
+        pos_hex = _bloom_pos(val, j)
+        word = F.substring(pos_hex, 1, BLOOM_HEX - 1)
+        bit = F.conv(F.substring(pos_hex, BLOOM_HEX, 1), 16, 10).cast("int")
+        mask = F.pow(F.lit(2.0), bit).cast("long")
+        idx = F.conv(word, 16, 10).cast("int") + 1
         hit = (
-            F.coalesce(F.element_at(bloom_map, word), F.lit(0)).bitwiseAND(
-                mask
-            )
-            == mask
+            F.element_at(arr, idx).bitwiseAND(mask) == mask
         )
         pred = hit if pred is None else (pred & hit)
     return pred

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import sketches as sketches_ops
-from shippai_knowledge_etl_spark.tables import load
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 
 def _money(col: str) -> F.Column:
@@ -1971,10 +1971,15 @@ def quality_status_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j7_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-2000 revenue per priority with a Bloom RUNTIME FILTER ahead
     of the fact join: the date-windowed orders' keys build a fixed
-    4096-word Bloom (sketches.bloom_build), the filter rides a 1-row
-    broadcast as a (word -> bits) map, and lineitem is prefiltered by
-    the pure-expression probe (sketches.bloom_contains_expr) IN THE
-    SCAN STAGE — before the join exchange ever sees the dropped rows.
+    4096-word Bloom (sketches.bloom_build), the filter ships as a
+    constant-folded 4096-long ARRAY literal in the scan predicate, and
+    lineitem is prefiltered by the O(1)-per-probe element_at
+    expression (sketches.bloom_contains_array_expr) IN THE SCAN STAGE
+    — before the join exchange ever sees the dropped rows. Two slower
+    probe shapes were measured and killed on the way here (MapType
+    element_at = linear scan per lookup, 78 s; dynamic-position
+    substring on a 16 KiB literal = O(position) UTF8 scan, 44 s; the
+    array form ~1.5 s at sf0.1) — see bloom_word_values.
     At 100 TB this is what engine-native runtime filters / DPP do for
     you when the dimension predicate is selective: the ~99% of fact
     rows whose order is outside the window never shuffle. No false
@@ -1995,21 +2000,28 @@ def j7_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = sketches_ops.bloom_build(
         o.select(F.col("o_orderkey").cast("string").alias("k")), "k"
     )
-    bmap = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word"), F.col("bits")))
-        ).alias("bm")
+    # ONE bounded driver collect (4096 ints — the codebook class):
+    # the filter ships as a constant-folded ARRAY literal inside the
+    # scan predicate, exactly how engine-native runtime filters ship
+    # (broadcast VALUES in the filter, never a join column). Two
+    # slower forms were measured and killed — see
+    # sketches.bloom_word_values.
+    bm_words = sketches_ops.bloom_word_values(bloom)
+    # scale_out: the 4-salted-md5 probe is per-row work pinned to the
+    # single-split local scan (the a_bootstrap_ci lesson); a no-op on
+    # real multi-split layouts
+    li = scale_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            (_money("l_extendedprice") * (1 - _rate("l_discount"))).alias(
+                "rev"
+            ),
+        )
     )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (_money("l_extendedprice") * (1 - _rate("l_discount"))).alias(
-            "rev"
-        ),
+    pred = sketches_ops.bloom_contains_array_expr(
+        F.col("l_orderkey").cast("string"), bm_words
     )
-    pred = sketches_ops.bloom_contains_expr(
-        F.col("l_orderkey").cast("string"), F.col("bm")
-    )
-    li_f = li.crossJoin(F.broadcast(bmap)).filter(pred).drop("bm")
+    li_f = li.filter(pred)
     return (
         li_f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -932,7 +932,10 @@ def test_anomaly_consensus_planted_spike_trips_all_three(spark):
 def test_bloom_contains_expr_never_false_negative(spark):
     """Every inserted key must probe true — the contract the runtime-
     filter join's result-invariance rests on; and at this load factor
-    (200/65536 bits) absent keys are overwhelmingly rejected."""
+    (200/65536 bits) absent keys are overwhelmingly rejected. Uses the
+    array-literal probe form (the shipped one; the MapType and
+    string-bitmap forms were measured pathological and removed — see
+    sketches.bloom_word_values)."""
     from pyspark.sql import functions as F
 
     from shippai_knowledge_etl_spark.operators import sketches
@@ -941,18 +944,15 @@ def test_bloom_contains_expr_never_false_negative(spark):
         F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
     )
     bloom = sketches.bloom_build(keys, "k")
-    bmap = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word", "bits"))
-        ).alias("bm")
-    )
+    words = sketches.bloom_word_values(bloom)
+    assert len(words) == 4096 and sum(1 for w in words if w) > 0
     probes = spark.range(400).select(
         F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
         (F.col("id") < 200).alias("inserted"),
     )
-    out = probes.crossJoin(F.broadcast(bmap)).select(
+    out = probes.select(
         "inserted",
-        sketches.bloom_contains_expr(F.col("k"), F.col("bm")).alias("mc"),
+        sketches.bloom_contains_array_expr(F.col("k"), words).alias("mc"),
     ).collect()
     assert all(r["mc"] for r in out if r["inserted"])  # NO false negatives
     fps = sum(1 for r in out if not r["inserted"] and r["mc"])
