@@ -9,6 +9,7 @@ arithmetic over byte lengths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import multimodal
@@ -292,4 +293,88 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("longest", F.lit(0)).cast("long").alias(
             "longest_segment"
         ),
+    )
+
+
+@register(
+    "mm_resolution_buckets",
+    survey_ref=(
+        "[EXT] aspect-ratio / resolution bucketing for image-model "
+        "batch shaping (the SDXL-style bucketed-batching recipe: "
+        "same-shape images batch together, everything else pads): "
+        "integer cross-multiplied aspect classes x pixel tiers, "
+        "per-bucket batch counts and padding waste — composed on top "
+        "of the mapInPandas decode plumbing"
+    ),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(strlen(text) % 640 + 16 AS INT) AS w,
+             CAST((strlen(text) // 640) % 480 + 16 AS INT) AS h
+      FROM documents),
+    cls AS (
+      SELECT doc_id, w, h,
+             CASE WHEN 4 * w <= 3 * h THEN 'portrait'
+                  WHEN 4 * h <= 3 * w THEN 'landscape'
+                  ELSE 'square' END AS ar_class,
+             least(8, w // 64) AS size_tier
+      FROM dims)
+    SELECT ar_class,
+           CAST(size_tier AS BIGINT) AS size_tier,
+           count(*) AS n_images,
+           CAST(sum(w * h) AS BIGINT) AS total_pixels,
+           CAST((count(*) + 15) // 16 AS BIGINT) AS n_batches,
+           CAST(((count(*) + 15) // 16) * 16 - count(*) AS BIGINT)
+             AS padding_slots
+    FROM cls GROUP BY ar_class, size_tier
+    """,
+)
+def mm_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed batch shaping for image training: images batch with
+    OTHERS OF THEIR SHAPE CLASS (aspect-ratio class x pixel tier) so a
+    batch shares one padded resolution — the bucketing trick that cuts
+    padding waste versus resize-everything-to-square. Aspect classes
+    are integer cross-multiplications (4w<=3h portrait, 4h<=3w
+    landscape — no float ratio to flicker; this corpus's fake decode
+    yields all-landscape, which the output shows honestly), tiers are
+    width floor-buckets (the padded dimension under fixed-height
+    batching), and each bucket reports its batch count at size 16
+    plus the padding slots the LAST partial batch wastes — the number
+    a batch-shaping planner minimizes. Dimensions flow from the SAME
+    mapInPandas decode stage as mm_image_features (deterministic fake
+    decode; the real branch is env-gated), so this composes the
+    multimodal plumbing rather than re-deriving metadata.
+
+    Scale shape: decode is a narrow Arrow map; the rollup collapses
+    onto <=15 (class, tier) cells map-side; pixels never shuffle."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text")
+    feats = multimodal.decode_image_features(payloads).select(
+        "doc_id", F.col("width").alias("w"), F.col("height").alias("h")
+    )
+    cls = feats.select(
+        "w",
+        "h",
+        F.when(4 * F.col("w") <= 3 * F.col("h"), "portrait")
+        .when(4 * F.col("h") <= 3 * F.col("w"), "landscape")
+        .otherwise("square")
+        .alias("ar_class"),
+        F.least(F.lit(8), F.expr("w div 64")).alias("size_tier"),
+    )
+    return cls.groupBy("ar_class", "size_tier").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
+        F.expr("(count(1) + 15) div 16").cast("long").alias("n_batches"),
+        (
+            F.expr("(count(1) + 15) div 16") * 16 - F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("padding_slots"),
+    ).select(
+        "ar_class",
+        F.col("size_tier").cast("long").alias("size_tier"),
+        "n_images",
+        "total_pixels",
+        "n_batches",
+        "padding_slots",
     )

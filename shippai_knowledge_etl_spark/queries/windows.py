@@ -3228,3 +3228,118 @@ def behavior_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     players.unpersist()
     pairs.unpersist()
     return out
+
+
+@register(
+    "behavior_session_grammar",
+    survey_ref=(
+        "[EXT] sequence pattern matching over sessions — the "
+        "MATCH_RECOGNIZE analog (Flink CEP / Oracle row-pattern "
+        "matching, which Spark SQL lacks): per-session ordered "
+        "event-type strings classified by regex grammars (clean "
+        "funnel / error-interrupted / browse-only), assembled "
+        "lambda-free with the sorted-struct idiom inside ONE "
+        "user-keyed shuffle"
+    ),
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps),
+    seqs AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             string_agg(event_type, '>' ORDER BY ts, event_type)
+               AS seq
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           seq,
+           regexp_matches(seq,
+             '^(signup>)?(view|click)(>(view|click))*>purchase(>.*)?$')
+             AS clean_funnel,
+           (seq LIKE '%error%') AS error_touched,
+           NOT (seq LIKE '%purchase%') AS browse_only
+    FROM seqs
+    """,
+)
+def behavior_session_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over sessionized event sequences — the
+    MATCH_RECOGNIZE surface Spark SQL lacks, expressed relationally:
+    gap-sessionize (the w12 lag+cumsum machinery), assemble each
+    session's ordered event-type string with the sorted-struct idiom
+    (no collect_list-ordering nondeterminism: the sort key is
+    (ts, event_type), written identically in the oracle's ordered
+    string_agg), then classify by regex grammar — clean_funnel
+    (optional signup, browsing, then a purchase), error_touched,
+    browse_only. This is how funnel DEFINITIONS get expressed in CEP
+    systems; w10/w27 measure one fixed funnel, this matches arbitrary
+    grammars.
+
+    Scale shape: sessionize + sequence assembly + classification all
+    ride ONE user-keyed shuffle (the w12 discipline); the per-session
+    string is bounded by session length; regex runs scan-side on the
+    session rollup. At 100 TB the grammar table would broadcast and
+    regexp_like vectorizes per session row — never per event."""
+    from pyspark.sql import Window as SqlWindow
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wts = SqlWindow.partitionBy("user_id").orderBy("ts")
+    sess = gaps.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(wts.rowsBetween(SqlWindow.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_type")
+                )
+            ).getField("event_type"),
+            ">",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "seq",
+        F.col("seq").rlike(
+            "^(signup>)?(view|click)(>(view|click))*>purchase(>.*)?$"
+        ).alias("clean_funnel"),
+        F.col("seq").contains("error").alias("error_touched"),
+        (~F.col("seq").contains("purchase")).alias("browse_only"),
+    )
