@@ -1947,7 +1947,7 @@ def quality_status_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j7_bloom_semi_reduction",
+    "j8_bloom_semi_reduction",
     survey_ref=(
         "beyond-reference built-in (§2.6): Bloom runtime-filter join "
         "reduction — the sideways-information-passing trick: build a "
@@ -1968,7 +1968,7 @@ def quality_status_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
 )
-def j7_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j8_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-2000 revenue per priority with a Bloom RUNTIME FILTER ahead
     of the fact join: the date-windowed orders' keys build a fixed
     4096-word Bloom (sketches.bloom_build), the filter ships as a

@@ -1305,7 +1305,7 @@ def ext_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "[EXT] sketch-pruned exact frequent-term mining: CMS "
         "candidates (one-sided error -> NO false negatives) + exact "
         "verification of the candidate vocabulary only — the "
-        "j7_bloom_semi_reduction pattern applied to heavy hitters; "
+        "j8_bloom_semi_reduction pattern applied to heavy hitters; "
         "the qualified set provably equals a plain HAVING filter"
     ),
     oracle=f"""
@@ -1342,7 +1342,7 @@ def ext_cms_pruned_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the second pass filters the token stream to the
     candidate vocabulary BEFORE its aggregation — the ext_bm25
     vocabulary-filter discipline — instead of shuffling every distinct
-    term's count. The j7_bloom_semi_reduction pattern, applied to
+    term's count. The j8_bloom_semi_reduction pattern, applied to
     aggregation instead of a join.
 
     Scale shape: sketch grid broadcast to the probe (1024 cells);

@@ -152,7 +152,7 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "behavior_survival_km",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
-    "j7_bloom_semi_reduction",
+    "j8_bloom_semi_reduction",
     # 1-row train-vocab count broadcast onto the 1-row coverage agg
     "curation_ngram_coverage",
     # inherits ext_bm25_topk's 1-row corpus-stats broadcast inside the
