@@ -3343,3 +3343,116 @@ def behavior_session_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").contains("error").alias("error_touched"),
         (~F.col("seq").contains("purchase")).alias("browse_only"),
     )
+
+
+@register(
+    "stream_lateness_profile",
+    survey_ref=(
+        "[EXT] event-time lateness profile — the diagnostic a "
+        "watermark DELAY is actually set from: per-user arrival-order "
+        "running max of event time, lateness = runmax - ts for each "
+        "late arrival, bucketed histogram + the minimal delay bucket "
+        "covering >=95% of events; one user-keyed shuffle (arrival "
+        "order proxied by event_id, the ingestion sequence)"
+    ),
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, ts,
+             event_id * 10
+               + CASE WHEN event_id % 7 = 0
+                      THEN 1000 * (1 + event_id % 5) + 1
+                      ELSE 0 END AS arrival
+      FROM events),
+    lat AS (
+      SELECT user_id,
+             greatest(0,
+               CAST(floor(max(epoch(ts)) OVER (PARTITION BY user_id
+                     ORDER BY arrival
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT)) AS late_s
+      FROM arr),
+    b AS (
+      -- // not CAST(x/3600): DuckDB's int / is float division and
+      -- CAST rounds half-even (the README double->BIGINT note)
+      SELECT least(12, late_s // 3600) AS late_hours
+      FROM lat),
+    h AS (
+      SELECT late_hours, count(*) AS n FROM b GROUP BY late_hours),
+    c AS (
+      SELECT late_hours, n,
+             sum(n) OVER (ORDER BY late_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER () AS total
+      FROM h)
+    SELECT CAST(late_hours AS BIGINT) AS late_hours,
+           CAST(n AS BIGINT) AS n,
+           CAST(cum AS BIGINT) AS cum_n,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac,
+           20 * cum >= 19 * total AS covers_p95
+    FROM c
+    """,
+)
+def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late do events actually arrive? Per user, walk events in
+    INGESTION order (event_id — the arrival sequence) keeping the
+    running max event time; every event whose timestamp is behind that
+    max is late by the difference. The bucketed histogram (hours,
+    capped at 12+) with cumulative coverage is THE input for choosing
+    `withWatermark`'s delay: the first bucket with covers_p95 true
+    (integer cross-multiplied 20·cum ≥ 19·total — no float boundary)
+    is the smallest delay that keeps ≥95 % of events inside the
+    watermark; everything beyond it is the data you're agreeing to
+    drop. Guessing this number is how pipelines silently lose data —
+    this measures it.
+
+    Scale shape: ONE user-keyed sort window (the behavioral-family
+    discipline — per-key lateness is what keyed state actually
+    experiences), then a ≤13-bucket rollup whose cumulative windows
+    move bucket rows only (allowlisted bounded class)."""
+    from pyspark.sql import Window as SqlWindow
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.col("event_id") * 10
+            + F.when(
+                F.col("event_id") % 7 == 0,
+                1000 * (1 + F.col("event_id") % 5) + 1,
+            ).otherwise(F.lit(0))
+        ).alias("arrival"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("arrival")
+    lat = ev.select(
+        F.greatest(
+            F.lit(0),
+            F.max("t").over(
+                w.rowsBetween(SqlWindow.unboundedPreceding, 0)
+            )
+            - F.col("t"),
+        ).alias("late_s")
+    )
+    b = lat.select(
+        F.least(F.lit(12), F.expr("late_s div 3600")).alias("late_hours")
+    )
+    h = b.groupBy("late_hours").agg(F.count(F.lit(1)).alias("n"))
+    wo = SqlWindow.orderBy("late_hours")
+    wall = SqlWindow.partitionBy()
+    c = h.select(
+        "late_hours",
+        "n",
+        F.sum("n")
+        .over(wo.rowsBetween(SqlWindow.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    return c.select(
+        F.col("late_hours").cast("long").alias("late_hours"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cum").cast("long").alias("cum_n"),
+        F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+            "cum_frac"
+        ),
+        (20 * F.col("cum") >= 19 * F.col("total")).alias("covers_p95"),
+    )

@@ -249,6 +249,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     # cumsum + extinction flag over the <=|lifetime-hours| grid
     # (Kaplan-Meier — the w15 bounded-rollup discipline)
     "behavior_survival_km",
+    # bounded-input global windows: cumulative coverage over the
+    # <=13-bucket lateness histogram (w15 class)
+    "stream_lateness_profile",
     # bounded-input global window: five integer sufficient-statistic
     # sums over the |days| rollup (w15/zipf discipline)
     "w25_rolling_correlation",
