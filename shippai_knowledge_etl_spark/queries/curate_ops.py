@@ -2680,3 +2680,231 @@ def quality_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_r").cast("long").alias("n_tokens_recomputed"),
         (F.col("n_tokens_m") == F.col("n_tokens_r")).alias("consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction calibration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_conformal_threshold",
+    survey_ref=(
+        "[EXT] split-conformal calibration (Vovk et al.; the "
+        "distribution-free coverage recipe): nonconformity threshold "
+        "at the EXACT ceil((n+1)*0.9) calibration rank — integer rank "
+        "selection, no quantile interpolation — plus held-out "
+        "coverage, which the conformal guarantee lower-bounds"
+    ),
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             abs(n_chars - 6 * len(list_filter(str_split(trim(
+               regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ',
+               'g')), ' '), x -> x <> ''))) AS nonconf,
+             doc_id % 2 = 0 AS is_cal
+      FROM documents),
+    cal AS (
+      SELECT nonconf,
+             row_number() OVER (ORDER BY nonconf, doc_id) AS rk,
+             count(*) OVER () AS n_cal
+      FROM scored WHERE is_cal),
+    thr AS (
+      SELECT n_cal,
+             max(CASE WHEN rk = ((n_cal + 1) * 9 + 9) // 10
+                 THEN nonconf END) AS threshold,
+             ((n_cal + 1) * 9 + 9) // 10 AS rank_idx
+      FROM cal GROUP BY n_cal),
+    test AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN s.nonconf <= t.threshold THEN 1 ELSE 0 END)
+               AS n_covered
+      FROM scored s, thr t WHERE NOT s.is_cal)
+    SELECT CAST(t.n_cal AS BIGINT) AS n_cal,
+           CAST(t.rank_idx AS BIGINT) AS rank_idx,
+           CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(e.n_test AS BIGINT) AS n_test,
+           CAST(e.n_covered AS BIGINT) AS n_covered,
+           round(CAST(e.n_covered AS DOUBLE) / e.n_test, 6) AS coverage
+    FROM thr t, test e
+    """,
+)
+def quality_conformal_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal calibration for a deterministic proxy model
+    (predict n_chars as 6 x token count; nonconformity = absolute
+    residual, an exact integer): the even-id half calibrates, the
+    threshold is the nonconformity at EXACT rank ceil((n_cal+1)*0.9)
+    (integer ceiling division (x*9+9)//10 — rank selection, never
+    quantile interpolation, so both engines pick the identical row),
+    and the odd-id half reports held-out coverage, which the conformal
+    guarantee lower-bounds at 90 % in expectation REGARDLESS of the
+    model or data distribution — the distribution-free uncertainty
+    wrapper a production scorer ships with, and the third leg of the
+    model-governance family (WOE/IV screens features, ECE audits
+    calibration, conformal bounds coverage).
+
+    Scale shape: one scan-side residual map; the exact calibration
+    rank is selected with orderBy+limit(rank_idx) →
+    TakeOrderedAndProject (per-partition heaps, rank_idx-row driver
+    merge — NO global sort window; rank_idx is known up front from
+    one bounded count action, the pagerank n-count precedent); the
+    threshold and coverage stats are 1-row broadcasts
+    (allowlisted)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.abs(
+            F.col("n_chars") - 6 * F.size(tokenize(F.col("text")))
+        ).alias("nonconf"),
+        (F.col("doc_id") % 2 == 0).alias("is_cal"),
+    )
+    cal = scored.filter(F.col("is_cal"))
+    n_cal = cal.count()
+    rank_idx = ((n_cal + 1) * 9 + 9) // 10
+    thr = (
+        cal.orderBy(F.asc("nonconf"), F.asc("doc_id"))
+        .limit(rank_idx)
+        .agg(
+            F.max("nonconf").alias("threshold"),
+            F.lit(n_cal).alias("n_cal"),
+            F.lit(rank_idx).alias("rank_idx"),
+        )
+    )
+    test = (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("nonconf") <= F.col("threshold")).cast("int")
+            ).alias("n_covered"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("rank_idx").alias("rank_idx"),
+            F.max("threshold").alias("threshold"),
+        )
+    )
+    return test.select(
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("rank_idx").cast("long").alias("rank_idx"),
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (reliability audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_calibration_ece",
+    survey_ref=(
+        "[EXT] calibration / reliability audit (ECE, Naeini 2015 "
+        "binning form): per-confidence-bucket accuracy-vs-confidence "
+        "gaps as PURE integers via the identity "
+        "n_b*|acc-conf| = |1000*n_pos - sum_conf|/1000 — the whole "
+        "reliability diagram is integer-exact, one rounded division "
+        "per reported ratio"
+    ),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(lower(text),
+               '[^\\p{L}\\p{Nd}]+', ' ', 'g')), ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    sc AS (
+      SELECT doc_id,
+             least(999, (1000 * len(list_filter(toks, x -> x IN
+               ('and','be','have','of','that','the','to','with'))))
+               // (len(toks) + 1) * 8) AS conf,
+             CASE WHEN len(list_intersect(list_distinct(toks),
+               ['and','be','have','of','that','the','to','with'])) >= 2
+               THEN 1 ELSE 0 END AS pos
+      FROM t),
+    b AS (
+      SELECT conf // 100 AS bucket, count(*) AS n,
+             sum(pos) AS n_pos, sum(conf) AS sum_conf
+      FROM sc GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum_conf AS BIGINT) AS sum_conf,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+           round(CAST(sum_conf AS DOUBLE) / (1000 * n), 6) AS avg_conf,
+           CAST(abs(1000 * n_pos - sum_conf) AS BIGINT)
+             AS ece_term_scaled
+    FROM b
+    """,
+)
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE terms for a deterministic proxy
+    scorer (confidence = scaled stopword-occurrence rate, truth =
+    the Gopher >=2-stopword-kinds label): per confidence bucket,
+    accuracy, mean confidence, and the ECE contribution — computed
+    through the identity n_b * |acc_b - conf_b| =
+    |1000*n_pos_b - sum_conf_b| / 1000, so every term is an EXACT
+    integer (ece_term_scaled) and ECE = sum(terms) / (1000*N) is one
+    division the caller performs; the reported acc/avg_conf ratios
+    are each a single rounded division. A model whose high-confidence
+    buckets under-deliver shows the gap here before any downstream
+    gate trusts its scores — the calibration leg of the governance
+    family (WOE/IV screens, conformal bounds, ECE audits).
+
+    Scale shape: scan-side scoring, one <=10-bucket integer rollup
+    with map-side partials; nothing else moves."""
+    d = load(spark, sf_dir, "documents")
+    stops = F.array([F.lit(w) for w in _GOPHER_STOPS])
+    # single tokenize evaluation pinned behind a Generate barrier;
+    # stopword OCCURRENCES counted lambda-free with the array_remove
+    # idiom (size(toks) - size(remove(toks, w)) per stopword)
+    base = d.select(
+        "doc_id", F.explode(F.array(tokenize(F.col("text")))).alias("_toks")
+    )
+    n_stop_occ = None
+    for w in _GOPHER_STOPS:
+        term = F.size("_toks") - F.size(F.array_remove("_toks", w))
+        n_stop_occ = term if n_stop_occ is None else n_stop_occ + term
+    sc = base.select(
+        n_stop_occ.alias("_nso"),
+        F.size("_toks").alias("_n"),
+        (
+            F.size(
+                F.array_intersect(F.array_distinct(F.col("_toks")), stops)
+            )
+            >= 2
+        )
+        .cast("int")
+        .alias("pos"),
+    ).select(
+        F.least(
+            F.lit(999), F.expr("(1000 * _nso) div (_n + 1) * 8")
+        ).alias("conf"),
+        "pos",
+    )
+    b = sc.groupBy(F.expr("conf div 100").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("conf").alias("sum_conf"),
+    )
+    return b.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("sum_conf").cast("long").alias("sum_conf"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "acc"
+        ),
+        F.round(
+            F.col("sum_conf").cast("double") / (1000 * F.col("n")), 6
+        ).alias("avg_conf"),
+        F.abs(1000 * F.col("n_pos") - F.col("sum_conf"))
+        .cast("long")
+        .alias("ece_term_scaled"),
+    )

@@ -150,6 +150,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row corpus-max + 1-row user-total broadcasts onto the
     # per-user rollup / lifetime grid (Kaplan-Meier — q22 class)
     "behavior_survival_km",
+    # 1-row conformal-threshold broadcast onto the held-out half
+    # (q22 scalar-aggregate factor class)
+    "quality_conformal_threshold",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j8_bloom_semi_reduction",
