@@ -1049,3 +1049,164 @@ def test_fellegi_sunter_separates_planted_duplicates(spark, sf_dir):
     u = [r["score"] for r in rows if not r["is_match"]]
     assert m and u
     assert min(m) > max(u)  # clean threshold exists
+
+
+def test_conformal_rank_matches_numpy(spark, sf_dir):
+    """The exact-rank threshold equals the numpy-sorted calibration
+    residual at ceil((n+1)*0.9), and held-out coverage is sane."""
+    import math
+
+    import duckdb
+
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        quality_conformal_threshold,
+    )
+
+    r = quality_conformal_threshold(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT doc_id, abs(n_chars - 6 * len(list_filter(
+              str_split(trim(regexp_replace(lower(text),
+              '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '), x -> x <> '')))
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE doc_id % 2 = 0"""
+    ).fetchall()
+    scores = sorted(nc for _, nc in rows)
+    k = math.ceil((len(scores) + 1) * 0.9)
+    assert r["n_cal"] == len(scores) and r["rank_idx"] == k
+    assert r["threshold"] == scores[k - 1]
+    assert 0.75 <= r["coverage"] <= 1.0
+
+
+def test_ece_terms_recompute_from_raw(spark, sf_dir):
+    """ece_term_scaled must equal |1000*n_pos - sum_conf| per bucket
+    (the integer identity) and the bucket populations must partition
+    the corpus."""
+    import duckdb
+
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        quality_calibration_ece,
+    )
+
+    rows = quality_calibration_ece(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert r["ece_term_scaled"] == abs(
+            1000 * r["n_pos"] - r["sum_conf"]
+        )
+        assert 0 <= r["n_pos"] <= r["n"]
+
+
+def test_bradley_terry_win_conservation(spark, sf_dir):
+    """Total wins == total matches (each match crowns exactly one
+    winner), and an all-wins player outranks an all-losses player."""
+    from shippai_knowledge_etl_spark.queries.windows import (
+        behavior_bradley_terry,
+    )
+
+    rows = behavior_bradley_terry(spark, sf_dir).collect()
+    total_wins = sum(r["wins"] for r in rows)
+    total_games = sum(r["games"] for r in rows)
+    assert total_games == 2 * total_wins  # each match counts 2 games
+    best = max(rows, key=lambda r: r["wins"] / r["games"])
+    worst = min(rows, key=lambda r: r["wins"] / r["games"])
+    assert best["strength_scaled"] > worst["strength_scaled"]
+
+
+def test_personalized_pagerank_mass_reaches_only_seed_neighborhood(
+    spark, sf_dir
+):
+    """Rank > 0 implies the node is within 3 forward hops of a seed
+    (3 iterations propagate teleport mass at most 3 edges)."""
+    import duckdb
+
+    from shippai_knowledge_etl_spark.queries.dedup import (
+        graph_personalized_pagerank,
+    )
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    reach = {i for i in range(0, n, 50)}  # seeds
+    frontier = set(reach)
+    for _ in range(3):
+        frontier = {
+            d
+            for s in frontier
+            for d in ((s * 7 + 1) % n, (s * 13 + 2) % n)
+            if d != s
+        }
+        reach |= frontier
+    for r in graph_personalized_pagerank(spark, sf_dir).collect():
+        if r["rank_scaled"] > 0:
+            assert r["doc_id"] in reach
+
+
+def test_session_grammar_flags_recompute_from_seq(spark, sf_dir):
+    """The three grammar flags must be pure functions of the emitted
+    sequence string — recomputed in Python regex for every session."""
+    import re
+
+    from shippai_knowledge_etl_spark.queries.windows import (
+        behavior_session_grammar,
+    )
+
+    pat = re.compile(
+        r"^(signup>)?(view|click)(>(view|click))*>purchase(>.*)?$"
+    )
+    for r in behavior_session_grammar(spark, sf_dir).collect():
+        assert r["clean_funnel"] == bool(pat.match(r["seq"]))
+        assert r["error_touched"] == ("error" in r["seq"])
+        assert r["browse_only"] == ("purchase" not in r["seq"])
+
+
+def test_lateness_profile_cumulative_contract(spark, sf_dir):
+    from shippai_knowledge_etl_spark.queries.windows import (
+        stream_lateness_profile,
+    )
+
+    rows = sorted(
+        stream_lateness_profile(spark, sf_dir).collect(),
+        key=lambda r: r["late_hours"],
+    )
+    assert rows[-1]["cum_frac"] == 1.0
+    fracs = [r["cum_frac"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert rows[-1]["cum_n"] == sum(r["n"] for r in rows)
+    # covers_p95 is monotone once true
+    seen = False
+    for r in rows:
+        if r["covers_p95"]:
+            seen = True
+        else:
+            assert not seen
+
+
+def test_ivm_consistency_is_not_vacuous(spark, sf_dir):
+    """The maintained aggregate really changed (the delta is nonzero)
+    AND equals recomputation — a no-op delta would make the contract
+    vacuous."""
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        quality_ivm_delta,
+    )
+
+    rows = quality_ivm_delta(spark, sf_dir).collect()
+    assert all(r["consistent"] for r in rows)
+    # at least one source actually absorbed a delta
+    import duckdb
+
+    base = {
+        s: t
+        for s, t in duckdb.sql(
+            f"""SELECT source, sum(len(str_split(text, ' ')))
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                GROUP BY source"""
+        ).fetchall()
+    }
+    changed = [
+        r for r in rows if r["n_tokens_maintained"] != base.get(r["source"])
+    ]
+    assert changed  # the planted appends moved the rollup
