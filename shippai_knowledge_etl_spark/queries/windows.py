@@ -3456,3 +3456,134 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (20 * F.col("cum") >= 19 * F.col("total")).alias("covers_p95"),
     )
+
+
+@register(
+    "behavior_ab_cuped",
+    survey_ref=(
+        "[EXT] CUPED variance-reduced A/B readout (Deng et al. 2013, "
+        "the pre-experiment-covariate adjustment every large "
+        "experimentation platform runs): theta from POOLED integer "
+        "sufficient statistics (n, Σx, Σy, Σxy, Σx²) of pre-period "
+        "activity vs outcome, per-variant adjusted means — integer "
+        "sums end-to-end, fixed-order double divisions at the gate"
+    ),
+    oracle="""
+    WITH mn AS (
+      SELECT CAST(floor(min(epoch(ts))) AS BIGINT) // 86400 AS d0
+      FROM events),
+    u AS (
+      SELECT e.user_id,
+             e.user_id % 2 AS variant,
+             sum(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) // 86400
+                           < mn.d0 + 15
+                      AND e.event_type = 'view'
+                      THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) // 86400
+                           >= mn.d0 + 15
+                      AND e.event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS y
+      FROM events e, mn GROUP BY e.user_id),
+    pool AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM u),
+    v AS (
+      SELECT variant, count(*) AS n_users,
+             sum(x) AS vsx, sum(y) AS vsy
+      FROM u GROUP BY variant)
+    SELECT CAST(v.variant AS BIGINT) AS variant,
+           CAST(v.n_users AS BIGINT) AS n_users,
+           CAST(v.vsx AS BIGINT) AS sum_x,
+           CAST(v.vsy AS BIGINT) AS sum_y,
+           round(CAST(v.vsy AS DOUBLE) / v.n_users, 6) AS mean_y,
+           round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                 / (p.n * p.sxx - p.sx * p.sx), 6) AS theta,
+           round(CAST(v.vsy AS DOUBLE) / v.n_users
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / (p.n * p.sxx - p.sx * p.sx))
+                   * (CAST(v.vsx AS DOUBLE) / v.n_users
+                      - CAST(p.sx AS DOUBLE) / p.n), 6)
+             AS cuped_mean_y
+    FROM v, pool p
+    """,
+)
+def behavior_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: user-level assignment
+    (user_id parity — never event-level, which splits a unit across
+    arms), pre-period covariate x = views before day 15, outcome y =
+    purchases after; theta = cov(x,y)/var(x) from POOLED integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx² — exact longs), and
+    each arm's adjusted mean ȳ_v − θ(x̄_v − x̄) removes the outcome
+    variance the pre-period already explains — the adjustment that
+    makes experiments read out at a fraction of the sample size.
+    Every aggregate is an integer sum; theta and the adjusted means
+    are fixed-order double expressions over those integers, rounded
+    once at the gate, so the hash holds at any parallelism.
+
+    Scale shape: one user-keyed rollup builds (x, y) per unit; the
+    pooled stats are a 1-row broadcast (allowlisted) onto the 2-row
+    variant table; the min-date anchor is a 1-row broadcast too."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    )
+    mn = ev.agg(F.min("day").alias("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(mn))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("day") < F.col("d0") + 15)
+                    & (F.col("event_type") == "view")
+                ).cast("int")
+            ).alias("x"),
+            F.sum(
+                (
+                    (F.col("day") >= F.col("d0") + 15)
+                    & (F.col("event_type") == "purchase")
+                ).cast("int")
+            ).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("variant"), "x", "y"
+        )
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("vsx"),
+        F.sum("y").alias("vsy"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    mean_y = F.col("vsy").cast("double") / F.col("n_users")
+    return v.crossJoin(F.broadcast(pool)).select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("vsx").cast("long").alias("sum_x"),
+        F.col("vsy").cast("long").alias("sum_y"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            mean_y
+            - theta
+            * (
+                F.col("vsx").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("cuped_mean_y"),
+    )

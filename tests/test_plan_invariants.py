@@ -153,6 +153,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row conformal-threshold broadcast onto the held-out half
     # (q22 scalar-aggregate factor class)
     "quality_conformal_threshold",
+    # 1-row min-date anchor broadcast onto the event scan + 1-row
+    # pooled-stats broadcast onto the 2-row variant table (CUPED —
+    # q22 scalar-aggregate factor class)
+    "behavior_ab_cuped",
     # 1-row (word -> bits) Bloom-map broadcast onto the fact scan —
     # the runtime-filter shape; the map is <=4096 entries at ANY scale
     "j8_bloom_semi_reduction",
