@@ -1754,8 +1754,14 @@ def weighted_sample_keys(
     Scale shape: the explode fan-out is bounded by the weight cap
     (small integer), the min collapses map-side, and the top-k is
     TakeOrderedAndProject — per-partition heaps, k-row driver merge.
-    Returns (id_col, weight_col, wkey)."""
-    copies = df.select(
+    Returns (id_col, weight_col, wkey).
+
+    Rows with weight < 1 draw NOTHING (P = 0/sum(w)) and are filtered
+    before the explode: Spark's sequence(0, -1) yields a DESCENDING
+    [0, -1] (two elements!) rather than DuckDB's empty range(0, 0), so
+    without the filter a zero-weight row would get TWO hash draws —
+    the opposite of the contract (ADVICE r8)."""
+    copies = df.filter(F.col(weight_col).cast("int") >= 1).select(
         id_col,
         weight_col,
         F.posexplode(

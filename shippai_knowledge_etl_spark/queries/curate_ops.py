@@ -2710,10 +2710,14 @@ def quality_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER () AS n_cal
       FROM scored WHERE is_cal),
     thr AS (
+      -- rank clamped to n_cal (ADVICE r8): for n_cal < 9 the raw
+      -- ceil((n+1)*0.9) exceeds n_cal and the two engines would
+      -- otherwise encode different degenerate semantics (NULL here
+      -- vs overall max in Spark's limit+agg form)
       SELECT n_cal,
-             max(CASE WHEN rk = ((n_cal + 1) * 9 + 9) // 10
+             max(CASE WHEN rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal)
                  THEN nonconf END) AS threshold,
-             ((n_cal + 1) * 9 + 9) // 10 AS rank_idx
+             least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS rank_idx
       FROM cal GROUP BY n_cal),
     test AS (
       SELECT count(*) AS n_test,
@@ -2762,7 +2766,11 @@ def quality_conformal_threshold(
     )
     cal = scored.filter(F.col("is_cal"))
     n_cal = cal.count()
-    rank_idx = ((n_cal + 1) * 9 + 9) // 10
+    # clamp to n_cal (ADVICE r8): for n_cal < 9 the raw rank exceeds
+    # n_cal — limit(rank) would silently return the overall max while
+    # the oracle's rank-equality CASE yields NULL; clamping makes both
+    # sides select "the largest calibration nonconformity" identically
+    rank_idx = min(((n_cal + 1) * 9 + 9) // 10, n_cal)
     thr = (
         cal.orderBy(F.asc("nonconf"), F.asc("doc_id"))
         .limit(rank_idx)

@@ -60,14 +60,17 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.10 session windows (30m gap) per user",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      -- (ts, event_id) tiebreaker in BOTH windows (w12 discipline,
+      -- ADVICE r8): ts-only cumsum tie order is engine-dependent
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps)
     SELECT user_id,
@@ -2601,14 +2604,17 @@ def stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT (value IS NULL OR value < 0 OR event_type = 'error')
     ),
     gaps AS (
-      SELECT user_id, ts,
+      -- (ts, event_id) tiebreaker in BOTH windows (w12 discipline,
+      -- ADVICE r8): ts-only cumsum tie order is engine-dependent
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM good WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      FROM good WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM gaps)
@@ -2933,7 +2939,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(extinct) OVER (ORDER BY life
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext
       FROM f)
-    SELECT CAST(life AS BIGINT) AS lifetime_days,
+    SELECT CAST(life AS BIGINT) AS lifetime_hours,
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(d AS BIGINT) AS n_deaths,
            CAST(c AS BIGINT) AS n_censored,
@@ -2944,8 +2950,9 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def behavior_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-lifetime survival curve, Kaplan-Meier: lifetime = hours
-    between a user's first and last event, but users whose last event
-    falls within 7 days of the corpus edge are RIGHT-CENSORED — they
+    between a user's first and last event (column ``lifetime_hours``),
+    but users whose last event falls within 6 HOURS of the corpus edge
+    (the 6*3600 constant below) are RIGHT-CENSORED — they
     leave the at-risk pool without counting as churn, which is exactly
     what a naive retention curve gets wrong (it books every
     still-active user as a death at the observation boundary). S(t) =
@@ -3029,7 +3036,7 @@ def behavior_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ext"),
     )
     return s.select(
-        F.col("life").cast("long").alias("lifetime_days"),
+        F.col("life").cast("long").alias("lifetime_hours"),
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.col("d").cast("long").alias("n_deaths"),
         F.col("c").cast("long").alias("n_censored"),
@@ -3243,14 +3250,15 @@ def behavior_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, event_type,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM gaps),
@@ -3299,6 +3307,7 @@ def behavior_session_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
@@ -3312,7 +3321,11 @@ def behavior_session_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    wts = SqlWindow.partitionBy("user_id").orderBy("ts")
+    # cumsum window carries the SAME (ts, event_id) tiebreaker as the
+    # lag window (the w12 discipline, ADVICE r8): with duplicate
+    # (user_id, ts) rows a ts-only ROWS-frame cumsum tie order is
+    # engine-dependent and session membership could flake the gate.
+    wts = SqlWindow.partitionBy("user_id").orderBy("ts", "event_id")
     sess = gaps.select(
         "user_id",
         "ts",

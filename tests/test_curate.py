@@ -830,6 +830,19 @@ def test_weighted_sample_keys_favor_heavy_rows(spark):
     assert n_heavy > 30  # E[n_heavy] = 40; 30 is a >6-sigma floor
 
 
+def test_weighted_sample_keys_zero_weight_draws_nothing(spark):
+    """P(w=0 row) = 0/sum(w): zero- and negative-weight rows must get
+    NO draws at all. Regression for the ADVICE r8 latent bug: Spark's
+    sequence(0, -1) yields a DESCENDING [0, -1] — two elements — so an
+    unfiltered explode gave a zero-weight row TWO hash draws, the
+    opposite of the contract and of DuckDB's range(0,0) = [] analog."""
+    rows = [(1, 0), (2, 3), (3, -2), (4, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, weight int")
+    keys = curate.weighted_sample_keys(df, "doc_id", "weight").collect()
+    got = {r["doc_id"] for r in keys}
+    assert got == {2, 4}  # weight<1 rows absent, positive rows kept
+
+
 def test_apportionment_sums_to_budget_exactly(spark, sf_dir):
     """The Hamilton guarantee: allocations sum to the budget EXACTLY
     and each allocation is floor-quota or floor-quota+1."""

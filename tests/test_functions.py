@@ -968,7 +968,7 @@ def test_km_survival_monotone_and_censor_semantics(spark, sf_dir):
 
     rows = sorted(
         behavior_survival_km(spark, sf_dir).collect(),
-        key=lambda r: r["lifetime_days"],
+        key=lambda r: r["lifetime_hours"],
     )
     assert rows
     prev = 1.0
