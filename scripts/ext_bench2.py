@@ -17,10 +17,8 @@ re-run in-session before attributing to code).
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,6 +59,7 @@ EXT2_SET = (
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from scripts.ext_common import run_set
     from shippai_knowledge_etl_spark.catalog import load_catalog
     from shippai_knowledge_etl_spark.session import get_spark
 
@@ -69,24 +68,11 @@ def main() -> int:
     # warm the JVM + Arrow workers so timings measure the queries
     cat["a1_status_summary"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in EXT2_SET:
-        t0 = time.time()
-        n = len(cat[name].fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "ext2_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
-    return 0
+    # Protocol change round 9 (VERDICT r8 item 1): cold + 2 in-session
+    # reps per query; `queries` stays the cold numbers (comparable with
+    # the r8 pin), `queries_median` is the cross-round statistic. The
+    # SET is unchanged — protocol, not queries.
+    return run_set(cat, spark, sf_dir, EXT2_SET, "ext2_queries_total_sec")
 
 
 if __name__ == "__main__":

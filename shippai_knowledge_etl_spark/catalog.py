@@ -175,11 +175,17 @@ DRIVER_WINDOW = (
     # stays witnessed in-window by p1_case_id_extract + f8_f9's URL
     # regex, and A2's max-over-extracted-int by a3_manifest_collect's
     # aggregate surface; f13_results_sequence itself stays oracle-green
-    # in tests/test_oracle_parity.py); the slot pins the scaled-integer
-    # PageRank flagship — the graph family's first in-window witness
-    # (iterative damped propagation checked bit-exactly against an
-    # unrolled SQL CTE)
-    "graph_pagerank",
+    # in tests/test_oracle_parity.py); the slot pinned the
+    # scaled-integer PageRank flagship; graph_pagerank then rotated
+    # out in round 9 (VERDICT r8 item 2: the damped-propagation
+    # machinery stays driver-witnessed by graph_personalized_pagerank
+    # — the SAME scaled-integer rounds, contribution joins, and
+    # localCheckpoint loop, differing only in where teleport mass
+    # returns — and graph_pagerank itself remains a PINNED EXTBENCH
+    # timing row plus oracle-green in tests/test_oracle_parity.py at
+    # both SFs); the slot pins personalized PageRank — teleport-to-
+    # seeds proximity ranking, the r8 family with no driver row
+    "graph_personalized_pagerank",
     # f14_f17_label_json rotated out (F14 zero-pad stays witnessed
     # in-window by f2_f11_casualty_filename's filename roundtrip and
     # F17 to_json by the many in-window queries that serialize array
@@ -199,11 +205,20 @@ DRIVER_WINDOW = (
     # surface stays witnessed in-window by p3_label_pivot's key-value
     # map pivot and case_assembly's struct serialization;
     # f18_json_extract itself stays oracle-green in
-    # tests/test_oracle_parity.py at both SFs); the slot pins RRF rank
-    # fusion — a new plan family (two TakeOrderedAndProject-bounded
-    # global rank windows + fixed-order reciprocal-rank sum) with no
-    # prior driver row
-    "retrieval_rrf_fusion",
+    # tests/test_oracle_parity.py at both SFs); the slot pinned RRF
+    # rank fusion; retrieval_rrf_fusion then rotated out in round 9
+    # (VERDICT r8 item 2: the bounded global-rank-window + fixed-order
+    # fusion-sum machinery stays driver-witnessed by retrieval_hybrid
+    # — whose plan fuses the dense-BM25 and cosine rankings with the
+    # same rank windows and DECIMAL fixed-order score combination —
+    # and by retrieval_eval_ndcg's per-query ranked cuts;
+    # retrieval_rrf_fusion itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # Bloom runtime-filter join reduction — sideways information
+    # passing (build a 4096-word Bloom over dimension keys, prefilter
+    # the fact scan BEFORE its exchange), the r8 family with no driver
+    # row, gated against the plain join as oracle
+    "j8_bloom_semi_reduction",
     "p1_case_id_extract",
     # p4_p5_text_restructure rotated out in round 8 (VERDICT r7 item 4:
     # redundant in-window cousin — P4 br→newline and P5 paragraph
@@ -226,9 +241,18 @@ DRIVER_WINDOW = (
     # and pipeline_e2e — whose quality gate exercises the same
     # perplexity-proxy scoring surface; curation_lm_quality itself
     # stays oracle-green in tests/test_oracle_parity.py at both SFs);
-    # the slot pins the mixture-KL data-mix diagnostic, oracle-green
-    # but driver-unwitnessed since round 6
-    "curation_mixture_kl",
+    # the slot pinned the mixture-KL data-mix diagnostic;
+    # curation_mixture_kl then rotated out in round 9 (VERDICT r8
+    # item 2: its bounded per-domain rollup + broadcast 1-row-stats
+    # shape stays driver-witnessed by curation_domain_cap's per-domain
+    # grid and run_pipeline_e2e's broadcast manifest stats;
+    # curation_mixture_kl itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # split-conformal calibration threshold — the model-governance
+    # family (k-anonymity / WOE-IV / ECE / conformal) had no driver
+    # row; its exact-rank TakeOrderedAndProject selection is a plan
+    # class nothing else in-window carries
+    "quality_conformal_threshold",
     "w3_layout_suite",
     "scenario_profile",
     "p3_label_pivot",
@@ -257,11 +281,19 @@ DRIVER_WINDOW = (
     # plan CONTAINS the full dense-BM25 idf/tf weighting chain — and
     # by ext_bm25_batch's postings scoring; ext_tfidf itself stays
     # oracle-green in tests/test_oracle_parity.py at both SFs); the
-    # slot pins duplicated-passage span detection — substring-level
-    # dedup (Lee et al. 2022), a genuinely new plan family (positional
-    # shingles → gram-keyed distinct-doc count → same-key position
-    # re-join → gaps-and-islands windows) with no prior driver row
-    "dedup_dup_passages",
+    # slot pinned duplicated-passage span detection (Lee et al. 2022);
+    # dedup_dup_passages then rotated out in round 9 (VERDICT r8
+    # item 2: the dedup family keeps THREE in-window witnesses —
+    # dedup_ngram_jaccard carries the positional-shingle explode +
+    # gram-keyed counting machinery, dedup_prefix_allpairs the
+    # candidate-pair generation, and w24_interval_coverage the
+    # gaps-and-islands lag + running-max + island-sum plan class that
+    # dup_passages' span assembly uses; dedup_dup_passages itself
+    # stays a PINNED EXTBENCH2 timing row and oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # CUPED variance-reduced A/B readout — the experimentation family
+    # (CUPED/Bradley-Terry/Kaplan-Meier) had no driver row
+    "behavior_ab_cuped",
     # dedup_exact rotated out (exact dedup stays witnessed in-window by
     # curation_pipeline_e2e, whose first stage IS the sha2 hash-group
     # dedup, and it remains the bench headline); ext_bloom_membership
@@ -315,10 +347,19 @@ DRIVER_WINDOW = (
     # w10_funnel_conversion's user-keyed event-time min-aggs, and
     # tumbling remains a PINNED BENCH HEADLINE run every round plus
     # oracle-green in tests/test_oracle_parity.py at both SFs); the
-    # slot pins gap-based sessionization — a new plan family (lag +
-    # running session counter + per-session rollup all sharing ONE
-    # user-keyed shuffle) with no prior driver row
-    "w12_sessionization",
+    # slot pinned gap-based sessionization; w12_sessionization then
+    # rotated out in round 9 (VERDICT r8 item 2: its lag + running
+    # session counter + per-session rollup machinery stays
+    # driver-witnessed by stream_session_replay, which RUNS the
+    # session-window operator per generation AND the same lag+cumsum
+    # gaps-and-islands form as its stitch stage — a strictly-larger
+    # plan; w12 also stays a PINNED EXTBENCH2 timing row and
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins the streaming session-state replay witness — the
+    # streaming-state-merge family's first session-window driver row
+    # (per-generation partial sessions stitched by the state-store
+    # merge rule, hash-gated against the one-shot oracle)
+    "stream_session_replay",
     "mm_image_features",
     "u5_udtf_expand",
     "p13_grouped_map_seq",
