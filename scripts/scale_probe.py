@@ -1,0 +1,244 @@
+"""Scale probe: MEASURE the shuffle-heavy flagships' documented
+scaling bounds instead of arguing them (VERDICT r8 item 4).
+
+The sf0.1 documents corpus is epoch-exploded k-fold in memory for
+k in (1, 2, 4, 8) with the ``mix_oversample`` machinery (integer
+weight k keeps every epoch), then each epoch is made FRESH CONTENT:
+ids are offset per epoch and every token gets an epoch suffix, so a
+k-fold corpus models k-fold NEW data (the growth regime the 100 TB
+claims are about), not k-fold literal duplicates (which would
+legitimately grow near-dup pair counts quadratically inside each
+duplicate group — that regime is what ``max_df`` / banding caps
+bound, and it is pinned separately by the planted-duplicate tests).
+
+Per operator and k we count the documented scale-critical
+intermediate — the rows that actually cross the wire:
+
+- ``dedup_ngram_jaccard`` (operators/dedup.py:jaccard_pairs):
+  shuffle_rows = exploded (block, shingle, id) rows entering the
+  owner-list groupBy; candidate_pairs = sum over owner keys of
+  C(|owners|, 2), the pairs the HOF expansion materializes. Documented
+  bound: both ~linear in corpus for fresh content (a hidden global
+  pairing stage would show k^2 here).
+- ``dedup_prefix_allpairs`` (operators/dedup.py:prefix_candidates):
+  prefix_rows = per-doc prefix tokens entering the self-join;
+  candidate_pairs = DISTINCT pairs surviving prefix + PPJoin length +
+  positional filters. Documented bound: ~linear (hot tokens sort out
+  of prefixes, so the join fan-out must not grow superlinearly).
+- ``ext_bm25_batch`` (operators/retrieval.py:build_postings):
+  postings_rows = (doc, term, tf) rows — the index build shuffle.
+  Documented bound: linear in corpus tokens.
+- ``graph_pagerank`` (operators/graph.py:pagerank): per-round
+  dst-keyed shuffle rows = |edges| contributions + |nodes| rank rows.
+  Documented bound: linear in nodes for the bounded-degree synthetic
+  graph (2 out-links/node).
+
+Output: SCALEPROBE_r09.json with per-operator {k: metrics}, the
+measured m(k)/m(1) ratios, and a one-line linear/NOT-linear verdict
+(linear = every ratio within 10% of k).
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = (1, 2, 4, 8)
+ID_OFFSET = 1_000_000_000  # epoch e docs live at doc_id + e * offset
+
+
+def scaled_documents(spark, sf_dir: str, k: int):
+    """k-fold fresh-content explosion of the documents table."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.curate import mix_oversample
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = mix_oversample(d, "doc_id", F.lit(float(k)), salt="scaleprobe")
+    # fresh content per epoch: distinct ids, every token epoch-suffixed
+    # (tokenize() lowercases and splits on non-alphanumerics, so the
+    # suffix fuses into each token and epochs share NO tokens/shingles)
+    return out.select(
+        (
+            F.col("doc_id").cast("long")
+            + F.col("epoch").cast("long") * F.lit(ID_OFFSET).cast("long")
+        ).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1x"), F.col("epoch").cast("string")),
+        ).alias("text"),
+        "source",
+    )
+
+
+def probe_jaccard(spark, docs):
+    """jaccard_pairs' owner-list shuffle rows + expanded pair count."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.dedup import shingle_structs
+
+    # identical first stages as operators/dedup.py:jaccard_pairs
+    # (block = source, the dedup_ngram_jaccard configuration)
+    rows = docs.select(
+        F.col("doc_id"),
+        F.col("source").alias("block"),
+        F.explode(shingle_structs(F.col("text"))).alias("shingle"),
+    )
+    owners = (
+        rows.groupBy("block", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_owners"))
+    )
+    agg = owners.agg(
+        F.sum("n_owners").alias("shuffle_rows"),
+        F.sum(
+            F.when(
+                F.col("n_owners") >= 2,
+                F.col("n_owners") * (F.col("n_owners") - 1) / 2,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+    ).collect()[0]
+    return {
+        "shuffle_rows": int(agg["shuffle_rows"]),
+        "candidate_pairs": int(agg["candidate_pairs"]),
+    }
+
+
+def probe_prefix(spark, docs):
+    """prefix_candidates' prefix-row count + surviving candidates."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.dedup import (
+        prefix_candidates,
+        shingle_structs,
+    )
+
+    cand, toks = prefix_candidates(
+        docs, "doc_id", "text", threshold_num=1, threshold_den=2
+    )
+    # prefix rows = |d| - ceil(t|d|) + 1 per doc, summed — recompute
+    # from per-doc sizes (cheap; the join input the theorem bounds)
+    sizes = (
+        docs.select(
+            F.size(shingle_structs(F.col("text"))).alias("sz")
+        )
+        .agg(
+            F.sum(
+                F.col("sz") - F.expr("(1 * sz + 2 - 1) div 2") + 1
+            ).alias("prefix_rows")
+        )
+        .collect()[0]
+    )
+    n_cand = cand.count()
+    toks.unpersist()
+    return {
+        "prefix_rows": int(sizes["prefix_rows"]),
+        "candidate_pairs": int(n_cand),
+    }
+
+
+def probe_postings(spark, docs):
+    """build_postings row count — the index-build shuffle."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        build_postings,
+    )
+
+    return {"postings_rows": build_postings(docs, "doc_id", "text").count()}
+
+
+def probe_pagerank(spark, docs):
+    """Per-round shuffle rows of the synthetic-graph PageRank: edge
+    contributions + node rank rows (the dst-keyed exchange)."""
+    from pyspark.sql import functions as F
+
+    n = docs.count()
+    i = F.col("doc_id")
+    edges = (
+        docs.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        .unionAll(
+            docs.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return {"per_round_shuffle_rows": edges.count() + n}
+
+
+PROBES = {
+    "dedup_ngram_jaccard": probe_jaccard,
+    "dedup_prefix_allpairs": probe_prefix,
+    "ext_bm25_batch": probe_postings,
+    "graph_pagerank": probe_pagerank,
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from shippai_knowledge_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    for name, probe in PROBES.items():
+        per_k: dict[str, dict] = {}
+        for k in SCALES:
+            docs = scaled_documents(spark, sf_dir, k)
+            t0 = time.perf_counter()
+            m = probe(spark, docs)
+            m["probe_sec"] = round(time.perf_counter() - t0, 2)
+            per_k[str(k)] = m
+            print(f"# {name} k={k}: {m}", file=sys.stderr)
+        base = per_k["1"]
+        ratios = {
+            metric: {
+                str(k): round(per_k[str(k)][metric] / base[metric], 3)
+                for k in SCALES
+            }
+            for metric in base
+            if metric != "probe_sec" and base[metric]
+        }
+        linear = all(
+            abs(ratios[metric][str(k)] - k) <= 0.1 * k
+            for metric in ratios
+            for k in SCALES
+        )
+        worst = max(
+            (ratios[m][str(k)] / k for m in ratios for k in SCALES),
+        )
+        results[name] = {
+            "metrics": per_k,
+            "ratios_vs_k1": ratios,
+            "verdict": (
+                f"linear: every intermediate grows within 10% of k "
+                f"(worst ratio/k = {worst:.3f})"
+                if linear
+                else f"NOT LINEAR (worst ratio/k = {worst:.3f}) — "
+                "investigate before the 100 TB claim stands"
+            ),
+            "linear": linear,
+        }
+    out = {
+        "metric": "scale_probe",
+        "sf": sf_dir,
+        "scales": list(SCALES),
+        "regime": "fresh-content epoch explosion (k-fold new data)",
+        "operators": results,
+    }
+    print(json.dumps(out))
+    return 0 if all(r["linear"] for r in results.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -717,6 +717,71 @@ def near_dup_probe_index(
     )
 
 
+def prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    gram_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation stage of :func:`prefix_filter_pairs`,
+    exposed separately so the scale probe (``scripts/scale_probe.py``)
+    can MEASURE candidate-pair counts against the documented
+    ~linear-in-corpus bound without duplicating the prefix/PPJoin
+    logic. Returns ``(cand, toks)``: the DISTINCT (id_a, id_b)
+    candidate pairs surviving the prefix + length + positional
+    filters, and the persisted per-doc element table the verify stage
+    re-joins. Semantics and plan are identical to the pre-refactor
+    inline form (the r8 plan gates pin the composed query's shape)."""
+    num, den = threshold_num, threshold_den
+    elems = (
+        shingle_structs(F.col(text_col), n=gram_n)
+        if gram_n > 1
+        else F.array_distinct(tokenize(F.col(text_col)))
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(elems).alias("tok")
+    ).persist()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    wdoc = Window.partitionBy("doc")
+    w = wdoc.orderBy("tf", "tok")
+    ordered = (
+        toks.join(freq, "tok")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + 1
+    ).select("doc", "tok", "sz", "pos")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap upper bound from the matched positions: everything at or
+    # after this element in both suffixes, +1 for the match itself;
+    # required overlap alpha = ceil(t/(1+t) * (sz_a + sz_b))
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    alpha = F.expr(
+        f"({num} * (a.sz + b.sz) + {num} + {den} - 1) div ({num} + {den})"
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                den * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= num * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (ubound >= alpha),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    return cand, toks
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -772,49 +837,8 @@ def prefix_filter_pairs(
     sort, no driver state.
     """
     num, den = threshold_num, threshold_den
-    elems = (
-        shingle_structs(F.col(text_col), n=gram_n)
-        if gram_n > 1
-        else F.array_distinct(tokenize(F.col(text_col)))
-    )
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(elems).alias("tok")
-    ).persist()
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    wdoc = Window.partitionBy("doc")
-    w = wdoc.orderBy("tf", "tok")
-    ordered = (
-        toks.join(freq, "tok")
-        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
-        .withColumn("pos", F.row_number().over(w))
-    )
-    prefix = ordered.filter(
-        F.col("pos")
-        <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + 1
-    ).select("doc", "tok", "sz", "pos")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # overlap upper bound from the matched positions: everything at or
-    # after this element in both suffixes, +1 for the match itself;
-    # required overlap alpha = ceil(t/(1+t) * (sz_a + sz_b))
-    ubound = 1 + F.least(
-        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-    )
-    alpha = F.expr(
-        f"({num} * (a.sz + b.sz) + {num} + {den} - 1) div ({num} + {den})"
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (
-                den * F.least(F.col("a.sz"), F.col("b.sz"))
-                >= num * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            )
-            & (ubound >= alpha),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
+    cand, toks = prefix_candidates(
+        df, id_col, text_col, threshold_num, threshold_den, gram_n
     )
     ta = toks.select(F.col("doc").alias("id_a"), "tok")
     tb = toks.select(F.col("doc").alias("id_b"), "tok")
