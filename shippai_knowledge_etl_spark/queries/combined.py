@@ -275,7 +275,11 @@ def w1_w2_chunk_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("idx0").cast("int"),
             "r.item",
-            F.floor(F.col("idx0") / 3).cast("int").alias("grp_idx"),
+            # structural integer div matching the oracle's `// 3`
+            # (r9 parity sweep): the prior floor(double/3) form was
+            # provably equal for these small nonneg indices but ran a
+            # DIFFERENT op than the oracle — the q12 class of seam
+            F.expr("idx0 div 3").cast("int").alias("grp_idx"),
             "r.category",
             F.col("r.pos").cast("int").alias("pos"),
         )

@@ -163,6 +163,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     toks = tokenize(F.col("text"))
+    # (size/2).cast(int) vs the oracle's `len(toks) // 2`: audited in
+    # the r9 parity sweep — divisor 2 is a power of two, so the double
+    # division is EXACT and trunc == floor == integer div for the
+    # nonnegative size; the structural difference cannot diverge.
     frag_toks = F.slice(
         toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(5))
     )
