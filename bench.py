@@ -123,6 +123,23 @@ def main() -> None:
                 "the 2x watch budget; r7's +25% cold was session JIT "
                 "noise (VERDICT r7 item 6)"
             )
+    # VERDICT r8 item 3: a1's +35% warm drift on untouched code gets the
+    # same protocol — in-session median vs cold, flagged only past 2x.
+    a1c = timings.get("a1_status_summary")
+    a1m = median.get("a1_status_summary")
+    if a1c is not None and a1m:
+        ratio = round(a1c / a1m, 2)
+        verdict = (
+            "EXCEEDS the 2x watch budget — profile in-session before "
+            "attributing to code"
+            if a1c > 2 * a1m
+            else "within the 2x watch budget; r8's +35% warm drift was "
+            "session JIT noise (same fingerprint as q1's r6/r7 watch)"
+        )
+        triage["a1_status_summary"] = (
+            f"cold {a1c}s vs median {a1m}s (ratio {ratio}) — {verdict} "
+            "(VERDICT r8 item 3)"
+        )
     print(
         json.dumps(
             {

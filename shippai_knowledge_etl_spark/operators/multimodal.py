@@ -3,11 +3,14 @@
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs; decode / feature-extract / frame-sample run as Arrow-batched
 ``mapInPandas`` UDFs. The decode libraries (PIL / torchaudio / ffmpeg)
-are NOT in this container, so the decode step is STUBBED: when the
+are NOT in this container, so most decode steps are STUBBED: when the
 library import fails we fall back to a deterministic fake decoder so
 the Spark-side plumbing — schema, batching, partitioning, UDF
 signature — is real and tested end-to-end. The real-decode branch
-raises NotImplementedError loudly rather than silently faking.
+raises NotImplementedError loudly rather than silently faking — with
+ONE real exception since round 9: PNG payloads decode for real via
+the pure-stdlib codec in ``png_codec.py`` (zlib inflate + all five
+RFC 2083 scanline filters), no Pillow required.
 
 Reference analog: ``download_image`` returning None on failure
 (src/render_pdf.py:90-98) — failure tolerance as nullable columns.
@@ -64,21 +67,42 @@ def decode_image_features(df: DataFrame, use_real_decoder: bool = False) -> Data
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if use_real_decoder:
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            PNG_MAGIC,
+            decode_png,
+        )
+
+        def real_decode(payload: bytes) -> tuple[int, int, int]:
+            # REAL path (round 9): PNG decodes with the pure-stdlib
+            # codec — no Pillow needed; every other format keeps the
+            # loud-raise posture (JPEG/WebP genuinely need codec libs
+            # absent from this container).
+            if payload.startswith(PNG_MAGIC):
+                w, h, c, _pixels = decode_png(payload)
+                return w, h, c
             try:
                 from PIL import Image  # noqa: F401
             except ImportError as e:  # pragma: no cover - env-dependent
                 raise NotImplementedError(
-                    "real image decode needs Pillow, which is not in this "
-                    "container; use use_real_decoder=False (deterministic fake)"
+                    "real decode of non-PNG images needs Pillow, which is "
+                    "not in this container; PNG payloads decode via the "
+                    "stdlib codec, others need use_real_decoder=False"
                 ) from e
-            raise NotImplementedError("real decode path not wired yet")
+            raise NotImplementedError("non-PNG real decode not wired yet")
+
         for pdf in it:
             feats = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, c = _fake_decode(bytes(payload))
+                    raw = bytes(payload)
+                    w, h, c = (
+                        real_decode(raw)
+                        if use_real_decoder
+                        else _fake_decode(raw)
+                    )
                     feats.append((int(doc_id), len(payload), w, h, c, True))
+                except NotImplementedError:
+                    raise  # loud posture: missing codec is not a data error
                 except Exception:
                     feats.append((int(doc_id), None, None, None, None, False))
             yield pd.DataFrame(
@@ -87,6 +111,110 @@ def decode_image_features(df: DataFrame, use_real_decoder: bool = False) -> Data
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "n_pixels long, pixel_sum long, ok boolean"
+)
+
+
+def png_decode_features(df: DataFrame) -> DataFrame:
+    """REAL image decode end-to-end (round 9): inflate + unfilter each
+    PNG payload with the pure-stdlib codec and emit integer pixel
+    statistics — width/height/channels from the actual IHDR, n_pixels
+    and the exact uint8 sample sum from the reconstructed scanlines.
+    A single wrong Paeth/Average/Sub/Up reconstruction anywhere in the
+    image changes ``pixel_sum``, which is what lets a SQL oracle (that
+    recomputes the sum arithmetically from the generator's parameters)
+    hash-gate a binary codec. Non-PNG payloads are ok=false rows
+    (data, not task, errors). Narrow Arrow map — no shuffle; pixels
+    never leave the worker, only 7 small integers per image do."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            decode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, pixels = decode_png(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            h,
+                            c,
+                            w * h,
+                            sum(pixels),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_pixels",
+                    "pixel_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PNG_FEATURE_SCHEMA
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PNG ingestion surrogate: per row, ENCODE a real
+    PNG whose dimensions and per-row gradient derive from the id —
+    width = 16 + id % 16, height = 16 + id % 8, RGB with channel bases
+    (id, 7*id, 13*id) mod 256 and row y adding y to every channel
+    (mod 256), scanline filters cycling 0..4 so every RFC 2083 filter
+    is exercised in every image. The decoder must reconstruct the
+    exact gradient for the pixel sums to match the oracle's
+    closed-form recomputation."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            encode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 16 + i % 16, 16 + i % 8
+                r0, g0, b0 = i % 256, (7 * i) % 256, (13 * i) % 256
+                pixels = bytearray()
+                for y in range(h):
+                    row = bytes(
+                        (
+                            (r0 + y) % 256,
+                            (g0 + y) % 256,
+                            (b0 + y) % 256,
+                        )
+                    ) * w
+                    pixels += row
+                rows.append((i, encode_png(w, h, 3, bytes(pixels))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
 
 
 AUDIO_SCHEMA = (
