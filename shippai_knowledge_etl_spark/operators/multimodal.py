@@ -217,6 +217,105 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_frames long, "
+    "duration_ms long, sum_samples long, sum_squares long, ok boolean"
+)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WAV ingestion surrogate (the audio analog of
+    attach_png_payload): per row, ENCODE a real RIFF/WAVE PCM16 file
+    whose header fields and sample stream derive from the id —
+    sample_rate = 8000 + (id % 4) * 4000, channels = 1 + id % 2,
+    interleaved sample count n = 64 + 2 * (id % 32), and sample k =
+    ((id * 2654435761 + k * 40503) mod 65536) - 32768 (a Knuth-hash
+    LCG stride, exact in int64). The decoder must parse the actual
+    chunk layout and unpack the exact samples for the integer sums to
+    match the oracle's closed-form recomputation."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import encode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                rate = 8000 + (i % 4) * 4000
+                channels = 1 + i % 2
+                n = 64 + 2 * (i % 32)
+                samples = [
+                    ((i * 2654435761 + k * 40503) % 65536) - 32768
+                    for k in range(n)
+                ]
+                rows.append((i, encode_wav(samples, rate, channels)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def wav_decode_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode end-to-end: parse each WAV payload with the
+    pure-stdlib codec (operators/wav_codec.py) and emit integer sample
+    statistics — rate/channels from the actual fmt chunk, frame count,
+    integer-div duration, and the exact signed sample sum and sum of
+    squares from the unpacked PCM stream. One mis-parsed header field
+    or byte-order slip anywhere changes the sums, which is what lets a
+    SQL oracle (recomputing them arithmetically from the generator's
+    parameters) hash-gate a binary codec. Non-PCM/corrupt payloads
+    become ok=false rows. Narrow Arrow map — no shuffle; samples never
+    leave the worker, only 8 small integers per clip do."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import decode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, channels, _bits, samples = decode_wav(bytes(payload))
+                    n_frames = len(samples) // channels
+                    rows.append(
+                        (
+                            int(doc_id),
+                            rate,
+                            channels,
+                            n_frames,
+                            n_frames * 1000 // rate,
+                            sum(samples),
+                            sum(s * s for s in samples),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "duration_ms",
+                    "sum_samples",
+                    "sum_squares",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, WAV_FEATURE_SCHEMA
+    )
+
+
 AUDIO_SCHEMA = (
     "doc_id long, n_samples long, duration_ms long, payload_md5 string, ok boolean"
 )

@@ -428,3 +428,59 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_png_payload(d, "doc_id")
     return multimodal.png_decode_features(payloads)
+
+
+@register(
+    "mm_wav_decode",
+    survey_ref=(
+        "[EXT] REAL audio decode end-to-end (round 9, the audio analog "
+        "of mm_png_decode): per-doc RIFF/WAVE PCM16 clips (rate/"
+        "channels/length and a Knuth-LCG sample stream derived from "
+        "doc_id) are ENCODED then DECODED by the pure-stdlib codec "
+        "(operators/wav_codec.py: chunk walk, fmt validation, exact "
+        "<h unpack) inside Arrow mapInPandas; the oracle recomputes "
+        "frame counts and the exact signed sample sum and sum of "
+        "squares in closed form, so one mis-parsed header field or "
+        "byte-order slip anywhere fails the hash gate"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST((64 + 2 * (doc_id % 32)) // (1 + doc_id % 2) AS BIGINT)
+             AS n_frames,
+           CAST(((64 + 2 * (doc_id % 32)) // (1 + doc_id % 2)) * 1000
+                // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(
+                  range(0, 64 + 2 * (doc_id % 32)),
+                  k -> (doc_id * 2654435761 + k * 40503) % 65536 - 32768))
+             AS BIGINT) AS sum_samples,
+           CAST(list_sum(list_transform(
+                  range(0, 64 + 2 * (doc_id % 32)),
+                  k -> ((doc_id * 2654435761 + k * 40503) % 65536 - 32768)
+                     * ((doc_id * 2654435761 + k * 40503) % 65536 - 32768)))
+             AS BIGINT) AS sum_squares,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's second REAL codec path: binary in, true
+    PCM samples out, hash-gated. attach_wav_payload writes a genuine
+    RIFF/WAVE file per document (PCM16, mono/stereo alternating by id,
+    four sample rates); wav_decode_features walks the chunk list,
+    validates the fmt tag, unpacks the little-endian stream and
+    reports integer sample statistics the oracle recomputes
+    arithmetically from the generator's parameters — the decode is
+    correct iff every header field parses and every sample round-trips
+    bit-exactly.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode) — no
+    shuffle at all; PCM buffers live only inside the Python worker,
+    and per clip exactly eight small integers cross back to the JVM.
+    At 100 TB this is the decode-audit pass of an audio-curation
+    pipeline: payloads stream batch-by-batch through workers, nothing
+    accumulates."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(d, "doc_id")
+    return multimodal.wav_decode_features(payloads)

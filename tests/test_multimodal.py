@@ -271,3 +271,125 @@ def test_decode_image_features_real_png_path(spark):
     assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
     assert r["ok"] is True
     assert r["byte_len"] == len(png)
+
+
+def test_wav_codec_roundtrip_stereo_and_8bit():
+    """Bit-exact roundtrips through the pure-stdlib WAV codec: PCM16
+    stereo (interleaved order preserved) and PCM8 unsigned, plus the
+    full-scale endpoints that would expose any sign/width slip."""
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    stereo = [-32768, 32767, 0, -1, 12345, -12345, 255, -256]
+    rate, ch, bits, out = decode_wav(encode_wav(stereo, 44100, channels=2))
+    assert (rate, ch, bits) == (44100, 2, 16)
+    assert out == stereo
+
+    pcm8 = [0, 255, 128, 7, 200, 64]
+    rate, ch, bits, out = decode_wav(encode_wav(pcm8, 8000, channels=1, bits=8))
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert out == pcm8
+
+
+def test_wav_codec_chunk_skip_and_extensible():
+    """Decoder walks unknown chunks (odd-size LIST → word-aligned pad)
+    and accepts WAVE_FORMAT_EXTENSIBLE whose SubFormat GUID is PCM —
+    both layouts real encoders emit."""
+    import struct
+
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        _PCM_SUBFORMAT,
+        decode_wav,
+        encode_wav,
+    )
+
+    base = encode_wav([1000, -1000, 5], 16000)
+    # splice an odd-length LIST chunk between WAVE and fmt
+    inner = base[12:]
+    spliced = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00" + inner
+    data = b"RIFF" + struct.pack("<I", 4 + len(spliced)) + b"WAVE" + spliced
+    rate, ch, bits, out = decode_wav(data)
+    assert (rate, ch, out) == (16000, 1, [1000, -1000, 5])
+
+    # extensible fmt: tag 0xFFFE, cbSize=22, valid-bits + mask + GUID
+    pcm = struct.pack("<3h", 7, -7, 70)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 22050, 44100, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 4) + _PCM_SUBFORMAT
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, bits, out = decode_wav(data)
+    assert (rate, out) == (22050, [7, -7, 70])
+
+
+def test_wav_codec_scope_errors():
+    """Out-of-scope formats raise loudly (no silent fake): IEEE float
+    tag, 24-bit depth, non-PCM extensible GUID, junk bytes, and
+    encode-side range/interleave validation."""
+    import struct
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    def wav_with_fmt(fmt: bytes) -> bytes:
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError, match="tag 3"):
+        decode_wav(wav_with_fmt(struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)))
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav(wav_with_fmt(struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)))
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        bad_guid = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        bad_guid += struct.pack("<HHI", 22, 16, 4) + b"\x03" + b"\x00" * 15
+        decode_wav(wav_with_fmt(bad_guid))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x04 not a wav")
+    with pytest.raises(ValueError, match="range"):
+        encode_wav([40000], 8000)
+    with pytest.raises(ValueError, match="multiple"):
+        encode_wav([1, 2, 3], 8000, channels=2)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        encode_wav([0], 8000, bits=24)
+
+
+def test_wav_decode_features_real_path(spark):
+    """Spark-side end-to-end on a tiny frame: attach real WAV payloads,
+    decode with the stdlib codec, check the integer stats against a
+    direct Python recomputation of the generator."""
+    from shippai_knowledge_etl_spark.operators import multimodal
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = (
+        multimodal.wav_decode_features(
+            multimodal.attach_wav_payload(df, "doc_id")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r in out:
+        i = r["doc_id"]
+        n = 64 + 2 * (i % 32)
+        ch = 1 + i % 2
+        samples = [
+            ((i * 2654435761 + k * 40503) % 65536) - 32768 for k in range(n)
+        ]
+        assert r["ok"] is True
+        assert r["sample_rate"] == 8000 + (i % 4) * 4000
+        assert r["channels"] == ch
+        assert r["n_frames"] == n // ch
+        assert r["sum_samples"] == sum(samples)
+        assert r["sum_squares"] == sum(s * s for s in samples)
