@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "shippai_knowledge_etl_spark.queries.windows",
     "shippai_knowledge_etl_spark.queries.coverage",
     "shippai_knowledge_etl_spark.queries.udfsurface",
+    "shippai_knowledge_etl_spark.queries.evals",
 )
 
 # The external driver verifies ONLY the first 50 registered queries, in

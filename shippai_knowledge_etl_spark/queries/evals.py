@@ -1,0 +1,310 @@
+"""Pairwise text-overlap evaluation metrics (SURVEY.md §2.11 [EXT]).
+
+ROUGE (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+Summaries") and BLEU (Papineni et al. 2002) are the canonical n-gram
+overlap scores a training-data pipeline runs at scale: dedup QA
+(near-identical candidate/reference pairs), distillation-output
+scoring against gold text, and summarization eval sweeps. Both reduce
+to CLIPPED n-gram multiset intersection — per-doc n-gram counts, a
+pair join on the gram, least() of the two counts — so they share one
+relational shape: tokenize once, count grams per doc, one gram-keyed
+shuffle per order n.
+
+Engine discipline (CLAUDE.md): grams are built with the lambda-free
+arrays_zip-of-slices idiom (operators/dedup.py:shingle_pos_structs);
+BLEU stays in LOG domain because the two engines' exp() are not
+bit-identical (the coverage.py:522 lesson) while ln() rounded at 6 is
+the established woe_iv/mixture_kl pattern; all counts are integers
+and every double is a single division or ln with identical operand
+order on both sides.
+
+Reference analog: none (the reference never scores text pairs);
+beyond-reference [EXT] surface per BASELINE.json's north star.
+
+Pairing convention: candidate = even doc_id, reference = the next odd
+doc_id — deterministic, self-contained, and dense enough at every SF
+that clipped counts exercise both the match and miss paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shippai_knowledge_etl_spark.catalog import register
+from shippai_knowledge_etl_spark.operators.dedup import shingle_pos_structs
+from shippai_knowledge_etl_spark.operators.textops import tokenize
+from shippai_knowledge_etl_spark.tables import load
+
+# DuckDB-side tokenizer + all-n-grams-with-multiplicity, shared by both
+# oracles; mirrors operators/textops.py:tokenize and
+# operators/dedup.py:shingle_pos_structs (n-grams in stream order, no
+# distinct, docs shorter than n tokens yield none).
+_GRAMS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(
+               lower(text), '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
+      FROM documents),
+    grams{n} AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) >= {n} THEN
+                 list_transform(range(0, len(t) - {n} + 1),
+                   i -> array_to_string(list_slice(t, i + 1, i + {n}), ' '))
+               ELSE [] END) AS gram
+      FROM toks),
+    cnt{n} AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM grams{n} GROUP BY doc_id, gram),
+    tot{n} AS (
+      SELECT doc_id, sum(c) AS total FROM cnt{n} GROUP BY doc_id),
+    match{n} AS (
+      SELECT a.doc_id AS pair_id, sum(least(a.c, b.c)) AS m
+      FROM cnt{n} a
+      JOIN cnt{n} b ON b.doc_id = a.doc_id + 1
+                   AND b.gram = a.gram
+      WHERE a.doc_id % 2 = 0
+      GROUP BY a.doc_id)
+"""
+
+_PAIRS_SQL = """
+    pairs AS (
+      SELECT c.doc_id AS pair_id, c.doc_id AS cand_id, r.doc_id AS ref_id
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0)
+"""
+
+
+def _gram_counts(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram, c): every word n-gram with its multiplicity —
+    one narrow projection + posexplode, then a doc/gram-keyed partial
+    aggregation (map-side combine collapses repeats before the
+    shuffle)."""
+    return (
+        d.select("doc_id", F.explode(shingle_pos_structs(F.col("text"), n)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _clipped(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(per-doc totals, per-pair clipped matches) for order ``n``.
+
+    The clipped-match join keys on (doc_id arithmetic, gram): Catalyst
+    plans one exchange per side on the gram-bearing key; counts ride
+    as longs, text never shuffles beyond the gram strings themselves.
+    At 100 TB the gram key is the same cardinality class as the
+    dedup_ngram_jaccard shingle shuffle — linear in corpus tokens."""
+    cnt = _gram_counts(d, n)
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    cand = cnt.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "g", F.col("c").alias("c_cand")
+    )
+    ref = cnt.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"), "g", F.col("c").alias("c_ref")
+    )
+    match = (
+        cand.join(ref, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("m"))
+    )
+    return tot, match
+
+
+def _pairs(d: DataFrame) -> DataFrame:
+    c = d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("pair_id"))
+    r = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id")
+    )
+    return c.join(r, "pair_id")
+
+
+@register(
+    "eval_rouge_bigram",
+    survey_ref=(
+        "[EXT] ROUGE-2 precision/recall/F1 (Lin 2004) over deterministic "
+        "candidate/reference doc pairs: clipped bigram-multiset overlap "
+        "via one gram-keyed shuffle; F1 uses the algebraic 2m/(ct+rt) "
+        "form so it is a single division on both engines"
+    ),
+    oracle="WITH " + _GRAMS_SQL.format(n=2) + "," + _PAIRS_SQL + """
+    SELECT p.pair_id,
+           CAST(coalesce(tc.total, 0) AS BIGINT) AS cand_bigrams,
+           CAST(coalesce(tr.total, 0) AS BIGINT) AS ref_bigrams,
+           CAST(coalesce(m.m, 0) AS BIGINT) AS match_bigrams,
+           CASE WHEN coalesce(tc.total, 0) > 0 THEN
+             round(CAST(coalesce(m.m, 0) AS DOUBLE) / tc.total, 6) END
+             AS rouge2_precision,
+           CASE WHEN coalesce(tr.total, 0) > 0 THEN
+             round(CAST(coalesce(m.m, 0) AS DOUBLE) / tr.total, 6) END
+             AS rouge2_recall,
+           CASE WHEN coalesce(tc.total, 0) + coalesce(tr.total, 0) > 0 THEN
+             round(2.0 * CAST(coalesce(m.m, 0) AS DOUBLE)
+                   / (coalesce(tc.total, 0) + coalesce(tr.total, 0)), 6) END
+             AS rouge2_f1
+    FROM pairs p
+    LEFT JOIN tot2 tc ON tc.doc_id = p.cand_id
+    LEFT JOIN tot2 tr ON tr.doc_id = p.ref_id
+    LEFT JOIN match2 m ON m.pair_id = p.pair_id
+    """,
+)
+def eval_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between each even-id candidate and its odd-id reference:
+    clipped bigram matches (least of the two multiplicities, summed),
+    precision over candidate bigrams, recall over reference bigrams,
+    and F1 in the single-division algebraic form 2m/(ct+rt).
+
+    Scale shape: tokenize+bigram once per doc behind a posexplode
+    Generate; ONE (pair, gram)-keyed shuffle computes the clipped
+    intersection with map-side partials; totals reuse the same gram
+    counts. No all-pairs anything — pairing is an id-arithmetic
+    equi-join, so 100 TB costs one linear shuffle of gram strings."""
+    d = load(spark, sf_dir, "documents")
+    tot, match = _clipped(d, 2)
+    pairs = _pairs(d)
+    tc = tot.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("ct"))
+    tr = tot.select((F.col("doc_id") - 1).alias("pair_id"), F.col("total").alias("rt"))
+    j = (
+        pairs.join(tc, "pair_id", "left")
+        .join(tr, "pair_id", "left")
+        .join(match, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("rt", F.lit(0)).alias("rt"),
+            F.coalesce("m", F.lit(0)).alias("m"),
+        )
+    )
+    md = F.col("m").cast("double")
+    return j.select(
+        "pair_id",
+        F.col("ct").alias("cand_bigrams"),
+        F.col("rt").alias("ref_bigrams"),
+        F.col("m").alias("match_bigrams"),
+        F.when(F.col("ct") > 0, F.round(md / F.col("ct"), 6)).alias(
+            "rouge2_precision"
+        ),
+        F.when(F.col("rt") > 0, F.round(md / F.col("rt"), 6)).alias("rouge2_recall"),
+        F.when(
+            F.col("ct") + F.col("rt") > 0,
+            F.round(F.lit(2.0) * md / (F.col("ct") + F.col("rt")), 6),
+        ).alias("rouge2_f1"),
+    )
+
+
+@register(
+    "eval_bleu_log",
+    survey_ref=(
+        "[EXT] corpus-style BLEU-2 in LOG domain ×2 (Papineni et al. "
+        "2002; add-one smoothing per Lin & Och 2004): brevity term "
+        "min(0, 1 - r/c) and modified precisions ln((m+1)/(t+1)) each "
+        "rounded at 6 then summed in exact DECIMAL with integer "
+        "weights (2,1,1) — no exp() (coverage.py:522 rule) and no "
+        "double-domain sum of rounded terms (README hash discipline)"
+    ),
+    oracle="WITH "
+    + _GRAMS_SQL.format(n=1)
+    + ","
+    + _GRAMS_SQL.format(n=2).replace("toks AS", "toks2 AS").replace(
+        "FROM toks", "FROM toks2"
+    )
+    + ","
+    + _PAIRS_SQL
+    + """
+    SELECT p.pair_id,
+           CAST(coalesce(t1c.total, 0) AS BIGINT) AS cand_tokens,
+           CAST(coalesce(t1r.total, 0) AS BIGINT) AS ref_tokens,
+           CAST(coalesce(m1.m, 0) AS BIGINT) AS match_unigrams,
+           CAST(coalesce(m2.m, 0) AS BIGINT) AS match_bigrams,
+           CASE WHEN coalesce(t1c.total, 0) > 0 THEN
+             CAST(CAST(round(least(0.0,
+                        1.0 - CAST(coalesce(t1r.total, 0) AS DOUBLE)
+                              / t1c.total), 6) AS DECIMAL(18,6)) * 2
+                  + CAST(round(ln(CAST(coalesce(m1.m, 0) + 1 AS DOUBLE)
+                               / (coalesce(t1c.total, 0) + 1)), 6)
+                      AS DECIMAL(18,6))
+                  + CAST(round(ln(CAST(coalesce(m2.m, 0) + 1 AS DOUBLE)
+                               / (coalesce(t2c.total, 0) + 1)), 6)
+                      AS DECIMAL(18,6)) AS DOUBLE) END
+             AS log_bleu2_x2
+    FROM pairs p
+    LEFT JOIN tot1 t1c ON t1c.doc_id = p.cand_id
+    LEFT JOIN tot1 t1r ON t1r.doc_id = p.ref_id
+    LEFT JOIN tot2 t2c ON t2c.doc_id = p.cand_id
+    LEFT JOIN match1 m1 ON m1.pair_id = p.pair_id
+    LEFT JOIN match2 m2 ON m2.pair_id = p.pair_id
+    """,
+)
+def eval_bleu_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed BLEU-2 per candidate/reference pair, reported as
+    2·ln(BLEU): ln BLEU = min(0, 1 - r/c) + Σ_n w_n · ln p_n with
+    add-one smoothed modified precisions p_n = (clipped_n+1)/(total_n+1)
+    and uniform weights 1/2 over n ∈ {1, 2}; the ×2 scaling makes the
+    weights integer so the rounded terms sum EXACTLY in DECIMAL (a
+    double-domain sum flipped the 6th digit between engines at
+    sf0.01). Log domain is a correctness decision, not a style one:
+    Spark's Math.exp and DuckDB's libm exp differ in the last ulp
+    (documented at queries/coverage.py:522), while both engines' ln()
+    agrees at round-6 across the catalog (woe_iv, mixture_kl).
+
+    Scale shape: the unigram and bigram clipped-match stages are two
+    independent gram-keyed shuffles over the SAME tokenize pass class
+    as eval_rouge_bigram; everything after is per-pair arithmetic on
+    five longs."""
+    d = load(spark, sf_dir, "documents")
+    tot1, match1 = _clipped(d, 1)
+    tot2, match2 = _clipped(d, 2)
+    pairs = _pairs(d)
+    t1c = tot1.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("t1c"))
+    t1r = tot1.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("total").alias("t1r")
+    )
+    t2c = tot2.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("t2c"))
+    m1 = match1.withColumnRenamed("m", "m1")
+    m2 = match2.withColumnRenamed("m", "m2")
+    j = (
+        pairs.join(t1c, "pair_id", "left")
+        .join(t1r, "pair_id", "left")
+        .join(t2c, "pair_id", "left")
+        .join(m1, "pair_id", "left")
+        .join(m2, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("t1c", F.lit(0)).alias("t1c"),
+            F.coalesce("t1r", F.lit(0)).alias("t1r"),
+            F.coalesce("t2c", F.lit(0)).alias("t2c"),
+            F.coalesce("m1", F.lit(0)).alias("m1"),
+            F.coalesce("m2", F.lit(0)).alias("m2"),
+        )
+    )
+    # operand order mirrors the oracle exactly: each ln is rounded at 6
+    # BEFORE the weighted sum, and the sum itself is assembled in exact
+    # DECIMAL arithmetic (the README round-then-DECIMAL discipline —
+    # a double-domain sum of three rounded terms landed one ulp apart
+    # between the engines at sf0.01, flipping the 6th digit). The
+    # output is 2·ln(BLEU-2): the ×2 scaling turns the uniform 1/2
+    # weights into integer ones so no decimal division is needed.
+    log_p1 = F.round(
+        F.log((F.col("m1") + 1).cast("double") / (F.col("t1c") + 1)), 6
+    ).cast("decimal(18,6)")
+    log_p2 = F.round(
+        F.log((F.col("m2") + 1).cast("double") / (F.col("t2c") + 1)), 6
+    ).cast("decimal(18,6)")
+    log_bp = F.round(
+        F.least(
+            F.lit(0.0), F.lit(1.0) - F.col("t1r").cast("double") / F.col("t1c")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return j.select(
+        "pair_id",
+        F.col("t1c").alias("cand_tokens"),
+        F.col("t1r").alias("ref_tokens"),
+        F.col("m1").alias("match_unigrams"),
+        F.col("m2").alias("match_bigrams"),
+        F.when(
+            F.col("t1c") > 0,
+            (log_bp * 2 + log_p1 + log_p2).cast("double"),
+        ).alias("log_bleu2_x2"),
+    )
