@@ -361,7 +361,16 @@ DRIVER_WINDOW = (
     # (per-generation partial sessions stitched by the state-store
     # merge rule, hash-gated against the one-shot oracle)
     "stream_session_replay",
-    "mm_image_features",
+    # mm_image_features rotated out in round 9 (the S4 multimodal
+    # mapInPandas plumbing stays witnessed in-window by mm_png_decode —
+    # the SAME attach-payload → Arrow-batched decode-features plan
+    # class, now with a REAL pure-stdlib codec inside instead of the
+    # deterministic byte-length fake; mm_image_features itself stays
+    # oracle-green in tests/test_oracle_parity.py at both SFs and
+    # driver-parity-tested there); the slot pins the round-9 real
+    # image-decode flagship: encode-then-decode PNGs through all five
+    # RFC 2083 scanline filters, pixel sums hash-gated in closed form
+    "mm_png_decode",
     "u5_udtf_expand",
     "p13_grouped_map_seq",
 )

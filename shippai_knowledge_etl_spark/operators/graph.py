@@ -764,3 +764,63 @@ def personalized_pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     deg_edges.unpersist()
     return ranks
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Exact shortest-path distances from every seed, bounded at
+    ``n_rounds`` hops, over the UNDIRECTED simple graph induced by
+    ``edges`` (cols ``src``, ``dst``; parallel edges and self-loops
+    dropped). ``seeds``: col ``seed``. Returns (seed, node, dist) for
+    every (seed, node) pair within the horizon — the landmark/seed
+    BFS that underlies closeness & harmonic centrality sampling
+    (Eppstein–Wang 2004 approximate-centrality estimators use exactly
+    this: distances from a small landmark sample stand in for the
+    all-pairs matrix no 100 TB graph can afford).
+
+    Level-synchronous min-dist iteration: each round unions the
+    frontier's neighbors at dist+1 into the state and re-minimizes per
+    (seed, node) — the relational BFS whose unrolled form is CTE-exact
+    (the pagerank/k-core oracle convention). Distances are small
+    integers; no floats anywhere.
+
+    Scale shape: state is (seed, node, dist) — |seeds| bounds the
+    multiplier, so landmark counts are chosen O(1) vs the graph; each
+    round is ONE node-keyed join against the adjacency (Catalyst
+    reuses the adjacency's partitioning across rounds once persisted)
+    plus a (seed, node)-keyed min with map-side partials;
+    ``localCheckpoint`` truncates lineage so round N doesn't replay
+    rounds 1..N-1.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    adj = adj.persist()
+    state = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+    )
+    for i in range(1, n_rounds + 1):
+        expanded = state.join(adj, state["node"] == adj["a"]).select(
+            state["seed"], adj["b"].alias("node"), (state["dist"] + 1).alias("dist")
+        )
+        state = (
+            state.unionAll(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i % checkpoint_every == 0 or i == n_rounds:
+            state = state.localCheckpoint(eager=(i == n_rounds))
+    adj.unpersist()
+    return state

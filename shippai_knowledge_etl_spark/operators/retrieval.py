@@ -1221,3 +1221,78 @@ def min_cover_span(
         .groupBy(id_col)
         .agg(F.min(span).alias("min_span"))
     )
+
+
+def query_likelihood_dense(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    mu: int = 100,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001, "A Study of Smoothing Methods for Language Models Applied to
+    Ad Hoc Information Retrieval") for a FIXED small query — the
+    language-model scoring alternative to BM25, single-scan dense form
+    (:func:`bm25_scores_dense`'s shape arguments apply verbatim).
+
+    score(q, d) = Σ_{t∈q} ln( (tf_{t,d} + μ·p̂(t|C)) / (dl_d + μ) )
+    with p̂(t|C) = (ctf_t + 1)/(T + 1) (add-one so an absent query term
+    scores finitely everywhere). Unlike BM25, every document gets a
+    term contribution even at tf = 0 — the smoothing IS the ranking
+    signal for non-matching docs — so the per-term weights are dense
+    columns, not postings rows.
+
+    Hash discipline: each per-term ln is rounded at 6 and the three
+    terms sum in exact DECIMAL(18,6) (the eval_bleu_log lesson: a
+    double-domain sum of rounded terms flips the 6th digit between
+    engines), then casts to DOUBLE at the gate boundary.
+
+    Scale: one corpus scan producing (doc, dl, tf_*) via the
+    lambda-free array_remove counting trick; one map-side-combined
+    1-row global aggregate (T, ctf_*) broadcast back; zero wide
+    shuffles. Columns ∝ |query| — the per-query case by construction.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    tf_cols = [
+        (F.size("toks") - F.size(F.array_remove(F.col("toks"), t)))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, F.size("toks").cast("long").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.sum("dl").alias("t_total"),
+        *[
+            F.sum(f"tf_{i}").alias(f"ctf_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    term_lns = [
+        F.round(
+            F.log(
+                (
+                    F.col(f"tf_{i}")
+                    + mu
+                    * ((F.col(f"ctf_{i}") + 1) / (F.col("t_total") + 1).cast("double"))
+                )
+                / (F.col("dl") + mu).cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        for i in range(len(query_terms))
+    ]
+    score = term_lns[0]
+    for t in term_lns[1:]:
+        score = score + t
+    return j.select(
+        id_col,
+        "dl",
+        *[F.col(f"tf_{i}") for i in range(len(query_terms))],
+        score.cast("double").alias("ql_score"),
+    )

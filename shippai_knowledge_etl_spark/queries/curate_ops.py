@@ -2916,3 +2916,234 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ece_term_scaled"),
     )
+
+
+@register(
+    "quality_psi_drift",
+    survey_ref=(
+        "[EXT] Population Stability Index drift audit (the standard "
+        "credit-scoring / feature-monitoring statistic; Siddiqi 2006): "
+        "fixed 50-unit value buckets, baseline = first 15 days vs "
+        "target = rest, Laplace-smoothed shares, per-bucket term "
+        "(p - q)·ln(p/q) — counts integer, shares single divisions, "
+        "one ln rounded at 6, products of bit-identical doubles"
+    ),
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS is_base
+      FROM events),
+    g AS (
+      SELECT bucket,
+             sum(is_base) AS n_base,
+             sum(1 - is_base) AS n_tgt
+      FROM b GROUP BY bucket),
+    t AS (
+      SELECT CAST(sum(n_base) AS BIGINT) AS tot_base,
+             CAST(sum(n_tgt) AS BIGINT) AS tot_tgt,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM g)
+    SELECT g.bucket,
+           CAST(g.n_base AS BIGINT) AS n_base,
+           CAST(g.n_tgt AS BIGINT) AS n_tgt,
+           round((g.n_base + 1) / CAST(t.tot_base + t.n_buckets AS DOUBLE), 6)
+             AS p_base,
+           round((g.n_tgt + 1) / CAST(t.tot_tgt + t.n_buckets AS DOUBLE), 6)
+             AS p_tgt,
+           round(((g.n_base + 1) / CAST(t.tot_base + t.n_buckets AS DOUBLE)
+                  - (g.n_tgt + 1) / CAST(t.tot_tgt + t.n_buckets AS DOUBLE))
+                 * round(ln(((g.n_base + 1)
+                             / CAST(t.tot_base + t.n_buckets AS DOUBLE))
+                            / ((g.n_tgt + 1)
+                               / CAST(t.tot_tgt + t.n_buckets AS DOUBLE))), 6),
+                 6) AS psi_term
+    FROM g CROSS JOIN t
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the first-15-day baseline window and the rest of
+    the event log, over ten fixed 50-unit value buckets: per bucket,
+    Laplace-smoothed share under each epoch and the signed term
+    (p_base - p_tgt)·ln(p_base/p_tgt); the total PSI is the consumer's
+    sum (kept per-bucket so the audit names WHICH value band drifted —
+    and so no cross-row double sum enters the hash gate). Smoothing
+    (+1 per bucket) keeps ln() off zero for any epoch split.
+
+    Scale shape: one bucket-keyed aggregate with map-side partials
+    (bounded grid, ≤10 rows) broadcast-joined to a 1-row totals
+    aggregate — the BNLJ 1-row-stats class the plan gates allowlist.
+    A 100 TB log costs a scan plus two tiny exchanges."""
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_tgt"),
+    )
+    t = g.agg(
+        F.sum("n_base").alias("tot_base"),
+        F.sum("n_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    p_base = (F.col("n_base") + 1) / (
+        F.col("tot_base") + F.col("n_buckets")
+    ).cast("double")
+    p_tgt = (F.col("n_tgt") + 1) / (F.col("tot_tgt") + F.col("n_buckets")).cast(
+        "double"
+    )
+    return j.select(
+        "bucket",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_tgt").cast("long").alias("n_tgt"),
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_tgt, 6).alias("p_tgt"),
+        F.round((p_base - p_tgt) * F.round(F.log(p_base / p_tgt), 6), 6).alias(
+            "psi_term"
+        ),
+    )
+
+
+@register(
+    "quality_mutual_information",
+    survey_ref=(
+        "[EXT] mutual-information dependence audit between two "
+        "categorical columns (lang × source), the chi2_independence "
+        "companion: per-cell pointwise term p(x,y)·ln(N·n_xy/(n_x·n_y)) "
+        "— the ln argument is a pure integer ratio (N·n_xy and n_x·n_y "
+        "are exact BIGINT products), so only ONE ln participates, "
+        "rounded at 6 per the woe_iv discipline"
+    ),
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n_xy
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, sum(n_xy) AS n_x FROM c GROUP BY lang),
+    s AS (SELECT source, sum(n_xy) AS n_y FROM c GROUP BY source),
+    t AS (SELECT sum(n_xy) AS n FROM c)
+    SELECT c.lang, c.source,
+           CAST(c.n_xy AS BIGINT) AS n_cell,
+           CAST(r.n_x AS BIGINT) AS n_lang,
+           CAST(s.n_y AS BIGINT) AS n_source,
+           round((c.n_xy / CAST(t.n AS DOUBLE))
+                 * round(ln(CAST(t.n * c.n_xy AS DOUBLE)
+                            / CAST(r.n_x * s.n_y AS DOUBLE)), 6), 6)
+             AS mi_term
+    FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN t
+    """,
+)
+def quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information decomposition of the lang × source
+    contingency table: per cell, p(x,y)·ln(N·n_xy / (n_x·n_y)) — the
+    per-cell contributions to I(lang; source), positive where a
+    language concentrates in a source (the crawl-skew signal the
+    chi-square audit detects but cannot direction-attribute). The sum
+    is the consumer's; rows stay per-cell for attribution and to keep
+    cross-row double sums out of the gate.
+
+    Scale shape: one (lang, source)-keyed aggregate with map-side
+    partials, then two bounded-dimension rollups re-joined broadcast
+    (≤|langs|, ≤|sources| rows) plus a 1-row total — the bounded-grid
+    BNLJ class. The contingency table itself never exceeds
+    |langs|·|sources| rows regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    r = c.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    s = c.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    t = c.agg(F.sum("n_xy").alias("n"))
+    j = (
+        c.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    return j.select(
+        "lang",
+        "source",
+        F.col("n_xy").cast("long").alias("n_cell"),
+        F.col("n_x").cast("long").alias("n_lang"),
+        F.col("n_y").cast("long").alias("n_source"),
+        F.round(
+            (F.col("n_xy") / F.col("n").cast("double"))
+            * F.round(
+                F.log(
+                    (F.col("n") * F.col("n_xy")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                ),
+                6,
+            ),
+            6,
+        ).alias("mi_term"),
+    )
+
+
+@register(
+    "curation_soft_dedup",
+    survey_ref=(
+        "[EXT] soft deduplication by duplicate-count downweighting "
+        "(the reweight-don't-drop alternative to hard dedup — SoftDeDup, "
+        "He et al. 2024; 'sampling proportional to 1/copies' in Biderman "
+        "et al.'s Pythia ablations): per doc, weight 1/k over its "
+        "exact-hash cluster size k, rolled up per source in EXACT "
+        "DECIMAL(18,6) so the cross-row sum is order-independent"
+    ),
+    oracle=f"""
+    WITH {_PLANTED_SQL},
+    k AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY md5(text)) AS dup_k
+      FROM planted)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup_k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_clusters,
+           CAST(max(dup_k) AS BIGINT) AS max_cluster,
+           CAST(sum(CAST(round(1.0 / dup_k, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS effective_docs
+    FROM k
+    GROUP BY source
+    """,
+)
+def curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware downweighting on the planted-dups corpus: every
+    document keeps weight 1/k where k is its exact-content cluster
+    size, so a cluster contributes total mass 1 regardless of how many
+    copies crawled in — the training-mixture alternative to dropping
+    (hard dedup loses cross-copy context like boilerplate-variant
+    pages; downweighting keeps one expected copy). Per-source rollup:
+    raw docs, docs sitting in >1-copy clusters, largest cluster, and
+    the effective (weighted) doc count.
+
+    Hash discipline: 1/k is rounded at 6 PER DOC and summed in exact
+    DECIMAL(18,6) — a double-domain sum across rows would be
+    partition-order-dependent. The md5 content hash is the same
+    16-byte key class the exact-dedup family shuffles.
+
+    Scale shape: one content-hash-keyed window (count per cluster —
+    the exact_dedup shuffle), then one source-keyed aggregate with
+    map-side partials; 32-hex hashes shuffle, text never does."""
+    d = documents_with_planted_dups(spark, sf_dir)
+    from pyspark.sql import Window
+
+    k = d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("dup_k"),
+    )
+    w6 = F.round(F.lit(1.0) / F.col("dup_k"), 6).cast("decimal(18,6)")
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup_k") > 1, 1).otherwise(0)).alias(
+            "n_in_dup_clusters"
+        ),
+        F.max("dup_k").alias("max_cluster"),
+        F.sum(w6).cast("double").alias("effective_docs"),
+    )

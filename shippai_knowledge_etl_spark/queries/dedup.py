@@ -1887,3 +1887,105 @@ def graph_personalized_pagerank(
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
     )
+
+
+# one BFS min-dist round: previous state unioned with its neighbors at
+# dist+1, re-minimized per (seed, node) — multi_source_bfs unrolled
+# (see operators/graph.py:multi_source_bfs)
+_BFS_STEP = """
+    h{i} AS (
+      SELECT seed, node, min(dist) AS dist FROM (
+        SELECT seed, node, dist FROM h{p}
+        UNION ALL
+        SELECT h.seed, a.b, h.dist + 1 FROM h{p} h
+        JOIN adj a ON a.a = h.node)
+      GROUP BY seed, node)
+"""
+
+
+@register(
+    "graph_bfs_closeness",
+    survey_ref=(
+        "[EXT] landmark BFS centrality (Eppstein–Wang 2004 sampling "
+        "estimator): exact min-dist from every 50th node as seed, 3 "
+        "level-synchronous rounds unrolled as oracle CTEs (the "
+        "pagerank/k-core convention); closeness reported as integer "
+        "sum_dist and harmonic centrality as the EXACT ×6-scaled "
+        "integer sum (dist 1→6, 2→3, 3→2) — no cross-row double sum"
+    ),
+    oracle=(
+        f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % {_LPA_N} AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % {_LPA_N} FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    adj AS (SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v, u FROM und),
+    h0 AS (
+      SELECT doc_id AS seed, doc_id AS node, 0 AS dist
+      FROM documents WHERE doc_id % 50 = 0),
+    """
+        + ",".join(_BFS_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+    SELECT d.doc_id,
+           CAST(count(h.seed) AS BIGINT) AS n_seeds_reached,
+           CAST(coalesce(sum(h.dist), 0) AS BIGINT) AS sum_dist,
+           CAST(coalesce(sum(CASE h.dist WHEN 1 THEN 6 WHEN 2 THEN 3
+                             WHEN 3 THEN 2 ELSE 0 END), 0) AS BIGINT)
+             AS harmonic_x6
+    FROM documents d
+    LEFT JOIN h3 h ON h.node = d.doc_id
+    GROUP BY d.doc_id
+    """
+    ),
+)
+def graph_bfs_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled centrality over the synthetic link graph:
+    exact BFS distances from every 50th node (the landmark sample),
+    horizon 3 hops, then per node the number of landmarks reached, the
+    integer distance sum (closeness numerator) and harmonic centrality
+    as the exact ×6-scaled integer sum — 6/dist is integral for every
+    dist in the horizon, so the usual Σ 1/d float sum (order-dependent
+    across rows, a hash-gate hazard) becomes pure BIGINT arithmetic.
+
+    Scale shape: see operators/graph.py:multi_source_bfs — state rows
+    are bounded by |landmarks|·|nodes| with |landmarks| an O(1)
+    sample; each round is one node-keyed join + one (seed, node)-keyed
+    min, lineage truncated per round. The final rollup is one
+    node-keyed aggregate."""
+    from shippai_knowledge_etl_spark.operators.graph import multi_source_bfs
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(
+        i.alias("src"), ((i * 7 + 1) % n).alias("dst")
+    ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+    seeds = d.filter(i % 50 == 0).select(i.alias("seed"))
+    dists = multi_source_bfs(edges, seeds, n_rounds=3)
+    per_node = dists.groupBy("node").agg(
+        F.count("seed").alias("n_seeds_reached"),
+        F.sum("dist").alias("sum_dist"),
+        F.sum(
+            F.when(F.col("dist") == 1, 6)
+            .when(F.col("dist") == 2, 3)
+            .when(F.col("dist") == 3, 2)
+            .otherwise(0)
+        ).alias("harmonic_x6"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_node, d["doc_id"] == per_node["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_seeds_reached", F.lit(0))
+            .cast("long")
+            .alias("n_seeds_reached"),
+            F.coalesce("sum_dist", F.lit(0)).cast("long").alias("sum_dist"),
+            F.coalesce("harmonic_x6", F.lit(0)).cast("long").alias("harmonic_x6"),
+        )
+    )

@@ -1262,3 +1262,67 @@ def retrieval_postings_size_advisor(
         ),
         (ef_bits < raw_bits).alias("ef_wins"),
     )
+
+
+@register(
+    "retrieval_query_likelihood",
+    survey_ref=(
+        "[EXT] Dirichlet-smoothed query-likelihood LM ranking (Zhai & "
+        "Lafferty 2001), BM25's probabilistic sibling: dense "
+        "single-scan form (tf via array_remove counting, one 1-row "
+        "stats broadcast, zero wide shuffles); per-term ln rounded at "
+        "6 then summed in exact DECIMAL — the eval_bleu_log sum "
+        "discipline — so the top-20 hash gate holds at any parallelism"
+    ),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    docs AS (
+      SELECT doc_id, len(t) AS dl,
+             len(t) - len(list_filter(t, x -> x <> 'spark')) AS tf_0,
+             len(t) - len(list_filter(t, x -> x <> 'join')) AS tf_1,
+             len(t) - len(list_filter(t, x -> x <> 'window')) AS tf_2
+      FROM toks),
+    stats AS (
+      SELECT sum(dl) AS t_total, sum(tf_0) AS ctf_0,
+             sum(tf_1) AS ctf_1, sum(tf_2) AS ctf_2
+      FROM docs),
+    scored AS (
+      SELECT d.doc_id, d.dl, d.tf_0, d.tf_1, d.tf_2,
+             CAST(
+               CAST(round(ln((d.tf_0 + 100 * ((s.ctf_0 + 1)
+                      / CAST(s.t_total + 1 AS DOUBLE)))
+                      / CAST(d.dl + 100 AS DOUBLE)), 6) AS DECIMAL(18,6))
+             + CAST(round(ln((d.tf_1 + 100 * ((s.ctf_1 + 1)
+                      / CAST(s.t_total + 1 AS DOUBLE)))
+                      / CAST(d.dl + 100 AS DOUBLE)), 6) AS DECIMAL(18,6))
+             + CAST(round(ln((d.tf_2 + 100 * ((s.ctf_2 + 1)
+                      / CAST(s.t_total + 1 AS DOUBLE)))
+                      / CAST(d.dl + 100 AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS DOUBLE) AS ql_score
+      FROM docs d CROSS JOIN stats s)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST(tf_0 AS BIGINT) AS tf_0, CAST(tf_1 AS BIGINT) AS tf_1,
+           CAST(tf_2 AS BIGINT) AS tf_2, ql_score
+    FROM scored
+    ORDER BY ql_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by Dirichlet query likelihood for the catalog's fixed
+    query — the LM-based ranking that complements ext_bm25_topk (same
+    dense single-scan shape, different probability model: documents
+    with NO query term still rank, by collection-probability mass
+    shrunk toward μ/(dl+μ); longer non-matching docs sink). μ = 100,
+    add-one collection smoothing.
+
+    Scale shape: operators/retrieval.py:query_likelihood_dense — one
+    corpus scan, one map-side-combined 1-row aggregate broadcast back
+    (the allowlisted 1-row-stats BNLJ class), TakeOrderedAndProject
+    for the top-20; no wide shuffle anywhere."""
+    d = load(spark, sf_dir, "documents")
+    scored = retrieval.query_likelihood_dense(
+        d, "doc_id", "text", QUERY_TERMS, mu=100
+    )
+    return scored.orderBy(
+        F.col("ql_score").desc(), F.col("doc_id").asc()
+    ).limit(20)

@@ -3600,3 +3600,104 @@ def behavior_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cuped_mean_y"),
     )
+
+
+@register(
+    "behavior_power_mde",
+    survey_ref=(
+        "[EXT] A/B power analysis (Cohen 1988 normal-approximation "
+        "two-proportion form): minimum detectable effect at the "
+        "current sample size and required per-arm n for the observed "
+        "delta, at alpha=0.05 / power=0.80 — the pre-launch sizing "
+        "readout that pairs with behavior_ab_test's post-hoc z; "
+        "z-quantiles enter as SHARED literals (1.959964, 0.841621) so "
+        "neither engine's inverse-normal participates (the "
+        "coverage.py:522 shared-literal rule); everything else is an "
+        "IEEE exactly-rounded chain on integer aggregates, bit-"
+        "identical by the behavior_ab_test argument"
+    ),
+    oracle="""
+    WITH t AS (
+      SELECT event_id % 2 AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    s AS (
+      SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS c_a,
+             sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS c_b
+      FROM t),
+    d AS (
+      SELECT n_a, c_a, n_b, c_b,
+             c_a / CAST(n_a AS DOUBLE) AS pa,
+             c_b / CAST(n_b AS DOUBLE) AS pb,
+             (c_a + c_b) / CAST(n_a + n_b AS DOUBLE) AS pbar
+      FROM s)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * pbar * (1.0 - pbar) / n_a), 6) AS mde_abs,
+           CAST(ceil(
+             pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)), 2)
+             / ((pa - pb) * (pa - pb))) AS BIGINT) AS n_required_per_arm
+    FROM d
+    """,
+)
+def behavior_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed data: with the current per-arm
+    n, the minimum absolute rate difference detectable at alpha=0.05 /
+    power=0.80 (MDE = (z_{a/2}+z_b)·sqrt(2·pbar·(1-pbar)/n)), and the
+    per-arm sample size required to detect the delta actually observed
+    (the standard two-proportion formula with pooled variance under H0
+    and unpooled under H1). The z quantiles are shared 6-digit
+    literals — no engine evaluates an inverse normal — and the rest is
+    divisions/sqrt/pow(·,2) on integer aggregates in identical operand
+    order, so the doubles are bit-identical (behavior_ab_test's
+    argument) and even the ceil() cannot straddle.
+
+    Scale shape: identical to behavior_ab_test — ONE map-side-combined
+    global aggregate (four conditional integer sums), then 1-row
+    arithmetic. A 100 TB event log costs a scan plus a 1-row
+    exchange."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        (F.col("event_id") % 2).alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    s = t.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a") / F.col("n_a").cast("double")
+    pb = F.col("c_b") / F.col("n_b").cast("double")
+    pbar = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z_a, z_b = F.lit(1.959964), F.lit(0.841621)
+    mde = F.round(
+        (z_a + z_b) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar) / F.col("n_a")),
+        6,
+    )
+    n_req = F.ceil(
+        F.pow(
+            z_a * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+            + z_b
+            * F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)),
+            F.lit(2),
+        )
+        / ((pa - pb) * (pa - pb))
+    ).cast("long")
+    return s.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        mde.alias("mde_abs"),
+        n_req.alias("n_required_per_arm"),
+    )

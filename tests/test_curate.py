@@ -857,3 +857,23 @@ def test_apportionment_sums_to_budget_exactly(spark, sf_dir):
         base = (1000 * r["n_tokens"]) // nt
         assert r["alloc"] in (base, base + 1)
         assert r["got_bonus"] == (r["alloc"] == base + 1)
+
+
+def test_soft_dedup_cluster_mass(spark, sf_dir):
+    """Every exact-duplicate cluster contributes ~1 effective doc:
+    summing effective_docs across sources must equal the number of
+    DISTINCT texts in the planted corpus to within the round-6 error
+    of the 1/k weights (k=2 here, so exactly)."""
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        curation_soft_dedup,
+    )
+    from shippai_knowledge_etl_spark.queries.dedup import (
+        documents_with_planted_dups,
+    )
+
+    rows = curation_soft_dedup(spark, sf_dir).collect()
+    planted = documents_with_planted_dups(spark, sf_dir)
+    n_distinct = planted.select("text").distinct().count()
+    eff = sum(r["effective_docs"] for r in rows)
+    assert abs(eff - n_distinct) < 1e-6
+    assert all(r["n_docs"] >= r["n_in_dup_clusters"] for r in rows)

@@ -621,3 +621,29 @@ def test_cdc_chunks_resynchronize_after_prepended_edit(spark):
     assert prof[3].n_dup_chunks == 0
     # chunks before the first post-edit boundary differ → not all dup
     assert prof[2].n_dup_chunks < prof[2].n_chunks
+
+
+def test_multi_source_bfs_exact_distances(spark):
+    """Path graph 0-1-2-3-4 plus chord (0,3): BFS from seed 0 with a
+    3-hop horizon must return the true shortest distances (the chord
+    shortcuts node 3 and, transitively, node 4) and respect the
+    horizon for anything farther."""
+    from shippai_knowledge_etl_spark.operators.graph import multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 5), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, seeds, n_rounds=3).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    # two seeds: per-seed distances stay independent
+    seeds2 = spark.createDataFrame([(0,), (7,)], "seed long")
+    out2 = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, seeds2, n_rounds=2).collect()
+    }
+    assert out2[(7, 5)] == 2 and out2[(0, 4)] == 2 and (7, 4) not in out2

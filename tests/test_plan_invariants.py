@@ -170,6 +170,15 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 4-row quantile-target table x <=50-bucket histogram non-equi
     # join (cum >= target_rank), both sides constant-bounded
     "ext_hist_quantiles",
+    # 1-row epoch-totals broadcast onto the <=10-bucket PSI rollup
+    # (the ext_score_lift / quality_woe_iv bounded-rollup class)
+    "quality_psi_drift",
+    # 1-row grand total broadcast onto the |langs| x |sources|
+    # contingency rollup (the chi2_independence bounded-grid class)
+    "quality_mutual_information",
+    # 1-row corpus LM stats (T, ctf_*) broadcast onto the doc scan —
+    # the ext_bm25_topk dense single-scan 1-row stats factor
+    "retrieval_query_likelihood",
 }
 
 

@@ -493,3 +493,40 @@ def test_min_cover_span_pathological_tf(spark):
     assert rows == [(1, n + 3)] or [
         (r["doc_id"], r["min_span"]) for r in rows
     ] == [(1, n + 3)]
+
+
+def test_query_likelihood_dense_ordering_and_formula(spark):
+    """Dirichlet QL on a 3-doc micro corpus: the doc with more query
+    mass ranks first; the absent-term doc still gets a finite score;
+    and the score equals the hand-computed formula (mu=100, add-one
+    collection smoothing, round-6 per term, decimal sum)."""
+    import math
+
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        query_likelihood_dense,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "spark other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in query_likelihood_dense(
+            d, "doc_id", "text", ("spark", "join", "window"), mu=100
+        ).collect()
+    }
+    assert rows[1]["ql_score"] > rows[2]["ql_score"] > rows[3]["ql_score"]
+    # hand recompute doc 3 (tf all 0, dl 4): T=12, ctf=(3,1,1)
+    t_total, dl = 12, 4
+    exp = sum(
+        round(
+            math.log((0 + 100 * ((ctf + 1) / (t_total + 1))) / (dl + 100)), 6
+        )
+        for ctf in (3, 1, 1)
+    )
+    assert abs(rows[3]["ql_score"] - exp) < 1e-9
