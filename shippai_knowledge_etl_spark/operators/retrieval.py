@@ -1296,3 +1296,79 @@ def query_likelihood_dense(
         *[F.col(f"tf_{i}") for i in range(len(query_terms))],
         score.cast("double").alias("ql_score"),
     )
+
+
+def bm25_champion_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    champions: int = 32,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Champion-list (impact-ordered) BM25 top-k — the tiered-index
+    pruning strategy (Manning, Raghavan & Schütze, IIR §7.1.3): at
+    index-build time each term keeps only its ``champions`` highest-tf
+    postings; at query time scoring touches ONLY those lists, an upper
+    bound of |q|·champions rows regardless of corpus size. The price
+    is possible rank error for documents that are mediocre on every
+    term — the classic recall/latency trade the demo query pins
+    against the exact top-k.
+
+    df (document frequency) and corpus stats (N, avgdl) are computed
+    from the FULL postings before the cut — champion lists store
+    global statistics; only the posting ROWS are pruned.
+
+    Scale shape: the champion cut is a per-term window (partitioned by
+    term — never a global sort) over the postings produced by the one
+    vocabulary-filtered explode; everything downstream operates on
+    ≤ |q|·champions rows, so the final pivot/top-k is driver-trivial.
+    At 100 TB the cut itself is the index-build pass; queries never
+    see the corpus again.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    from pyspark.sql import Window
+
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+    champ = postings.withColumn(
+        "champ_rank",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(
+                F.desc("tf"), F.asc(id_col)
+            )
+        ),
+    ).filter(F.col("champ_rank") <= champions)
+    scored = (
+        champ.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        )
+    )
+    return pivot_score(scored, id_col, query_terms).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    ).limit(k)

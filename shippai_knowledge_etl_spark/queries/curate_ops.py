@@ -3147,3 +3147,85 @@ def curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dup_k").alias("max_cluster"),
         F.sum(w6).cast("double").alias("effective_docs"),
     )
+
+
+@register(
+    "curation_pareto_frontier",
+    survey_ref=(
+        "[EXT] Pareto-frontier (skyline) document selection (Börzsönyi "
+        "et al. 2001 'The Skyline Operator'): keep docs not strictly "
+        "dominated on (length, lexical-diversity) — the multi-objective "
+        "curation cut that avoids collapsing quality axes into one "
+        "weighted score; Spark computes it scale-correctly via bucketed "
+        "windows + a bounded suffix-max grid, the oracle via one global "
+        "RANGE window (independent derivations, same semantics)"
+    ),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars AS m1,
+             (1000 * len(list_distinct(toks))) // (len(toks) + 1) AS m2
+      FROM (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)),
+    w AS (
+      SELECT doc_id, m1, m2,
+             max(m2) OVER (ORDER BY m1
+                           RANGE BETWEEN 1 FOLLOWING
+                           AND UNBOUNDED FOLLOWING) AS mx
+      FROM t)
+    SELECT doc_id, CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+           NOT coalesce(mx > m2, false) AS on_frontier
+    FROM w
+    """,
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline selection on (m1 = char length, m2 = scaled distinct-
+    token ratio): a document survives iff no other document beats it
+    STRICTLY on both axes — the dominance cut that keeps long-but-
+    repetitive and short-but-diverse docs alike when neither is
+    uniformly worse. Both metrics are integers (the ratio is a
+    1000-scaled floor division), so dominance is engine-exact.
+
+    Scale shape (why not the oracle's global window): Spark buckets m1
+    into 512-char bands, resolves same-bucket dominance with a
+    bucket-PARTITIONED range window (strictly-greater m1 frame), and
+    cross-bucket dominance with a suffix-max over the bounded
+    per-bucket-max grid (every higher-bucket doc has strictly greater
+    m1 by construction, since band b tops out below band b+1's floor).
+    Nothing global ever sorts: the frontier of a 100 TB corpus costs
+    one bucket-keyed window plus a grid join of a few hundred rows.
+    The DuckDB oracle instead runs the textbook single RANGE window —
+    an independent derivation whose agreement gates BOTH the bucketed
+    decomposition and the dominance algebra."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    # build toks as a real column first so the div expression sees it
+    t = (
+        d.select("doc_id", F.col("n_chars").alias("m1"), toks.alias("__toks"))
+        .select(
+            "doc_id",
+            "m1",
+            F.expr(
+                "(1000 * size(array_distinct(__toks))) div (size(__toks) + 1)"
+            ).alias("m2"),
+        )
+    )
+    bucketed = t.withColumn("bucket", F.expr("m1 div 512"))
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("m1")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    within = bucketed.withColumn("within_mx", F.max("m2").over(win))
+    grid = bucketed.groupBy("bucket").agg(F.max("m2").alias("bmax"))
+    suffix = (
+        grid.alias("g1")
+        .join(grid.alias("g2"), F.col("g2.bucket") > F.col("g1.bucket"))
+        .groupBy(F.col("g1.bucket").alias("bucket"))
+        .agg(F.max("g2.bmax").alias("suffix_mx"))
+    )
+    j = within.join(F.broadcast(suffix), "bucket", "left")
+    dominated = F.coalesce(
+        F.greatest("within_mx", "suffix_mx") > F.col("m2"), F.lit(False)
+    )
+    return j.select("doc_id", "m1", "m2", (~dominated).alias("on_frontier"))

@@ -1326,3 +1326,95 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("ql_score").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+@register(
+    "retrieval_champion_lists",
+    survey_ref=(
+        "[EXT] champion-list / tiered-index pruning (Manning et al., "
+        "IIR §7.1.3): per-term top-32-by-tf posting cut at index build, "
+        "query scored over ≤|q|·32 rows vs the exact full-postings "
+        "top-10 side by side — the rank-k agreement IS the gated "
+        "result, so the pruning's recall trade is measured, not argued"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    champ AS (
+      SELECT doc_id, dl, term, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS r
+      FROM postings),
+    cweights AS (
+      SELECT c.doc_id, c.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (c.tf * 2.2)
+               / (c.tf + 1.2 * (0.25
+                  + 0.75 * c.dl / (s.sum_dl / s.n_docs))) AS w
+      FROM champ c JOIN dfreq d USING (term) CROSS JOIN stats s
+      WHERE c.r <= 32),
+    cl AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w END), 0),
+                 6) AS bm25
+      FROM cweights GROUP BY doc_id),
+    cl10 AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM cl QUALIFY rank <= 10),
+    full10 AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM bm25 QUALIFY rank <= 10)
+    SELECT c.rank AS rank,
+           c.doc_id AS cl_doc_id, c.bm25 AS cl_bm25,
+           f.doc_id AS exact_doc_id, f.bm25 AS exact_bm25,
+           c.doc_id = f.doc_id AS same_doc
+    FROM cl10 c JOIN full10 f USING (rank)
+    """,
+)
+def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list top-10 vs exact top-10, rank by rank: the
+    tiered-index answer touches only each query term's 32 highest-tf
+    postings (global df/avgdl kept exact — champion lists prune rows,
+    not statistics), and the gate compares document identity and score
+    at every rank against the full-postings plan. On this corpus the
+    lists are deep enough that the top ranks agree — exactly the
+    regime the technique targets; rank disagreements, when the corpus
+    makes them, are DATA the gate hashes, not a failure.
+
+    Scale shape: one vocabulary-filtered explode feeds both paths;
+    the champion cut is a term-partitioned window (WindowGroupLimit,
+    never a global sort); both top-10s are TakeOrderedAndProject; the
+    rank join moves 10 rows. operators/retrieval.py:bm25_champion_topk."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w10 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    cl = (
+        retrieval.bm25_champion_topk(d, "doc_id", "text", QUERY_TERMS, 10)
+        .withColumn("rank", F.row_number().over(w10))
+        .select(
+            "rank",
+            F.col("doc_id").alias("cl_doc_id"),
+            F.col("bm25").alias("cl_bm25"),
+        )
+    )
+    full = (
+        retrieval.bm25_topk(d, "doc_id", "text", QUERY_TERMS, 10)
+        .withColumn("rank", F.row_number().over(w10))
+        .select(
+            "rank",
+            F.col("doc_id").alias("exact_doc_id"),
+            F.col("bm25").alias("exact_bm25"),
+        )
+    )
+    return cl.join(full, "rank").select(
+        "rank",
+        "cl_doc_id",
+        "cl_bm25",
+        "exact_doc_id",
+        "exact_bm25",
+        (F.col("cl_doc_id") == F.col("exact_doc_id")).alias("same_doc"),
+    )

@@ -762,3 +762,68 @@ def ext_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_price"),
     )
+
+
+@register(
+    "ext_decayed_counts",
+    survey_ref=(
+        "[EXT] time-decayed heavy hitters with a power-of-two half-life "
+        "(the integer-exact analog of exponentially-decayed counters, "
+        "Cormode et al. 2009 forward-decay framing): per-(type, day) "
+        "counts halve per day of age via BIGINT floor-shift cnt >> age "
+        "— no exp(), no float accumulation, so the decayed totals are "
+        "partitioning- and engine-exact"
+    ),
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    m AS (SELECT max(day) AS max_day FROM c)
+    SELECT event_type,
+           CAST(sum(cnt) AS BIGINT) AS raw_total,
+           CAST(sum(cnt // (CAST(1 AS BIGINT)
+                 << least(datediff('day', day, max_day), 40)))
+             AS BIGINT) AS decayed_total,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN day = max_day THEN cnt ELSE 0 END) AS BIGINT)
+             AS latest_day_cnt
+    FROM c CROSS JOIN m
+    GROUP BY event_type
+    """,
+)
+def ext_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted event-type totals: each (type, day) bucket
+    contributes cnt >> age_days — a one-day half-life realized as an
+    integer floor-shift, the exact-arithmetic stand-in for the
+    exponential decay every trending/heavy-hitter dashboard applies.
+    The decayed total therefore never needs float accumulation (the
+    classic λ^age forms are engine-divergent transcendentals), and a
+    type's score is dominated by its last ~10 days by construction.
+    Age is capped at 40 so the shift stays in BIGINT for arbitrarily
+    old history.
+
+    Scale shape: one (type, day)-keyed aggregate with map-side
+    partials collapses the stream to a bounded |types|×|days| grid;
+    the 1-row max-day broadcast (quality_sequence_gaps' allowlisted
+    class) and the final per-type rollup both operate on that grid,
+    never the raw events."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.max("day").alias("max_day"))
+    j = c.crossJoin(F.broadcast(m))
+    age = F.least(F.datediff("max_day", "day"), F.lit(40))
+    return (
+        j.withColumn("age", age)
+        .withColumn("shifted", F.expr("shiftleft(CAST(1 AS BIGINT), age)"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("raw_total"),
+            F.sum(F.expr("cnt div shifted")).alias("decayed_total"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max(
+                F.when(F.col("day") == F.col("max_day"), F.col("cnt")).otherwise(0)
+            ).alias("latest_day_cnt"),
+        )
+    )

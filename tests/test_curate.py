@@ -877,3 +877,21 @@ def test_soft_dedup_cluster_mass(spark, sf_dir):
     eff = sum(r["effective_docs"] for r in rows)
     assert abs(eff - n_distinct) < 1e-6
     assert all(r["n_docs"] >= r["n_in_dup_clusters"] for r in rows)
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """The bucketed-window + suffix-grid skyline equals the O(n²)
+    brute-force dominance check on the real corpus slice."""
+    from shippai_knowledge_etl_spark.queries.curate_ops import (
+        curation_pareto_frontier,
+    )
+
+    rows = curation_pareto_frontier(spark, sf_dir).collect()
+    pts = [(r["doc_id"], r["m1"], r["m2"]) for r in rows]
+    flags = {r["doc_id"]: r["on_frontier"] for r in rows}
+    for i, m1, m2 in pts:
+        dominated = any(
+            o1 > m1 and o2 > m2 for j, o1, o2 in pts if j != i
+        )
+        assert flags[i] == (not dominated), f"doc {i}"
+    assert any(flags.values()) and not all(flags.values())

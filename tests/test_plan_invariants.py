@@ -179,6 +179,16 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row corpus LM stats (T, ctf_*) broadcast onto the doc scan —
     # the ext_bm25_topk dense single-scan 1-row stats factor
     "retrieval_query_likelihood",
+    # 1-row corpus stats broadcast (twice: champion + exact BM25 paths)
+    # — the ext_bm25_topk class
+    "retrieval_champion_lists",
+    # 1-row max-day broadcast onto the bounded |types|x|days| grid —
+    # the quality_sequence_gaps 1-row min/max class
+    "ext_decayed_counts",
+    # bounded-grid non-equi self-join: the per-bucket-max suffix table
+    # (<= max_chars/512 rows per side) — the w19 bounded-grid class;
+    # the corpus-sized side only sees a bucket-partitioned window
+    "curation_pareto_frontier",
 }
 
 
@@ -284,6 +294,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # the fixed-width value histogram (<= value_range/width rows, a
     # CONSTANT at any corpus size — the w15/zipf discipline)
     "ext_hist_quantiles",
+    # bounded-input global windows: the two rank row_numbers run AFTER
+    # each path's TakeOrderedAndProject limit(10) cut (<=10 rows moved
+    # — the retrieval_rrf_fusion discipline)
+    "retrieval_champion_lists",
 }
 
 

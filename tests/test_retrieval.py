@@ -530,3 +530,35 @@ def test_query_likelihood_dense_ordering_and_formula(spark):
         for ctf in (3, 1, 1)
     )
     assert abs(rows[3]["ql_score"] - exp) < 1e-9
+
+
+def test_champion_lists_exact_when_lists_cover(spark):
+    """With champion depth >= postings depth the champion path must
+    reproduce the exact top-k bit-for-bit; with depth 1 it keeps only
+    each term's single heaviest doc — both ends of the pruning dial."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        bm25_champion_topk,
+        bm25_topk,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join window"),
+            (3, "join join window window spark"),
+            (4, "window"),
+            (5, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    q = ("spark", "join", "window")
+    full = bm25_topk(d, "doc_id", "text", q, 5).collect()
+    wide = bm25_champion_topk(d, "doc_id", "text", q, 5, champions=100).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in full] == [
+        (r["doc_id"], r["bm25"]) for r in wide
+    ]
+    narrow = bm25_champion_topk(d, "doc_id", "text", q, 5, champions=1).collect()
+    # depth-1 lists keep <= |q| distinct docs
+    assert len(narrow) <= 3
+    kept = {r["doc_id"] for r in narrow}
+    assert 1 in kept and 3 in kept  # each term's heaviest doc survives
