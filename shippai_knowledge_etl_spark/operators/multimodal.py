@@ -627,3 +627,74 @@ def audio_energy_frames(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, ENERGY_SCHEMA
     )
+
+
+WAV_VAD_SCHEMA = (
+    "doc_id long, n_frames16 long, voiced_frames long, "
+    "longest_voiced_run long, max_frame_energy long, ok boolean"
+)
+
+# Mean frame energy of the uniform PCM16 generator: 16 samples x
+# E[s^2] ~= 65536^2/12. A frame above this is "voiced". Shared literal
+# on both engines (the coverage.py:522 shared-constant rule).
+VAD_ENERGY_THRESHOLD = 5_726_623_056
+
+
+def wav_vad_features(df: DataFrame) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded PCM
+    (the classic frame-energy VAD — Rabiner & Sambur 1975): decode the
+    WAV payload with the pure-stdlib codec, cut the interleaved stream
+    into 16-sample frames, mark frames whose integer energy (sum of
+    s²) exceeds the shared threshold, and report frame counts, the
+    longest voiced run (gaps-and-islands, computed exactly in the
+    worker) and the max frame energy. Every statistic is BIGINT
+    arithmetic on decoded samples, so a SQL oracle recomputing the
+    same frames from the generator's closed form hash-gates the whole
+    decode → frame → threshold → run-length chain.
+
+    Scale shape: one narrow Arrow map; samples never leave the worker,
+    five integers per clip do. The 100 TB form is identical — VAD is
+    embarrassingly per-clip."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import decode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, _bits, samples = decode_wav(bytes(payload))
+                    n_frames = len(samples) // 16
+                    voiced = best = run = 0
+                    max_e = 0
+                    for f in range(n_frames):
+                        e = sum(
+                            s * s for s in samples[16 * f : 16 * f + 16]
+                        )
+                        max_e = max(max_e, e)
+                        if e > VAD_ENERGY_THRESHOLD:
+                            voiced += 1
+                            run += 1
+                            best = max(best, run)
+                        else:
+                            run = 0
+                    rows.append(
+                        (int(doc_id), n_frames, voiced, best, max_e, True)
+                    )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames16",
+                    "voiced_frames",
+                    "longest_voiced_run",
+                    "max_frame_energy",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, WAV_VAD_SCHEMA)

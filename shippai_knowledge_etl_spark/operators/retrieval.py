@@ -1372,3 +1372,110 @@ def bm25_champion_topk(
     return pivot_score(scored, id_col, query_terms).orderBy(
         F.desc("bm25"), F.asc(id_col)
     ).limit(k)
+
+
+def bm25_wand_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    champions: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Rank-SAFE top-k via WAND-style upper-bound pruning (Broder et
+    al. 2003, "Efficient query evaluation using a two-level retrieval
+    process"): each term stores its maximum attainable BM25 weight
+    (the index-time upper bound UB_t); a document can enter the top-k
+    only if the sum of UB_t over its present terms reaches a threshold
+    θ. θ comes from a cheap champion-list pass (depth ``champions``):
+    its k-th best score is ACHIEVED by a real document with at most
+    its full score, so θ lower-bounds the true k-th score — pruning
+    strictly below θ can never evict a true top-k member. The returned
+    top-k is therefore bit-identical to exhaustive evaluation (pinned
+    by pytest and by construction), while the evaluated candidate set
+    shrinks to the docs whose bound clears θ.
+
+    Returns the top-k rows plus constant bookkeeping columns
+    (n_docs_scored_bound, n_survivors) so the pruning ratio is data
+    the gate hashes, not a claim.
+
+    Scale shape: UB is a 3-row broadcast; θ a 1-row broadcast from the
+    champion pass (itself term-partitioned windows); the survivor
+    filter is a per-doc fixed-order pivot comparison applied BEFORE
+    the final top-k — at 100 TB this is the difference between scoring
+    every document containing any query term and scoring the small
+    bound-clearing candidate set (DAAT skipping's relational analog).
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+    weighted = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        )
+    )
+    ub = weighted.groupBy("term").agg(F.max("w").alias("ub"))
+    champ_rank = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    champ_scores = pivot_score(
+        weighted.withColumn("champ_rank", F.row_number().over(champ_rank))
+        .filter(F.col("champ_rank") <= champions),
+        id_col,
+        query_terms,
+    )
+    theta = champ_scores.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k).agg(
+        F.min("bm25").alias("theta")
+    )
+    # per-doc UB sum over PRESENT terms, fixed query order (the
+    # pivot_score discipline — no cross-row double sum)
+    ub_rows = weighted.select(id_col, "term", "w").join(F.broadcast(ub), "term")
+    bound = ub_rows.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("ub"))).alias(f"ub_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    ub_sum = None
+    for i in range(len(query_terms)):
+        piece = F.coalesce(F.col(f"ub_{i}"), F.lit(0.0))
+        ub_sum = piece if ub_sum is None else ub_sum + piece
+    bound = bound.select(id_col, ub_sum.alias("ub_sum"))
+    n_bound = bound.agg(F.count(F.lit(1)).alias("n_docs_scored_bound"))
+    survivors = bound.crossJoin(F.broadcast(theta)).filter(
+        F.col("ub_sum") >= F.col("theta")
+    )
+    n_surv = survivors.agg(F.count(F.lit(1)).alias("n_survivors"))
+    final = (
+        pivot_score(
+            weighted.join(survivors.select(id_col), id_col), id_col, query_terms
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    return final.crossJoin(F.broadcast(n_bound)).crossJoin(F.broadcast(n_surv))

@@ -484,3 +484,66 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_wav_payload(d, "doc_id")
     return multimodal.wav_decode_features(payloads)
+
+
+@register(
+    "mm_wav_vad",
+    survey_ref=(
+        "[EXT] REAL voice-activity detection over decoded PCM (round "
+        "9; frame-energy VAD, Rabiner & Sambur 1975): WAV payloads "
+        "decode through the stdlib codec, 16-sample frames threshold "
+        "on integer energy, longest voiced run via in-worker "
+        "gaps-and-islands — the oracle recomputes frames, threshold "
+        "AND run lengths from the generator's closed form, so the "
+        "whole decode→frame→threshold→run chain is hash-gated"
+    ),
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 64 + 2 * (doc_id % 32) AS n FROM documents),
+    fr AS (
+      SELECT p.doc_id, t.f,
+             list_sum(list_transform(range(16 * t.f, 16 * t.f + 16),
+               k -> ((p.doc_id * 2654435761 + k * 40503) % 65536 - 32768)
+                  * ((p.doc_id * 2654435761 + k * 40503) % 65536 - 32768)))
+               AS e
+      FROM p, unnest(range(0, p.n // 16)) AS t(f)),
+    v AS (SELECT doc_id, f FROM fr WHERE e > 5726623056),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM (SELECT doc_id, f,
+                   f - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY f) AS grp
+            FROM v)
+      GROUP BY doc_id, grp)
+    SELECT p.doc_id,
+           CAST(p.n // 16 AS BIGINT) AS n_frames16,
+           CAST(coalesce(vv.voiced, 0) AS BIGINT) AS voiced_frames,
+           CAST(coalesce(r.best, 0) AS BIGINT) AS longest_voiced_run,
+           CAST(fe.max_e AS BIGINT) AS max_frame_energy,
+           true AS ok
+    FROM p
+    JOIN (SELECT doc_id, max(e) AS max_e FROM fr GROUP BY doc_id) fe
+      USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS voiced FROM v GROUP BY doc_id) vv
+      USING (doc_id)
+    LEFT JOIN (SELECT doc_id, max(run_len) AS best FROM runs
+               GROUP BY doc_id) r USING (doc_id)
+    """,
+)
+def mm_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy VAD on genuinely decoded audio: the WAV payload is
+    parsed by operators/wav_codec.py, the PCM stream cut into
+    16-sample frames, each frame marked voiced when its integer energy
+    exceeds the shared threshold (the generator's mean frame energy),
+    and the longest voiced run found by exact run-length scan in the
+    worker. The oracle re-derives every frame energy arithmetically
+    and replays the threshold and gaps-and-islands relationally — a
+    one-sample decode slip, an off-by-one frame boundary, or a wrong
+    run stitch all fail the hash.
+
+    Scale shape: one narrow Arrow map (encode) chained into another
+    (decode + VAD) — zero shuffle; per clip five integers return to
+    the JVM. The 100 TB audio-curation pass looks identical."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(d, "doc_id")
+    return multimodal.wav_vad_features(payloads)

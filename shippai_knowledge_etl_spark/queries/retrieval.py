@@ -1418,3 +1418,80 @@ def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_bm25",
         (F.col("cl_doc_id") == F.col("exact_doc_id")).alias("same_doc"),
     )
+
+
+@register(
+    "retrieval_wand_pruning",
+    survey_ref=(
+        "[EXT] WAND upper-bound pruning (Broder et al. 2003), "
+        "rank-SAFE: per-term max-weight bounds + a champion-list "
+        "θ estimate cut the scored candidate set, and the returned "
+        "top-10 is provably identical to exhaustive evaluation "
+        "(θ is an achieved score, so ΣUB < θ cannot hold for a true "
+        "top-k member); survivor counts ride as gated columns so the "
+        "pruning ratio is measured, not argued"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cw AS (
+      SELECT p.doc_id, p.term, p.tf, w.w
+      FROM postings p
+      JOIN weights w ON w.doc_id = p.doc_id AND w.term = p.term),
+    champw AS (
+      SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS r
+      FROM cw),
+    champ_scores AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w END), 0),
+                 6) AS bm25
+      FROM champw WHERE r <= 8 GROUP BY doc_id),
+    theta AS (
+      SELECT min(bm25) AS theta FROM (
+        SELECT bm25 FROM champ_scores
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
+    ub AS (SELECT term, max(w) AS ub FROM weights GROUP BY term),
+    bound AS (
+      SELECT w.doc_id,
+             coalesce(max(CASE WHEN w.term = 'spark' THEN u.ub END), 0)
+           + coalesce(max(CASE WHEN w.term = 'join' THEN u.ub END), 0)
+           + coalesce(max(CASE WHEN w.term = 'window' THEN u.ub END), 0)
+               AS ub_sum
+      FROM weights w JOIN ub u USING (term) GROUP BY w.doc_id),
+    nb AS (SELECT count(*) AS n_docs_scored_bound FROM bound),
+    surv AS (
+      SELECT b.doc_id FROM bound b CROSS JOIN theta t
+      WHERE b.ub_sum >= t.theta),
+    ns AS (SELECT count(*) AS n_survivors FROM surv),
+    final AS (
+      SELECT w.doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w.w END), 0),
+                 6) AS bm25
+      FROM weights w JOIN surv USING (doc_id)
+      GROUP BY w.doc_id
+      ORDER BY bm25 DESC, w.doc_id ASC LIMIT 10)
+    SELECT f.doc_id, f.bm25,
+           CAST(nb.n_docs_scored_bound AS BIGINT) AS n_docs_scored_bound,
+           CAST(ns.n_survivors AS BIGINT) AS n_survivors
+    FROM final f CROSS JOIN nb CROSS JOIN ns
+    """,
+)
+def retrieval_wand_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 under WAND-style candidate pruning, hash-gated end to
+    end: champion-depth-8 θ estimate, per-term max-weight upper
+    bounds, survivor filter ΣUB ≥ θ, exhaustive scoring only of
+    survivors. Safety argument in
+    operators/retrieval.py:bm25_wand_topk (θ is a real document's
+    achievable score, bounds dominate true scores); the
+    equals-exhaustive property is additionally pinned by pytest.
+    The two count columns make the evaluation-set reduction part of
+    the gated result."""
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_wand_topk(
+        d, "doc_id", "text", QUERY_TERMS, 10, champions=8
+    )

@@ -3701,3 +3701,119 @@ def behavior_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs"),
         n_req.alias("n_required_per_arm"),
     )
+
+
+@register(
+    "behavior_rfm_segments",
+    survey_ref=(
+        "[EXT] RFM segmentation (Hughes 1994, the classic "
+        "recency/frequency/monetary customer scoring) with FIXED "
+        "integer bins — quantile bins would need a global sort, fixed "
+        "bins are one per-user aggregate; monetary sums in exact cents "
+        "(value·100 rounded per row THEN summed as BIGINT — never a "
+        "cross-row double sum), every score a pure-integer CASE"
+    ),
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             count(*) AS frequency,
+             sum(CAST(round(value * 100) AS BIGINT)) AS monetary_cents,
+             max(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id),
+    m AS (SELECT max(last_day) AS max_day FROM u),
+    s AS (
+      SELECT user_id, frequency, monetary_cents,
+             datediff('day', last_day, max_day) AS recency_days
+      FROM u CROSS JOIN m),
+    sc AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             5 - least(4, recency_days) AS r_score,
+             CASE WHEN frequency >= 80 THEN 5 WHEN frequency >= 70 THEN 4
+                  WHEN frequency >= 60 THEN 3 WHEN frequency >= 50 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 450000 THEN 5
+                  WHEN monetary_cents >= 380000 THEN 4
+                  WHEN monetary_cents >= 310000 THEN 3
+                  WHEN monetary_cents >= 240000 THEN 2
+                  ELSE 1 END AS m_score
+      FROM s)
+    SELECT user_id,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champions'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM sc
+    """,
+)
+def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM scoring with fixed bins: recency in days against
+    the corpus's latest active day, frequency as raw event count,
+    monetary as exact integer cents (per-row round THEN BIGINT sum —
+    the README's no-double-sum rule), each mapped to a 1-5 score by
+    fixed thresholds and folded into the standard first-match segment
+    ladder (champions → loyal → big_spender → at_risk → regular).
+    Fixed bins instead of quantile bins is the scale decision: ntile
+    over users needs a global sort; thresholds need one per-user
+    aggregate and a 1-row max-day broadcast.
+
+    Scale shape: ONE user-keyed aggregate with map-side partials, a
+    1-row broadcast (quality_sequence_gaps' allowlisted class), then
+    per-row integer CASEs. A 100 TB event log costs its scan."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    m = u.agg(F.max("last_day").alias("max_day"))
+    s = u.crossJoin(F.broadcast(m)).withColumn(
+        "recency_days", F.datediff("max_day", "last_day")
+    )
+    f_score = (
+        F.when(F.col("frequency") >= 80, 5)
+        .when(F.col("frequency") >= 70, 4)
+        .when(F.col("frequency") >= 60, 3)
+        .when(F.col("frequency") >= 50, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary_cents") >= 450000, 5)
+        .when(F.col("monetary_cents") >= 380000, 4)
+        .when(F.col("monetary_cents") >= 310000, 3)
+        .when(F.col("monetary_cents") >= 240000, 2)
+        .otherwise(1)
+    )
+    sc = s.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        (F.lit(5) - F.least(F.lit(4), F.col("recency_days")))
+        .cast("int")
+        .alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+    )
+    return sc.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when(F.col("r_score") <= 2, "at_risk")
+        .otherwise("regular"),
+    )

@@ -189,6 +189,13 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # (<= max_chars/512 rows per side) — the w19 bounded-grid class;
     # the corpus-sized side only sees a bucket-partitioned window
     "curation_pareto_frontier",
+    # 1-row broadcasts: corpus stats, champion-θ, and the two
+    # bookkeeping counts (the a_bootstrap_ci 1-row stats class); the
+    # candidate filter compares each doc's 3-term bound to the 1-row θ
+    "retrieval_wand_pruning",
+    # 1-row max-active-day broadcast onto the per-user rollup — the
+    # quality_sequence_gaps 1-row min/max class
+    "behavior_rfm_segments",
 }
 
 
@@ -298,6 +305,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # each path's TakeOrderedAndProject limit(10) cut (<=10 rows moved
     # — the retrieval_rrf_fusion discipline)
     "retrieval_champion_lists",
+    # heuristic false positive, the ext_bm25_batch class: both Window
+    # nodes are term-partitioned WindowGroupLimit champion cuts; the
+    # SinglePartition exchanges are the 1-row aggregates (corpus
+    # stats, θ, and the two bookkeeping counts)
+    "retrieval_wand_pruning",
 }
 
 

@@ -562,3 +562,23 @@ def test_champion_lists_exact_when_lists_cover(spark):
     assert len(narrow) <= 3
     kept = {r["doc_id"] for r in narrow}
     assert 1 in kept and 3 in kept  # each term's heaviest doc survives
+
+
+def test_wand_pruning_rank_safe(spark, sf_dir):
+    """WAND's contract: the pruned top-10 equals exhaustive evaluation
+    exactly (doc ids AND scores), and the survivor set is a genuine
+    subset of the bound-scored docs."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_wand_topk,
+    )
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    q = ("spark", "join", "window")
+    wand = bm25_wand_topk(d, "doc_id", "text", q, 10, champions=8).collect()
+    exact = bm25_topk(d, "doc_id", "text", q, 10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in wand] == [
+        (r["doc_id"], r["bm25"]) for r in exact
+    ]
+    assert wand[0]["n_survivors"] <= wand[0]["n_docs_scored_bound"]
