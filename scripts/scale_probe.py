@@ -175,11 +175,33 @@ def probe_pagerank(spark, docs):
     return {"per_round_shuffle_rows": edges.count() + n}
 
 
+def probe_rouge(spark, docs):
+    """eval_rouge_bigram's gram shuffle (round 9): exploded bigram
+    rows entering the (doc, gram) count groupBy, and the distinct
+    (doc, gram) rows entering the clipped-match pair join. Documented
+    bound: both linear in corpus tokens (pairing is id-arithmetic, so
+    no stage can pair across the whole corpus)."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.queries.evals import _gram_counts
+
+    cnt = _gram_counts(docs, 2)
+    agg = cnt.agg(
+        F.sum("c").alias("gram_rows"),
+        F.count(F.lit(1)).alias("distinct_doc_grams"),
+    ).collect()[0]
+    return {
+        "gram_rows": int(agg["gram_rows"]),
+        "distinct_doc_grams": int(agg["distinct_doc_grams"]),
+    }
+
+
 PROBES = {
     "dedup_ngram_jaccard": probe_jaccard,
     "dedup_prefix_allpairs": probe_prefix,
     "ext_bm25_batch": probe_postings,
     "graph_pagerank": probe_pagerank,
+    "eval_rouge_bigram": probe_rouge,
 }
 
 

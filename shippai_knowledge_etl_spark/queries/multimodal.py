@@ -547,3 +547,48 @@ def mm_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_wav_payload(d, "doc_id")
     return multimodal.wav_vad_features(payloads)
+
+
+@register(
+    "mm_png_downsample",
+    survey_ref=(
+        "[EXT] REAL 2×2 box downsample on decoded PNG pixels (round 9; "
+        "the resize family's first true-pixel path): integer-floor "
+        "block means over the codec's reconstructed scanlines, gated "
+        "by the closed-form downsampled-sum — the generator's gradient "
+        "is row-constant, so each block mean collapses to "
+        "(c(2y)+c(2y+1)) div 2 and the oracle recomputes the exact sum "
+        "arithmetically"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST((16 + doc_id % 16) // 2 AS INT) AS out_w,
+           CAST((16 + doc_id % 8) // 2 AS INT) AS out_h,
+           CAST(((16 + doc_id % 16) // 2) * list_sum(list_transform(
+                  range(0, (16 + doc_id % 8) // 2),
+                  y -> ((doc_id % 256 + 2 * y) % 256
+                        + (doc_id % 256 + 2 * y + 1) % 256) // 2
+                     + (((7 * doc_id) % 256 + 2 * y) % 256
+                        + ((7 * doc_id) % 256 + 2 * y + 1) % 256) // 2
+                     + (((13 * doc_id) % 256 + 2 * y) % 256
+                        + ((13 * doc_id) % 256 + 2 * y + 1) % 256) // 2))
+             AS BIGINT) AS ds_pixel_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_png_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First pyramid level on real pixels: encode the gradient PNG,
+    decode it through the stdlib codec, box-average every 2×2 block
+    with integer floor semantics, and gate the exact sum of the
+    downsampled image. Because the generator's channels depend only on
+    the row, each block mean reduces to (c(2y)+c(2y+1)) div 2 — which
+    is what the oracle evaluates per output row, times the output
+    width, summed over channels. A wrong block offset, a wrong stride,
+    or round-half-up instead of floor all fail the hash.
+
+    Scale shape: two chained narrow Arrow maps, zero shuffle, four
+    integers per image back to the JVM."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d, "doc_id")
+    return multimodal.png_downsample_features(payloads)

@@ -3817,3 +3817,158 @@ def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("r_score") <= 2, "at_risk")
         .otherwise("regular"),
     )
+
+
+@register(
+    "w34_cohort_ltv",
+    survey_ref=(
+        "[EXT] cohort LTV curve (the retention-revenue companion to "
+        "w11_retention_cohorts): per signup-week cohort, cumulative "
+        "revenue per user by age week — revenue in exact per-row-"
+        "rounded cents (no cross-row double sum), the cumsum a window "
+        "over the bounded (cohort_week, age_week) grid, LTV an "
+        "integer division of non-negative cents"
+    ),
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT min(day) AS d0 FROM r),
+    u AS (
+      SELECT user_id, min(day) AS cohort_day FROM r GROUP BY user_id),
+    uw AS (
+      SELECT u.user_id,
+             datediff('day', m.d0, u.cohort_day) // 7 AS cohort_week,
+             u.cohort_day
+      FROM u CROSS JOIN m),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS n_users FROM uw GROUP BY cohort_week),
+    cells AS (
+      SELECT uw.cohort_week,
+             datediff('day', uw.cohort_day, r.day) // 7 AS age_week,
+             sum(r.cents) AS revenue_cents
+      FROM r JOIN uw USING (user_id)
+      GROUP BY uw.cohort_week, datediff('day', uw.cohort_day, r.day) // 7),
+    cum AS (
+      SELECT cohort_week, age_week, revenue_cents,
+             sum(revenue_cents) OVER (PARTITION BY cohort_week
+                                      ORDER BY age_week) AS cum_cents
+      FROM cells)
+    SELECT c.cohort_week, c.age_week,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           CAST(c.revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST(c.cum_cents // s.n_users AS BIGINT) AS ltv_cents_per_user
+    FROM cum c JOIN cohort_sizes s USING (cohort_week)
+    """,
+)
+def w34_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-revenue-per-user curves by signup cohort: users are
+    grouped into cohort weeks by first activity, revenue lands in
+    (cohort_week, age_week) cells as exact integer cents, and each
+    cohort's running total divides by its size — the LTV readout that
+    pairs with w11's retention triangle. All arithmetic integer; the
+    cumsum runs AFTER the cell rollup, so the window moves the bounded
+    |cohorts|×|ages| grid, never the event stream.
+
+    Scale shape: one user-keyed aggregate (cohort assignment), one
+    (cohort, age)-keyed aggregate with map-side partials, a 1-row
+    min-day broadcast (the quality_sequence_gaps allowlisted class),
+    and a cohort-partitioned grid window."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    r = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = r.agg(F.min("day").alias("d0"))
+    u = r.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    uw = u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        F.expr("datediff(cohort_day, d0) div 7").alias("cohort_week"),
+        "cohort_day",
+    )
+    sizes = uw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    cells = (
+        r.join(uw, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(day, cohort_day) div 7").alias("age_week"),
+        )
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    cum = cells.withColumn("cum_cents", F.sum("revenue_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        F.col("n_users").cast("long").alias("n_users"),
+        "revenue_cents",
+        F.col("cum_cents").alias("cum_revenue_cents"),
+        F.expr("cum_cents div n_users").alias("ltv_cents_per_user"),
+    )
+
+
+@register(
+    "behavior_path_trigrams",
+    survey_ref=(
+        "[EXT] top behavioral 3-step paths (the n=3 extension of "
+        "w13_markov_transitions' pair counts — sequence-pattern mining "
+        "à la Agrawal & Srikant 1995, bounded to contiguous trigrams): "
+        "per-user event order pinned by (ts, event_id) per the w12 tie "
+        "discipline; two seq-keyed self-joins, integer counts, "
+        "deterministic (count desc, path asc) top-10"
+    ),
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS seq
+      FROM events),
+    tri AS (
+      SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS path
+      FROM s a
+      JOIN s b ON b.user_id = a.user_id AND b.seq = a.seq + 1
+      JOIN s c ON c.user_id = a.user_id AND c.seq = a.seq + 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten most-travelled contiguous 3-step event paths: per-user
+    sequences ordered by (ts, event_id) — the established duplicate-ts
+    tiebreak — then trigrams assembled by joining seq to seq+1 to
+    seq+2 within the user and counted corpus-wide.
+
+    Scale shape: ONE user-keyed window assigns seq; the two self-joins
+    key on (user_id, seq) so Catalyst reuses the window's hash
+    partitioning — no extra wide shuffle for either join at any
+    scale; the path rollup is map-side partial-aggregated and the
+    top-10 is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    a = s.select("user_id", F.col("event_type").alias("t1"), "seq")
+    b = s.select(
+        "user_id", F.col("event_type").alias("t2"), (F.col("seq") - 1).alias("seq")
+    )
+    c = s.select(
+        "user_id", F.col("event_type").alias("t3"), (F.col("seq") - 2).alias("seq")
+    )
+    tri = a.join(b, ["user_id", "seq"]).join(c, ["user_id", "seq"])
+    paths = tri.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(10)

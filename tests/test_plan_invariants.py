@@ -196,6 +196,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row max-active-day broadcast onto the per-user rollup — the
     # quality_sequence_gaps 1-row min/max class
     "behavior_rfm_segments",
+    # 1-row corpus-min-day broadcast onto the per-user cohort rollup —
+    # the quality_sequence_gaps 1-row min/max class; the cumsum window
+    # partitions by cohort over the bounded (cohort, age) grid
+    "w34_cohort_ltv",
 }
 
 
@@ -310,6 +314,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # SinglePartition exchanges are the 1-row aggregates (corpus
     # stats, θ, and the two bookkeeping counts)
     "retrieval_wand_pruning",
+    # heuristic false positive, the ext_bm25_batch class: the cumsum
+    # window partitions by cohort_week (inspect: "Window ...
+    # hashpartitioning(cohort_week"); the SinglePartition exchange is
+    # the 1-row corpus-min-day aggregate
+    "w34_cohort_ltv",
 }
 
 

@@ -20,7 +20,23 @@ def test_running_user_totals(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # applyInPandasWithState + ProcessingTimeTimeout keeps scheduling
+    # timeout-check batches, so the query never self-terminates under
+    # availableNow and a bare awaitTermination(180) burns its full
+    # timeout (measured: 193 s for 14 s of work). Poll progress until
+    # a post-data EMPTY batch has committed (all input processed, state
+    # snapshots emitted), then stop explicitly.
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] == 0 and p["batchId"] > 0:
+            break
+        time.sleep(1)
+    else:
+        raise AssertionError("stream did not drain within 180s")
+    q.stop()
     got = {
         r.user_id: r
         for r in spark.sql(
