@@ -80,7 +80,8 @@ def _gram_counts(d: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram, c): every word n-gram with its multiplicity —
     one narrow projection + posexplode, then a doc/gram-keyed partial
     aggregation (map-side combine collapses repeats before the
-    shuffle)."""
+    shuffle). Kept as the scale-probe's measured intermediate
+    (scripts/scale_probe.py:probe_rouge)."""
     return (
         d.select("doc_id", F.explode(shingle_pos_structs(F.col("text"), n)).alias("g"))
         .groupBy("doc_id", "g")
@@ -88,28 +89,40 @@ def _gram_counts(d: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _clipped(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
-    """(per-doc totals, per-pair clipped matches) for order ``n``.
+def _pair_gram_stats(d: DataFrame, n: int) -> DataFrame:
+    """Per-pair (ct, rt, m) for order ``n`` in ONE pass: candidate
+    total, reference total, and the clipped multiset intersection.
 
-    The clipped-match join keys on (doc_id arithmetic, gram): Catalyst
-    plans one exchange per side on the gram-bearing key; counts ride
-    as longs, text never shuffles beyond the gram strings themselves.
+    Because the pairing is id arithmetic (candidate 2p / reference
+    2p+1), both sides of every pair land in the SAME group of one
+    (pair_id, gram) aggregation with two conditional counts — so the
+    whole metric costs one corpus scan, one Generate, and one
+    gram-keyed shuffle. The first cut of this module computed per-doc
+    counts then self-joined candidate grams to reference grams: a
+    correct plan that Catalyst could not collapse (different parity
+    filters on each branch block exchange reuse), measured at SIX
+    corpus scans and four tokenize+gram Generates for ROUGE alone.
+    Σ least(c_cand, c_ref) over the merged rows equals the
+    inner-join clipped sum exactly — one-sided grams contribute
+    least(c, 0) = 0.
+
     At 100 TB the gram key is the same cardinality class as the
-    dedup_ngram_jaccard shingle shuffle — linear in corpus tokens."""
-    cnt = _gram_counts(d, n)
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("total"))
-    cand = cnt.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("pair_id"), "g", F.col("c").alias("c_cand")
+    dedup_ngram_jaccard shingle shuffle — linear in corpus tokens
+    (measured linear in scripts/scale_probe.py)."""
+    g = d.select(
+        "doc_id", F.explode(shingle_pos_structs(F.col("text"), n)).alias("g")
     )
-    ref = cnt.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("pair_id"), "g", F.col("c").alias("c_ref")
+    pg = g.groupBy(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "g"
+    ).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_cand"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
     )
-    match = (
-        cand.join(ref, ["pair_id", "g"])
-        .groupBy("pair_id")
-        .agg(F.sum(F.least("c_cand", "c_ref")).alias("m"))
+    return pg.groupBy("pair_id").agg(
+        F.sum("c_cand").alias("ct"),
+        F.sum("c_ref").alias("rt"),
+        F.sum(F.least("c_cand", "c_ref")).alias("m"),
     )
-    return tot, match
 
 
 def _pairs(d: DataFrame) -> DataFrame:
@@ -155,26 +168,20 @@ def eval_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision over candidate bigrams, recall over reference bigrams,
     and F1 in the single-division algebraic form 2m/(ct+rt).
 
-    Scale shape: tokenize+bigram once per doc behind a posexplode
-    Generate; ONE (pair, gram)-keyed shuffle computes the clipped
-    intersection with map-side partials; totals reuse the same gram
-    counts. No all-pairs anything — pairing is an id-arithmetic
+    Scale shape: tokenize+bigram ONCE per doc behind a posexplode
+    Generate; ONE (pair, gram)-keyed shuffle with two conditional
+    counts yields totals AND the clipped intersection together
+    (_pair_gram_stats — the single-pass rewrite that replaced a
+    6-scan self-join plan). No all-pairs anything — pairing is an
+    id-arithmetic
     equi-join, so 100 TB costs one linear shuffle of gram strings."""
     d = load(spark, sf_dir, "documents")
-    tot, match = _clipped(d, 2)
-    pairs = _pairs(d)
-    tc = tot.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("ct"))
-    tr = tot.select((F.col("doc_id") - 1).alias("pair_id"), F.col("total").alias("rt"))
-    j = (
-        pairs.join(tc, "pair_id", "left")
-        .join(tr, "pair_id", "left")
-        .join(match, "pair_id", "left")
-        .select(
-            "pair_id",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("rt", F.lit(0)).alias("rt"),
-            F.coalesce("m", F.lit(0)).alias("m"),
-        )
+    stats = _pair_gram_stats(d, 2)
+    j = _pairs(d).join(stats, "pair_id", "left").select(
+        "pair_id",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("rt", F.lit(0)).alias("rt"),
+        F.coalesce("m", F.lit(0)).alias("m"),
     )
     md = F.col("m").cast("double")
     return j.select(
@@ -253,22 +260,19 @@ def eval_bleu_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     as eval_rouge_bigram; everything after is per-pair arithmetic on
     five longs."""
     d = load(spark, sf_dir, "documents")
-    tot1, match1 = _clipped(d, 1)
-    tot2, match2 = _clipped(d, 2)
-    pairs = _pairs(d)
-    t1c = tot1.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("t1c"))
-    t1r = tot1.select(
-        (F.col("doc_id") - 1).alias("pair_id"), F.col("total").alias("t1r")
+    s1 = _pair_gram_stats(d, 1).select(
+        "pair_id",
+        F.col("ct").alias("t1c"),
+        F.col("rt").alias("t1r"),
+        F.col("m").alias("m1"),
     )
-    t2c = tot2.select(F.col("doc_id").alias("pair_id"), F.col("total").alias("t2c"))
-    m1 = match1.withColumnRenamed("m", "m1")
-    m2 = match2.withColumnRenamed("m", "m2")
+    s2 = _pair_gram_stats(d, 2).select(
+        "pair_id", F.col("ct").alias("t2c"), F.col("m").alias("m2")
+    )
     j = (
-        pairs.join(t1c, "pair_id", "left")
-        .join(t1r, "pair_id", "left")
-        .join(t2c, "pair_id", "left")
-        .join(m1, "pair_id", "left")
-        .join(m2, "pair_id", "left")
+        _pairs(d)
+        .join(s1, "pair_id", "left")
+        .join(s2, "pair_id", "left")
         .select(
             "pair_id",
             F.coalesce("t1c", F.lit(0)).alias("t1c"),

@@ -18,17 +18,18 @@ def test_rouge_bigram_clipped_counts(spark):
     cat-sat, sat-on, on-the, the-mat, mat-the. Reference bigrams (4):
     the-cat, cat-on, on-the, the-mat. Clipped matches: the-cat
     min(2,1)=1, on-the 1, the-mat 1 → 3."""
-    from shippai_knowledge_etl_spark.queries.evals import _clipped, _pairs
+    from shippai_knowledge_etl_spark.queries.evals import (
+        _pair_gram_stats,
+        _pairs,
+    )
 
     d = _frame(
         spark,
         ["the cat sat on the mat the cat", "the cat on the mat"],
     )
-    tot, match = _clipped(d, 2)
-    totals = {r["doc_id"]: r["total"] for r in tot.collect()}
-    assert totals == {0: 7, 1: 4}
-    m = {r["pair_id"]: r["m"] for r in match.collect()}
-    assert m == {0: 3}
+    row = _pair_gram_stats(d, 2).collect()
+    assert len(row) == 1 and row[0]["pair_id"] == 0
+    assert (row[0]["ct"], row[0]["rt"], row[0]["m"]) == (7, 4, 3)
     assert [r["pair_id"] for r in _pairs(d).collect()] == [0]
 
 
@@ -59,17 +60,13 @@ def test_bleu_log_hand_computed(spark):
     # drive the registered callable through a temp view-free path: the
     # query loads parquet, so instead rebuild its algebra inline via the
     # module helpers on an in-memory frame.
-    from shippai_knowledge_etl_spark.queries.evals import _clipped, _pairs
+    from shippai_knowledge_etl_spark.queries.evals import _pair_gram_stats
 
     d = _frame(spark, ["a b c", "a b b d"])
-    tot1, match1 = _clipped(d, 1)
-    tot2, match2 = _clipped(d, 2)
-    t1 = {r["doc_id"]: r["total"] for r in tot1.collect()}
-    t2 = {r["doc_id"]: r["total"] for r in tot2.collect()}
-    m1 = {r["pair_id"]: r["m"] for r in match1.collect()}
-    m2 = {r["pair_id"]: r["m"] for r in match2.collect()}
-    assert (t1, t2) == ({0: 3, 1: 4}, {0: 2, 1: 3})
-    assert (m1, m2) == ({0: 2}, {0: 1})
+    s1 = _pair_gram_stats(d, 1).collect()[0]
+    s2 = _pair_gram_stats(d, 2).collect()[0]
+    assert (s1["ct"], s1["rt"], s1["m"]) == (3, 4, 2)
+    assert (s2["ct"], s2["rt"], s2["m"]) == (2, 3, 1)
     expected = (
         2 * round(min(0.0, 1.0 - 4 / 3), 6)
         + round(math.log(3 / 4), 6)
