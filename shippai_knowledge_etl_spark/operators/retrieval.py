@@ -1441,6 +1441,15 @@ def bm25_wand_topk(
             ),
         )
     )
+    # the weighted postings are REUSED by four consumers (UB, champion
+    # θ, the bound pivot, the survivor evaluation); without a barrier
+    # Catalyst re-plans the whole corpus explode for each — measured
+    # 27 FileScans / 18 Generates in the first cut. The frame holds
+    # only query-term postings (|q|·df rows, index-sized, tiny next to
+    # the corpus), so a lazy localCheckpoint materializes it once on
+    # first use and every consumer reads it back — 2 corpus scans
+    # total, matching the "postings index at rest" scale posture.
+    weighted = weighted.localCheckpoint(eager=False)
     ub = weighted.groupBy("term").agg(F.max("w").alias("ub"))
     champ_rank = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
     champ_scores = pivot_score(
@@ -1479,3 +1488,99 @@ def bm25_wand_topk(
         .limit(k)
     )
     return final.crossJoin(F.broadcast(n_bound)).crossJoin(F.broadcast(n_surv))
+
+
+def bm25_champion_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    champions: int = 32,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Champion-list top-k and exhaustive top-k side by side, rank by
+    rank, from ONE weighted-postings frame — the comparison harness
+    for :func:`bm25_champion_topk`'s pruning trade. Running the two
+    operators separately re-plans the corpus explode for each path
+    (measured 5 FileScans); here the query-term postings are weighted
+    once, lazily localCheckpointed (they are index-sized — |q|·df
+    rows), and both rankings read the same materialization: 2 corpus
+    scans total (postings + corpus stats).
+
+    Output: (rank, cl_doc_id, cl_bm25, exact_doc_id, exact_bm25,
+    same_doc); the rank windows run after each path's
+    TakeOrderedAndProject cut, ≤k rows each.
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+    weighted = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w10 = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    champ = weighted.withColumn(
+        "champ_rank",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+        ),
+    ).filter(F.col("champ_rank") <= champions)
+    cl = (
+        pivot_score(champ, id_col, query_terms)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w10))
+        .select(
+            "rank",
+            F.col(id_col).alias("cl_doc_id"),
+            F.col("bm25").alias("cl_bm25"),
+        )
+    )
+    full = (
+        pivot_score(weighted, id_col, query_terms)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w10))
+        .select(
+            "rank",
+            F.col(id_col).alias("exact_doc_id"),
+            F.col("bm25").alias("exact_bm25"),
+        )
+    )
+    return cl.join(full, "rank").select(
+        "rank",
+        "cl_doc_id",
+        "cl_bm25",
+        "exact_doc_id",
+        "exact_bm25",
+        (F.col("cl_doc_id") == F.col("exact_doc_id")).alias("same_doc"),
+    )

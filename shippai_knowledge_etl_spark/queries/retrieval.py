@@ -1387,36 +1387,13 @@ def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one vocabulary-filtered explode feeds both paths;
     the champion cut is a term-partitioned window (WindowGroupLimit,
     never a global sort); both top-10s are TakeOrderedAndProject; the
-    rank join moves 10 rows. operators/retrieval.py:bm25_champion_topk."""
-    from pyspark.sql import Window
-
+    rank join moves 10 rows; both paths read ONE lazily-checkpointed
+    weighted-postings frame (operators/retrieval.py:
+    bm25_champion_vs_exact — 2 corpus scans, vs 5 when the paths
+    planned independently)."""
     d = load(spark, sf_dir, "documents")
-    w10 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    cl = (
-        retrieval.bm25_champion_topk(d, "doc_id", "text", QUERY_TERMS, 10)
-        .withColumn("rank", F.row_number().over(w10))
-        .select(
-            "rank",
-            F.col("doc_id").alias("cl_doc_id"),
-            F.col("bm25").alias("cl_bm25"),
-        )
-    )
-    full = (
-        retrieval.bm25_topk(d, "doc_id", "text", QUERY_TERMS, 10)
-        .withColumn("rank", F.row_number().over(w10))
-        .select(
-            "rank",
-            F.col("doc_id").alias("exact_doc_id"),
-            F.col("bm25").alias("exact_bm25"),
-        )
-    )
-    return cl.join(full, "rank").select(
-        "rank",
-        "cl_doc_id",
-        "cl_bm25",
-        "exact_doc_id",
-        "exact_bm25",
-        (F.col("cl_doc_id") == F.col("exact_doc_id")).alias("same_doc"),
+    return retrieval.bm25_champion_vs_exact(
+        d, "doc_id", "text", QUERY_TERMS, 10, champions=32
     )
 
 

@@ -3884,12 +3884,20 @@ def w34_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    m = r.agg(F.min("day").alias("d0"))
     u = r.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    uw = u.crossJoin(F.broadcast(m)).select(
-        "user_id",
-        F.expr("datediff(cohort_day, d0) div 7").alias("cohort_week"),
-        "cohort_day",
+    # the corpus min day IS the min over per-user minima — deriving it
+    # from u (user-sized) instead of r saves an event scan; uw is
+    # reused by the sizes rollup and the cell join, so a lazy
+    # localCheckpoint keeps the event table at two scans total
+    m = u.agg(F.min("cohort_day").alias("d0"))
+    uw = (
+        u.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            F.expr("datediff(cohort_day, d0) div 7").alias("cohort_week"),
+            "cohort_day",
+        )
+        .localCheckpoint(eager=False)
     )
     sizes = uw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
     cells = (
@@ -3945,29 +3953,24 @@ def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak — then trigrams assembled by joining seq to seq+1 to
     seq+2 within the user and counted corpus-wide.
 
-    Scale shape: ONE user-keyed window assigns seq; the two self-joins
-    key on (user_id, seq) so Catalyst reuses the window's hash
-    partitioning — no extra wide shuffle for either join at any
-    scale; the path rollup is map-side partial-aggregated and the
-    top-10 is TakeOrderedAndProject."""
+    Scale shape: ONE user-keyed window pass (lead(1), lead(2) share
+    the same frame — one shuffle, one sort); the path rollup is
+    map-side partial-aggregated and the top-10 is
+    TakeOrderedAndProject. The oracle keeps the seq-keyed self-join
+    form as an independent derivation of the same trigrams."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    s = e.select(
-        "user_id",
-        "event_type",
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("seq"),
-    )
-    a = s.select("user_id", F.col("event_type").alias("t1"), "seq")
-    b = s.select(
-        "user_id", F.col("event_type").alias("t2"), (F.col("seq") - 1).alias("seq")
-    )
-    c = s.select(
-        "user_id", F.col("event_type").alias("t3"), (F.col("seq") - 2).alias("seq")
-    )
-    tri = a.join(b, ["user_id", "seq"]).join(c, ["user_id", "seq"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # lead() assembles the trigram inside ONE user-keyed window pass —
+    # the seq-keyed self-join form (the oracle's independent
+    # derivation) re-planned the event scan and the ranking window
+    # once per joined side (3 FileScans / 3 Windows measured)
+    tri = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
     paths = tri.select(
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
