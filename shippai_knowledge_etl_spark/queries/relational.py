@@ -2358,3 +2358,72 @@ def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("dict"))
         .alias("recommendation"),
     )
+
+
+@register(
+    "layout_compaction_advisor",
+    survey_ref=(
+        "[EXT] small-files compaction planning (the lakehouse OPTIMIZE "
+        "sizing pass — Delta/Iceberg bin-packing's relational core): "
+        "per source, bytes-proportional target file counts at a 64 KiB "
+        "demo target, fill percentage, and the write-amplification "
+        "ratio of compacting now vs leaving one file per doc — pure "
+        "integer ceil-division arithmetic on a bounded rollup"
+    ),
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(n_chars) AS total_bytes,
+             max(n_chars) AS max_doc_bytes
+      FROM documents GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST((total_bytes + 65535) // 65536 AS BIGINT) AS files_needed,
+           CAST((total_bytes * 100)
+                // (((total_bytes + 65535) // 65536) * 65536) AS BIGINT)
+             AS fill_pct,
+           CAST(n_docs // ((total_bytes + 65535) // 65536) AS BIGINT)
+             AS docs_per_file,
+           CAST(max_doc_bytes AS BIGINT) AS max_doc_bytes,
+           max_doc_bytes > 65536 AS has_oversize_doc
+    FROM s
+    """,
+)
+def layout_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE sizing readout: for each source partition, how
+    many target-size files its bytes pack into (ceil division at the
+    64 KiB demo target — production uses 128 MB-1 GB, the arithmetic
+    is identical), the resulting fill percentage, how many of today's
+    one-doc files collapse into each compacted file, and whether any
+    single document exceeds the target (it then becomes its own file
+    regardless — the flag the planner must respect before bin
+    packing). All integer ceil/floor arithmetic on non-negative
+    operands, engine-exact.
+
+    Scale shape: ONE source-keyed aggregate with map-side partials —
+    the advisor reads table statistics, never file contents; at 100 TB
+    this is the metadata pass that decides which partitions are worth
+    rewriting."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.max("n_chars").alias("max_doc_bytes"),
+    )
+    files = F.expr("(total_bytes + 65535) div 65536")
+    return s.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        files.alias("files_needed"),
+        F.expr(
+            "(total_bytes * 100) div (((total_bytes + 65535) div 65536) * 65536)"
+        ).alias("fill_pct"),
+        F.expr("n_docs div ((total_bytes + 65535) div 65536)").alias(
+            "docs_per_file"
+        ),
+        F.col("max_doc_bytes").cast("long").alias("max_doc_bytes"),
+        (F.col("max_doc_bytes") > 65536).alias("has_oversize_doc"),
+    )

@@ -3975,3 +3975,122 @@ def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     return paths.orderBy(F.desc("n"), F.asc("path")).limit(10)
+
+
+# one scaled-integer power-iteration round over the bounded transition
+# grid: pi'[j] = sum_i (pi[i] * C[i][j]) div rowsum[i] — per-term
+# truncating division on non-negative operands, bit-identical across
+# engines (the pagerank discipline on a |types|-sized chain)
+_MARKOV_STEP = """
+    pi{i} AS (
+      SELECT t.b AS event_type,
+             CAST(sum((p.mass * t.c) // r.rowsum) AS BIGINT) AS mass
+      FROM trans t
+      JOIN pi{p} p ON p.event_type = t.a
+      JOIN rowsums r ON r.a = t.a
+      GROUP BY t.b)
+"""
+
+
+@register(
+    "behavior_markov_stationary",
+    survey_ref=(
+        "[EXT] stationary distribution of the event-type Markov chain "
+        "(the long-run companion to w13_markov_transitions): 3 "
+        "power-iteration rounds in ×1e6 scaled-integer arithmetic over "
+        "the bounded |types|² transition grid, unrolled as oracle CTEs "
+        "(the pagerank/k-core convention); transition order pinned by "
+        "(ts, event_id) per the w12 tie discipline"
+    ),
+    oracle=(
+        """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT event_type AS a, nxt AS b, count(*) AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+    rowsums AS (SELECT a, sum(c) AS rowsum FROM trans GROUP BY a),
+    types AS (SELECT DISTINCT a AS event_type FROM trans),
+    k AS (SELECT count(*) AS n FROM types),
+    pi0 AS (
+      SELECT event_type, CAST(1000000 // k.n AS BIGINT) AS mass
+      FROM types CROSS JOIN k),
+    """
+        + ",".join(_MARKOV_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+    SELECT t.event_type,
+           CAST(r.rowsum AS BIGINT) AS out_transitions,
+           p0.mass AS mass_uniform,
+           CAST(coalesce(p3.mass, 0) AS BIGINT) AS mass_3rounds
+    FROM types t
+    JOIN rowsums r ON r.a = t.event_type
+    JOIN pi0 p0 ON p0.event_type = t.event_type
+    LEFT JOIN pi3 p3 ON p3.event_type = t.event_type
+    """
+    ),
+)
+def behavior_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the behavioral chain settles: three exact power-iteration
+    rounds of π'ᵀ = πᵀP over the event-type transition matrix, kept in
+    ×1e6 scaled BIGINT (each term (π[i]·C[i][j]) div rowsum[i] — the
+    truncating division both engines share on non-negative ints), so a
+    fixed-round run is CTE-unrollable and hash-exact. The chain here
+    mixes fast (event types are nearly independent draws), so three
+    rounds already sit at the stationary mix — the readout that ranks
+    types by long-run visit share rather than raw counts.
+
+    Scale shape: one user-keyed lead window collapses the stream to a
+    ≤|types|² grid; every iteration joins |types|-sized frames — at
+    100 TB the event scan is the entire cost, exactly like
+    w13_markov_transitions."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = (
+        s.groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rowsums = trans.groupBy("a").agg(F.sum("c").alias("rowsum"))
+    types = trans.select(F.col("a").alias("event_type")).distinct()
+    k = types.agg(F.count(F.lit(1)).alias("n"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "event_type", F.expr("CAST(1000000 div n AS BIGINT)").alias("mass")
+    )
+    tr = trans.join(rowsums, "a")
+    for _ in range(3):
+        pi = (
+            tr.join(pi, tr["a"] == pi["event_type"])
+            .select(
+                F.col("b"),
+                F.expr("(mass * c) div rowsum").alias("term"),
+            )
+            .groupBy(F.col("b").alias("event_type"))
+            .agg(F.sum("term").alias("mass"))
+        )
+    p0 = types.crossJoin(F.broadcast(k)).select(
+        "event_type", F.expr("CAST(1000000 div n AS BIGINT)").alias("mass_uniform")
+    )
+    return (
+        types.join(rowsums, types["event_type"] == rowsums["a"])
+        .select("event_type", F.col("rowsum").cast("long").alias("out_transitions"))
+        .join(p0, "event_type")
+        .join(
+            pi.select("event_type", F.col("mass").alias("mass_3rounds")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            "out_transitions",
+            "mass_uniform",
+            F.coalesce("mass_3rounds", F.lit(0)).cast("long").alias("mass_3rounds"),
+        )
+    )

@@ -200,6 +200,11 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # the quality_sequence_gaps 1-row min/max class; the cumsum window
     # partitions by cohort over the bounded (cohort, age) grid
     "w34_cohort_ltv",
+    # 1-row type-count broadcast onto the |types|-row dimension (the
+    # uniform π₀ seed) — every other join keys on the bounded
+    # |types|² checkpointed transition grid (curation_mixture_kl's
+    # 1-row (n, k) factor class)
+    "behavior_markov_stationary",
 }
 
 
