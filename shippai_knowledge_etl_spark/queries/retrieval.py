@@ -1472,3 +1472,134 @@ def retrieval_wand_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_wand_topk(
         d, "doc_id", "text", QUERY_TERMS, 10, champions=8
     )
+
+
+_MAXSIM_DIM = 8
+
+
+def _tok_embed_sql(tok_expr: str, d: int) -> str:
+    """DuckDB mirror of the md5-surrogate token embedding dimension:
+    integer in [-1000, 1000] from 16 bits of md5(tok || ':e<d>') —
+    the salted-md5 discipline (engine-identical md5, no xxhash)."""
+    return (
+        f"(CAST('0x' || substring(md5({tok_expr} || ':e{d}'), 1, 4) AS INT)"
+        " % 2001 - 1000)"
+    )
+
+
+def _maxsim_oracle() -> str:
+    sims = []
+    for i, t in enumerate(QUERY_TERMS):
+        parts = [
+            _tok_embed_sql(f"'{t}'", d) + " * " + _tok_embed_sql("tok", d)
+            for d in range(_MAXSIM_DIM)
+        ]
+        sims.append("             " + "\n           + ".join(parts) + f" AS s{i}")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT DISTINCT tok FROM tk),
+    emb AS (
+      SELECT tok,
+{",".join(sims)}
+      FROM vocab),
+    best AS (
+      SELECT t.doc_id,
+             max(e.s0) AS m0, max(e.s1) AS m1, max(e.s2) AS m2
+      FROM tk t JOIN emb e USING (tok)
+      GROUP BY t.doc_id)
+    SELECT doc_id,
+           CAST(m0 AS BIGINT) AS max_sim_spark,
+           CAST(m1 AS BIGINT) AS max_sim_join,
+           CAST(m2 AS BIGINT) AS max_sim_window,
+           CAST(m0 + m1 + m2 AS BIGINT) AS maxsim_score
+    FROM best
+    ORDER BY maxsim_score DESC, doc_id ASC LIMIT 15
+    """
+
+
+@register(
+    "retrieval_maxsim_late_interaction",
+    survey_ref=(
+        "[EXT] late-interaction MaxSim scoring (ColBERT, Khattab & "
+        "Zaharia 2020, with md5-surrogate token embeddings standing in "
+        "for the learned ones): score(q, d) = Σ_{t∈q} max_{tok∈d} "
+        "⟨E(t), E(tok)⟩ — per-token rather than pooled similarity; "
+        "embeddings are 8-dim integers from the salted-md5 discipline, "
+        "so dot products, maxes and the fixed-order score sum are ALL "
+        "integer-exact and the gate hashes the full ranking"
+    ),
+    # generated from QUERY_TERMS/_MAXSIM_DIM by _maxsim_oracle() so the
+    # two engines can never drift on the embedding construction
+    oracle=_maxsim_oracle(),
+)
+def retrieval_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-15 by late-interaction MaxSim: each query term finds its
+    best-matching token IN each document (the per-token interaction
+    that pooled embeddings average away), and the score sums the three
+    maxima in fixed query order. The md5-surrogate embeddings make the
+    whole computation integer: the oracle regenerates every embedding
+    dimension with the identical salted-md5 formula, so a single wrong
+    dot-product term anywhere reorders the gated ranking.
+
+    Scale shape (the ColBERT serving trade, relationally): token
+    embeddings are computed once per DISTINCT vocabulary term (the
+    |vocab|-sized frame carries 3 integer sims, not raw vectors), then
+    one tok-keyed join back to the (doc, tok) stream and one doc-keyed
+    max rollup — two linear shuffles, no per-pair vector math in the
+    corpus-sized stage. At 100 TB the vocab-sim frame is the
+    precomputed \"query-conditioned index probe\"; learned embeddings
+    would swap the md5 expression for an index lookup, nothing else
+    moves."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = tk.select("tok").distinct()
+
+    def emb(tok_col, d_i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok_col, F.lit(f":e{d_i}"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2001
+            - 1000
+        )
+
+    sims = []
+    for i, t in enumerate(QUERY_TERMS):
+        acc = None
+        for di in range(_MAXSIM_DIM):
+            term = emb(F.lit(t), di) * emb(F.col("tok"), di)
+            acc = term if acc is None else acc + term
+        sims.append(acc.alias(f"s{i}"))
+    e = vocab.select("tok", *sims)
+    best = (
+        tk.join(e, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("s0").alias("m0"),
+            F.max("s1").alias("m1"),
+            F.max("s2").alias("m2"),
+        )
+    )
+    return (
+        best.select(
+            "doc_id",
+            F.col("m0").cast("long").alias("max_sim_spark"),
+            F.col("m1").cast("long").alias("max_sim_join"),
+            F.col("m2").cast("long").alias("max_sim_window"),
+            (F.col("m0") + F.col("m1") + F.col("m2"))
+            .cast("long")
+            .alias("maxsim_score"),
+        )
+        .orderBy(F.desc("maxsim_score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
