@@ -229,8 +229,18 @@ DRIVER_WINDOW = (
     # oracle-green in tests/test_oracle_parity.py at both SFs); the
     # slot pins market-basket association mining — support/confidence/
     # lift over co-occurring event types, the behavioral family's
-    # self-join-on-bounded-keys class, previously driver-unwitnessed
-    "behavior_market_basket",
+    # self-join-on-bounded-keys class, previously driver-unwitnessed;
+    # behavior_market_basket then rotated out in round 9 (the
+    # behavioral family keeps FOUR in-window witnesses — w10 funnel,
+    # w24 interval coverage, behavior_ab_cuped, and the w3 suite's
+    # running windows — and its bounded-pair self-join class stays
+    # in-window via j8's build side and quality_chi2-style grids;
+    # market_basket itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # round-9 pairwise text-eval family's flagship — clipped bigram
+    # overlap (ROUGE-2) via the single-pass conditional (pair, gram)
+    # aggregation, a family with no prior driver row
+    "eval_rouge_bigram",
     # w1_w2_chunk_slice and o1_sort_by_num rotated out (W1/W2/O1 stay
     # witnessed in-window by case_assembly, whose scenario_struct IS
     # the O1 ordinal sort → W2 boundary slice → W1 chunk-by-3

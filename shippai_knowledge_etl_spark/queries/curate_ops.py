@@ -3236,3 +3236,131 @@ def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("within_mx", "suffix_mx") > F.col("m2"), F.lit(False)
     )
     return j.select("doc_id", "m1", "m2", (~dominated).alias("on_frontier"))
+
+
+@register(
+    "quality_expectation_suite",
+    survey_ref=(
+        "[EXT] declarative expectation-suite audit (the "
+        "great_expectations/dbt-test pattern): six assertions over "
+        "orders — positivity, date range, value-set membership, "
+        "not-null, format regex, key uniqueness — evaluated in ONE "
+        "scan as conditional integer sums and unpivoted to one gated "
+        "row per expectation; regex restricted to the RE2/Java-"
+        "identical subset (the ext_pii_redact discipline)"
+    ),
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS v_price_positive,
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                        OR o_orderdate >= TIMESTAMP '2002-01-01'
+                      THEN 1 ELSE 0 END) AS v_date_range,
+             sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS v_status_set,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS v_custkey_notnull,
+             sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                              '^[1-5]-[A-Z]+$')
+                      THEN 1 ELSE 0 END) AS v_priority_format,
+             count(*) - count(DISTINCT o_orderkey) AS v_key_unique
+      FROM orders)
+    SELECT e.expectation,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(CASE e.expectation
+                WHEN 'price_positive' THEN a.v_price_positive
+                WHEN 'date_in_range' THEN a.v_date_range
+                WHEN 'status_in_set' THEN a.v_status_set
+                WHEN 'custkey_not_null' THEN a.v_custkey_notnull
+                WHEN 'priority_format' THEN a.v_priority_format
+                ELSE a.v_key_unique END AS BIGINT) AS n_violations,
+           CASE e.expectation
+                WHEN 'price_positive' THEN a.v_price_positive
+                WHEN 'date_in_range' THEN a.v_date_range
+                WHEN 'status_in_set' THEN a.v_status_set
+                WHEN 'custkey_not_null' THEN a.v_custkey_notnull
+                WHEN 'priority_format' THEN a.v_priority_format
+                ELSE a.v_key_unique END = 0 AS passed
+    FROM a CROSS JOIN (
+      SELECT unnest(['price_positive', 'date_in_range', 'status_in_set',
+                     'custkey_not_null', 'priority_format',
+                     'key_unique']) AS expectation) e
+    """,
+)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-contract audit: every expectation is a
+    conditional integer sum inside a single global aggregate (plus one
+    exact distinct count for uniqueness), then the 1-row result
+    unpivots onto the fixed 6-row expectation dimension — so the audit
+    of a 100 TB table costs its scan, and adding an expectation adds a
+    column to the aggregate, not a pass over the data. The violation
+    counts (not just pass/fail booleans) are the gated values, so the
+    audit's arithmetic is verified, not only its verdicts.
+
+    Scale shape: ONE map-side-combined global aggregate; the unpivot
+    is a 1-row × 6-literal-row broadcast cross (the f14
+    fixed-dimension class)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_price_positive"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2002-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v_date_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_status_set"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "v_custkey_notnull"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"), 1
+            ).otherwise(0)
+        ).alias("v_priority_format"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "v_key_unique"
+        ),
+    )
+    exps = spark.createDataFrame(
+        [
+            ("price_positive",),
+            ("date_in_range",),
+            ("status_in_set",),
+            ("custkey_not_null",),
+            ("priority_format",),
+            ("key_unique",),
+        ],
+        "expectation string",
+    )
+    j = a.crossJoin(F.broadcast(exps))
+    viol = (
+        F.when(F.col("expectation") == "price_positive", F.col("v_price_positive"))
+        .when(F.col("expectation") == "date_in_range", F.col("v_date_range"))
+        .when(F.col("expectation") == "status_in_set", F.col("v_status_set"))
+        .when(
+            F.col("expectation") == "custkey_not_null",
+            F.col("v_custkey_notnull"),
+        )
+        .when(
+            F.col("expectation") == "priority_format",
+            F.col("v_priority_format"),
+        )
+        .otherwise(F.col("v_key_unique"))
+    )
+    return j.select(
+        "expectation",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        viol.cast("long").alias("n_violations"),
+        (viol == 0).alias("passed"),
+    )

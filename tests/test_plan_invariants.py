@@ -205,6 +205,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # |types|² checkpointed transition grid (curation_mixture_kl's
     # 1-row (n, k) factor class)
     "behavior_markov_stationary",
+    # 1-row audit aggregate × 6-literal-row expectation dimension —
+    # the f14 fixed-dimension unpivot class
+    "quality_expectation_suite",
 }
 
 
