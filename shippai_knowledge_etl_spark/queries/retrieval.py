@@ -1572,14 +1572,22 @@ def retrieval_maxsim_late_interaction(
             - 1000
         )
 
+    # materialize each token-embedding dimension ONCE as a column
+    # (Catalyst does not CSE the md5 chain across the three sim
+    # aliases — the inlined form ran 24 md5s/token, this one 8;
+    # measured 5.5 s -> ~2 s warm at sf0.1); the query-side embeddings
+    # emb(lit(term), d) are constant-folded at plan time, zero runtime
+    dims = vocab.select(
+        "tok", *[emb(F.col("tok"), di).alias(f"d{di}") for di in range(_MAXSIM_DIM)]
+    )
     sims = []
     for i, t in enumerate(QUERY_TERMS):
         acc = None
         for di in range(_MAXSIM_DIM):
-            term = emb(F.lit(t), di) * emb(F.col("tok"), di)
+            term = emb(F.lit(t), di) * F.col(f"d{di}")
             acc = term if acc is None else acc + term
         sims.append(acc.alias(f"s{i}"))
-    e = vocab.select("tok", *sims)
+    e = dims.select("tok", *sims)
     best = (
         tk.join(e, "tok")
         .groupBy("doc_id")
