@@ -2381,11 +2381,13 @@ def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(total_bytes AS BIGINT) AS total_bytes,
            CAST((total_bytes + 65535) // 65536 AS BIGINT) AS files_needed,
-           CAST((total_bytes * 100)
-                // (((total_bytes + 65535) // 65536) * 65536) AS BIGINT)
-             AS fill_pct,
-           CAST(n_docs // ((total_bytes + 65535) // 65536) AS BIGINT)
-             AS docs_per_file,
+           CASE WHEN total_bytes > 0 THEN
+             CAST((total_bytes * 100)
+                  // (((total_bytes + 65535) // 65536) * 65536) AS BIGINT)
+             END AS fill_pct,
+           CASE WHEN total_bytes > 0 THEN
+             CAST(n_docs // ((total_bytes + 65535) // 65536) AS BIGINT)
+             END AS docs_per_file,
            CAST(max_doc_bytes AS BIGINT) AS max_doc_bytes,
            max_doc_bytes > 65536 AS has_oversize_doc
     FROM s
@@ -2418,12 +2420,20 @@ def layout_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("total_bytes").cast("long").alias("total_bytes"),
         files.alias("files_needed"),
-        F.expr(
-            "(total_bytes * 100) div (((total_bytes + 65535) div 65536) * 65536)"
+        # all-empty-docs guard (files_needed = 0): Spark's ANSI div
+        # RAISES on zero divisors where DuckDB yields NULL — explicit
+        # CASE on both sides (the ADVICE structural-parity class)
+        F.when(
+            F.col("total_bytes") > 0,
+            F.expr(
+                "(total_bytes * 100)"
+                " div (((total_bytes + 65535) div 65536) * 65536)"
+            ),
         ).alias("fill_pct"),
-        F.expr("n_docs div ((total_bytes + 65535) div 65536)").alias(
-            "docs_per_file"
-        ),
+        F.when(
+            F.col("total_bytes") > 0,
+            F.expr("n_docs div ((total_bytes + 65535) div 65536)"),
+        ).alias("docs_per_file"),
         F.col("max_doc_bytes").cast("long").alias("max_doc_bytes"),
         (F.col("max_doc_bytes") > 65536).alias("has_oversize_doc"),
     )

@@ -3638,10 +3638,10 @@ def behavior_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
            round((1.959964 + 0.841621)
                  * sqrt(2.0 * pbar * (1.0 - pbar) / n_a), 6) AS mde_abs,
-           CAST(ceil(
+           CASE WHEN pa <> pb THEN CAST(ceil(
              pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
                  + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)), 2)
-             / ((pa - pb) * (pa - pb))) AS BIGINT) AS n_required_per_arm
+             / ((pa - pb) * (pa - pb))) AS BIGINT) END AS n_required_per_arm
     FROM d
     """,
 )
@@ -3682,15 +3682,22 @@ def behavior_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z_a + z_b) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar) / F.col("n_a")),
         6,
     )
-    n_req = F.ceil(
-        F.pow(
-            z_a * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
-            + z_b
-            * F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)),
-            F.lit(2),
-        )
-        / ((pa - pb) * (pa - pb))
-    ).cast("long")
+    # degenerate-input guard (the ADVICE structural-parity class):
+    # with pa == pb the divisor is 0 — Spark's ANSI mode RAISES on
+    # division by zero while DuckDB yields NULL, so the guard must be
+    # an explicit CASE on BOTH sides, not an incidental NULL
+    n_req = F.when(
+        pa != pb,
+        F.ceil(
+            F.pow(
+                z_a * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+                + z_b
+                * F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)),
+                F.lit(2),
+            )
+            / ((pa - pb) * (pa - pb))
+        ).cast("long"),
+    )
     return s.select(
         "n_a",
         "c_a",

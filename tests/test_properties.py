@@ -398,3 +398,40 @@ def test_min_cover_span_equals_bruteforce_random(spark, docs, n_terms):
         if s is not None
     }
     assert got == want
+
+
+def test_compaction_advisor_zero_byte_guard(spark):
+    """Degenerate-input parity (the ADVICE structural class): a source
+    whose docs are all empty has files_needed = 0 — the ratio columns
+    must be NULL via the explicit guard, not a division error (Spark
+    ANSI raises on x div 0 where DuckDB yields NULL)."""
+    from pyspark.sql import functions as F
+
+    s = spark.createDataFrame(
+        [("empty", 3, 0, 0), ("full", 2, 70000, 60000)],
+        "source string, n_docs long, total_bytes long, max_doc_bytes long",
+    )
+    files = F.expr("(total_bytes + 65535) div 65536")
+    out = {
+        r["source"]: r
+        for r in s.select(
+            "source",
+            files.alias("files_needed"),
+            F.when(
+                F.col("total_bytes") > 0,
+                F.expr(
+                    "(total_bytes * 100)"
+                    " div (((total_bytes + 65535) div 65536) * 65536)"
+                ),
+            ).alias("fill_pct"),
+            F.when(
+                F.col("total_bytes") > 0,
+                F.expr("n_docs div ((total_bytes + 65535) div 65536)"),
+            ).alias("docs_per_file"),
+        ).collect()
+    }
+    assert out["empty"]["files_needed"] == 0
+    assert out["empty"]["fill_pct"] is None
+    assert out["empty"]["docs_per_file"] is None
+    assert out["full"]["files_needed"] == 2
+    assert out["full"]["fill_pct"] == 53
