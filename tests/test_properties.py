@@ -435,3 +435,25 @@ def test_compaction_advisor_zero_byte_guard(spark):
     assert out["empty"]["docs_per_file"] is None
     assert out["full"]["files_needed"] == 2
     assert out["full"]["fill_pct"] == 53
+
+
+def test_foreign_timezone_session_parity(spark, sf_dir):
+    """The external driver passes its OWN SparkSession, possibly with a
+    non-UTC session timezone; tables.load must pin UTC back so
+    date-cast buckets (cohort days, RFM recency, decay ages) don't
+    shift. Run the ts-dependent round-9 queries through a Tokyo-TZ
+    sibling session and require row-identical results."""
+    import __spark_entry__ as e
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    qs = e.queries()
+    for name in (
+        "w34_cohort_ltv",
+        "behavior_rfm_segments",
+        "ext_decayed_counts",
+        "behavior_path_trigrams",
+    ):
+        a = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, qs[name](s2, sf_dir).collect()))
+        assert a == b, name
