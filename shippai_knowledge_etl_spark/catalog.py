@@ -386,6 +386,29 @@ DRIVER_WINDOW = (
 )
 
 
+# sf0.01 parity cohort (VERDICT r9 item 1): every query ADDED this
+# round, or whose Spark/oracle algebra CHANGED this round, is listed
+# here and gets a COMMITTED sf0.01 oracle-parity run
+# (tests/test_oracle_parity.py::test_oracle_parity_round_cohort) — the
+# eval_bleu_log ulp-straddle class only surfaces above sf0.001, and
+# before round 10 only the 50 window queries were pinned at sf0.01.
+# Registration order is not chronological (load_catalog groups by
+# module), so the cohort is explicit names, not an index watermark.
+# Reset to the new round's names when a round closes; the old cohort
+# keeps sf0.001 regression coverage via test_oracle_parity plus
+# whatever window slots it holds.
+NEW_IN_ROUND: tuple[str, ...] = (
+    # r10 algebra changes (round-9 ADVICE):
+    "retrieval_wand_pruning",  # DECIMAL ub_sum + ε-widened survivor filter
+    "behavior_power_mde",  # H1 term pow(x,2) → x*x on both engines
+    "eval_bleu_log",  # body extracted to _bleu_log_frame (test hook)
+    # r10 demo-graph sizing moved caller-side (operators action-free):
+    "graph_personalized_pagerank",
+    "graph_negative_edges",
+    "graph_bfs_closeness",
+)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -14,6 +14,14 @@ Spark and DuckDB, so a fixed-iteration run is exactly oracle-checkable
 — no float summation-order drift, no decimal-rounding-mode mismatch.
 The residue the damping division drops (< 100 units per node per
 round) is far below any ranking-relevant difference.
+
+Docstring convention (round-9 verdict item 7): operator functions take
+edge lists plus PRECOMPUTED sizes (``n_nodes`` / ``n_seeds`` ints) and
+never trigger Spark actions at plan-build — sizing counts belong to
+the query wrapper (where a demo graph is being synthesized) or to the
+caller's catalog stats (where a real edge list arrives). The one
+sanctioned action in this module is ``pagerank_until``'s per-round
+convergence probe, which is the operator's semantics, not sizing.
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ def pagerank(
     n_iters: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int = 1,
-    n_nodes: int | None = None,
+    *,
+    n_nodes: int,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (``nodes``: col ``id``;
     ``edges``: cols ``src``, ``dst``), returning (id, rank_scaled).
@@ -51,7 +60,7 @@ def pagerank(
     """
     edges = edges.filter(F.col("src") != F.col("dst"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = nodes.count() if n_nodes is None else n_nodes
+    n = n_nodes  # caller-supplied: operators never trigger sizing actions
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank_scaled"))
     base = SCALE // n
@@ -100,6 +109,8 @@ def pagerank_until(
     tol_scaled: int = 1_000_000,  # 1e-6 in rank units
     max_iters: int = 50,
     damping_pct: int = 85,
+    *,
+    n_nodes: int,
 ) -> DataFrame:
     """Convergence-terminated PageRank: iterate single rounds (each via
     :func:`pagerank` with the shared integer arithmetic) until the max
@@ -113,7 +124,7 @@ def pagerank_until(
     need oracle checkability use :func:`pagerank` directly; this form
     is for production runs where iteration count is data-dependent.
     """
-    n = nodes.count()
+    n = n_nodes  # caller-supplied (module docstring convention)
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank_scaled"))
     ranks = nodes.select(
@@ -557,6 +568,8 @@ def negative_edges(
     edges: DataFrame,
     k: int = 2,
     salt: str = "negedge",
+    *,
+    n_nodes: int,
 ) -> DataFrame:
     """Link-prediction training pairs: every observed (undirected,
     canonicalized) edge labeled 1, plus up to ``k`` DETERMINISTIC
@@ -577,9 +590,9 @@ def negative_edges(
     Scale: negatives derive from the edge list by a narrow map
     (explode ×k + hash mod n); the false-negative filter is one
     anti-join on the canonical edge key; no node-side shuffle at all
-    when ``n_nodes`` comes in as a literal — here it is computed once
-    from the nodes table (driver count, the pagerank convention)."""
-    n_nodes = nodes.count()
+    when ``n_nodes`` comes in as a literal — and it always does: the
+    caller supplies the node count (module docstring convention), so
+    this operator plans zero actions and no node-side shuffle."""
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -704,7 +717,8 @@ def personalized_pagerank(
     n_iters: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int = 1,
-    n_seeds: int | None = None,
+    *,
+    n_seeds: int,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank (Haveliwala 2002): the
     teleport mass returns ONLY to the seed set instead of the whole
@@ -722,7 +736,7 @@ def personalized_pagerank(
     shuffle."""
     edges = edges.filter(F.col("src") != F.col("dst"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    s = seeds.count() if n_seeds is None else n_seeds
+    s = n_seeds  # caller-supplied: operators never trigger sizing actions
     if s == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank_scaled"))
     base = SCALE // s

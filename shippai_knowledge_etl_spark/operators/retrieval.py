@@ -1393,9 +1393,24 @@ def bm25_wand_topk(
     its k-th best score is ACHIEVED by a real document with at most
     its full score, so θ lower-bounds the true k-th score — pruning
     strictly below θ can never evict a true top-k member. The returned
-    top-k is therefore bit-identical to exhaustive evaluation (pinned
-    by pytest and by construction), while the evaluated candidate set
-    shrinks to the docs whose bound clears θ.
+    top-k is therefore identical to exhaustive evaluation (pinned by
+    pytest), while the evaluated candidate set shrinks to the docs
+    whose bound clears θ.
+
+    Rounding accounting (the survivor filter is hash-gated via
+    n_survivors, so membership must be round-6-STABLE on both engines
+    AND rank-safety must survive the rounding): every per-term UB is
+    round(·, 6) and the per-doc bound is assembled in DECIMAL(18,6)
+    in fixed query order (the eval_bleu_log pattern — no cross-engine
+    double-sum ulp flips), and θ is the round-6 champion score cast to
+    the same DECIMAL. Both quantities can sit up to 5e-7 off their
+    true values (θ can round UP past the achieved score; each rounded
+    UB can round DOWN below the true bound), so the comparison widens
+    by ε = ceil((|q| + 1) / 2) µ — ΣUB ≥ θ − ε. Then for a true top-k
+    doc: ΣUB_rounded ≥ ΣUB_true − |q|·5e-7 ≥ score_true − |q|·5e-7 ≥
+    θ_true − |q|·5e-7 ≥ θ_rounded − (|q|+1)·5e-7 ≥ θ_rounded − ε, so
+    it always survives: the filter only ever ADMITS a few extra
+    boundary docs, never prunes a true member.
 
     Returns the top-k rows plus constant bookkeeping columns
     (n_docs_scored_bound, n_survivors) so the pruning ratio is data
@@ -1450,7 +1465,12 @@ def bm25_wand_topk(
     # first use and every consumer reads it back — 2 corpus scans
     # total, matching the "postings index at rest" scale posture.
     weighted = weighted.localCheckpoint(eager=False)
-    ub = weighted.groupBy("term").agg(F.max("w").alias("ub"))
+    # round-6 then DECIMAL: survivor membership feeds the gate, so the
+    # bound assembly must be ulp-stable across engines (docstring
+    # "Rounding accounting"; README Engineering notes)
+    ub = weighted.groupBy("term").agg(
+        F.round(F.max("w"), 6).cast("decimal(18,6)").alias("ub")
+    )
     champ_rank = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
     champ_scores = pivot_score(
         weighted.withColumn("champ_rank", F.row_number().over(champ_rank))
@@ -1470,14 +1490,19 @@ def bm25_wand_topk(
             for i, t in enumerate(query_terms)
         ]
     )
+    zero_dec = F.lit("0").cast("decimal(18,6)")
     ub_sum = None
     for i in range(len(query_terms)):
-        piece = F.coalesce(F.col(f"ub_{i}"), F.lit(0.0))
+        piece = F.coalesce(F.col(f"ub_{i}"), zero_dec)
         ub_sum = piece if ub_sum is None else ub_sum + piece
     bound = bound.select(id_col, ub_sum.alias("ub_sum"))
     n_bound = bound.agg(F.count(F.lit(1)).alias("n_docs_scored_bound"))
+    # ε = ceil((|q|+1)/2) micro-quanta — covers θ rounding UP by 5e-7
+    # plus |q| UBs each rounding DOWN by 5e-7 (docstring proof)
+    eps_micros = (len(query_terms) + 2) // 2
+    eps = F.lit(f"0.{eps_micros:06d}").cast("decimal(18,6)")
     survivors = bound.crossJoin(F.broadcast(theta)).filter(
-        F.col("ub_sum") >= F.col("theta")
+        F.col("ub_sum") >= F.col("theta").cast("decimal(18,6)") - eps
     )
     n_surv = survivors.agg(F.count(F.lit(1)).alias("n_survivors"))
     final = (

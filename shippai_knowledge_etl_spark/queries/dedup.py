@@ -1079,7 +1079,7 @@ def graph_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
     nodes = d.select(i.alias("id"))
-    return negative_edges(nodes, edges, k=2)
+    return negative_edges(nodes, edges, k=2, n_nodes=n)
 
 
 @register(
@@ -1883,7 +1883,11 @@ def graph_personalized_pagerank(
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
     ).unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
-    ranks = personalized_pagerank(nodes, edges, seeds, n_iters=3)
+    # |S| in closed form: seeds are ids {0, 50, 100, ...} < n, so
+    # ceil(n/50) — no second sizing action beyond the demo-graph count
+    ranks = personalized_pagerank(
+        nodes, edges, seeds, n_iters=3, n_seeds=(n + 49) // 50
+    )
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("rank_scaled").cast("long")
     )
@@ -1960,6 +1964,10 @@ def graph_bfs_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import multi_source_bfs
 
     d = load(spark, sf_dir, "documents")
+    # demo-graph sizing action lives HERE, in the query wrapper — the
+    # edge list is synthesized modulo n so the count is part of graph
+    # construction, not of multi_source_bfs (which takes edge lists
+    # and never triggers actions; operators/graph.py module convention)
     n = d.count()
     i = F.col("doc_id")
     edges = d.select(

@@ -259,7 +259,15 @@ def eval_bleu_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent gram-keyed shuffles over the SAME tokenize pass class
     as eval_rouge_bigram; everything after is per-pair arithmetic on
     five longs."""
-    d = load(spark, sf_dir, "documents")
+    return _bleu_log_frame(load(spark, sf_dir, "documents"))
+
+
+def _bleu_log_frame(d: DataFrame) -> DataFrame:
+    """Frame-level BLEU-2 body shared by the registered query (real
+    corpus) and the hand-computed unit fixture (in-memory 2-doc frame,
+    tests/test_evals.py) — so the round-then-DECIMAL assembly and the
+    brevity guard are unit-tested on the exact production select, not
+    a re-derivation."""
     s1 = _pair_gram_stats(d, 1).select(
         "pair_id",
         F.col("ct").alias("t1c"),

@@ -1404,9 +1404,11 @@ def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank-SAFE: per-term max-weight bounds + a champion-list "
         "θ estimate cut the scored candidate set, and the returned "
         "top-10 is provably identical to exhaustive evaluation "
-        "(θ is an achieved score, so ΣUB < θ cannot hold for a true "
-        "top-k member); survivor counts ride as gated columns so the "
-        "pruning ratio is measured, not argued"
+        "(θ is an achieved score and the round-6 DECIMAL bound "
+        "comparison is widened by the (|q|+1)·5e-7 rounding quantum, "
+        "so ΣUB < θ−ε cannot hold for a true top-k member); survivor "
+        "counts ride as gated columns so the pruning ratio is "
+        "measured, not argued"
     ),
     oracle=f"""
     WITH {_BM25_CTES},
@@ -1430,18 +1432,27 @@ def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(bm25) AS theta FROM (
         SELECT bm25 FROM champ_scores
         ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
-    ub AS (SELECT term, max(w) AS ub FROM weights GROUP BY term),
+    ub AS (SELECT term,
+                  CAST(round(max(w), 6) AS DECIMAL(18,6)) AS ub
+           FROM weights GROUP BY term),
     bound AS (
       SELECT w.doc_id,
-             coalesce(max(CASE WHEN w.term = 'spark' THEN u.ub END), 0)
-           + coalesce(max(CASE WHEN w.term = 'join' THEN u.ub END), 0)
-           + coalesce(max(CASE WHEN w.term = 'window' THEN u.ub END), 0)
+             coalesce(max(CASE WHEN w.term = 'spark' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'join' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'window' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
                AS ub_sum
       FROM weights w JOIN ub u USING (term) GROUP BY w.doc_id),
     nb AS (SELECT count(*) AS n_docs_scored_bound FROM bound),
     surv AS (
+      -- round-6 DECIMAL bound vs rounded theta minus the 2µ safety
+      -- quantum ((|q|+1)·5e-7 rounded up): membership is ulp-stable
+      -- AND rank-safe (operators/retrieval.py:bm25_wand_topk)
       SELECT b.doc_id FROM bound b CROSS JOIN theta t
-      WHERE b.ub_sum >= t.theta),
+      WHERE b.ub_sum >= CAST(t.theta AS DECIMAL(18,6))
+                        - CAST(0.000002 AS DECIMAL(18,6))),
     ns AS (SELECT count(*) AS n_survivors FROM surv),
     final AS (
       SELECT w.doc_id,
@@ -1460,12 +1471,13 @@ def retrieval_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retrieval_wand_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 under WAND-style candidate pruning, hash-gated end to
-    end: champion-depth-8 θ estimate, per-term max-weight upper
-    bounds, survivor filter ΣUB ≥ θ, exhaustive scoring only of
-    survivors. Safety argument in
+    end: champion-depth-8 θ estimate, per-term round-6 DECIMAL upper
+    bounds, survivor filter ΣUB ≥ θ − ε (ε = the (|q|+1)·5e-7 rounding
+    quantum), exhaustive scoring only of survivors. Safety argument in
     operators/retrieval.py:bm25_wand_topk (θ is a real document's
-    achievable score, bounds dominate true scores); the
-    equals-exhaustive property is additionally pinned by pytest.
+    achievable score, bounds dominate true scores, and ε absorbs the
+    round-6 slack on both θ and the bounds); the equals-exhaustive
+    property is additionally pinned by pytest.
     The two count columns make the evaluation-set reduction part of
     the gated result."""
     d = load(spark, sf_dir, "documents")

@@ -3639,8 +3639,10 @@ def behavior_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((1.959964 + 0.841621)
                  * sqrt(2.0 * pbar * (1.0 - pbar) / n_a), 6) AS mde_abs,
            CASE WHEN pa <> pb THEN CAST(ceil(
-             pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
-                 + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)), 2)
+             (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
+             * (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
              / ((pa - pb) * (pa - pb))) AS BIGINT) END AS n_required_per_arm
     FROM d
     """,
@@ -3653,9 +3655,13 @@ def behavior_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard two-proportion formula with pooled variance under H0
     and unpooled under H1). The z quantiles are shared 6-digit
     literals — no engine evaluates an inverse normal — and the rest is
-    divisions/sqrt/pow(·,2) on integer aggregates in identical operand
-    order, so the doubles are bit-identical (behavior_ab_test's
-    argument) and even the ceil() cannot straddle.
+    divisions/sqrt/multiplications on integer aggregates in identical
+    operand order, so the doubles are bit-identical (behavior_ab_test's
+    argument) and even the ceil() cannot straddle. The H1 numerator
+    squares via x*x, NOT pow(x, 2): *, /, sqrt are IEEE
+    exactly-rounded, but pow is correctly-rounded in neither Java's
+    Math.pow nor libm, so pow could diverge by an ulp near an integer
+    boundary and flip the gated BIGINT (round-9 ADVICE finding).
 
     Scale shape: identical to behavior_ab_test — ONE map-side-combined
     global aggregate (four conditional integer sums), then 1-row
@@ -3686,17 +3692,15 @@ def behavior_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with pa == pb the divisor is 0 — Spark's ANSI mode RAISES on
     # division by zero while DuckDB yields NULL, so the guard must be
     # an explicit CASE on BOTH sides, not an incidental NULL
+    # x*x, never pow(x, 2): multiplication is IEEE exactly-rounded so
+    # the bit-identical chain holds; pow is not correctly-rounded in
+    # Java's Math.pow or libm (round-9 ADVICE finding)
+    h1 = z_a * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar)) + z_b * F.sqrt(
+        pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)
+    )
     n_req = F.when(
         pa != pb,
-        F.ceil(
-            F.pow(
-                z_a * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
-                + z_b
-                * F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb)),
-                F.lit(2),
-            )
-            / ((pa - pb) * (pa - pb))
-        ).cast("long"),
+        F.ceil(h1 * h1 / ((pa - pb) * (pa - pb))).cast("long"),
     )
     return s.select(
         "n_a",

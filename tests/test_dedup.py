@@ -200,7 +200,9 @@ def test_pagerank_mass_and_ordering(spark):
     )
     ranks = {
         r["id"]: r["rank_scaled"]
-        for r in pagerank(nodes, edges, n_iters=10, checkpoint_every=2).collect()
+        for r in pagerank(
+            nodes, edges, n_iters=10, checkpoint_every=2, n_nodes=n
+        ).collect()
     }
     assert len(ranks) == n
     hub = ranks[0]
@@ -229,12 +231,17 @@ def test_pagerank_until_converges_and_matches_fixed(spark):
     ).unionAll(
         base.select(F.col("id").alias("src"), ((F.col("id") * 3 + 1) % n).alias("dst"))
     )
-    conv = {r["id"]: r["rank_scaled"] for r in pagerank_until(nodes, edges).collect()}
+    conv = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_until(nodes, edges, n_nodes=n).collect()
+    }
     assert len(conv) == n
     # a long fixed run lands within tolerance of the converged state
     fixed = {
         r["id"]: r["rank_scaled"]
-        for r in pagerank(nodes, edges, n_iters=40, checkpoint_every=5).collect()
+        for r in pagerank(
+            nodes, edges, n_iters=40, checkpoint_every=5, n_nodes=n
+        ).collect()
     }
     for k in conv:
         assert abs(conv[k] - fixed[k]) <= 2_000_000, (k, conv[k], fixed[k])
@@ -534,7 +541,7 @@ def test_negative_edges_are_true_non_edges(spark):
     edges = spark.createDataFrame(
         [(i, (i * 3 + 1) % 20) for i in range(20)], ["src", "dst"]
     )
-    out = negative_edges(nodes, edges, k=3).collect()
+    out = negative_edges(nodes, edges, k=3, n_nodes=20).collect()
     und = {
         (min(a, b), max(a, b))
         for a, b in [(i, (i * 3 + 1) % 20) for i in range(20)]
@@ -547,7 +554,7 @@ def test_negative_edges_are_true_non_edges(spark):
     assert len(negs) <= 3 * len(und)
     for u, v in negs:
         assert u != v and (u, v) not in und and u < v
-    out2 = negative_edges(nodes, edges, k=3).collect()
+    out2 = negative_edges(nodes, edges, k=3, n_nodes=20).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 

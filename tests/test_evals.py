@@ -54,22 +54,48 @@ def test_bleu_log_hand_computed(spark):
     'a b b d'. Unigram matches: a 1, b min(1,2)=1 → 2; bigrams: cand
     {a-b, b-c}, ref {a-b, b-b, b-d} → match 1. p1=(2+1)/(3+1),
     p2=(1+1)/(2+1), bp=min(0, 1-4/3). x2 = 2*round(bp,6) +
-    round(ln .75,6) + round(ln(2/3),6)."""
-    from shippai_knowledge_etl_spark.queries.evals import eval_bleu_log as q
+    round(ln .75,6) + round(ln(2/3),6) — assembled in DECIMAL like the
+    production select, which this drives directly via
+    _bleu_log_frame (the round-9 ADVICE fix: the old form compared the
+    hand expectation to a re-expression of itself)."""
+    from decimal import Decimal
 
-    # drive the registered callable through a temp view-free path: the
-    # query loads parquet, so instead rebuild its algebra inline via the
-    # module helpers on an in-memory frame.
-    from shippai_knowledge_etl_spark.queries.evals import _pair_gram_stats
+    from shippai_knowledge_etl_spark.queries.evals import (
+        _bleu_log_frame,
+        _pair_gram_stats,
+    )
 
     d = _frame(spark, ["a b c", "a b b d"])
     s1 = _pair_gram_stats(d, 1).collect()[0]
     s2 = _pair_gram_stats(d, 2).collect()[0]
     assert (s1["ct"], s1["rt"], s1["m"]) == (3, 4, 2)
     assert (s2["ct"], s2["rt"], s2["m"]) == (2, 3, 1)
-    expected = (
-        2 * round(min(0.0, 1.0 - 4 / 3), 6)
-        + round(math.log(3 / 4), 6)
-        + round(math.log(2 / 3), 6)
+    row = _bleu_log_frame(d).collect()
+    assert len(row) == 1 and row[0]["pair_id"] == 0
+    assert (
+        row[0]["cand_tokens"],
+        row[0]["ref_tokens"],
+        row[0]["match_unigrams"],
+        row[0]["match_bigrams"],
+    ) == (3, 4, 2, 1)
+    # exact-decimal hand assembly of the round-then-DECIMAL sum: each
+    # rounded term enters as DECIMAL(18,6), the brevity term doubled
+    expected = float(
+        2 * Decimal(str(round(min(0.0, 1.0 - 4 / 3), 6)))
+        + Decimal(str(round(math.log(3 / 4), 6)))
+        + Decimal(str(round(math.log(2 / 3), 6)))
     )
-    assert abs(expected - (2 * (1 - 4 / 3) + math.log(0.75) + math.log(2 / 3))) < 1e-5
+    assert row[0]["log_bleu2_x2"] == expected
+
+
+def test_bleu_log_empty_candidate_guard(spark):
+    """The brevity guard (cand_tokens > 0) on the production select:
+    an empty candidate yields NULL log_bleu2_x2, not a division by
+    zero (ANSI mode would raise) — the other half of the round-9
+    ADVICE coverage gap."""
+    from shippai_knowledge_etl_spark.queries.evals import _bleu_log_frame
+
+    d = _frame(spark, ["", "a b"])
+    row = _bleu_log_frame(d).collect()
+    assert len(row) == 1 and row[0]["cand_tokens"] == 0
+    assert row[0]["log_bleu2_x2"] is None

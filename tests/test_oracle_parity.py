@@ -114,6 +114,43 @@ def test_oracle_parity_driver_scale(spark, duck_sf001, spec):
     assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
 
 
+from shippai_knowledge_etl_spark.catalog import NEW_IN_ROUND as _NEW
+
+# This round's added/changed queries, sf0.01-pinned (VERDICT r9 item 1:
+# the eval_bleu_log ulp class is invisible at sf0.001). Window queries
+# are excluded — test_oracle_parity_driver_scale already runs them.
+_COHORT = [
+    _SPECS[n]
+    for n in _NEW
+    if _SPECS[n].oracle is not None and n not in _WINDOW
+]
+
+
+def test_round_cohort_names_exist():
+    ghosts = [n for n in _NEW if n not in _SPECS]
+    assert not ghosts, f"NEW_IN_ROUND names a ghost query: {ghosts}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spec", _COHORT, ids=lambda s: s.name)
+def test_oracle_parity_round_cohort(spark, duck_sf001, spec):
+    """sf0.01 parity for the round's new-operator cohort — a committed
+    regression, not a one-time manual run (the standing gap VERDICT r9
+    found). Same body as the driver-scale window check."""
+    from tests.conftest import DRIVER_SF_DIR
+
+    df = spec.fn(spark, DRIVER_SF_DIR)
+    scols, srows = _spark_rows(df)
+    dcols, drows = _duck_rows(duck_sf001, spec.oracle)
+    assert scols == dcols, f"{spec.name}: column mismatch {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{spec.name}: row count {len(srows)} != {len(drows)}"
+    )
+    sset, dset = sorted(map(repr, srows)), sorted(map(repr, drows))
+    mism = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+    assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
+
+
 @pytest.mark.parametrize("spec", _ROWS_ONLY, ids=lambda s: s.name)
 def test_rows_only_queries_run(spark, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
