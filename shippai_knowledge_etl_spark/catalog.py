@@ -70,12 +70,23 @@ DRIVER_WINDOW = (
     # ranked cuts); the slot pins the catalog's FIRST raw fact-to-fact
     # shuffle join (orders x lineitem on orderkey, nothing
     # pre-aggregable) — the join class every warehouse bucketing
-    # strategy exists to serve, previously driver-unwitnessed
-    "q12_fulfillment_latency",
+    # strategy exists to serve, previously driver-unwitnessed;
+    # q12_fulfillment_latency then rotated out in round 10 (the raw
+    # fact-to-fact shuffle-join class stays witnessed in-window by
+    # j6_asof_latest_order — events x orders, both fact-sized, joined
+    # on custkey + a non-equi date bound, nothing broadcastable — and
+    # q12 stays oracle-green in tests/test_oracle_parity.py); the slot
+    # pins PSI
+    # population-drift governance — the round-9 drift family (bounded
+    # bucket grid + shared-literal ln ratios) had no driver row
+    "quality_psi_drift",
     # j1_lookup_join rotated out (broadcast-lookup family stays
-    # witnessed in-window by j4_multiway_region_revenue, whose
-    # region→nation→customer chain IS the J1 shape, broadcast dims and
-    # all); the slot pins the new cross-document span-dedup flagship
+    # witnessed in-window by the broadcast membership probes of
+    # curation_domain_cap / curation_decontaminate; the multiway
+    # broadcast-dim chain itself moved out with j4's round-10 rotation
+    # — see the mm_wav_decode slot — and remains a PINNED BENCH
+    # HEADLINE + parity-green); the slot pins the new cross-document
+    # span-dedup flagship
     # dedup_spans rotated out (the dedup family keeps FOUR in-window
     # witnesses: minhash_verified, ngram_jaccard, clusters, and the
     # e2e pipeline's exact stage; span dedup stays oracle-green in
@@ -89,7 +100,18 @@ DRIVER_WINDOW = (
     # broadcast membership probe); the slot pins the hot-domain-cap
     # curation flagship, previously driver-unwitnessed
     "curation_domain_cap",
-    "j4_multiway_region_revenue",
+    # j4_multiway_region_revenue rotated out in round 10 (VERDICT r9
+    # item 2 sanctioned "one of q12/j4": the broadcast-dim join chain
+    # stays witnessed in-window by curation_domain_cap /
+    # curation_decontaminate's broadcast semi-joins and q1/j6's
+    # fact-side plans; j4 itself remains a PINNED BENCH HEADLINE
+    # measured every round — the strongest standing witness — and
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins the round-9 REAL audio-decode flagship: RIFF/WAVE
+    # chunk walk + exact PCM16/8 sample unpack, hash-gated by
+    # closed-form sample-sum oracles — the image codec path was
+    # witnessed (mm_png_decode), the audio path was not
+    "mm_wav_decode",
     # j5_range_join_buckets rotated out (the non-equi join family stays
     # witnessed in-window by j6_asof_latest_order — the as-of pick IS a
     # range-bounded non-equi join resolved per key — and
@@ -112,8 +134,16 @@ DRIVER_WINDOW = (
     # SFs; the slot pins the prefix-filtering all-pairs join — a
     # genuinely different candidate-generation family (global
     # frequency-ordered prefixes + PPJoin length filter + bounded
-    # verify) with no prior driver row
-    "dedup_prefix_allpairs",
+    # verify) with no prior driver row;
+    # dedup_prefix_allpairs then rotated out in round 10 (the blocked
+    # shingle-pair candidate machinery stays witnessed in-window by
+    # dedup_ngram_jaccard — same explode → owner-list → pair-count
+    # spine — and allpairs' prefix/positional filters stay oracle-green
+    # in tests/test_oracle_parity.py and SCALEPROBE-measured linear);
+    # the slot pins landmark multi-source BFS closeness — the round-9
+    # iterative frontier-expansion loop class (per-round join + (seed,
+    # node) min, bounded |landmarks|·|nodes| state) had no driver row
+    "graph_bfs_closeness",
     # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
     # w3_layout_suite's running-position cumsum); dedup_minhash_verified
     # then rotated out in round 8 (VERDICT r7 item 3: it held a driver
@@ -122,7 +152,9 @@ DRIVER_WINDOW = (
     # remain: tests/test_dedup.py pins its planted-duplicate recall and
     # its exact-verify stage IS the jaccard verification that
     # dedup_ngram_jaccard keeps hash-gated in-window; the banded
-    # candidate-bucket shape stays in-window via dedup_prefix_allpairs);
+    # candidate-bucket shape stays in-window via dedup_ngram_jaccard's
+    # blocked owner-list pair generation — dedup_prefix_allpairs held
+    # this witness until its round-10 rotation, see that slot);
     # the slot pins the k-core decomposition flagship — the graph family
     # had only PageRank in-window, and k-core's iterative peel is a
     # genuinely different loop class (monotone deletion to fixpoint vs
@@ -232,8 +264,10 @@ DRIVER_WINDOW = (
     # self-join-on-bounded-keys class, previously driver-unwitnessed;
     # behavior_market_basket then rotated out in round 9 (the
     # behavioral family keeps FOUR in-window witnesses — w10 funnel,
-    # w24 interval coverage, behavior_ab_cuped, and the w3 suite's
-    # running windows — and its bounded-pair self-join class stays
+    # behavior_ab_cuped, behavior_markov_stationary, and the w3
+    # suite's running windows [w24 interval coverage was the fourth
+    # until its round-10 rotation] — and its bounded-pair self-join
+    # class stays
     # in-window via j8's build side and quality_chi2-style grids;
     # market_basket itself stays oracle-green in
     # tests/test_oracle_parity.py at both SFs); the slot pins the
@@ -296,10 +330,12 @@ DRIVER_WINDOW = (
     # dedup_dup_passages then rotated out in round 9 (VERDICT r8
     # item 2: the dedup family keeps THREE in-window witnesses —
     # dedup_ngram_jaccard carries the positional-shingle explode +
-    # gram-keyed counting machinery, dedup_prefix_allpairs the
-    # candidate-pair generation, and w24_interval_coverage the
-    # gaps-and-islands lag + running-max + island-sum plan class that
-    # dup_passages' span assembly uses; dedup_dup_passages itself
+    # gram-keyed counting machinery and its blocked owner-list pair
+    # generation [dedup_prefix_allpairs held the candidate-pair
+    # witness until its round-10 rotation], and stream_session_replay
+    # the gaps-and-islands lag + running-max + island-sum plan class
+    # that dup_passages' span assembly uses [w24_interval_coverage
+    # held it until its round-10 rotation]; dedup_dup_passages itself
     # stays a PINNED EXTBENCH2 timing row and oracle-green in
     # tests/test_oracle_parity.py at both SFs); the slot pins the
     # CUPED variance-reduced A/B readout — the experimentation family
@@ -341,8 +377,16 @@ DRIVER_WINDOW = (
     # the slot pins interval-coverage merging — the behavioral/time-
     # series round-7 family's gaps-and-islands union of overlapping
     # intervals, a plan class (ordered lag + running max + island sum)
-    # with no prior driver row
-    "w24_interval_coverage",
+    # with no prior driver row;
+    # w24_interval_coverage then rotated out in round 10 (VERDICT r9
+    # item 2 named it: the gaps-and-islands machinery stays witnessed
+    # in-window by stream_session_replay's lag+cumsum stitch stage and
+    # partly by w10's event-time rollups; w24 stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # Markov stationary distribution — the round-9 behavioral chain's
+    # scaled-integer power-iteration fixpoint on the bounded |types|²
+    # transition grid, a loop class with no prior driver row
+    "behavior_markov_stationary",
     # simsearch_near_dup rotated out (the sign-LSH signature machinery
     # stays witnessed in-window by simsearch_hamming_topk — same packed
     # 64-bit signs + bit_count(xor) — and the bucketed-candidate
@@ -351,8 +395,19 @@ DRIVER_WINDOW = (
     # tests/test_oracle_parity.py); the slot pins the index-at-rest
     # retrieval flagship — the streaming-index family's first driver
     # row (merge → compact → BM25 answered from stored postings,
-    # gated against the full-corpus oracle)
-    "retrieval_bm25_from_index",
+    # gated against the full-corpus oracle);
+    # retrieval_bm25_from_index then rotated out in round 10 (the
+    # postings-at-rest scoring machinery stays witnessed in-window by
+    # ext_bm25_batch — the same term-filtered postings + pivot-score
+    # spine — and from_index stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs, with its index
+    # merge/compact machinery additionally pinned by
+    # tests/test_retrieval_index.py); the slot pins WAND upper-bound
+    # pruning — a
+    # genuinely new plan class (champion-list θ estimate + round-6
+    # DECIMAL bound filter ahead of exhaustive scoring, survivor
+    # counts gated as data) the round-9 verdict flagged unwitnessed
+    "retrieval_wand_pruning",
     # stream_tumbling_window rotated out in round 7 (the event-time
     # aggregation family stays witnessed in-window by
     # w10_funnel_conversion's user-keyed event-time min-aggs, and
