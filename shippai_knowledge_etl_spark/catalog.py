@@ -461,6 +461,9 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "graph_personalized_pagerank",
     "graph_negative_edges",
     "graph_bfs_closeness",
+    # r10 new operators:
+    "mm_gif_decode",  # real LZW GIF codec (VERDICT r9 item 8 stretch)
+    "mm_wav_mulaw",  # G.711 mu-law compand/expand branch
 )
 
 

@@ -755,3 +755,210 @@ def png_downsample_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, PNG_DOWNSAMPLE_SCHEMA
     )
+
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_colors int, "
+    "sum_r long, sum_g long, sum_b long, ok boolean"
+)
+
+
+def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic GIF ingestion surrogate (round 10, the second
+    real image container after PNG): per row, ENCODE a real GIF89a
+    whose geometry, 16-color palette and index pattern derive from the
+    id — width = 8 + id % 8, height = 8 + id % 4, palette color j =
+    ((id + 5j) % 256, (2id + 11j) % 256, (3id + 7j) % 256), index at
+    (x, y) = (x + 3y + id) % 16. The diagonal index pattern repeats,
+    so the REAL LZW encoder builds long dictionary chains — the
+    decoder's variable-width table reconstruction is exercised by
+    every payload, not just literal codes."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.gif_codec import (
+            encode_gif,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 8, 8 + i % 4
+                palette = bytes(
+                    v
+                    for j in range(16)
+                    for v in (
+                        (i + 5 * j) % 256,
+                        (2 * i + 11 * j) % 256,
+                        (3 * i + 7 * j) % 256,
+                    )
+                )
+                idx = bytes(
+                    (x + 3 * y + i) % 16 for y in range(h) for x in range(w)
+                )
+                rows.append((i, encode_gif(w, h, palette, idx)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def gif_decode_features(df: DataFrame) -> DataFrame:
+    """REAL GIF decode end-to-end: parse each payload with the
+    pure-stdlib codec (operators/gif_codec.py — screen descriptor,
+    global color table, LZW index stream with dictionary rebuild),
+    resolve every index through the palette, and emit the exact
+    per-channel pixel sums. One wrong LZW code, palette slot or
+    geometry field anywhere shifts a sum, which is what lets a SQL
+    oracle (recomputing the sums in closed form from the generator)
+    hash-gate a binary decoder. Malformed payloads become ok=false
+    rows.
+
+    Scale shape: one narrow Arrow map — indices and palette stay in
+    the worker; seven small integers per image return to the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.gif_codec import (
+            decode_gif,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, palette, idx = decode_gif(bytes(payload))
+                    sr = sg = sb = 0
+                    for p in idx:
+                        o = 3 * p
+                        sr += palette[o]
+                        sg += palette[o + 1]
+                        sb += palette[o + 2]
+                    rows.append(
+                        (int(doc_id), w, h, len(palette) // 3, sr, sg, sb, True)
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_colors",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, GIF_FEATURE_SCHEMA
+    )
+
+
+MULAW_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sum_expanded long, "
+    "sum_abs_err long, max_abs_err long, ok boolean"
+)
+
+
+def attach_mulaw_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic G.711 mu-law WAV surrogate (round 10): the SAME
+    Knuth-LCG 16-bit sample stream as attach_wav_payload (sample k =
+    ((id · 2654435761 + k · 40503) mod 65536) − 32768, n = 64 +
+    2·(id % 32)), COMPANDED through the real mu-law encoder into a
+    format-tag-7 container — the 8 kHz telephony encoding speech
+    corpora actually arrive in."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import (
+            encode_wav_mulaw,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 64 + 2 * (i % 32)
+                samples = [
+                    ((i * 2654435761 + k * 40503) % 65536) - 32768
+                    for k in range(n)
+                ]
+                rows.append((i, encode_wav_mulaw(samples, 8000, 1)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def wav_mulaw_features(df: DataFrame) -> DataFrame:
+    """REAL companded-audio decode: parse the tag-7 WAV, expand every
+    stored byte through the G.711 segment/mantissa arithmetic
+    (wav_codec.mulaw_expand), and report the exact expanded-sample sum
+    PLUS the quantization-error profile against the regenerated
+    original stream (sum and max of |x − Q(x)| — the numbers a codec
+    qualification run reports). All integers; the oracle recomputes
+    Q(x) per sample in closed form, so a wrong segment boundary, bias,
+    or byte inversion anywhere fails the hash.
+
+    Scale shape: one narrow Arrow map; per clip five integers return
+    to the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import decode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, bits, q = decode_wav(bytes(payload))
+                    if bits != 8:
+                        raise ValueError("expected mu-law storage width 8")
+                    i = int(doc_id)
+                    orig = [
+                        ((i * 2654435761 + k * 40503) % 65536) - 32768
+                        for k in range(len(q))
+                    ]
+                    errs = [abs(x - y) for x, y in zip(orig, q)]
+                    rows.append(
+                        (
+                            i,
+                            len(q),
+                            sum(q),
+                            sum(errs),
+                            max(errs) if errs else 0,
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sum_expanded",
+                    "sum_abs_err",
+                    "max_abs_err",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, MULAW_FEATURE_SCHEMA
+    )

@@ -592,3 +592,134 @@ def mm_png_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_png_payload(d, "doc_id")
     return multimodal.png_downsample_features(payloads)
+
+
+# DuckDB closed-form twin of wav_codec.mulaw_compress→mulaw_expand:
+# Q(v) = sign(v) · (((m div 8p) mod 16)·8 + 132)·p − 132) with
+# m = min(|v|, 32635) + 132 and p = 2^segment found by the same
+# power-of-two thresholds the byte codec's bit test walks. Verified
+# equal to the byte codec over the FULL 16-bit input range (pytest).
+_MULAW_M = "(least(abs(v), 32635) + 132)"
+_MULAW_P = (
+    f"(CASE WHEN {_MULAW_M} >= 16384 THEN 128"
+    f" WHEN {_MULAW_M} >= 8192 THEN 64"
+    f" WHEN {_MULAW_M} >= 4096 THEN 32"
+    f" WHEN {_MULAW_M} >= 2048 THEN 16"
+    f" WHEN {_MULAW_M} >= 1024 THEN 8"
+    f" WHEN {_MULAW_M} >= 512 THEN 4"
+    f" WHEN {_MULAW_M} >= 256 THEN 2 ELSE 1 END)"
+)
+_MULAW_MAG = (
+    f"((({_MULAW_M} // (8 * {_MULAW_P})) % 16 * 8 + 132) * {_MULAW_P} - 132)"
+)
+_MULAW_Q = f"(CASE WHEN v < 0 THEN -{_MULAW_MAG} ELSE {_MULAW_MAG} END)"
+# the generator's linear stream (attach_wav_payload's LCG), as a
+# DuckDB lambda body over sample index k
+_MULAW_V = "(doc_id * 2654435761 + k * 40503) % 65536 - 32768"
+
+
+@register(
+    "mm_wav_mulaw",
+    survey_ref=(
+        "[EXT] REAL G.711 mu-law decode (round 10, VERDICT r9 item 8's "
+        "audio-path widening): the Knuth-LCG 16-bit stream is companded "
+        "through the real mu-law encoder into a format-tag-7 WAV, "
+        "decoded back through the segment/mantissa expansion, and the "
+        "exact expanded-sample sum PLUS the quantization-error profile "
+        "(sum/max of |x - Q(x)|) are gated against an oracle that "
+        "recomputes Q per sample in closed-form integer arithmetic — "
+        "a wrong segment boundary, bias constant, or missing byte "
+        "inversion anywhere fails the hash"
+    ),
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             64 + 2 * (doc_id % 32) AS n,
+             list_transform(
+               list_transform(range(0, 64 + 2 * (doc_id % 32)),
+                              k -> {_MULAW_V}),
+               v -> {_MULAW_Q}) AS qs,
+             list_transform(
+               list_transform(range(0, 64 + 2 * (doc_id % 32)),
+                              k -> {_MULAW_V}),
+               v -> abs(v - {_MULAW_Q})) AS errs
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(qs) AS BIGINT) AS sum_expanded,
+           CAST(list_sum(errs) AS BIGINT) AS sum_abs_err,
+           CAST(list_max(errs) AS BIGINT) AS max_abs_err,
+           true AS ok
+    FROM q
+    """,
+)
+def mm_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio path's companded-format closure: encode → mu-law
+    compress → WAV tag 7 → decode → expand, all for real, with the
+    quantization error against the regenerated original measured in
+    the worker. The oracle replays the G.711 expansion arithmetic
+    (operators/wav_codec.py:mulaw_expand's closed form — verified
+    byte-exact over the full 16-bit range in tests/test_multimodal.py)
+    on the same generator stream.
+
+    Scale shape: two chained narrow Arrow maps (compand-encode,
+    decode+error), zero shuffle; five integers per clip return to the
+    JVM. At 100 TB this is the codec-qualification audit of a speech
+    corpus — embarrassingly per-clip."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_mulaw_payload(d, "doc_id")
+    return multimodal.wav_mulaw_features(payloads)
+
+
+@register(
+    "mm_gif_decode",
+    survey_ref=(
+        "[EXT] REAL GIF decode end-to-end (round 10, VERDICT r9 item "
+        "8's named stretch): per-doc GIF89a payloads (16-color global "
+        "table, diagonal index pattern) are ENCODED by a real "
+        "dictionary-building LZW compressor then DECODED by the "
+        "pure-stdlib codec (operators/gif_codec.py — screen "
+        "descriptor, color table, variable-width LZW with table "
+        "rebuild and the KwKwK case); the oracle recomputes the exact "
+        "per-channel palette-resolved pixel sums in closed form, so "
+        "one wrong LZW code anywhere corrupts the stream and fails "
+        "the hash"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(8 + doc_id % 4 AS INT) AS height,
+           16 AS n_colors,
+           CAST(list_sum(list_transform(
+                  range(0, (8 + doc_id % 8) * (8 + doc_id % 4)),
+                  k -> (doc_id + 5 * ((k % (8 + doc_id % 8)
+                        + 3 * (k // (8 + doc_id % 8)) + doc_id) % 16)) % 256))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+                  range(0, (8 + doc_id % 8) * (8 + doc_id % 4)),
+                  k -> (2 * doc_id + 11 * ((k % (8 + doc_id % 8)
+                        + 3 * (k // (8 + doc_id % 8)) + doc_id) % 16)) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+                  range(0, (8 + doc_id % 8) * (8 + doc_id % 4)),
+                  k -> (3 * doc_id + 7 * ((k % (8 + doc_id % 8)
+                        + 3 * (k // (8 + doc_id % 8)) + doc_id) % 16)) % 256))
+             AS BIGINT) AS sum_b,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second real image container (PNG was round 9): GIF89a with
+    a REAL LZW round trip — the encoder builds dictionary chains over
+    the repeating diagonal pattern, the decoder reconstructs the
+    variable-width code table, and every index resolves through the
+    16-color palette into per-channel sums the oracle recomputes
+    arithmetically from the generator. Geometry, palette arithmetic
+    and the full LZW stream are all under the hash.
+
+    Scale shape: two chained narrow Arrow maps, zero shuffle; seven
+    integers per image return to the JVM."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_gif_payload(d, "doc_id")
+    return multimodal.gif_decode_features(payloads)

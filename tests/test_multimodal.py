@@ -393,3 +393,120 @@ def test_wav_decode_features_real_path(spark):
         assert r["n_frames"] == n // ch
         assert r["sum_samples"] == sum(samples)
         assert r["sum_squares"] == sum(s * s for s in samples)
+
+
+def test_mulaw_expand_matches_arithmetic_twin_full_range():
+    """The byte codec (bit-test segment search, ones'-complement
+    storage) equals the closed-form arithmetic the oracle evaluates,
+    for EVERY 16-bit input — the exhaustive proof the mm_wav_mulaw
+    hash gate leans on."""
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    def q_arith(x: int) -> int:
+        a = min(abs(x), 32635)
+        m = a + 132
+        for e, lo in (
+            (7, 16384), (6, 8192), (5, 4096), (4, 2048),
+            (3, 1024), (2, 512), (1, 256), (0, 128),
+        ):
+            if m >= lo:
+                break
+        p = 1 << e
+        q = ((m // (8 * p)) % 16 * 8 + 132) * p - 132
+        return -q if x < 0 else q
+
+    for x in range(-32768, 32768):
+        assert mulaw_expand(mulaw_compress(x)) == q_arith(x), x
+    # idempotence: reconstructed values are fixed points of the codec
+    for x in range(-32768, 32768, 97):
+        q = q_arith(x)
+        assert mulaw_expand(mulaw_compress(q)) == q
+
+
+def test_mulaw_wav_container_roundtrip():
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    samples = [((3 * 2654435761 + k * 40503) % 65536) - 32768 for k in range(90)]
+    rate, ch, bits, out = decode_wav(encode_wav_mulaw(samples, 8000, 1))
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert out == [mulaw_expand(mulaw_compress(s)) for s in samples]
+
+
+def test_gif_codec_roundtrip_exact():
+    """Pixel-exact GIF round trips across palette sizes, including the
+    KwKwK self-reference and the 12-bit table-overflow clear/rebuild
+    path — the full LZW state machine, not just literal codes."""
+    import random
+
+    from shippai_knowledge_etl_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(42)
+    for _ in range(25):
+        n_colors = rng.choice([2, 4, 16, 64, 256])
+        w, h = rng.randrange(1, 60), rng.randrange(1, 40)
+        palette = bytes(rng.randrange(256) for _ in range(3 * n_colors))
+        idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+        dw, dh, dp, di = decode_gif(encode_gif(w, h, palette, idx))
+        assert (dw, dh, dp, di) == (w, h, palette, idx)
+    # KwKwK trigger: long runs of one symbol
+    pal4 = bytes(range(12))
+    runs = (bytes([0]) * 500 + bytes([1, 1, 0, 0, 1]) * 40)[: 24 * 25]
+    assert decode_gif(encode_gif(24, 25, pal4, runs))[3] == runs
+    # 12-bit overflow → CLEAR + rebuild on a 300x300 high-entropy image
+    pal256 = bytes(range(256)) * 3
+    big = bytes(
+        (x * 131 + y * 17 + (x * y) % 251) % 256
+        for y in range(300)
+        for x in range(300)
+    )
+    assert decode_gif(encode_gif(300, 300, pal256, big))[3] == big
+
+
+def test_gif_codec_rejects_out_of_scope():
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="power-of-two"):
+        encode_gif(2, 2, b"\x00" * 9, bytes(4))  # 3 colors
+    with pytest.raises(ValueError, match="index buffer"):
+        encode_gif(2, 2, b"\x00" * 6, bytes(5))
+    g = encode_gif(3, 2, bytes(range(6)), bytes([0, 1, 1, 0, 1, 0]))
+    # flip the image descriptor's interlace flag and expect the raise
+    pos = g.index(b"\x2c")
+    tampered = bytearray(g)
+    tampered[pos + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(tampered))
+
+
+def test_gif_extension_blocks_are_skipped():
+    """89a graphic-control / comment extensions before the image must
+    parse transparently (real-world GIFs carry them)."""
+    from shippai_knowledge_etl_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    g = encode_gif(4, 3, bytes(range(6)), bytes([0, 1] * 6))
+    # splice a graphic-control extension right after the color table
+    head, img = g[: 13 + 6], g[13 + 6 :]
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + term
+    out = decode_gif(head + ext + img)
+    assert out[3] == bytes([0, 1] * 6)
