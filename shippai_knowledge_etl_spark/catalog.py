@@ -464,6 +464,9 @@ NEW_IN_ROUND: tuple[str, ...] = (
     # r10 new operators:
     "mm_gif_decode",  # real LZW GIF codec (VERDICT r9 item 8 stretch)
     "mm_wav_mulaw",  # G.711 mu-law compand/expand branch
+    "eval_meteor_frag",  # occurrence-aligned METEOR + chunk penalty
+    "eval_pass_at_k",  # exact combinatorial pass@k estimator
+    "ext_kmv_distinct",  # KMV/theta distinct sketch + union merge
 )
 
 

@@ -28,7 +28,7 @@ that clipped counts exercise both the match and miss paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
@@ -319,4 +319,244 @@ def _bleu_log_frame(d: DataFrame) -> DataFrame:
             F.col("t1c") > 0,
             (log_bp * 2 + log_p1 + log_p2).cast("double"),
         ).alias("log_bleu2_x2"),
+    )
+
+
+# Positional-token CTEs for alignment-based metrics: same tokenizer as
+# _GRAMS_SQL but keeping 0-based positions and the per-(doc, token)
+# occurrence index (mirrors posexplode + row_number on the Spark side).
+_POS_TOKS_SQL = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(
+               lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
+      FROM documents),
+    post AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) - 1 AS pos
+      FROM toks),
+    occ AS (
+      SELECT doc_id, tok, pos,
+             row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+               AS occ
+      FROM post)
+"""
+
+
+@register(
+    "eval_meteor_frag",
+    survey_ref=(
+        "[EXT] METEOR-style alignment score with fragmentation penalty "
+        "(Banerjee & Lavie 2005, exact-match stage): unigram alignment "
+        "by per-(doc, token) OCCURRENCE INDEX (i-th 'the' in the "
+        "candidate pairs with the i-th 'the' in the reference — "
+        "deterministic, no optimization search), chunk count via "
+        "gaps-and-islands over the aligned position pairs, and the "
+        "score 10m(2m³−c³)/(2m³(t_c+9t_r)) as ONE division of exact "
+        "BIGINT products (the harmonic F-mean and the cubic penalty "
+        "share a common denominator, so no intermediate float exists "
+        "to diverge between engines)"
+    ),
+    oracle="WITH " + _POS_TOKS_SQL + "," + _PAIRS_SQL + """,
+    mt AS (
+      SELECT c.doc_id AS pair_id, c.pos AS cpos, r.pos AS rpos
+      FROM occ c
+      JOIN occ r ON r.doc_id = c.doc_id + 1
+                AND r.tok = c.tok AND r.occ = c.occ
+      WHERE c.doc_id % 2 = 0),
+    runs AS (
+      SELECT pair_id,
+             CASE WHEN cpos - lag(cpos) OVER w = 1
+                   AND rpos - lag(rpos) OVER w = 1
+                  THEN 0 ELSE 1 END AS new_chunk
+      FROM mt WINDOW w AS (PARTITION BY pair_id ORDER BY cpos)),
+    st AS (
+      SELECT pair_id, count(*) AS m, sum(new_chunk) AS chunks
+      FROM runs GROUP BY pair_id),
+    tot AS (SELECT doc_id, len(t) AS nt FROM toks)
+    SELECT p.pair_id,
+           CAST(coalesce(tc.nt, 0) AS BIGINT) AS cand_tokens,
+           CAST(coalesce(tr.nt, 0) AS BIGINT) AS ref_tokens,
+           CAST(coalesce(st.m, 0) AS BIGINT) AS matched,
+           CAST(coalesce(st.chunks, 0) AS BIGINT) AS chunks,
+           CASE WHEN coalesce(st.m, 0) > 0 THEN
+             round(CAST(10 * st.m * (2 * st.m * st.m * st.m
+                                     - st.chunks * st.chunks * st.chunks)
+                        AS DOUBLE)
+                   / (2 * st.m * st.m * st.m * (tc.nt + 9 * tr.nt)), 6)
+           ELSE 0.0 END AS meteor
+    FROM pairs p
+    LEFT JOIN tot tc ON tc.doc_id = p.cand_id
+    LEFT JOIN tot tr ON tr.doc_id = p.ref_id
+    LEFT JOIN st ON st.pair_id = p.pair_id
+    """,
+)
+def eval_meteor_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METEOR (exact-match stage) between each even-id candidate and its
+    odd-id reference, with the fragmentation penalty computed from a
+    DETERMINISTIC alignment: the i-th occurrence of a token in the
+    candidate aligns to the i-th occurrence in the reference (a
+    row_number over positions on each side, then an equi-join on
+    (pair, token, occurrence) — no search, so both engines derive the
+    identical alignment independently). Chunks are maximal runs where
+    BOTH aligned position sequences advance by exactly 1 — the classic
+    gaps-and-islands lag() test, ordered by candidate position.
+
+    Score algebra: with P = m/t_c, R = m/t_r, METEOR's F_mean
+    10PR/(R+9P) simplifies to 10m/(t_c+9t_r); the penalty is
+    0.5·(chunks/m)³; the product is assembled as ONE division of exact
+    BIGINT products, 10m(2m³−c³) / (2m³(t_c+9t_r)) — exact below
+    ~2^15 tokens/doc (corpus docs are ≤100 tokens; a 100 TB pipeline
+    chunks long docs upstream, retrieval_sentence_chunks), so the only
+    float op is the final identically-ordered division, round-6 on
+    both engines per the README hash discipline.
+
+    Scale shape: tokenize once behind a posexplode Generate; the
+    occurrence index rides a (doc, token)-keyed window; the alignment
+    is an equi-join keyed (pair, token, occ) — linear rows, same
+    cardinality class as the eval_rouge gram shuffle; the chunk count
+    is one pair-keyed window. No all-pairs stage anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    occ = toks.withColumn(
+        "occ",
+        F.row_number().over(Window.partitionBy("doc_id", "tok").orderBy("pos")),
+    )
+    cand = occ.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "tok", "occ", F.col("pos").alias("cpos")
+    )
+    ref = occ.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        "tok",
+        "occ",
+        F.col("pos").alias("rpos"),
+    )
+    mt = cand.join(ref, ["pair_id", "tok", "occ"])
+    mw = Window.partitionBy("pair_id").orderBy("cpos")
+    runs = mt.select(
+        "pair_id",
+        F.when(
+            (F.col("cpos") - F.lag("cpos").over(mw) == 1)
+            & (F.col("rpos") - F.lag("rpos").over(mw) == 1),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_chunk"),
+    )
+    st = runs.groupBy("pair_id").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("new_chunk").alias("chunks")
+    )
+    tot = d.select("doc_id", F.size(tokenize(F.col("text"))).alias("nt"))
+    p = (
+        _pairs(d)
+        .withColumn("cand_id", F.col("pair_id"))
+        .withColumn("ref_id", F.col("pair_id") + 1)
+        .join(
+            tot.select(F.col("doc_id").alias("cand_id"), F.col("nt").alias("tc")),
+            "cand_id",
+            "left",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("ref_id"), F.col("nt").alias("tr")),
+            "ref_id",
+            "left",
+        )
+        .join(st, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("tc", F.lit(0)).cast("long").alias("tc"),
+            F.coalesce("tr", F.lit(0)).cast("long").alias("tr"),
+            F.coalesce("m", F.lit(0)).cast("long").alias("m"),
+            F.coalesce("chunks", F.lit(0)).cast("long").alias("chunks"),
+        )
+    )
+    m, c = F.col("m"), F.col("chunks")
+    num = F.lit(10) * m * (F.lit(2) * m * m * m - c * c * c)
+    den = F.lit(2) * m * m * m * (F.col("tc") + F.lit(9) * F.col("tr"))
+    return p.select(
+        "pair_id",
+        F.col("tc").alias("cand_tokens"),
+        F.col("tr").alias("ref_tokens"),
+        F.col("m").alias("matched"),
+        F.col("chunks").alias("chunks"),
+        F.when(m > 0, F.round(num.cast("double") / den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("meteor"),
+    )
+
+
+@register(
+    "eval_pass_at_k",
+    survey_ref=(
+        "[EXT] unbiased pass@k estimator for codegen-style eval sweeps "
+        "(Chen et al. 2021, HumanEval): per task with n samples and c "
+        "correct, pass@k = 1 − C(n−c,k)/C(n,k) computed as the EXACT "
+        "integer falling-factorial ratio ∏(n−c−i)/∏(n−i) — a zero "
+        "factor makes the n−c<k boundary exact with no branch, and the "
+        "only float op is one identically-ordered division; sample "
+        "correctness is derived arithmetically so the aggregation is "
+        "a real explode + groupBy, not a lookup"
+    ),
+    oracle="""
+    WITH tasks AS (
+      SELECT doc_id AS task_id, 5 + doc_id % 6 AS n FROM documents),
+    samples AS (
+      SELECT task_id, n, unnest(range(0, n)) AS s FROM tasks),
+    agg AS (
+      SELECT task_id, n,
+             sum(CASE WHEN (task_id * 31 + s * 17) % 97 < 40
+                      THEN 1 ELSE 0 END) AS c
+      FROM samples GROUP BY task_id, n)
+    SELECT task_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(c AS BIGINT) AS n_correct,
+           round(CAST(c AS DOUBLE) / n, 6) AS pass_at_1,
+           round(CAST(n * (n-1) * (n-2) * (n-3) * (n-4)
+                      - (n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
+                      AS DOUBLE)
+                 / (n * (n-1) * (n-2) * (n-3) * (n-4)), 6) AS pass_at_5
+    FROM agg
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@1 and pass@5 per task over a synthesized n-samples-per-task
+    eval sweep (n = 5..10 from the task id; per-sample correctness is
+    integer-arithmetic-deterministic so Spark and DuckDB aggregate the
+    same sample table independently). The estimator is the unbiased
+    combinatorial form 1 − C(n−c,k)/C(n,k), expanded to falling
+    factorials so everything stays in BIGINT: when n−c < k one factor
+    of the numerator product is exactly 0, which IS the pass@k = 1
+    boundary case — no CASE branch, no float pow, no lgamma.
+
+    Scale shape: one Generate (sequence explode) + one task-keyed
+    partial aggregation; at 100 TB of eval logs the samples table is
+    the input and this is a single map-side-combined groupBy — the
+    estimator itself is per-row arithmetic on two longs."""
+    d = load(spark, sf_dir, "documents")
+    tasks = d.select(
+        F.col("doc_id").cast("long").alias("task_id"),
+        (F.lit(5) + F.col("doc_id") % 6).cast("long").alias("n"),
+    )
+    samples = tasks.select(
+        "task_id", "n", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("s")
+    )
+    agg = samples.groupBy("task_id", "n").agg(
+        F.sum(
+            F.when((F.col("task_id") * 31 + F.col("s") * 17) % 97 < 40, 1).otherwise(
+                0
+            )
+        ).alias("c")
+    )
+    n, c = F.col("n"), F.col("c")
+    den = n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    num = (n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3) * (n - c - 4)
+    return agg.select(
+        "task_id",
+        n.alias("n_samples"),
+        c.cast("long").alias("n_correct"),
+        F.round(c.cast("double") / n, 6).alias("pass_at_1"),
+        F.round((den - num).cast("double") / den, 6).alias("pass_at_5"),
     )

@@ -827,3 +827,145 @@ def ext_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latest_day_cnt"),
         )
     )
+
+
+@register(
+    "ext_kmv_distinct",
+    survey_ref=(
+        "[EXT] K-minimum-values distinct sketch + theta-style union "
+        "merge (Bar-Yossef et al. 2002; the KMV/theta family behind "
+        "DataSketches): per-group bottom-64 of salted-md5 hash values, "
+        "estimator (k−1)/U_k expressed as one BIGINT-assembled "
+        "division 63·2^52/v_k; the '~all' row is merged FROM THE "
+        "STORED per-group sketches (k smallest of the union of "
+        "bottom-k sets IS the union's bottom-k — never a rescan), "
+        "the cross-shard distinct-count merge HLL can't do when you "
+        "also need the retained sample of hashes"
+    ),
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS uid
+      FROM events),
+    hv AS (
+      SELECT grp, uid,
+             CAST('0x' || substring(md5(uid || ':kmv'), 1, 13) AS BIGINT)
+               AS v
+      FROM ev),
+    dv AS (SELECT DISTINCT grp, v FROM hv),
+    bk AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rnk
+      FROM dv QUALIFY rnk <= 64),
+    per_sketch AS (
+      SELECT grp, count(*) AS n_sketch,
+             max(CASE WHEN rnk = 64 THEN v END) AS kth_v
+      FROM bk GROUP BY grp),
+    per_exact AS (SELECT grp, count(*) AS n_exact FROM ev GROUP BY grp),
+    udv AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rnk
+      FROM (SELECT DISTINCT v FROM bk) QUALIFY rnk <= 64),
+    u_sketch AS (
+      SELECT count(*) AS n_sketch,
+             max(CASE WHEN rnk = 64 THEN v END) AS kth_v
+      FROM udv),
+    u_exact AS (
+      SELECT count(*) AS n_exact FROM (SELECT DISTINCT uid FROM ev)),
+    allrows AS (
+      SELECT s.grp, s.n_sketch, s.kth_v, e.n_exact
+      FROM per_sketch s JOIN per_exact e USING (grp)
+      UNION ALL
+      SELECT '~all' AS grp, s.n_sketch, s.kth_v, e.n_exact
+      FROM u_sketch s CROSS JOIN u_exact e)
+    SELECT grp, 64 AS k,
+           CAST(n_sketch AS BIGINT) AS n_sketch,
+           CAST(kth_v AS BIGINT) AS kth_v,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CASE WHEN n_sketch < 64 THEN round(CAST(n_sketch AS DOUBLE), 6)
+                ELSE round(CAST(63 * 4503599627370496 AS DOUBLE) / kth_v, 6)
+           END AS kmv_est
+    FROM allrows
+    """,
+)
+def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV distinct-count sketches over active users,
+    plus a '~all' union row merged from the STORED sketches alone: the
+    k smallest hashes of A∪B are each among their own group's k
+    smallest, so the union sketch is a re-rank of ≤ |types|·64 retained
+    values — the mergeability that makes KMV a shard-level distinct
+    sketch at 100 TB (and, unlike HLL, the retained hash SAMPLE also
+    supports theta-style intersection later). The estimator
+    (k−1)/U_k is assembled as one division whose numerator 63·2^52 is
+    built in exact BIGINT; U_k's 52-bit hash prefix is integer on both
+    engines ('0x'-cast in DuckDB, conv(16,10) in Spark), so the only
+    float op is the final identically-ordered divide, round-6.
+
+    Scale shape: one distinct (type, user) shuffle cuts the stream;
+    the sketch is a per-type bottom-64 window on the distinct-hash
+    grid; everything downstream (union merge, estimates) runs on
+    ≤ |types|·64 retained rows. The global union window and the 1-row
+    exact/union cross-join are bounded by construction (allowlisted
+    plan classes, tests/test_plan_invariants.py)."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ev = e.select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).distinct()
+    hv = ev.select(
+        "grp",
+        "uid",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("uid"), F.lit(":kmv"))), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    dv = hv.select("grp", "v").distinct()
+    bk = dv.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("grp").orderBy("v"))
+    ).filter(F.col("rnk") <= 64)
+    per_sketch = bk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rnk") == 64, F.col("v"))).alias("kth_v"),
+    )
+    per_exact = ev.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    # Union sketch: re-rank the ≤ |types|·64 retained hashes. The global
+    # window is bounded by construction (sketch rows, never the corpus).
+    udv = (
+        bk.select("v")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(Window.orderBy("v")))
+        .filter(F.col("rnk") <= 64)
+    )
+    u_sketch = udv.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rnk") == 64, F.col("v"))).alias("kth_v"),
+    )
+    u_exact = ev.select("uid").distinct().agg(F.count(F.lit(1)).alias("n_exact"))
+    u_row = u_sketch.crossJoin(F.broadcast(u_exact)).select(
+        F.lit("~all").alias("grp"), "n_sketch", "kth_v", "n_exact"
+    )
+    allrows = (
+        per_sketch.join(per_exact, "grp")
+        .select("grp", "n_sketch", "kth_v", "n_exact")
+        .unionByName(u_row)
+    )
+    est = F.when(
+        F.col("n_sketch") < 64, F.round(F.col("n_sketch").cast("double"), 6)
+    ).otherwise(
+        F.round(
+            (F.lit(63) * F.lit(4503599627370496)).cast("double") / F.col("kth_v"),
+            6,
+        )
+    )
+    return allrows.select(
+        "grp",
+        F.lit(64).alias("k"),
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.col("kth_v").cast("long").alias("kth_v"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        est.alias("kmv_est"),
+    )

@@ -84,6 +84,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     "w15_cusum_drift",  # 1-row broadcast integer floor-mean (k)
     "a_bootstrap_ci",  # 1-row broadcast full-sample mean/count
     "ext_hll_intersection",  # 1-row broadcast union-sketch summary
+    # 1-row x 1-row cross: the merged union sketch summary beside the
+    # exact union distinct count (the ext_hll_intersection class)
+    "ext_kmv_distinct",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
@@ -327,6 +330,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # hashpartitioning(cohort_week"); the SinglePartition exchange is
     # the 1-row corpus-min-day aggregate
     "w34_cohort_ltv",
+    # bounded-input global window: the union-sketch re-rank runs over
+    # the <= |types|·64 RETAINED hash values (per-type bottom-64 cuts
+    # first), so the SinglePartition exchange moves sketch-sized data
+    # at any corpus size (the w15/zipf bounded-rollup discipline)
+    "ext_kmv_distinct",
 }
 
 
