@@ -467,6 +467,8 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "eval_meteor_frag",  # occurrence-aligned METEOR + chunk penalty
     "eval_pass_at_k",  # exact combinatorial pass@k estimator
     "ext_kmv_distinct",  # KMV/theta distinct sketch + union merge
+    "retrieval_impact_quantized",  # 64-level integer impact buckets
+    "quality_t_closeness",  # ordered-bucket EMD vs global distribution
 )
 
 

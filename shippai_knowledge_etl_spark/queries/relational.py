@@ -2437,3 +2437,141 @@ def layout_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_doc_bytes").cast("long").alias("max_doc_bytes"),
         (F.col("max_doc_bytes") > 65536).alias("has_oversize_doc"),
     )
+
+
+@register(
+    "quality_t_closeness",
+    survey_ref=(
+        "beyond-reference data-governance audit, the third rung after "
+        "k-anonymity/l-diversity (Li, Li & Venkatasubramanian 2007): "
+        "t-closeness via Earth Mover's Distance between each "
+        "quasi-identifier group's sensitive-value distribution and the "
+        "global one over ORDERED buckets — EMD = Σ|cumdiff|/(B−1) "
+        "assembled as exact integer cross-products cum_g·T − cum_t·G "
+        "over a common denominator, so the homogeneity-attack metric "
+        "l-diversity misses (a group skewed toward high balances leaks "
+        "even with many distinct values) is hash-gated"
+    ),
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bkt,
+             count(*) AS g
+      FROM customer GROUP BY 1, 2, 3),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, sum(g) AS gsz
+      FROM cells GROUP BY 1, 2),
+    bdim AS (SELECT bkt, sum(g) AS t FROM cells GROUP BY bkt),
+    btot AS (
+      SELECT count(*) AS n_buckets, sum(t) AS total FROM bdim),
+    bcum AS (
+      SELECT bkt, t, sum(t) OVER (ORDER BY bkt) AS cum_t FROM bdim),
+    grid AS (
+      SELECT gr.c_nationkey, gr.c_mktsegment, gr.gsz,
+             bc.bkt, bc.cum_t, coalesce(ce.g, 0) AS g
+      FROM grp gr CROSS JOIN bcum bc
+      LEFT JOIN cells ce ON ce.c_nationkey = gr.c_nationkey
+                        AND ce.c_mktsegment = gr.c_mktsegment
+                        AND ce.bkt = bc.bkt),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, gsz, bkt, cum_t,
+             sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY bkt) AS cum_g
+      FROM grid),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, gsz,
+             sum(abs(cum_g * bt.total - cum_t * gsz)) AS num,
+             max(bt.total) AS total, max(bt.n_buckets) AS n_buckets
+      FROM cum CROSS JOIN btot bt
+      GROUP BY 1, 2, gsz)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(gsz AS BIGINT) AS group_size,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CASE WHEN n_buckets > 1 THEN
+             round(CAST(num AS DOUBLE)
+                   / (gsz * total * (n_buckets - 1)), 6)
+           ELSE 0.0 END AS emd,
+           CASE WHEN n_buckets > 1 THEN
+             round(CAST(num AS DOUBLE)
+                   / (gsz * total * (n_buckets - 1)), 6) > 0.2
+           ELSE false END AS t_violation
+    FROM emd
+    """,
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit over the same (nation, segment) QI and
+    1000-unit balance bands as quality_k_anonymity: for each group, the
+    ordered-bucket Earth Mover's Distance to the GLOBAL sensitive
+    distribution, EMD = (1/(B−1))·Σ_i |Σ_{j≤i}(p_j − q_j)|. The cumdiff
+    is put over the common denominator G·T so every per-bucket term is
+    the exact BIGINT |cum_g·T − cum_t·G|; the single float op is the
+    final identically-ordered division, round-6, with the B=1
+    degenerate source guarded per the ANSI zero-divisor rule.
+
+    Scale shape: one (QI, bucket)-keyed rollup cuts the table; the
+    dense grid is a bounded |groups|×|buckets| dimension cross (the
+    w19 grid-fill class), the global bucket cumsum runs on the
+    |buckets|-row dimension (w15 bounded-rollup class), and the
+    per-group cumsum rides the QI partitioning. Nothing downstream of
+    the first rollup ever touches a customer row."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000)).cast("long").alias("bkt"),
+    ).agg(F.count(F.lit(1)).alias("g"))
+    grp = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("g").alias("gsz")
+    )
+    bdim = cells.groupBy("bkt").agg(F.sum("g").alias("t"))
+    btot = bdim.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("t").alias("total")
+    )
+    # Global cumsum over the bounded bucket dimension (|buckets| rows).
+    bcum = bdim.withColumn("cum_t", F.sum("t").over(Window.orderBy("bkt")))
+    grid = (
+        grp.crossJoin(F.broadcast(bcum.select("bkt", "cum_t")))
+        .join(cells, ["c_nationkey", "c_mktsegment", "bkt"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "gsz",
+            "bkt",
+            "cum_t",
+            F.coalesce("g", F.lit(0)).alias("g"),
+        )
+    )
+    cum = grid.withColumn(
+        "cum_g",
+        F.sum("g").over(
+            Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bkt")
+        ),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(btot))
+        .groupBy("c_nationkey", "c_mktsegment", "gsz")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_g") * F.col("total") - F.col("cum_t") * F.col("gsz"))
+            ).alias("num"),
+            F.max("total").alias("total"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+    )
+    emd_val = F.round(
+        F.col("num").cast("double")
+        / (F.col("gsz") * F.col("total") * (F.col("n_buckets") - 1)),
+        6,
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("gsz").cast("long").alias("group_size"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.when(F.col("n_buckets") > 1, emd_val).otherwise(F.lit(0.0)).alias("emd"),
+        F.when(F.col("n_buckets") > 1, emd_val > 0.2)
+        .otherwise(F.lit(False))
+        .alias("t_violation"),
+    )

@@ -1623,3 +1623,172 @@ def retrieval_maxsim_late_interaction(
         .limit(15)
     )
 
+
+
+@register(
+    "retrieval_impact_quantized",
+    survey_ref=(
+        "[EXT] impact-quantized index scoring (Anh & Moffat 2005, the "
+        "quantization Lucene ships for impact-ordered postings): "
+        "per-(doc,term) BM25 weights → global 64-level integer "
+        "impacts via the round-6→DECIMAL→BIGINT scale (no float ever "
+        "crosses a bucket boundary), quantized top-10 as pure integer "
+        "ordering, fidelity-audited against the exact-score top-10 — "
+        "the precision/efficiency trade an impact-ordered engine "
+        "accepts, made measurable"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    iw AS (
+      SELECT doc_id, term,
+             CAST(CAST(round(w, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS iw
+      FROM weights),
+    bounds AS (SELECT min(iw) AS min_iw, max(iw) AS max_iw FROM iw),
+    q AS (
+      SELECT doc_id, term,
+             1 + ((iw - min_iw) * 64) // (max_iw - min_iw + 1) AS q
+      FROM iw CROSS JOIN bounds),
+    sq AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'spark' THEN q END), 0)
+               AS q_spark,
+             coalesce(max(CASE WHEN term = 'join' THEN q END), 0)
+               AS q_join,
+             coalesce(max(CASE WHEN term = 'window' THEN q END), 0)
+               AS q_window
+      FROM q GROUP BY doc_id),
+    topq AS (
+      SELECT doc_id, q_spark, q_join, q_window,
+             q_spark + q_join + q_window AS score_q
+      FROM sq ORDER BY score_q DESC, doc_id ASC LIMIT 10),
+    topx AS (SELECT doc_id FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10)
+    SELECT t.doc_id,
+           CAST(t.q_spark AS BIGINT) AS q_spark,
+           CAST(t.q_join AS BIGINT) AS q_join,
+           CAST(t.q_window AS BIGINT) AS q_window,
+           CAST(t.score_q AS BIGINT) AS score_q,
+           b.bm25 AS bm25_exact,
+           (x.doc_id IS NOT NULL) AS in_exact_top10
+    FROM topq t
+    JOIN bm25 b USING (doc_id)
+    LEFT JOIN topx x USING (doc_id)
+    """,
+)
+def retrieval_impact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact quantization audit: every (doc, term) BM25 weight maps to
+    an integer impact 1..64 via global min/max bounds, per-doc scores
+    become small-integer sums (the representation that lets a real
+    engine store 6-bit impacts in postings and accumulate in int
+    registers, and that makes impact-ORDERED traversal with integer
+    early-termination thresholds possible at all), and the quantized
+    top-10 carries its exact-score counterpart plus an in_exact_top10
+    flag — the rank-fidelity loss of 6-bit quantization, gated as
+    data.
+
+    Hash discipline: the weight is rounded at 6 and scaled to BIGINT
+    through DECIMAL(18,6) (the eval_bleu_log assembly — a bare
+    round-6-double × 1e6 cast can land one ulp below the integer and
+    truncate apart between engines); bucketing, scoring, and ordering
+    are then pure integer arithmetic, with the non-negative numerator
+    guaranteed by iw ≥ min_iw (README division audit).
+
+    Scale shape: the dense single-scan BM25 form (per-term tf columns,
+    1-row corpus-stats broadcast) plus ONE extra 1-row broadcast for
+    the global impact bounds — a fundamental second pass, since
+    quantization bounds are data-dependent; both top-10s are
+    TakeOrderedAndProject cuts, and the fidelity join is 10×10
+    broadcast. Zero wide shuffles at any corpus size."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_weight,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    tf_cols = [
+        (F.size("toks") - F.size(F.array_remove(F.col("toks"), t)))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    per_doc = d.select(F.col("doc_id"), toks.alias("toks")).select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") / F.col("n_docs")
+    )
+    for i in range(len(QUERY_TERMS)):
+        w = bm25_weight(
+            F.col(f"tf_{i}"),
+            F.col(f"df_{i}"),
+            F.col("dl"),
+            F.col("n_docs"),
+            F.col("avgdl"),
+            BM25_K1,
+            BM25_B,
+        )
+        scored = scored.withColumn(
+            f"w_{i}", F.when(F.col(f"tf_{i}") > 0, w)
+        ).withColumn(
+            f"iw_{i}",
+            (F.round(F.col(f"w_{i}"), 6).cast("decimal(18,6)") * 1000000).cast(
+                "long"
+            ),
+        )
+    bounds = scored.select(
+        F.explode(F.array(*[F.col(f"iw_{i}") for i in range(3)])).alias("iw")
+    ).agg(F.min("iw").alias("min_iw"), F.max("iw").alias("max_iw"))
+    qd = scored.crossJoin(F.broadcast(bounds))
+    for i in range(len(QUERY_TERMS)):
+        qd = qd.withColumn(
+            f"q_{i}",
+            F.when(
+                F.col(f"tf_{i}") > 0,
+                F.lit(1)
+                + F.expr(f"((iw_{i} - min_iw) * 64) div (max_iw - min_iw + 1)"),
+            ).otherwise(F.lit(0))
+            .cast("long"),
+        )
+    exact = F.round(
+        F.coalesce(F.col("w_0"), F.lit(0.0))
+        + F.coalesce(F.col("w_1"), F.lit(0.0))
+        + F.coalesce(F.col("w_2"), F.lit(0.0)),
+        6,
+    )
+    any_hit = (
+        (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
+    )
+    full = qd.filter(any_hit).select(
+        "doc_id",
+        F.col("q_0").alias("q_spark"),
+        F.col("q_1").alias("q_join"),
+        F.col("q_2").alias("q_window"),
+        (F.col("q_0") + F.col("q_1") + F.col("q_2")).alias("score_q"),
+        exact.alias("bm25_exact"),
+    )
+    topq = full.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(10)
+    topx = (
+        full.select("doc_id", "bm25_exact")
+        .orderBy(F.desc("bm25_exact"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.lit(True).alias("hit"))
+    )
+    return topq.join(F.broadcast(topx), "doc_id", "left").select(
+        "doc_id",
+        "q_spark",
+        "q_join",
+        "q_window",
+        "score_q",
+        "bm25_exact",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_top10"),
+    )

@@ -87,6 +87,13 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row x 1-row cross: the merged union sketch summary beside the
     # exact union distinct count (the ext_hll_intersection class)
     "ext_kmv_distinct",
+    # two 1-row broadcasts: the dense BM25 corpus stats (ext_bm25_topk
+    # class) plus the global impact min/max bounds — quantization
+    # bounds are data-dependent, a fundamental second 1-row pass
+    "retrieval_impact_quantized",
+    # bounded grid fill: |QI groups| x |balance buckets| dimension
+    # cross (w19_burst_detection class) + 1-row (T, B) totals
+    "quality_t_closeness",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
@@ -335,6 +342,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # first), so the SinglePartition exchange moves sketch-sized data
     # at any corpus size (the w15/zipf bounded-rollup discipline)
     "ext_kmv_distinct",
+    # bounded-input global window: the global-distribution cumsum runs
+    # on the |balance-buckets|-row dimension rollup (w15 discipline);
+    # the per-group cumsum rides the QI hashpartitioning
+    "quality_t_closeness",
 }
 
 
