@@ -469,6 +469,9 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "ext_kmv_distinct",  # KMV/theta distinct sketch + union merge
     "retrieval_impact_quantized",  # 64-level integer impact buckets
     "quality_t_closeness",  # ordered-bucket EMD vs global distribution
+    "mm_bmp_decode",  # real BMP codec: BI_RGB + RLE8 decompression
+    "mm_png_tile_dedup",  # pixel-level dedup via decoded band sums
+    "mm_audio_resample",  # 2:1 boxcar decimation on real PCM
 )
 
 

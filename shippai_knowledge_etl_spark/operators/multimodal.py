@@ -962,3 +962,250 @@ def wav_mulaw_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, MULAW_FEATURE_SCHEMA
     )
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mode string, "
+    "n_pixels long, pixel_sum long, top_row_sum long, ok boolean"
+)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic BMP ingestion surrogate (the DIB analog of
+    attach_png_payload), exercising BOTH implemented container modes:
+
+    - even id → 24bpp BI_RGB, w = 12 + id % 13 (so 3w mod 4 cycles
+      through every row-padding width), h = 8 + id % 8, channel value
+      (base_c + x + 2y) mod 256 with bases (id, 3·id, 5·id) — an x AND
+      y gradient, so a bottom-up flip or BGR slip changes top_row_sum;
+    - odd id → 8bpp BI_RLE8, w = 14 + id % 11, h = 8 + id % 8, palette
+      entry j = (17j, 29j, 43j) mod 256, index (id + 3y + x div 7)
+      mod 256 — runs of 7 so the run-length encoder emits genuine
+      multi-pixel runs the decoder must expand exactly.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.bmp_codec import (
+            encode_bmp_rgb24,
+            encode_bmp_rle8,
+        )
+
+        palette = [
+            ((j * 17) % 256, (j * 29) % 256, (j * 43) % 256)
+            for j in range(256)
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                h = 8 + i % 8
+                if i % 2 == 0:
+                    w = 12 + i % 13
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            rgb += bytes(
+                                (
+                                    (i + x + 2 * y) % 256,
+                                    (3 * i + x + 2 * y) % 256,
+                                    (5 * i + x + 2 * y) % 256,
+                                )
+                            )
+                    rows.append((i, encode_bmp_rgb24(w, h, bytes(rgb))))
+                else:
+                    w = 14 + i % 11
+                    idx = bytes(
+                        (i + 3 * y + x // 7) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    rows.append((i, encode_bmp_rle8(w, h, idx, palette)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def bmp_decode_features(df: DataFrame) -> DataFrame:
+    """REAL BMP decode: parse the DIB headers, undo the bottom-up row
+    order, BGR order and row padding (24bpp) or expand the RLE8 runs
+    through the palette (8bpp), and emit integer pixel statistics. The
+    extra top_row_sum (sum over the decoded TOP row) is what gates the
+    vertical flip — pixel_sum alone is flip-invariant. Non-BMP or
+    unimplemented-mode payloads are ok=false rows. Narrow Arrow map,
+    no shuffle; per image eight small values return to the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.bmp_codec import (
+            decode_bmp,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    data = bytes(payload)
+                    w, h, c, rgb = decode_bmp(data)
+                    bpp, comp = _struct.unpack_from("<HI", data, 28)
+                    mode = "rgb24" if (bpp, comp) == (24, 0) else "rle8"
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            h,
+                            c,
+                            mode,
+                            w * h,
+                            sum(rgb),
+                            sum(rgb[: w * 3]),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id),) + (None,) * 7 + (False,)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mode",
+                    "n_pixels",
+                    "pixel_sum",
+                    "top_row_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, BMP_FEATURE_SCHEMA
+    )
+
+
+def png_tile_signatures(df: DataFrame, band_rows: int = 4) -> DataFrame:
+    """Perceptual tile signatures from REAL decoded pixels: decode each
+    PNG, sum all channel values over horizontal bands of ``band_rows``
+    scanlines, and fingerprint ``"{w}x{h}:" + ",".join(band_sums)``
+    with md5 — the content-derived signature a pixel-level dedup joins
+    on. One wrong byte in any reconstructed scanline changes its
+    band's sum and therefore the signature, so a downstream
+    signature-equality join is gated by the DECODER, not just the
+    container metadata.
+
+    Scale shape: narrow Arrow map; pixels never shuffle — only the
+    32-char signature does (the mm_image_near_dup discipline)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            decode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, pixels = decode_png(bytes(payload))
+                    row_bytes = w * c
+                    sums = []
+                    for b0 in range(0, h, band_rows):
+                        lo = b0 * row_bytes
+                        hi = min(h, b0 + band_rows) * row_bytes
+                        sums.append(sum(pixels[lo:hi]))
+                    key = f"{w}x{h}:" + ",".join(str(s) for s in sums)
+                    sig = hashlib.md5(key.encode("ascii")).hexdigest()
+                    rows.append((int(doc_id), sig, len(sums), True))
+                except Exception:
+                    rows.append((int(doc_id), None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sig", "n_bands", "ok"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, sig string, n_bands int, ok boolean"
+    )
+
+
+RESAMPLE_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate_out int, channels int, n_frames_in long, "
+    "n_frames_out long, sum_out long, sum_squares_out long, ok boolean"
+)
+
+
+def wav_resample_features(df: DataFrame) -> DataFrame:
+    """REAL audio resample: decode each WAV, decimate 2:1 per channel
+    with a boxcar mean — output frame j, channel c averages input
+    frames 2j and 2j+1 of that channel — and emit integer statistics
+    of the resampled stream. The mean is the bias-then-floor form
+    ((a+32768)+(b+32768)) div 2 − 32768, keeping the division
+    numerator non-negative (README division audit) so Python //,
+    Spark div and DuckDB // agree sample-exactly.
+
+    Scale shape: narrow Arrow map over payload bytes; PCM stays in the
+    worker, eight small values per clip return to the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import (
+            decode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, ch, _bits, s = decode_wav(bytes(payload))
+                    nf_in = len(s) // ch
+                    nf_out = nf_in // 2
+                    out = [
+                        ((s[2 * j * ch + c] + 32768)
+                         + (s[(2 * j + 1) * ch + c] + 32768)) // 2
+                        - 32768
+                        for j in range(nf_out)
+                        for c in range(ch)
+                    ]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            rate // 2,
+                            ch,
+                            nf_in,
+                            nf_out,
+                            sum(out),
+                            sum(v * v for v in out),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id),) + (None,) * 6 + (False,))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate_out",
+                    "channels",
+                    "n_frames_in",
+                    "n_frames_out",
+                    "sum_out",
+                    "sum_squares_out",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, RESAMPLE_FEATURE_SCHEMA
+    )

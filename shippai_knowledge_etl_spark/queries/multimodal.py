@@ -723,3 +723,205 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_gif_payload(d, "doc_id")
     return multimodal.gif_decode_features(payloads)
+
+
+@register(
+    "mm_bmp_decode",
+    survey_ref=(
+        "[EXT] REAL image decode, third container (round 10; after PNG "
+        "and GIF): per-doc BMPs — even ids 24bpp BI_RGB with cycling "
+        "row padding, odd ids 8bpp BI_RLE8 with a genuine run-length "
+        "stream through a 256-entry palette — ENCODED then DECODED by "
+        "the pure-stdlib codec (operators/bmp_codec.py: bottom-up row "
+        "flip, BGR order, padding, RLE expansion); the oracle "
+        "recomputes the exact pixel sum AND the decoded top-row sum "
+        "(which gates the vertical flip pixel_sum alone cannot see) in "
+        "closed form from the generator parameters"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 12 + doc_id % 13
+                     ELSE 14 + doc_id % 11 END AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT) AS height,
+           3 AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'rgb24' ELSE 'rle8' END AS mode,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN 12 + doc_id % 13
+                      ELSE 14 + doc_id % 11 END) * (8 + doc_id % 8)
+                AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             list_sum(list_transform(range(0, 8 + doc_id % 8), y ->
+               list_sum(list_transform(range(0, 12 + doc_id % 13), x ->
+                 (doc_id + x + 2*y) % 256
+                 + (3*doc_id + x + 2*y) % 256
+                 + (5*doc_id + x + 2*y) % 256))))
+           ELSE
+             list_sum(list_transform(range(0, 8 + doc_id % 8), y ->
+               list_sum(list_transform(range(0, 14 + doc_id % 11), x ->
+                 (17 * ((doc_id + 3*y + x // 7) % 256)) % 256
+                 + (29 * ((doc_id + 3*y + x // 7) % 256)) % 256
+                 + (43 * ((doc_id + 3*y + x // 7) % 256)) % 256))))
+           END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             list_sum(list_transform(range(0, 12 + doc_id % 13), x ->
+               (doc_id + x) % 256
+               + (3*doc_id + x) % 256
+               + (5*doc_id + x) % 256))
+           ELSE
+             list_sum(list_transform(range(0, 14 + doc_id % 11), x ->
+               (17 * ((doc_id + x // 7) % 256)) % 256
+               + (29 * ((doc_id + x // 7) % 256)) % 256
+               + (43 * ((doc_id + x // 7) % 256)) % 256))
+           END AS BIGINT) AS top_row_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's third REAL image container, and its
+    first with run-length decompression on the decode path: even-id
+    docs carry 24bpp BI_RGB payloads (the decoder must undo bottom-up
+    row order, BGR byte order, and the per-width 4-byte row padding),
+    odd-id docs carry 8bpp BI_RLE8 (the decoder must expand genuine
+    (count, value) runs through the palette). The oracle recomputes
+    pixel_sum and the TOP-row sum arithmetically — an x-and-y gradient
+    makes the top row distinct from every other row, so a missed
+    vertical flip (the classic BMP bug, invisible to any whole-image
+    statistic) fails the hash gate.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode), no
+    shuffle; pixels never leave the Python worker — the mm_png_decode
+    class. Cites /root/reference/src/fetch.py:78 (the reference only
+    ever moves image bytes; decoding them is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_bmp_payload(d, "doc_id")
+    return multimodal.bmp_decode_features(payloads)
+
+
+@register(
+    "mm_png_tile_dedup",
+    survey_ref=(
+        "[EXT] pixel-level dedup on REAL decoded images (round 10): "
+        "4-scanline band sums from the reconstructed PNG pixels → "
+        "md5 tile signature → one signature-keyed shuffle groups "
+        "byte-identical images; the id-derived gradient makes ids "
+        "256 apart render the SAME image, so the dedup finds genuine "
+        "planted-by-construction duplicate classes and reports each "
+        "as (representative, duplicate) star pairs"
+    ),
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 16 AS BIGINT) AS w,
+             CAST(16 + doc_id % 8 AS BIGINT) AS h,
+             doc_id % 256 AS r0,
+             (7 * doc_id) % 256 AS g0,
+             (13 * doc_id) % 256 AS b0
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+             md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':'
+                 || array_to_string(
+                      list_transform(range(0, (h + 3) // 4), b ->
+                        CAST(w * list_sum(list_transform(
+                          range(4 * b, least(h, 4 * b + 4)), y ->
+                            (r0 + y) % 256 + (g0 + y) % 256
+                            + (b0 + y) % 256)) AS VARCHAR)),
+                      ',')) AS sig
+      FROM params),
+    reps AS (
+      SELECT doc_id, sig, min(doc_id) OVER (PARTITION BY sig) AS rep_id
+      FROM sigs)
+    SELECT sig, rep_id, doc_id AS dup_id
+    FROM reps WHERE doc_id <> rep_id
+    """,
+)
+def mm_png_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level duplicate detection gated through the REAL decoder:
+    every PNG is decoded, its channel values summed over 4-scanline
+    bands, and the band-sum vector fingerprinted; images whose
+    RECONSTRUCTED pixels agree band-for-band share a signature, and
+    each signature class reports (representative = min id, duplicate)
+    pairs via one window — the dedup_cluster_representatives star
+    shape, driven by decoded bytes instead of text. The generator's
+    gradient repeats every 256 ids (width mod 16, height mod 8 and all
+    three channel bases mod 256 align only there), so the duplicate
+    classes are planted by construction and the oracle re-derives them
+    arithmetically — one wrong reconstructed byte anywhere moves a
+    band sum and breaks its signature.
+
+    Scale shape: narrow Arrow decode map (pixels stay in the worker),
+    then ONE signature-keyed window shuffle of 32-char strings — the
+    exact-dedup class; no self-join, no pixel movement."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d, "doc_id")
+    sigs = multimodal.png_tile_signatures(payloads).select("doc_id", "sig")
+    reps = sigs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("sig"))
+    )
+    return reps.filter(F.col("doc_id") != F.col("rep_id")).select(
+        "sig", "rep_id", F.col("doc_id").alias("dup_id")
+    )
+
+
+@register(
+    "mm_audio_resample",
+    survey_ref=(
+        "[EXT] REAL audio resample (round 10): decode each WAV, "
+        "decimate 2:1 per channel with the bias-then-floor boxcar "
+        "mean ((a+32768)+(b+32768)) div 2 − 32768 (non-negative "
+        "numerator per the README division audit), emit exact integer "
+        "sums of the resampled stream; the oracle replays the LCG "
+        "generator and the same per-channel pairing in closed form"
+    ),
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             1 + doc_id % 2 AS ch,
+             64 + 2 * (doc_id % 32) AS n
+      FROM documents),
+    q AS (
+      SELECT doc_id, rate, ch, n, (n // ch) AS nf_in,
+             (n // ch) // 2 AS nf_out
+      FROM p),
+    v AS (
+      SELECT doc_id, rate, ch, nf_in, nf_out,
+             list_transform(range(0, nf_out * ch), m ->
+               ((doc_id * 2654435761
+                 + (2 * (m // ch) * ch + m % ch) * 40503) % 65536
+                + (doc_id * 2654435761
+                   + ((2 * (m // ch) + 1) * ch + m % ch) * 40503) % 65536)
+               // 2 - 32768) AS out
+      FROM q)
+    SELECT doc_id,
+           CAST(rate // 2 AS INT) AS sample_rate_out,
+           CAST(ch AS INT) AS channels,
+           CAST(nf_in AS BIGINT) AS n_frames_in,
+           CAST(nf_out AS BIGINT) AS n_frames_out,
+           CAST(list_sum(list_transform(out, x -> x)) AS BIGINT)
+             AS sum_out,
+           CAST(list_sum(list_transform(out, x -> x * x)) AS BIGINT)
+             AS sum_squares_out,
+           true AS ok
+    FROM v
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio pipeline's canonical rate-halving pass run on REAL
+    decoded PCM: per channel, output frame j is the boxcar mean of
+    input frames 2j and 2j+1 (stereo clips pair within each channel
+    across the interleaved stream — the indexing the oracle replays
+    exactly). The mean is computed bias-then-floor so the division
+    numerator is non-negative and Python //, Spark div and DuckDB //
+    agree sample-for-sample; sums and sums of squares of the
+    resampled stream are exact BIGINTs.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode+
+    decimate); PCM never leaves the worker — the mm_wav_decode class;
+    at 100 TB this is the embarrassingly-parallel resample stage
+    before feature extraction."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(d, "doc_id")
+    return multimodal.wav_resample_features(payloads)

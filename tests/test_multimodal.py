@@ -510,3 +510,97 @@ def test_gif_extension_blocks_are_skipped():
     ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + term
     out = decode_gif(head + ext + img)
     assert out[3] == bytes([0, 1] * 6)
+
+
+def test_bmp_codec_roundtrip_both_modes():
+    """encode→decode is pixel-exact for 24bpp BI_RGB (every row-padding
+    width 0..3) and for 8bpp BI_RLE8 through the palette, including
+    runs that cross the 255-count encoder split."""
+    import random
+
+    from shippai_knowledge_etl_spark.operators.bmp_codec import (
+        decode_bmp,
+        encode_bmp_rgb24,
+        encode_bmp_rle8,
+    )
+
+    rng = random.Random(7)
+    for w in (1, 2, 3, 4, 5, 12, 13):  # 3w % 4 covers all paddings
+        h = 3
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_bmp(encode_bmp_rgb24(w, h, rgb)) == (w, h, 3, rgb)
+    pal = [((j * 17) % 256, (j * 29) % 256, (j * 43) % 256) for j in range(256)]
+    # long constant rows force runs > 255 → encoder must split them
+    w, h = 300, 2
+    idx = bytes([5] * w + [6] * w)
+    got = decode_bmp(encode_bmp_rle8(w, h, idx, pal))
+    exp = b"".join(bytes(pal[j]) for j in idx)
+    assert got == (w, h, 3, exp)
+
+
+def test_bmp_codec_top_row_orientation():
+    """The decoder must undo bottom-up storage: a single bright TOP row
+    must come back at y=0, not y=h-1 (pixel_sum alone cannot see this —
+    the reason bmp_decode_features also reports top_row_sum)."""
+    from shippai_knowledge_etl_spark.operators.bmp_codec import (
+        decode_bmp,
+        encode_bmp_rgb24,
+    )
+
+    w, h = 4, 3
+    top = bytes((255, 255, 255)) * w
+    rest = bytes(w * 3) * (h - 1)
+    _, _, _, out = decode_bmp(encode_bmp_rgb24(w, h, top + rest))
+    assert out[: w * 3] == top and sum(out[w * 3 :]) == 0
+
+
+def test_bmp_codec_scope_errors():
+    """Loud-raise posture: malformed input is ValueError, every
+    unimplemented-but-valid mode is NotImplementedError."""
+    import struct
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.bmp_codec import (
+        decode_bmp,
+        encode_bmp_rgb24,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PK\x03\x04" + b"\x00" * 60)
+    good = bytearray(encode_bmp_rgb24(2, 2, bytes(12)))
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 32)  # 32bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad_bpp))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -2)  # negative height
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(topdown))
+    truncated = bytes(good[:-5])
+    with pytest.raises(ValueError):
+        decode_bmp(truncated)
+
+
+def test_wav_resample_features_hand_computed(spark):
+    """Decode+decimate on a hand-built stereo clip: out L' = floor-mean
+    of L frames 0,1 and 2,3; R' likewise — checked against by-hand
+    values including a negative odd sum (bias keeps floor semantics)."""
+    from shippai_knowledge_etl_spark.operators.multimodal import (
+        wav_resample_features,
+    )
+    from shippai_knowledge_etl_spark.operators.wav_codec import encode_wav
+
+    # frames (L, R): (10, -3), (11, -4), (-7, 100), (-8, 101)
+    samples = [10, -3, 11, -4, -7, 100, -8, 101]
+    payload = encode_wav(samples, 16000, 2)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = wav_resample_features(df).collect()[0]
+    # L: (10+11)//2 = 10 (floor of 10.5), R: (-3-4) → bias floor = -4
+    # L: (-7-8)//2 → floor(-7.5) = -8, R: (100+101)//2 = 100
+    out = [10, -4, -8, 100]
+    assert row.n_frames_in == 4 and row.n_frames_out == 2
+    assert row.sample_rate_out == 8000 and row.channels == 2
+    assert row.sum_out == sum(out)
+    assert row.sum_squares_out == sum(v * v for v in out)
+    assert row.ok
