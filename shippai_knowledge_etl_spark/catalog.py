@@ -472,6 +472,9 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "mm_bmp_decode",  # real BMP codec: BI_RGB + RLE8 decompression
     "mm_png_tile_dedup",  # pixel-level dedup via decoded band sums
     "mm_audio_resample",  # 2:1 boxcar decimation on real PCM
+    "layout_hilbert_order",  # unrolled Hilbert vs Z-order locality
+    "w35_holt_linear",  # integer Holt recurrence vs recursive CTE
+    "ext_wordpiece_encode",  # greedy longest-match vs recursive CTE
 )
 
 

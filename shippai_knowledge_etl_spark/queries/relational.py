@@ -2575,3 +2575,170 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("t_violation"),
     )
+
+
+def _hilbert_stages(div: str) -> list[tuple[str, str, str, str, str]]:
+    """Per-level (rx, ry, d, x, y) expression strings for the order-4
+    Hilbert transform, parameterized on the integer-division token
+    (Spark ``div`` / DuckDB ``//``) — everything else is engine-shared
+    +,−,*,% arithmetic on non-negative ints. The quadrant value
+    3rx + ry − 2rx·ry is the arithmetic form of (3rx) XOR ry for
+    rx,ry ∈ {0,1}; reflection+swap is the CASE pair, using the classic
+    n−1 = 15 reflection so every intermediate coordinate stays in
+    [0, 16) — NON-NEGATIVE is load-bearing: the first cut reflected
+    with s−1, went negative, and Python floor-div/mod, Spark div/% and
+    DuckDB //,% all disagree below zero (README division audit class;
+    the gate caught it). Tests pin that consecutive indexes are
+    Manhattan-adjacent across the whole 16×16 grid, which is the
+    locality property the layout exists for."""
+    out = []
+    for s in (8, 4, 2, 1):
+        rx = f"(x {div} {s}) % 2"
+        ry = f"(y {div} {s}) % 2"
+        d = f"d + {s * s} * (3 * rx + ry - 2 * rx * ry)"
+        nx = (
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 15 - y "
+            f"ELSE y END) ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 15 - x "
+            f"ELSE x END) ELSE y END"
+        )
+        out.append((rx, ry, d, nx, ny))
+    return out
+
+
+def _zorder4(div: str) -> str:
+    """4-bit Morton interleave as pure arithmetic (disjoint powers of 4
+    sum exactly — the zorder_key2 discipline without bit operators)."""
+    terms = []
+    for i in range(4):
+        terms.append(f"((x {div} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"((y {div} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def _hilbert_oracle_sql() -> str:
+    stages = _hilbert_stages("//")
+    inner = "SELECT x0 AS x, y0 AS y, 0 AS d FROM cells0"
+    for rx, ry, d, nx, ny in stages:
+        inner = (
+            f"SELECT {d} AS d, {nx} AS x, {ny} AS y FROM "
+            f"(SELECT x, y, d, {rx} AS rx, {ry} AS ry FROM ({inner}))"
+        )
+    # re-attach the original cell coords for the travel metric
+    inner_keyed = "SELECT x0 AS x, y0 AS y, x0, y0, 0 AS d FROM cells0"
+    for rx, ry, d, nx, ny in stages:
+        inner_keyed = (
+            f"SELECT x0, y0, {d} AS d, {nx} AS x, {ny} AS y FROM "
+            f"(SELECT x, y, x0, y0, d, {rx} AS rx, {ry} AS ry "
+            f"FROM ({inner_keyed}))"
+        )
+    return f"""
+    WITH cells0 AS (
+      SELECT user_id % 16 AS x0,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 16 AS y0
+      FROM events GROUP BY 1, 2),
+    hk AS (SELECT x0, y0, d AS k FROM ({inner_keyed})),
+    zk AS (SELECT x0, y0, {_zorder4("//").replace("x ", "x0 ").replace("y ", "y0 ")} AS k
+           FROM cells0),
+    curves AS (
+      SELECT 'hilbert' AS curve, x0, y0, k FROM hk
+      UNION ALL SELECT 'zorder' AS curve, x0, y0, k FROM zk),
+    steps AS (
+      SELECT curve,
+             abs(x0 - lag(x0) OVER w) + abs(y0 - lag(y0) OVER w) AS step
+      FROM curves WINDOW w AS (PARTITION BY curve ORDER BY k))
+    SELECT curve,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(step) AS BIGINT) AS total_travel,
+           CAST(max(step) AS BIGINT) AS max_jump,
+           CASE WHEN count(*) > 1 THEN
+             round(CAST(sum(step) AS DOUBLE) / (count(*) - 1), 6)
+           ELSE 0.0 END AS mean_step
+    FROM steps GROUP BY curve
+    """
+
+
+@register(
+    "layout_hilbert_order",
+    survey_ref=(
+        "[EXT] Hilbert-curve clustering key vs Z-order, measured (the "
+        "OPTIMIZE ... BY HILBERT option in modern lakehouse writers): "
+        "order-4 transform unrolled to four levels of pure {div,%,*,"
+        "CASE} arithmetic — identical non-negative-integer semantics "
+        "on both engines, no float, no bit operators — and the payoff "
+        "quantified as curve-order Manhattan travel over the occupied "
+        "cell grid (a unit-step curve visits neighbors; Morton jumps "
+        "quadrant seams), the locality that decides parquet min/max "
+        "pruning quality at 100 TB"
+    ),
+    oracle=_hilbert_oracle_sql(),
+)
+def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton locality audit over the occupied (user mod 16,
+    day mod 16) cell grid: both curve keys are computed for every
+    occupied cell (Hilbert via four unrolled reflect-swap levels, pure
+    integer arithmetic shared token-for-token with the oracle modulo
+    the division keyword; Morton via disjoint-power-of-4 interleave),
+    then each curve is walked in key order and the Manhattan distance
+    between consecutive occupied cells is summed — total_travel,
+    max_jump and mean_step per curve. On a full grid the unit-step
+    property pins Hilbert at 255 total (neighbor every step, pytest)
+    while Morton pays 480; the gap is WHY Hilbert layouts prune
+    better.
+
+    Scale shape: one (x, y) cell rollup cuts the events stream (the
+    layout_zorder_events class); everything after runs on ≤256 cell
+    rows — the curve windows partition by curve over the bounded cell
+    dimension, and the output is two rows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("user_id") % 16).alias("x0"),
+            (
+                F.expr(
+                    "CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400"
+                )
+                % 16
+            ).alias("y0"),
+        )
+        .groupBy("x0", "y0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("x0", "y0")
+    )
+    h = cells.selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "0 AS d")
+    for rx, ry, d, nx, ny in _hilbert_stages("div"):
+        h = h.selectExpr(
+            "x0", "y0", "x", "y", "d", f"{rx} AS rx", f"{ry} AS ry"
+        ).selectExpr("x0", "y0", f"{d} AS d", f"{nx} AS x", f"{ny} AS y")
+    hk = h.select("x0", "y0", F.col("d").alias("k"), F.lit("hilbert").alias("curve"))
+    zk = cells.selectExpr(
+        "x0",
+        "y0",
+        _zorder4("div").replace("x ", "x0 ").replace("y ", "y0 ") + " AS k",
+    ).select("x0", "y0", "k", F.lit("zorder").alias("curve"))
+    both = hk.unionByName(zk)
+    w = Window.partitionBy("curve").orderBy("k")
+    steps = both.select(
+        "curve",
+        (
+            F.abs(F.col("x0") - F.lag("x0").over(w))
+            + F.abs(F.col("y0") - F.lag("y0").over(w))
+        ).alias("step"),
+    )
+    return steps.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("step").cast("long").alias("total_travel"),
+        F.max("step").cast("long").alias("max_jump"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.round(
+                F.sum("step").cast("double") / (F.count(F.lit(1)) - 1), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_step"),
+    )

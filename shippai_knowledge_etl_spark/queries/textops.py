@@ -1494,3 +1494,171 @@ def ext_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_overestimate"
         ),
     )
+
+
+@register(
+    "ext_wordpiece_encode",
+    survey_ref=(
+        "[EXT] WordPiece greedy longest-match-first encoding (Wu et "
+        "al. 2016; the tokenizer triad's third member after BPE and "
+        "unigram-LM): a 200-piece vocabulary ranked (count DESC, piece "
+        "ASC) over all length-2..4 substrings of the corpus' words, "
+        "then each DISTINCT word segmented longest-match-first — run "
+        "in Spark as a vocab-closure Arrow map and replayed by the "
+        "oracle as a DuckDB RECURSIVE CTE over the cursor positions: "
+        "two execution models, one md5-fingerprinted piece sequence "
+        "per document"
+    ),
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    words AS (
+      SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS pos
+      FROM toks),
+    cand AS (
+      SELECT unnest(list_transform(
+               range(0, greatest(length(word) - 1, 0)),
+               s -> substring(word, s + 1, 2))) AS piece FROM words
+      UNION ALL
+      SELECT unnest(list_transform(
+               range(0, greatest(length(word) - 2, 0)),
+               s -> substring(word, s + 1, 3))) AS piece FROM words
+      UNION ALL
+      SELECT unnest(list_transform(
+               range(0, greatest(length(word) - 3, 0)),
+               s -> substring(word, s + 1, 4))) AS piece FROM words),
+    vocab AS (
+      SELECT piece FROM (
+        SELECT piece, count(*) AS cnt FROM cand GROUP BY piece
+        ORDER BY cnt DESC, piece ASC LIMIT 200)),
+    dw AS (SELECT DISTINCT word FROM words),
+    rec AS (
+      SELECT word, 0 AS cur, CAST('' AS VARCHAR) AS lens,
+             0 AS np, 0 AS nm
+      FROM dw
+      UNION ALL
+      SELECT word, cur + step AS cur,
+             lens || (CASE WHEN cur = 0 THEN '' ELSE ',' END)
+                  || CAST(step AS VARCHAR) AS lens,
+             np + 1 AS np,
+             nm + (CASE WHEN step >= 2 THEN 1 ELSE 0 END) AS nm
+      FROM (
+        SELECT word, cur, lens, np, nm,
+               CASE WHEN length(word) - cur >= 4
+                     AND substring(word, cur + 1, 4)
+                         IN (SELECT piece FROM vocab) THEN 4
+                    WHEN length(word) - cur >= 3
+                     AND substring(word, cur + 1, 3)
+                         IN (SELECT piece FROM vocab) THEN 3
+                    WHEN length(word) - cur >= 2
+                     AND substring(word, cur + 1, 2)
+                         IN (SELECT piece FROM vocab) THEN 2
+                    ELSE 1 END AS step
+        FROM rec WHERE cur < length(word))),
+    enc AS (
+      SELECT word, lens, np, nm FROM rec WHERE cur = length(word))
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.nm) AS BIGINT) AS n_multi_pieces,
+           md5(string_agg(e.lens, ';' ORDER BY w.pos)) AS fingerprint
+    FROM words w JOIN enc e USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def ext_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece encoding with a data-derived vocabulary, hash-gated
+    end to end: the vocab is the top-200 length-2..4 word substrings
+    by corpus frequency (count DESC, piece ASC — a total order, so
+    both engines cut the same 200), and every distinct word is then
+    segmented greedy longest-match-first (try 4, then 3, then 2
+    characters at the cursor; fall back to a single character). The
+    per-document gate is an md5 fingerprint of the full piece-length
+    sequence in token order — one differently-segmented word anywhere
+    in the corpus breaks it. The oracle replays the greedy loop as a
+    RECURSIVE CTE (the w35_holt_linear discipline: sequential
+    recurrences cross-checked against a different execution model).
+
+    Scale shape: substring candidates ride posexplode Generates (no
+    lambda HOFs — Column.substr over a start-sequence column); the
+    vocab is a TakeOrdered top-200 collected to the driver (a bounded
+    codebook collect, the documented class); segmentation runs once
+    per DISTINCT word (Zipf: vocabulary ≪ corpus) inside an Arrow
+    map whose closure holds the 200-piece set; the rejoin is one
+    word-keyed shuffle and the doc rollup reuses the existing
+    sorted-struct assembly idiom (array_join of getField over
+    sort_array — no lambda)."""
+    from typing import Iterator
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(textops.tokenize(F.col("text"))).alias("pos", "word"),
+    )
+    cands = None
+    for L in (2, 3, 4):
+        c = (
+            toks.filter(F.length("word") >= L)
+            .select(
+                "word",
+                F.explode(
+                    F.sequence(F.lit(0), F.length("word") - L)
+                ).alias("s"),
+            )
+            .select(
+                F.col("word").substr(F.col("s") + 1, F.lit(L)).alias("piece")
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    vocab_rows = (
+        cands.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(200)
+        .collect()
+    )  # bounded codebook collect: exactly 200 short strings
+    vocab = {r.piece for r in vocab_rows}
+
+    def segment(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for word in pdf["word"]:
+                w = str(word)
+                cur, lens, nm = 0, [], 0
+                while cur < len(w):
+                    step = 1
+                    for L in (4, 3, 2):
+                        if len(w) - cur >= L and w[cur : cur + L] in vocab:
+                            step = L
+                            break
+                    lens.append(step)
+                    nm += 1 if step >= 2 else 0
+                    cur += step
+                rows.append(
+                    (w, ",".join(str(x) for x in lens), len(lens), nm)
+                )
+            yield pd.DataFrame(
+                rows, columns=["word", "lens", "np", "nm"]
+            )
+
+    wmap = (
+        toks.select("word")
+        .distinct()
+        .mapInPandas(segment, "word string, lens string, np long, nm long")
+    )
+    joined = toks.join(wmap, "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("np").cast("long").alias("n_pieces"),
+        F.sum("nm").cast("long").alias("n_multi_pieces"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "lens"))
+                ).getField("lens"),
+                ";",
+            )
+        ).alias("fingerprint"),
+    )

@@ -4105,3 +4105,134 @@ def behavior_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mass_3rounds", F.lit(0)).cast("long").alias("mass_3rounds"),
         )
     )
+
+
+@register(
+    "w35_holt_linear",
+    survey_ref=(
+        "[EXT] Holt linear-trend exponential smoothing (Holt 1957; "
+        "the level+trend upgrade over w20's seasonal-naive floor and "
+        "w21's trendless EWMA): α=β=1/2 so the recurrence is exact "
+        "scaled-integer arithmetic — level and trend in micro-units "
+        "with floor-div-by-2 via the bias trick (v + 2^41) div 2 − "
+        "2^40, keeping every division numerator non-negative where "
+        "Python //, Spark div and DuckDB // agree — run as a per-type "
+        "grouped-map over the bounded day grid and replayed by the "
+        "oracle as a RECURSIVE CTE: two engines, two execution "
+        "models, one integer fixpoint"
+    ),
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dseq AS (
+      SELECT day, row_number() OVER (ORDER BY day) - 1 AS t
+      FROM (SELECT DISTINCT day FROM daily)),
+    nmax AS (SELECT count(*) AS T FROM dseq),
+    grid AS (
+      SELECT ty.event_type, d.t, coalesce(da.n, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM daily) ty
+      CROSS JOIN dseq d
+      LEFT JOIN daily da ON da.event_type = ty.event_type
+                        AND da.day = d.day),
+    rec AS (
+      SELECT g0.event_type, 0 AS t,
+             g0.c * 1000000 AS l,
+             CASE WHEN (SELECT T FROM nmax) >= 2
+                  THEN (g1.c - g0.c) * 1000000 ELSE 0 END AS b
+      FROM grid g0
+      LEFT JOIN grid g1 ON g1.event_type = g0.event_type AND g1.t = 1
+      WHERE g0.t = 0
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             (g.c * 1000000 + r.l + r.b + 2199023255552) // 2
+               - 1099511627776 AS l,
+             (((g.c * 1000000 + r.l + r.b + 2199023255552) // 2
+               - 1099511627776) - r.l + r.b + 2199023255552) // 2
+               - 1099511627776 AS b
+      FROM rec r
+      JOIN grid g ON g.event_type = r.event_type AND g.t = r.t + 1)
+    SELECT r.event_type,
+           CAST(n.T AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_scaled,
+           CAST(r.b AS BIGINT) AS trend_scaled,
+           round(CAST(r.l + r.b AS DOUBLE) / 1000000, 6) AS forecast_next
+    FROM rec r CROSS JOIN nmax n
+    WHERE r.t = n.T - 1
+    """,
+)
+def w35_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoother over per-type daily volumes, exact
+    to the last micro-unit: with α = β = 1/2 every update is
+    l' = ⌊(x·10⁶ + l + b)/2⌋, b' = ⌊(l' − l + b)/2⌋ — floor division
+    by 2 done as (v + 2^41) div 2 − 2^40 so the numerator is
+    non-negative (below zero Python //, Spark div and DuckDB //
+    all disagree — the layout_hilbert_order lesson, README division
+    audit). The Spark side runs the recurrence as a grouped-map over
+    the dense (type, day) grid (bounded state: one int pair per type);
+    the oracle replays it as a DuckDB RECURSIVE CTE — independent
+    execution models that must land on the identical integer, which
+    is the strongest cross-engine gate a sequential recurrence can
+    get. Output: final level/trend in micro-units and the one-step
+    forecast l+b, the only float being that display division.
+
+    Scale shape: one (type, day) rollup cuts the stream (w19/w20
+    class); the grid fill is a bounded dimension cross; the
+    grouped-map holds two integers per type regardless of history
+    length. At 100 TB the recurrence still touches only the
+    |types|×|days| grid."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("c"))
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = [int(v) for v in pdf["c"]]
+        S, B = 1_000_000, 1 << 41
+        H = B // 2
+        lvl = c[0] * S
+        b = (c[1] - c[0]) * S if len(c) >= 2 else 0
+        for t in range(1, len(c)):
+            ln = (c[t] * S + lvl + b + B) // 2 - H
+            b = (ln - lvl + b + B) // 2 - H
+            lvl = ln
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": len(c),
+                    "level_scaled": lvl,
+                    "trend_scaled": b,
+                }
+            ]
+        )
+
+    out = grid.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days long, level_scaled long, "
+        "trend_scaled long",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "level_scaled",
+        "trend_scaled",
+        F.round(
+            (F.col("level_scaled") + F.col("trend_scaled")).cast("double")
+            / 1000000,
+            6,
+        ).alias("forecast_next"),
+    )

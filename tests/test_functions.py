@@ -1210,3 +1210,43 @@ def test_ivm_consistency_is_not_vacuous(spark, sf_dir):
         r for r in rows if r["n_tokens_maintained"] != base.get(r["source"])
     ]
     assert changed  # the planted appends moved the rollup
+
+
+def test_hilbert_unit_step_full_grid(spark):
+    """The unrolled order-4 Hilbert expressions produce a bijection of
+    0..255 whose consecutive cells are Manhattan-adjacent EVERYWHERE
+    (total travel 255, max jump 1) — while Morton pays 480 with
+    quadrant-seam jumps — on the full 16×16 grid. This is the locality
+    property layout_hilbert_order quantifies on occupied cells."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.queries.relational import (
+        _hilbert_stages,
+        _zorder4,
+    )
+
+    cells = spark.range(256).selectExpr("id % 16 AS x0", "id div 16 AS y0")
+    h = cells.selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "0 AS d")
+    for rx, ry, d, nx, ny in _hilbert_stages("div"):
+        h = h.selectExpr(
+            "x0", "y0", "x", "y", "d", f"{rx} AS rx", f"{ry} AS ry"
+        ).selectExpr("x0", "y0", f"{d} AS d", f"{nx} AS x", f"{ny} AS y")
+    hpos = {r.d: (r.x0, r.y0) for r in h.collect()}
+    assert sorted(hpos) == list(range(256))  # bijection
+    hsteps = [
+        abs(hpos[t][0] - hpos[t + 1][0]) + abs(hpos[t][1] - hpos[t + 1][1])
+        for t in range(255)
+    ]
+    assert sum(hsteps) == 255 and max(hsteps) == 1
+    z = cells.selectExpr(
+        "x0",
+        "y0",
+        _zorder4("div").replace("x ", "x0 ").replace("y ", "y0 ") + " AS k",
+    )
+    zpos = {r.k: (r.x0, r.y0) for r in z.collect()}
+    assert sorted(zpos) == list(range(256))
+    zsteps = [
+        abs(zpos[t][0] - zpos[t + 1][0]) + abs(zpos[t][1] - zpos[t + 1][1])
+        for t in range(255)
+    ]
+    assert sum(zsteps) == 480 and max(zsteps) > 1

@@ -94,6 +94,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # bounded grid fill: |QI groups| x |balance buckets| dimension
     # cross (w19_burst_detection class) + 1-row (T, B) totals
     "quality_t_closeness",
+    # bounded grid fill: |event types| x |days| dimension cross
+    # feeding the per-type Holt recurrence (w19/w20 class)
+    "w35_holt_linear",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
