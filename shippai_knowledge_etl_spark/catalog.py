@@ -110,8 +110,15 @@ DRIVER_WINDOW = (
     # slot pins the round-9 REAL audio-decode flagship: RIFF/WAVE
     # chunk walk + exact PCM16/8 sample unpack, hash-gated by
     # closed-form sample-sum oracles — the image codec path was
-    # witnessed (mm_png_decode), the audio path was not
-    "mm_wav_decode",
+    # witnessed (mm_png_decode), the audio path was not;
+    # mm_wav_decode then rotated out in round 10 for its strictly-
+    # larger successor: mm_audio_resample RUNS the same decode_wav
+    # chunk walk and exact sample unpack, then decimates 2:1 per
+    # channel with bias-then-floor means — the decode machinery stays
+    # driver-witnessed through the larger plan, and mm_wav_decode
+    # itself stays oracle-green in tests/test_oracle_parity.py at
+    # both SFs (plus the mulaw branch's pytest golden parity)
+    "mm_audio_resample",
     # j5_range_join_buckets rotated out (the non-equi join family stays
     # witnessed in-window by j6_asof_latest_order — the as-of pick IS a
     # range-bounded non-equi join resolved per key — and
@@ -202,8 +209,18 @@ DRIVER_WINDOW = (
     # tests/test_oracle_parity.py at both SFs); the slot pins the CDC
     # MERGE audit — the round-7 data-quality family's upsert/delete
     # reconciliation (full-outer key align + op classification),
-    # previously driver-unwitnessed
-    "quality_cdc_merge",
+    # previously driver-unwitnessed;
+    # quality_cdc_merge then rotated out in round 10 (the governance
+    # family keeps THREE in-window rows — quality_psi_drift,
+    # quality_table_checksum, quality_conformal_threshold — and
+    # cdc_merge stays oracle-green in tests/test_oracle_parity.py at
+    # both SFs, its delta-apply algebra additionally exercised by
+    # quality_ivm_delta's parity run); the slot pins WordPiece greedy
+    # longest-match encoding — the tokenizer family's FIRST driver row
+    # (BPE/unigram are rows-only by contract; this one is hash-gated
+    # end to end via the md5 piece-sequence fingerprint against a
+    # RECURSIVE-CTE oracle, a plan class nothing else in-window has)
+    "ext_wordpiece_encode",
     # f13_results_sequence rotated out (F13's regex-extraction family
     # stays witnessed in-window by p1_case_id_extract + f8_f9's URL
     # regex, and A2's max-over-extracted-int by a3_manifest_collect's
@@ -273,8 +290,18 @@ DRIVER_WINDOW = (
     # tests/test_oracle_parity.py at both SFs); the slot pins the
     # round-9 pairwise text-eval family's flagship — clipped bigram
     # overlap (ROUGE-2) via the single-pass conditional (pair, gram)
-    # aggregation, a family with no prior driver row
-    "eval_rouge_bigram",
+    # aggregation, a family with no prior driver row;
+    # eval_rouge_bigram then rotated out in round 10 (the eval family
+    # keeps a driver row via this slot's successor; the (pair, gram)
+    # conditional-aggregation machinery stays witnessed in-window by
+    # dedup_ngram_jaccard's gram-keyed counting spine, and rouge —
+    # plus eval_bleu_log, which shares its _pair_gram_stats body —
+    # stays oracle-green in tests/test_oracle_parity.py at both SFs);
+    # the slot pins METEOR with the fragmentation penalty — the
+    # alignment-based eval class (occurrence-index equi-join +
+    # gaps-and-islands chunk count + integer-exact score), which no
+    # in-window query carries
+    "eval_meteor_frag",
     # w1_w2_chunk_slice and o1_sort_by_num rotated out (W1/W2/O1 stay
     # witnessed in-window by case_assembly, whose scenario_struct IS
     # the O1 ordinal sort → W2 boundary slice → W1 chunk-by-3
@@ -434,10 +461,26 @@ DRIVER_WINDOW = (
     # oracle-green in tests/test_oracle_parity.py at both SFs and
     # driver-parity-tested there); the slot pins the round-9 real
     # image-decode flagship: encode-then-decode PNGs through all five
-    # RFC 2083 scanline filters, pixel sums hash-gated in closed form
-    "mm_png_decode",
+    # RFC 2083 scanline filters, pixel sums hash-gated in closed form;
+    # mm_png_decode then rotated out in round 10 for its strictly-
+    # larger successor: mm_png_tile_dedup decodes the SAME payloads
+    # through the same codec, gates every reconstructed scanline byte
+    # through 4-row band sums (one wrong byte breaks a signature), and
+    # adds the signature-keyed dedup shuffle + star-pair window on
+    # top; mm_png_decode itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs (plus the pixel-exact
+    # filter-by-filter pytest coverage in tests/test_multimodal.py)
+    "mm_png_tile_dedup",
     "u5_udtf_expand",
-    "p13_grouped_map_seq",
+    # p13_grouped_map_seq rotated out in round 10 (the applyInPandas
+    # grouped-map surface stays driver-witnessed by w35_holt_linear —
+    # the same mechanism carrying a much stronger gate: an exact
+    # scaled-integer recurrence checked against a DuckDB RECURSIVE-CTE
+    # oracle rather than a per-group sequence label; p13 stays
+    # oracle-green in tests/test_oracle_parity.py at both SFs); the
+    # slot pins Holt linear-trend smoothing — the round-10 sequential-
+    # recurrence class with no prior driver row
+    "w35_holt_linear",
 )
 
 
