@@ -33,9 +33,31 @@ intermediate — the rows that actually cross the wire:
   Documented bound: linear in nodes for the bounded-degree synthetic
   graph (2 out-links/node).
 
-Output: SCALEPROBE_r09.json with per-operator {k: metrics}, the
-measured m(k)/m(1) ratios, and a one-line linear/NOT-linear verdict
-(linear = every ratio within 10% of k).
+Round 10 (VERDICT r9 item 5) adds the candidate-bounded shapes the
+r9 probe skipped, each with an EXPLICIT per-metric expectation —
+"linear" is not the only healthy shape:
+
+- ``dedup_minhash_lsh`` (operators/dedup.py:lsh_band_rows): band rows
+  (16/doc — the signature shuffle) expect LINEAR; bucket-collision
+  candidate pairs expect AT-MOST-LINEAR (fresh epochs share no
+  shingles, so collisions stay within epochs).
+- ``simsearch_margin_mining`` (queries/simsearch.py): the pre-cut
+  scored rows |Q|·|corpus| expect LINEAR — and the post-
+  WindowGroupLimit candidate rows expect CONSTANT (4/query); the cut
+  existing is the documented 100 TB argument, now measured.
+- ``curation_source_overlap`` (operators/curate.py:
+  source_overlap_matrix): distinct (source, shingle) vocabulary rows
+  expect LINEAR; the per-shingle cross-source pair fan-out expects
+  AT-MOST-LINEAR (bounded by |sources| per shingle — the documented
+  ≤|sources|² applies to the OUTPUT matrix, not the fan-out).
+- ``graph_pagerank_densify``: node count FIXED (epoch-0 only), out-
+  degree scaled 2k — per-round shuffle rows expect LINEAR IN DEGREE,
+  the densification axis corpus explosion cannot probe.
+
+Output: SCALEPROBE_r{N}.json with per-operator {k: metrics}, the
+measured m(k)/m(1) ratios, per-metric expectations, and a verdict
+(linear: ratio within 10% of k; at_most_linear: ratio <= 1.1k;
+constant: ratio within 10% of 1).
 
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/scale_probe.py
@@ -82,7 +104,7 @@ def scaled_documents(spark, sf_dir: str, k: int):
     )
 
 
-def probe_jaccard(spark, docs):
+def probe_jaccard(spark, docs, k):
     """jaccard_pairs' owner-list shuffle rows + expanded pair count."""
     from pyspark.sql import functions as F
 
@@ -116,7 +138,7 @@ def probe_jaccard(spark, docs):
     }
 
 
-def probe_prefix(spark, docs):
+def probe_prefix(spark, docs, k):
     """prefix_candidates' prefix-row count + surviving candidates."""
     from pyspark.sql import functions as F
 
@@ -149,7 +171,7 @@ def probe_prefix(spark, docs):
     }
 
 
-def probe_postings(spark, docs):
+def probe_postings(spark, docs, k):
     """build_postings row count — the index-build shuffle."""
     from shippai_knowledge_etl_spark.operators.retrieval import (
         build_postings,
@@ -158,7 +180,7 @@ def probe_postings(spark, docs):
     return {"postings_rows": build_postings(docs, "doc_id", "text").count()}
 
 
-def probe_pagerank(spark, docs):
+def probe_pagerank(spark, docs, k):
     """Per-round shuffle rows of the synthetic-graph PageRank: edge
     contributions + node rank rows (the dst-keyed exchange)."""
     from pyspark.sql import functions as F
@@ -175,7 +197,7 @@ def probe_pagerank(spark, docs):
     return {"per_round_shuffle_rows": edges.count() + n}
 
 
-def probe_rouge(spark, docs):
+def probe_rouge(spark, docs, k):
     """eval_rouge_bigram's gram shuffle (round 9): exploded bigram
     rows entering the (doc, gram) count groupBy, and the distinct
     (doc, gram) rows entering the clipped-match pair join. Documented
@@ -196,13 +218,178 @@ def probe_rouge(spark, docs):
     }
 
 
+
+
+def probe_minhash(spark, docs, k):
+    """lsh_band_rows' signature shuffle + LSH bucket-collision pairs."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.dedup import lsh_band_rows
+
+    rows = lsh_band_rows(docs, "doc_id", "text")
+    agg = (
+        rows.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_owners"))
+        .agg(
+            F.sum("n_owners").alias("band_rows"),
+            F.sum(
+                F.when(
+                    F.col("n_owners") >= 2,
+                    F.col("n_owners") * (F.col("n_owners") - 1) / 2,
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("collision_pairs"),
+        )
+        .collect()[0]
+    )
+    return {
+        "band_rows": int(agg["band_rows"]),
+        "collision_pairs": int(agg["collision_pairs"]),
+    }
+
+
+def scaled_embeddings(spark, sf_dir: str, k: int):
+    """k-fold embeddings: ids offset per epoch (vector values repeat,
+    which only AIDS collision-style worst cases — counts are the
+    probed quantity)."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * ID_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe_margin_eval(spark, docs, k):
+    """simsearch_margin_mining / retrieval_eval class: broadcast-query
+    scoring rows BEFORE the per-query WindowGroupLimit cut (linear by
+    construction) and candidate rows AFTER it (must stay CONSTANT —
+    the cut is the whole 100 TB argument)."""
+    from pyspark.sql import Window, functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus = scaled_embeddings(spark, sf_dir, k)
+    queries = (
+        scaled_embeddings(spark, sf_dir, 1)
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, q, (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    cand = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 4
+    )
+    return {
+        "scored_rows": scored.count(),
+        "candidate_rows": cand.count(),
+    }
+
+
+def probe_source_overlap(spark, docs, k):
+    """source_overlap_matrix's two intermediates: the per-source
+    DISTINCT shingle vocabulary (the shuffle) and the per-shingle
+    cross-source pair fan-out (bounded by |sources| per shingle)."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.dedup import shingle_structs
+
+    sv = (
+        docs.select(
+            F.col("source").alias("src"),
+            F.explode(shingle_structs(F.col("text"), n=3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    agg = (
+        sv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .agg(
+            F.sum("n_src").alias("vocab_rows"),
+            F.sum(
+                F.when(
+                    F.col("n_src") >= 2,
+                    F.col("n_src") * (F.col("n_src") - 1) / 2,
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("pair_fanout_rows"),
+        )
+        .collect()[0]
+    )
+    return {
+        "vocab_rows": int(agg["vocab_rows"]),
+        "pair_fanout_rows": int(agg["pair_fanout_rows"]),
+    }
+
+
+def probe_pagerank_densify(spark, docs, k):
+    """Iterative-graph probe on the DENSIFICATION axis: node count
+    pinned to epoch 0, out-degree 2k — the per-round dst-keyed
+    shuffle's edge contributions must scale with degree, not worse."""
+    from pyspark.sql import functions as F
+
+    base = docs.filter(F.col("doc_id") < ID_OFFSET)
+    n = base.count()
+    i = F.col("doc_id")
+    edges = None
+    for j in range(2 * k):
+        e = base.select(
+            i.alias("src"), ((i * (7 + 6 * j) + j + 1) % n).alias("dst")
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    return {"edge_contrib_rows": edges.count()}
+
+
 PROBES = {
     "dedup_ngram_jaccard": probe_jaccard,
     "dedup_prefix_allpairs": probe_prefix,
     "ext_bm25_batch": probe_postings,
     "graph_pagerank": probe_pagerank,
     "eval_rouge_bigram": probe_rouge,
+    "dedup_minhash_lsh": probe_minhash,
+    "simsearch_margin_mining": probe_margin_eval,
+    "curation_source_overlap": probe_source_overlap,
+    "graph_pagerank_densify": probe_pagerank_densify,
 }
+
+# Per-metric growth expectation; anything not listed defaults to
+# "linear" (the r9 probes' contract, unchanged).
+EXPECT = {
+    ("dedup_minhash_lsh", "collision_pairs"): "at_most_linear",
+    ("simsearch_margin_mining", "candidate_rows"): "constant",
+    ("curation_source_overlap", "pair_fanout_rows"): "at_most_linear",
+}
+
+
+def _metric_ok(kind: str, ratio: float, k: int) -> bool:
+    if kind == "constant":
+        return abs(ratio - 1) <= 0.1
+    if kind == "at_most_linear":
+        return ratio <= 1.1 * k
+    return abs(ratio - k) <= 0.1 * k
 
 
 def main() -> int:
@@ -218,7 +405,7 @@ def main() -> int:
         for k in SCALES:
             docs = scaled_documents(spark, sf_dir, k)
             t0 = time.perf_counter()
-            m = probe(spark, docs)
+            m = probe(spark, docs, k)
             m["probe_sec"] = round(time.perf_counter() - t0, 2)
             per_k[str(k)] = m
             print(f"# {name} k={k}: {m}", file=sys.stderr)
@@ -231,8 +418,12 @@ def main() -> int:
             for metric in base
             if metric != "probe_sec" and base[metric]
         }
-        linear = all(
-            abs(ratios[metric][str(k)] - k) <= 0.1 * k
+        expect = {
+            metric: EXPECT.get((name, metric), "linear")
+            for metric in ratios
+        }
+        ok = all(
+            _metric_ok(expect[metric], ratios[metric][str(k)], k)
             for metric in ratios
             for k in SCALES
         )
@@ -242,14 +433,17 @@ def main() -> int:
         results[name] = {
             "metrics": per_k,
             "ratios_vs_k1": ratios,
+            "expect": expect,
             "verdict": (
-                f"linear: every intermediate grows within 10% of k "
-                f"(worst ratio/k = {worst:.3f})"
-                if linear
-                else f"NOT LINEAR (worst ratio/k = {worst:.3f}) — "
+                f"ok: every intermediate within 10% of its expected "
+                f"bound (worst ratio/k = {worst:.3f}; expectations: "
+                + ", ".join(f"{m}={e}" for m, e in expect.items())
+                + ")"
+                if ok
+                else f"BOUND EXCEEDED (worst ratio/k = {worst:.3f}) — "
                 "investigate before the 100 TB claim stands"
             ),
-            "linear": linear,
+            "linear": ok,
         }
     out = {
         "metric": "scale_probe",

@@ -518,6 +518,8 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "layout_hilbert_order",  # unrolled Hilbert vs Z-order locality
     "w35_holt_linear",  # integer Holt recurrence vs recursive CTE
     "ext_wordpiece_encode",  # greedy longest-match vs recursive CTE
+    "graph_modularity",  # exact-integer Newman Q decomposition
+    "eval_chrf_bigram",  # char-bigram chrF2, single-division form
 )
 
 

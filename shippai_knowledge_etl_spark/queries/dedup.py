@@ -1997,3 +1997,123 @@ def graph_bfs_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("harmonic_x6", F.lit(0)).cast("long").alias("harmonic_x6"),
         )
     )
+
+
+@register(
+    "graph_modularity",
+    survey_ref=(
+        "[EXT] Newman modularity scoring of a community partition "
+        "(Newman & Girvan 2004): Q = Σ_c [e_c/m − (D_c/2m)²] put over "
+        "the common denominator 4m² so every per-community term is the "
+        "exact BIGINT 4m·e_c − D_c² — the quality metric that judges "
+        "ANY community assignment (label propagation, Louvain rounds, "
+        "a sharding plan) with one edge-keyed pass; here scored "
+        "against the arithmetic partition community = node mod 8"
+    ),
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 13 + 2) % (SELECT n FROM n) AS dst
+      FROM documents),
+    e AS (SELECT src, dst FROM edges WHERE src <> dst),
+    m AS (SELECT count(*) AS m FROM e),
+    degs AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+      GROUP BY node),
+    comm AS (
+      SELECT node, deg, node % 8 AS community FROM degs),
+    dsum AS (
+      SELECT community, count(*) AS n_nodes, sum(deg) AS deg_sum
+      FROM comm GROUP BY community),
+    ein AS (
+      SELECT src % 8 AS community, count(*) AS e_in
+      FROM e WHERE src % 8 = dst % 8
+      GROUP BY src % 8),
+    rows_ AS (
+      SELECT d.community, d.n_nodes,
+             coalesce(ei.e_in, 0) AS e_in, d.deg_sum,
+             4 * mm.m * coalesce(ei.e_in, 0) - d.deg_sum * d.deg_sum
+               AS contrib_x4m2,
+             mm.m AS m
+      FROM dsum d
+      LEFT JOIN ein ei USING (community)
+      CROSS JOIN m mm)
+    SELECT CAST(community AS BIGINT) AS community,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(e_in AS BIGINT) AS e_in,
+           CAST(deg_sum AS BIGINT) AS deg_sum,
+           CAST(contrib_x4m2 AS BIGINT) AS contrib_x4m2,
+           round(CAST(contrib_x4m2 AS DOUBLE) / (4 * m * m), 6)
+             AS q_contribution
+    FROM rows_
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the synthetic link graph under the
+    node-mod-8 partition: per community, the within-community edge
+    count e_c, the degree mass D_c, and the exact integer numerator
+    4m·e_c − D_c² of its modularity contribution (Q itself is the sum
+    of the round-6 contributions — kept per-community so the gate
+    checks the decomposition, not just the scalar). Every quantity is
+    an exact BIGINT; the one float op is the final identically-ordered
+    division by 4m². This is the scoring half of community detection —
+    the fixpoint loops (label propagation, k-core, PageRank variants)
+    are witnessed elsewhere; what was missing is the metric that
+    decides whether any of their outputs is good.
+
+    Scale shape: one edge scan builds degrees (a node-keyed rollup)
+    and within-community counts (the same scan, community keys from
+    pure arithmetic); everything downstream lives on the |communities|
+    grid with a 1-row m broadcast. At 100 TB: two linear shuffles of
+    (node)/(community) keys, no pairs, no iteration."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = (
+        d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        .unionAll(d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    degs = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dsum = degs.groupBy((F.col("node") % 8).alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("deg_sum")
+    )
+    ein = (
+        edges.filter(F.col("src") % 8 == F.col("dst") % 8)
+        .groupBy((F.col("src") % 8).alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    rows = (
+        dsum.join(ein, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "deg_sum",
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    contrib = (
+        F.lit(4) * F.col("m") * F.col("e_in")
+        - F.col("deg_sum") * F.col("deg_sum")
+    )
+    return rows.select(
+        F.col("community").cast("long").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("e_in").cast("long").alias("e_in"),
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        contrib.cast("long").alias("contrib_x4m2"),
+        F.round(
+            contrib.cast("double") / (F.lit(4) * F.col("m") * F.col("m")), 6
+        ).alias("q_contribution"),
+    )

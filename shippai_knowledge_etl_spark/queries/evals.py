@@ -560,3 +560,106 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c.cast("double") / n, 6).alias("pass_at_1"),
         F.round((den - num).cast("double") / den, 6).alias("pass_at_5"),
     )
+
+
+@register(
+    "eval_chrf_bigram",
+    survey_ref=(
+        "[EXT] chrF character-n-gram F-score (Popović 2015), the "
+        "tokenization-robust MT/generation metric: whitespace removed "
+        "(tokens re-joined), clipped character-bigram overlap via the "
+        "same single-pass (pair, gram) conditional aggregation as "
+        "ROUGE, and chrF2's β=2 harmonic mean collapsed to the single "
+        "exact division 5m/(t_c + 4t_r) — no intermediate float"
+    ),
+    oracle="WITH " + _PAIRS_SQL + r""",
+    chars AS (
+      SELECT doc_id,
+             array_to_string(list_filter(str_split(trim(regexp_replace(
+               lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')), ' '),
+               x -> x <> ''), '') AS s
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(length(s) - 1, 0)),
+               i -> substring(s, i + 1, 2))) AS gram
+      FROM chars),
+    pg AS (
+      SELECT doc_id - doc_id % 2 AS pair_id, gram,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c_cand,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c_ref
+      FROM grams GROUP BY 1, 2),
+    st AS (
+      SELECT pair_id, sum(c_cand) AS tc, sum(c_ref) AS tr,
+             sum(least(c_cand, c_ref)) AS m
+      FROM pg GROUP BY pair_id)
+    SELECT p.pair_id,
+           CAST(coalesce(st.tc, 0) AS BIGINT) AS cand_bigrams,
+           CAST(coalesce(st.tr, 0) AS BIGINT) AS ref_bigrams,
+           CAST(coalesce(st.m, 0) AS BIGINT) AS match_bigrams,
+           CASE WHEN coalesce(st.tc, 0) + 4 * coalesce(st.tr, 0) > 0 THEN
+             round(CAST(5 * coalesce(st.m, 0) AS DOUBLE)
+                   / (coalesce(st.tc, 0) + 4 * coalesce(st.tr, 0)), 6)
+           ELSE 0.0 END AS chrf2
+    FROM pairs p LEFT JOIN st ON st.pair_id = p.pair_id
+    """,
+)
+def eval_chrf_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 between each even-id candidate and its odd-id reference:
+    whitespace/punctuation removed (the metric's tokenization
+    robustness — both engines re-join the same token stream), clipped
+    character-bigram overlap through ONE (pair, gram) conditional
+    aggregation (the eval_rouge_bigram single-pass plan), and the β=2
+    F-mean in its algebraic single-division form 5m/(t_c + 4t_r):
+    with m = 0 whenever either side is empty, the formula needs no
+    separate degenerate branch beyond the all-empty pair.
+
+    Scale shape: character bigrams ride a posexplode Generate off the
+    re-joined string (lambda-free — Column.substr over a start
+    sequence); one gram-keyed shuffle, linear in corpus characters —
+    the heaviest eval in the family by constant factor (chars ≈ 5×
+    tokens) but the same cardinality class."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.array_join(tokenize(F.col("text")), "").alias("s")
+    ).filter(F.length("s") >= 2)
+    grams = chars.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("s") - 2)).alias("i"),
+        "s",
+    ).select(
+        "doc_id", F.col("s").substr(F.col("i") + 1, F.lit(2)).alias("gram")
+    )
+    pg = grams.groupBy(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "gram"
+    ).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_cand"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
+    )
+    st = pg.groupBy("pair_id").agg(
+        F.sum("c_cand").alias("tc"),
+        F.sum("c_ref").alias("tr"),
+        F.sum(F.least("c_cand", "c_ref")).alias("m"),
+    )
+    j = _pairs(d).join(st, "pair_id", "left").select(
+        "pair_id",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("tr", F.lit(0)).alias("tr"),
+        F.coalesce("m", F.lit(0)).alias("m"),
+    )
+    return j.select(
+        "pair_id",
+        F.col("tc").cast("long").alias("cand_bigrams"),
+        F.col("tr").cast("long").alias("ref_bigrams"),
+        F.col("m").cast("long").alias("match_bigrams"),
+        F.when(
+            F.col("tc") + 4 * F.col("tr") > 0,
+            F.round(
+                (F.lit(5) * F.col("m")).cast("double")
+                / (F.col("tc") + 4 * F.col("tr")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chrf2"),
+    )
