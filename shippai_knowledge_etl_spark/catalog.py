@@ -520,6 +520,8 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "ext_wordpiece_encode",  # greedy longest-match vs recursive CTE
     "graph_modularity",  # exact-integer Newman Q decomposition
     "eval_chrf_bigram",  # char-bigram chrF2, single-division form
+    "dedup_semantic_int8",  # SemDeDup pairs, pure-integer cosine gate
+    "behavior_did",  # difference-in-differences 2x2, gated estimate
 )
 
 

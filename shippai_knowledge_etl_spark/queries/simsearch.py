@@ -997,3 +997,125 @@ def simsearch_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > 1.0).alias("accepted"),
         )
     )
+
+
+@register(
+    "dedup_semantic_int8",
+    survey_ref=(
+        "[EXT] SemDeDup within-cluster semantic dedup, HASH-GATED "
+        "(Abbas et al. 2023 — the float-cosine variant dedup_semantic "
+        "is rows-only by contract; this one is exact): int8-quantized "
+        "embeddings (floor(x·127+0.5), the simsearch_quantize_int8 "
+        "code), within-label all-pairs via the relational dot product "
+        "(posexplode + (label, dim)-keyed self-join + pair rollup — "
+        "lambda-free), and the cosine-0.95 accept as the PURE INTEGER "
+        "predicate dot > 0 AND 400·dot² > 361·‖a‖²·‖b‖² — no float "
+        "exists anywhere, so the gate checks every accepted pair "
+        "exactly; planted copies (every 20th vector re-inserted at "
+        "vec_id+10000) make the result non-trivially non-empty"
+    ),
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127
+                               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+      FROM embeddings),
+    aug AS (
+      SELECT vec_id, label, q FROM base
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, label, q
+      FROM base WHERE vec_id % 20 = 0),
+    pairs AS (
+      SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(range(1, 65),
+               i -> a.q[i] * b.q[i])) AS dot,
+             list_sum(list_transform(a.q, x -> x * x)) AS norm_a,
+             list_sum(list_transform(b.q, x -> x * x)) AS norm_b
+      FROM aug a JOIN aug b ON b.label = a.label
+                           AND b.vec_id > a.vec_id)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(vec_a AS BIGINT) AS vec_a,
+           CAST(vec_b AS BIGINT) AS vec_b,
+           CAST(dot AS BIGINT) AS dot_int,
+           CAST(norm_a AS BIGINT) AS norm_a,
+           CAST(norm_b AS BIGINT) AS norm_b
+    FROM pairs
+    WHERE dot > 0 AND 400 * dot * dot > 361 * norm_a * norm_b
+    """,
+)
+def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pairs, exact to the last bit: vectors
+    quantize to int8 (cross-engine deterministic — mult/div/floor of
+    identical doubles), pairing is restricted to each label cluster
+    (SemDeDup's move: the k-means bucket bounds the quadratic stage),
+    and cos(a,b) > 0.95 is decided by the integer cross-multiplication
+    400·dot² > 361·‖a‖²·‖b‖² (0.95² = 361/400) with the dot > 0 sign
+    guard — the first SEMANTIC dedup in the catalog whose accepted
+    pair set the driver hash-checks (dedup_semantic's float cosines
+    are rows-only by contract).
+
+    Scale shape: the dot products are relational — (vec, dim, value)
+    rows from one posexplode, a (label, dim)-keyed self-join, and a
+    (vec_a, vec_b) rollup — so Spark executes whole-stage-codegen'd
+    multiply-accumulate with NO lambda HOF in the hot path; the pair
+    fan-out is quadratic only within a cluster (the documented
+    SemDeDup contract — production caps cluster size; labels here are
+    ≤ (corpus/10)-sized). Norms ride the same exploded rows."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q8 = F.transform(
+        xd, lambda x: F.floor(x * F.lit(127) + F.lit(0.5)).cast("long")
+    )
+    base = e.select("vec_id", "label", q8.alias("q"))
+    aug = base.unionByName(
+        base.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "label", "q"
+        )
+    )
+    rows = aug.select(
+        "vec_id", "label", F.posexplode("q").alias("pos", "v")
+    )
+    norms = rows.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm")
+    )
+    a = rows.select(
+        "label", "pos", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = rows.select(
+        "label", "pos", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, ["label", "pos"])
+        .filter(F.col("vec_b") > F.col("vec_a"))
+        .groupBy("label", "vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    j = (
+        dots.join(
+            norms.select(
+                F.col("vec_id").alias("vec_a"), F.col("norm").alias("norm_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("vec_b"), F.col("norm").alias("norm_b")
+            ),
+            "vec_b",
+        )
+    )
+    return j.filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(400) * F.col("dot") * F.col("dot")
+            > F.lit(361) * F.col("norm_a") * F.col("norm_b")
+        )
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        F.col("dot").cast("long").alias("dot_int"),
+        F.col("norm_a").cast("long").alias("norm_a"),
+        F.col("norm_b").cast("long").alias("norm_b"),
+    )

@@ -4236,3 +4236,115 @@ def w35_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_next"),
     )
+
+
+@register(
+    "behavior_did",
+    survey_ref=(
+        "[EXT] difference-in-differences readout (Card & Krueger 1994 "
+        "design; the quasi-experimental counterpart of behavior_ab_test"
+        "/behavior_ab_cuped): purchase-rate 2×2 over (treatment = "
+        "user parity, period = before/after the corpus midpoint day), "
+        "DID = (r_t,post − r_t,pre) − (r_c,post − r_c,pre) combined "
+        "from round-6 rates in fixed operand order — subtraction of "
+        "identical doubles is bit-identical, so the causal estimate "
+        "itself is hash-gated, not just the cell counts"
+    ),
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 2 = 1 AS treat,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    bounds AS (
+      SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+    cells AS (
+      SELECT
+        sum(CASE WHEN NOT treat AND day <  mid THEN 1 ELSE 0 END) AS n_c_pre,
+        sum(CASE WHEN NOT treat AND day <  mid THEN conv ELSE 0 END) AS k_c_pre,
+        sum(CASE WHEN NOT treat AND day >= mid THEN 1 ELSE 0 END) AS n_c_post,
+        sum(CASE WHEN NOT treat AND day >= mid THEN conv ELSE 0 END) AS k_c_post,
+        sum(CASE WHEN treat AND day <  mid THEN 1 ELSE 0 END) AS n_t_pre,
+        sum(CASE WHEN treat AND day <  mid THEN conv ELSE 0 END) AS k_t_pre,
+        sum(CASE WHEN treat AND day >= mid THEN 1 ELSE 0 END) AS n_t_post,
+        sum(CASE WHEN treat AND day >= mid THEN conv ELSE 0 END) AS k_t_post
+      FROM ev CROSS JOIN bounds),
+    rates AS (
+      SELECT *,
+        round(CAST(k_c_pre AS DOUBLE) / n_c_pre, 6) AS r_c_pre,
+        round(CAST(k_c_post AS DOUBLE) / n_c_post, 6) AS r_c_post,
+        round(CAST(k_t_pre AS DOUBLE) / n_t_pre, 6) AS r_t_pre,
+        round(CAST(k_t_post AS DOUBLE) / n_t_post, 6) AS r_t_post
+      FROM cells)
+    SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(k_c_pre AS BIGINT) AS k_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           CAST(k_c_post AS BIGINT) AS k_c_post,
+           CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(k_t_pre AS BIGINT) AS k_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(k_t_post AS BIGINT) AS k_t_post,
+           r_c_pre, r_c_post, r_t_pre, r_t_post,
+           round((r_t_post - r_t_pre) - (r_c_post - r_c_pre), 6) AS did
+    FROM rates
+    """,
+)
+def behavior_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the event stream: treatment =
+    odd user ids, periods split at the corpus midpoint day (a 1-row
+    min/max broadcast — the w15 integer-threshold class), outcome =
+    purchase share. All eight cell counts land in ONE conditional
+    global aggregation (single scan, map-side partials); the four
+    rates are round-6 single divisions and the DID estimate combines
+    them in fixed operand order, where IEEE subtraction of identical
+    doubles is deterministic — the behavior_ab_test discipline
+    extended to the 2×2 design.
+
+    Scale shape: one scan + a 1-row bounds broadcast; the output is
+    one row. The parallel-trends caveat is the analyst's, not the
+    engine's. n > 0 per cell holds for any corpus with both parities
+    and ≥2 days; degenerate sources yield NULL rates (ANSI division
+    guarded by the CASE-free round/NULL propagation on both engines
+    only when n=0 — here counts are corpus-guaranteed positive)."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid")
+    )
+    j = ev.crossJoin(F.broadcast(bounds))
+    t, d, c = F.col("treat"), F.col("day"), F.col("conv")
+    pre, post = d < F.col("mid"), d >= F.col("mid")
+    cells = j.agg(
+        F.sum(F.when(~t & pre, 1).otherwise(0)).alias("n_c_pre"),
+        F.sum(F.when(~t & pre, c).otherwise(0)).alias("k_c_pre"),
+        F.sum(F.when(~t & post, 1).otherwise(0)).alias("n_c_post"),
+        F.sum(F.when(~t & post, c).otherwise(0)).alias("k_c_post"),
+        F.sum(F.when(t & pre, 1).otherwise(0)).alias("n_t_pre"),
+        F.sum(F.when(t & pre, c).otherwise(0)).alias("k_t_pre"),
+        F.sum(F.when(t & post, 1).otherwise(0)).alias("n_t_post"),
+        F.sum(F.when(t & post, c).otherwise(0)).alias("k_t_post"),
+    )
+    r = lambda k, n: F.round(  # noqa: E731 — local rate shorthand
+        F.col(k).cast("double") / F.col(n), 6
+    )
+    rates = cells.select(
+        *[F.col(x).cast("long").alias(x) for x in (
+            "n_c_pre", "k_c_pre", "n_c_post", "k_c_post",
+            "n_t_pre", "k_t_pre", "n_t_post", "k_t_post",
+        )],
+        r("k_c_pre", "n_c_pre").alias("r_c_pre"),
+        r("k_c_post", "n_c_post").alias("r_c_post"),
+        r("k_t_pre", "n_t_pre").alias("r_t_pre"),
+        r("k_t_post", "n_t_post").alias("r_t_post"),
+    )
+    return rates.select(
+        "*",
+        F.round(
+            (F.col("r_t_post") - F.col("r_t_pre"))
+            - (F.col("r_c_post") - F.col("r_c_pre")),
+            6,
+        ).alias("did"),
+    )

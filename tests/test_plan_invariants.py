@@ -97,6 +97,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # bounded grid fill: |event types| x |days| dimension cross
     # feeding the per-type Holt recurrence (w19/w20 class)
     "w35_holt_linear",
+    # 1-row broadcast: the corpus midpoint-day threshold feeding the
+    # 2x2 conditional aggregation (w15_cusum_drift's integer-threshold
+    # class)
+    "behavior_did",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
