@@ -522,6 +522,10 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "eval_chrf_bigram",  # char-bigram chrF2, single-division form
     "dedup_semantic_int8",  # SemDeDup pairs, pure-integer cosine gate
     "behavior_did",  # difference-in-differences 2x2, gated estimate
+    "mm_avi_decode",  # real RIFF/AVI video container walk + frames
+    "w36_anova_dow",  # one-way ANOVA, round-then-DECIMAL SS assembly
+    "layout_overlap_depth",  # zone-map +1/-1 sweep read amplification
+    "mm_srt_parse",  # declarative SubRip cue parsing, integer gates
 )
 
 

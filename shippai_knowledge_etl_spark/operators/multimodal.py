@@ -1209,3 +1209,145 @@ def wav_resample_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, RESAMPLE_FEATURE_SCHEMA
     )
+
+
+AVI_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, fps int, n_frames int, "
+    "total_pixel_sum long, last_frame_sum long, ok boolean"
+)
+
+
+def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic AVI ingestion surrogate (the video analog of
+    attach_png_payload): per row, ENCODE a real RIFF/AVI file whose
+    geometry and frame contents derive from the id — w = 8 + id % 9
+    (cycling row padding), h = 6 + id % 6, fps = 10 + id % 5,
+    n_frames = 2 + id % 3, and frame f's channel value
+    (base_c + x + 2y + 5f) mod 256 with bases (id, 3·id, 5·id). The
+    5f term makes every frame distinct, so frame ORDER is checkable
+    downstream."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.avi_codec import (
+            encode_avi_rgb24,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 6
+                fps, nf = 10 + i % 5, 2 + i % 3
+                frames = []
+                for f in range(nf):
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (
+                                    (i + x + 2 * y + 5 * f) % 256,
+                                    (3 * i + x + 2 * y + 5 * f) % 256,
+                                    (5 * i + x + 2 * y + 5 * f) % 256,
+                                )
+                            )
+                    frames.append(bytes(buf))
+                rows.append((i, encode_avi_rgb24(w, h, frames, fps)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def avi_decode_features(df: DataFrame) -> DataFrame:
+    """REAL video-container decode: walk the RIFF/AVI chunk tree,
+    validate the single 'vids' BI_RGB stream, recover every frame
+    (bottom-up flip + BGR swap + row padding, per frame), and emit
+    integer statistics — the total pixel sum over ALL frames and the
+    LAST frame's sum separately (frame reordering or a dropped '00db'
+    chunk changes the latter even when the former survives).
+    Out-of-scope AVIs are ok=false rows. Narrow Arrow map; frames
+    never leave the worker."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.avi_codec import (
+            decode_avi,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, fps, nf, frames = decode_avi(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            h,
+                            fps,
+                            nf,
+                            sum(sum(f) for f in frames),
+                            sum(frames[-1]),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id),) + (None,) * 6 + (False,))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "fps",
+                    "n_frames",
+                    "total_pixel_sum",
+                    "last_frame_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, AVI_FEATURE_SCHEMA
+    )
+
+
+def attach_srt_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic SubRip subtitle surrogate: per row, a genuine SRT
+    string with 2-5 cues — 1-based indexes, 'HH:MM:SS,mmm --> ...'
+    timecode lines (start = 1500j + (id%7)·100 ms, duration =
+    900 + (id%5)·50 ms), one text line per cue, blank-line separated —
+    the sidecar format every video-caption pipeline parses next to
+    the container."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def fmt(ms: int) -> str:
+            return (
+                f"{ms // 3600000:02d}:{ms % 3600000 // 60000:02d}:"
+                f"{ms % 60000 // 1000:02d},{ms % 1000:03d}"
+            )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                blocks = []
+                for j in range(2 + i % 4):
+                    s = j * 1500 + (i % 7) * 100
+                    e = s + 900 + (i % 5) * 50
+                    blocks.append(
+                        f"{j + 1}\n{fmt(s)} --> {fmt(e)}\n"
+                        f"cue {j} of doc {i}"
+                    )
+                rows.append((i, "\n\n".join(blocks)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload string"
+    )

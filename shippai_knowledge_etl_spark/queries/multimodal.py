@@ -925,3 +925,139 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_wav_payload(d, "doc_id")
     return multimodal.wav_resample_features(payloads)
+
+
+@register(
+    "mm_avi_decode",
+    survey_ref=(
+        "[EXT] REAL video-container decode (round 10): per-doc RIFF/"
+        "AVI files — avih + one 'vids' BI_RGB DIB stream + movi '00db' "
+        "frame chunks — ENCODED then DECODED by the pure-stdlib codec "
+        "(operators/avi_codec.py: chunk-tree walk, stream validation, "
+        "per-frame bottom-up/BGR/padding recovery); the video modality "
+        "graduates from stub features to a genuine container path, "
+        "with the oracle recomputing the all-frames pixel sum AND the "
+        "LAST frame's sum (the 5f frame term makes reordering or a "
+        "dropped chunk visible) in closed form"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(6 + doc_id % 6 AS INT) AS height,
+           CAST(10 + doc_id % 5 AS INT) AS fps,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 3), f ->
+             list_sum(list_transform(range(0, 6 + doc_id % 6), y ->
+               list_sum(list_transform(range(0, 8 + doc_id % 9), x ->
+                 (doc_id + x + 2*y + 5*f) % 256
+                 + (3*doc_id + x + 2*y + 5*f) % 256
+                 + (5*doc_id + x + 2*y + 5*f) % 256))))))
+             AS BIGINT) AS total_pixel_sum,
+           CAST(list_sum(list_transform(range(0, 6 + doc_id % 6), y ->
+             list_sum(list_transform(range(0, 8 + doc_id % 9), x ->
+               (doc_id + x + 2*y + 5*(1 + doc_id % 3)) % 256
+               + (3*doc_id + x + 2*y + 5*(1 + doc_id % 3)) % 256
+               + (5*doc_id + x + 2*y + 5*(1 + doc_id % 3)) % 256))))
+             AS BIGINT) AS last_frame_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's first REAL video path: container in,
+    true frames out, hash-gated. attach_avi_payload writes a genuine
+    AVI per document (2-4 frames whose contents shift by 5 per frame
+    index); avi_decode_features walks the RIFF tree, validates the
+    'vids' DIB stream, reconstructs every frame and reports integer
+    statistics the oracle recomputes arithmetically — the decode is
+    correct iff the header fields parse, every frame un-flips
+    bit-exactly, and the '00db' chunks arrive in stream order (the
+    last-frame sum pins order; the avih frame count is cross-checked
+    against the chunks actually walked).
+
+    Scale shape: two chained narrow Arrow maps (encode, decode) — the
+    mm_png_decode class; frames never leave the Python worker, eight
+    small values per clip return to the JVM. At 100 TB this is the
+    shot-sampling pipeline's container-audit stage, embarrassingly
+    parallel."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_avi_payload(d, "doc_id")
+    return multimodal.avi_decode_features(payloads)
+
+
+@register(
+    "mm_srt_parse",
+    survey_ref=(
+        "[EXT] SubRip subtitle parsing (round 10, the caption sidecar "
+        "beside mm_avi_decode's container): genuine SRT text per doc "
+        "is split into cues and parsed DECLARATIVELY — blank-line "
+        "split, regexp timecode extraction, millisecond reassembly — "
+        "entirely in codegen'd Spark SQL string functions (no Python "
+        "in the parse path); the oracle recomputes cue counts, "
+        "first/last timecodes, total duration and caption length in "
+        "closed form from the generator arithmetic"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_cues,
+           CAST((doc_id % 7) * 100 AS BIGINT) AS first_start_ms,
+           CAST((1 + doc_id % 4) * 1500 + (doc_id % 7) * 100
+                + 900 + (doc_id % 5) * 50 AS BIGINT) AS last_end_ms,
+           CAST((2 + doc_id % 4) * (900 + (doc_id % 5) * 50) AS BIGINT)
+             AS total_duration_ms,
+           CAST((2 + doc_id % 4)
+                * (13 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS total_text_chars,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-sidecar audit, parse path fully declarative: cues =
+    split on blank lines; each cue's index, start and end timecodes
+    are regexp-extracted ('HH:MM:SS,mmm --> HH:MM:SS,mmm') and
+    reassembled into milliseconds with integer arithmetic; the text
+    line is the cue's third line. Per doc: cue count, first start,
+    last end, total caption duration and character count — every
+    column an exact integer the oracle re-derives from the generator,
+    plus an ok flag that any malformed cue (regexp miss → NULL
+    propagation) would flip.
+
+    Scale shape: one narrow Arrow map writes the payload (the
+    surrogate edge), then the parse is scan-side codegen — split +
+    posexplode + regexp — with one doc-keyed rollup; at 100 TB this
+    is the subtitle-ingest pass running beside the container audit,
+    linear and shuffle-light."""
+    d = load(spark, sf_dir, "documents")
+    p = multimodal.attach_srt_payload(d, "doc_id")
+    cues = p.select(
+        "doc_id", F.explode(F.split("payload", "\n\n")).alias("cue")
+    )
+    ts = r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+
+    def ms(prefix: str) -> "F.Column":
+        pat = prefix + ts
+        return (
+            F.regexp_extract("cue", pat, 1).cast("long") * 3600000
+            + F.regexp_extract("cue", pat, 2).cast("long") * 60000
+            + F.regexp_extract("cue", pat, 3).cast("long") * 1000
+            + F.regexp_extract("cue", pat, 4).cast("long")
+        )
+
+    parsed = cues.select(
+        "doc_id",
+        F.regexp_extract("cue", r"^(\d+)", 1).cast("long").alias("idx"),
+        ms("(?m)^").alias("start_ms"),
+        ms("--> ").alias("end_ms"),
+        F.length(F.element_at(F.split("cue", "\n"), 3)).alias("text_chars"),
+    )
+    return parsed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cues"),
+        F.min("start_ms").alias("first_start_ms"),
+        F.max("end_ms").alias("last_end_ms"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).alias("total_duration_ms"),
+        F.sum("text_chars").alias("total_text_chars"),
+        (
+            F.count(F.lit(1)) == F.max("idx")
+        ).alias("ok"),
+    )

@@ -2742,3 +2742,102 @@ def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("mean_step"),
     )
+
+
+@register(
+    "layout_overlap_depth",
+    survey_ref=(
+        "[EXT] zone-map overlap depth — the read-amplification metric "
+        "lakehouse table services watch (Iceberg/Delta compaction "
+        "triggers on it): bucket the fact table into files, take each "
+        "file's [min, max] date range (its zone map), and sweep +1/−1 "
+        "boundary deltas with a running sum over the date axis — "
+        "max_depth IS how many files a point lookup must read at the "
+        "worst date, area/span the expected amplification; pure "
+        "integer day arithmetic end to end"
+    ),
+    oracle="""
+    WITH files AS (
+      SELECT o_orderkey // 1000 AS f,
+             min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS lo,
+             max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS hi
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT lo AS pos, 1 AS delta FROM files
+      UNION ALL
+      SELECT hi + 1 AS pos, -1 AS delta FROM files),
+    net AS (SELECT pos, sum(delta) AS net FROM b GROUP BY pos),
+    sweep AS (
+      SELECT pos, sum(net) OVER (ORDER BY pos) AS depth,
+             lead(pos) OVER (ORDER BY pos) AS next_pos
+      FROM net),
+    agg AS (
+      SELECT max(depth) AS max_depth,
+             sum(CASE WHEN next_pos IS NOT NULL
+                      THEN depth * (next_pos - pos) ELSE 0 END) AS area,
+             max(pos) - min(pos) AS span
+      FROM sweep),
+    nf AS (SELECT count(*) AS n_files FROM files)
+    SELECT CAST(n.n_files AS BIGINT) AS n_files,
+           CAST(a.max_depth AS BIGINT) AS max_depth,
+           CAST(a.area AS BIGINT) AS area_file_days,
+           CAST(a.span AS BIGINT) AS span_days,
+           CASE WHEN a.span > 0 THEN
+             round(CAST(a.area AS DOUBLE) / a.span, 6) END AS mean_depth
+    FROM agg a CROSS JOIN nf n
+    """,
+)
+def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How badly do the table's files overlap on the date axis? Each
+    1000-orderkey bucket is a file whose zone map is its [min, max]
+    orderdate; the classic +1/−1 boundary sweep (one running sum over
+    the boundary set) yields the depth profile — max_depth is the
+    worst-case point-lookup fan-in, area/span the mean — the number a
+    compaction service compares against its rewrite budget
+    (layout_compaction_advisor sizes the rewrite; this measures
+    whether one is needed). Dates are integer day numbers from a
+    shared epoch literal, so everything up to the final mean division
+    is exact BIGINT.
+
+    Scale shape: one file-bucket rollup cuts the fact table (the
+    zonemap class — at 100 TB this input is the MANIFEST, thousands
+    of rows, not the data); the sweep's global window runs over the
+    ≤ 2·|files| netted boundary dates. Output is one row."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    files = o.groupBy(
+        F.expr("o_orderkey div 1000").alias("f")
+    ).agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    b = files.select(F.col("lo").alias("pos"), F.lit(1).alias("delta")).unionByName(
+        files.select((F.col("hi") + 1).alias("pos"), F.lit(-1).alias("delta"))
+    )
+    net = b.groupBy("pos").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("pos")
+    sweep = net.select(
+        "pos",
+        F.sum("net").over(w).alias("depth"),
+        F.lead("pos").over(w).alias("next_pos"),
+    )
+    agg = sweep.agg(
+        F.max("depth").alias("max_depth"),
+        F.sum(
+            F.when(
+                F.col("next_pos").isNotNull(),
+                F.col("depth") * (F.col("next_pos") - F.col("pos")),
+            ).otherwise(0)
+        ).alias("area"),
+        (F.max("pos") - F.min("pos")).alias("span"),
+    )
+    nf = files.agg(F.count(F.lit(1)).alias("n_files"))
+    return agg.crossJoin(F.broadcast(nf)).select(
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("area").cast("long").alias("area_file_days"),
+        F.col("span").cast("long").alias("span_days"),
+        F.when(
+            F.col("span") > 0,
+            F.round(F.col("area").cast("double") / F.col("span"), 6),
+        ).alias("mean_depth"),
+    )

@@ -4348,3 +4348,125 @@ def behavior_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@register(
+    "w36_anova_dow",
+    survey_ref=(
+        "[EXT] one-way ANOVA of daily volumes by day-of-week (Fisher "
+        "1925) — the variance-explained seasonality test the stats "
+        "family lacked beside chi², KS, bootstrap and CUPED: sum-of-"
+        "squares decomposition with every group term round-6 then "
+        "summed in exact DECIMAL (the eval_bleu_log assembly), F and "
+        "η² as single identically-ordered divisions; a strong weekly "
+        "pattern shows as η² → 1 on the dow axis"
+    ),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS x
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, day % 7 AS dow,
+             count(*) AS n_g, sum(x) AS s_g, sum(x * x) AS q_g
+      FROM daily GROUP BY 1, 2),
+    terms AS (
+      SELECT event_type,
+             count(*) AS k,
+             sum(n_g) AS n,
+             sum(s_g) AS s,
+             sum(q_g) AS q,
+             sum(CAST(round(CAST(s_g * s_g AS DOUBLE) / n_g, 6)
+                      AS DECIMAL(18,6))) AS a
+      FROM g GROUP BY event_type),
+    sums AS (
+      SELECT event_type, k, n, q,
+             a - CAST(round(CAST(s * s AS DOUBLE) / n, 6)
+                      AS DECIMAL(18,6)) AS ssb,
+             CAST(q AS DECIMAL(18,6)) - a AS ssw,
+             CAST(q AS DECIMAL(18,6))
+               - CAST(round(CAST(s * s AS DOUBLE) / n, 6)
+                      AS DECIMAL(18,6)) AS sst
+      FROM terms)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(ssb AS DOUBLE) AS ssb,
+           CAST(ssw AS DOUBLE) AS ssw,
+           CASE WHEN CAST(ssw AS DOUBLE) > 0 AND k > 1 AND n > k THEN
+             round(CAST(ssb AS DOUBLE) * (n - k)
+                   / (CAST(ssw AS DOUBLE) * (k - 1)), 6) END AS f_stat,
+           CASE WHEN CAST(sst AS DOUBLE) > 0 THEN
+             round(CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE), 6) END
+             AS eta_sq
+    FROM sums
+    """,
+)
+def w36_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does day-of-week explain a type's daily volume? One-way ANOVA
+    per event type with dow groups: SSB = Σ_g S_g²/n_g − S²/n and
+    SSW = Q − Σ_g S_g²/n_g, where each data-dependent division is
+    rounded at 6 and the sums are assembled in exact DECIMAL so no
+    cross-group float addition order exists (the README round-then-
+    DECIMAL discipline); F = [SSB/(k−1)]/[SSW/(n−k)] is computed as
+    ONE division of identically-derived doubles with the integer df
+    factors multiplied through, and η² = SSB/SST likewise. Degenerate
+    sources (zero within-group variance, k=1) yield NULL statistics
+    on both engines via the same guards.
+
+    Scale shape: the (type, day) rollup cuts the stream (w19/w20
+    class), the (type, dow) grid is ≤ 7 rows per type, and everything
+    after is per-type arithmetic — no joins at all."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    g = daily.groupBy("event_type", (F.col("day") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    terms = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.round(
+                (F.col("s_g") * F.col("s_g")).cast("double") / F.col("n_g"), 6
+            ).cast("decimal(18,6)")
+        ).alias("a"),
+    )
+    grand = F.round(
+        (F.col("s") * F.col("s")).cast("double") / F.col("n"), 6
+    ).cast("decimal(18,6)")
+    sums = terms.select(
+        "event_type",
+        "k",
+        "n",
+        "q",
+        (F.col("a") - grand).alias("ssb"),
+        (F.col("q").cast("decimal(18,6)") - F.col("a")).alias("ssw"),
+        (F.col("q").cast("decimal(18,6)") - grand).alias("sst"),
+    )
+    ssb_d = F.col("ssb").cast("double")
+    ssw_d = F.col("ssw").cast("double")
+    sst_d = F.col("sst").cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_groups"),
+        ssb_d.alias("ssb"),
+        ssw_d.alias("ssw"),
+        F.when(
+            (ssw_d > 0) & (F.col("k") > 1) & (F.col("n") > F.col("k")),
+            F.round(
+                ssb_d * (F.col("n") - F.col("k"))
+                / (ssw_d * (F.col("k") - 1)),
+                6,
+            ),
+        ).alias("f_stat"),
+        F.when(sst_d > 0, F.round(ssb_d / sst_d, 6)).alias("eta_sq"),
+    )

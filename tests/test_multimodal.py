@@ -604,3 +604,58 @@ def test_wav_resample_features_hand_computed(spark):
     assert row.sum_out == sum(out)
     assert row.sum_squares_out == sum(v * v for v in out)
     assert row.ok
+
+
+def test_avi_codec_roundtrip_and_frame_order():
+    """encode→decode is frame-exact and ORDER-preserving for every
+    row-padding width; fps/frame-count headers round-trip."""
+    import random
+
+    from shippai_knowledge_etl_spark.operators.avi_codec import (
+        decode_avi,
+        encode_avi_rgb24,
+    )
+
+    rng = random.Random(11)
+    for w in (1, 2, 3, 4, 8, 9):
+        h, n = 5, 3
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * 3))
+            for _ in range(n)
+        ]
+        got = decode_avi(encode_avi_rgb24(w, h, frames, fps=14))
+        assert got == (w, h, 14, n, frames)
+
+
+def test_avi_codec_scope_errors():
+    """Loud-raise posture: malformed input is ValueError; compressed
+    chunks and multi-stream headers are NotImplementedError."""
+    import struct
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.avi_codec import (
+        decode_avi,
+        encode_avi_rgb24,
+    )
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x08\x00\x00\x00WAVEdata")
+    good = bytearray(encode_avi_rgb24(2, 2, [bytes(12)], fps=10))
+    # '00db' → '00dc' (compressed frame chunk)
+    idx = bytes(good).find(b"00db")
+    bad = bytearray(good)
+    bad[idx : idx + 4] = b"00dc"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
+    # corrupt the avih stream count (offset: find 'avih' + 8 + 24)
+    multi = bytearray(good)
+    a = bytes(good).find(b"avih") + 8
+    struct.pack_into("<I", multi, a + 24, 2)
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(multi))
+    # truncate a frame chunk → size mismatch
+    short = bytearray(good)
+    struct.pack_into("<I", short, idx + 4, 5)
+    with pytest.raises(ValueError):
+        decode_avi(bytes(short))

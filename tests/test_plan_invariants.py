@@ -101,6 +101,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 2x2 conditional aggregation (w15_cusum_drift's integer-threshold
     # class)
     "behavior_did",
+    # 1-row x 1-row cross: the sweep aggregate beside the file count
+    # (the ext_hll_intersection summary class)
+    "layout_overlap_depth",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
@@ -353,6 +356,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # on the |balance-buckets|-row dimension rollup (w15 discipline);
     # the per-group cumsum rides the QI hashpartitioning
     "quality_t_closeness",
+    # bounded-input global window: the +1/−1 sweep runs over the
+    # ≤ 2·|files| netted boundary dates — the MANIFEST, not the fact
+    # table (zonemap class; w15 bounded-rollup discipline)
+    "layout_overlap_depth",
 }
 
 
