@@ -526,6 +526,7 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "w36_anova_dow",  # one-way ANOVA, round-then-DECIMAL SS assembly
     "layout_overlap_depth",  # zone-map +1/-1 sweep read amplification
     "mm_srt_parse",  # declarative SubRip cue parsing, integer gates
+    "behavior_matched_att",  # stratified-matching ATT, common support
 )
 
 

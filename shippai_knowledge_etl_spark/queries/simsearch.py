@@ -1063,18 +1063,26 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup contract — production caps cluster size; labels here are
     ≤ (corpus/10)-sized). Norms ride the same exploded rows."""
     e = load(spark, sf_dir, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    q8 = F.transform(
-        xd, lambda x: F.floor(x * F.lit(127) + F.lit(0.5)).cast("long")
+    # Quantize AFTER the explode, per scalar row: no array-typed lambda
+    # column ever reaches a join, so Catalyst has nothing heavy to
+    # infer isnotnull() over (the round-4 n-gram-Jaccard class — the
+    # first cut quantized with transform() lambdas and the plan gate
+    # flagged 8 inferred transform-nullchecks in the join tree).
+    raw = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     )
-    base = e.select("vec_id", "label", q8.alias("q"))
-    aug = base.unionByName(
+    base = raw.select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(127) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    rows = base.unionByName(
         base.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "label", "q"
+            (F.col("vec_id") + 10000).alias("vec_id"), "label", "pos", "v"
         )
-    )
-    rows = aug.select(
-        "vec_id", "label", F.posexplode("q").alias("pos", "v")
     )
     norms = rows.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm")

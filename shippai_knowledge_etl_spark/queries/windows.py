@@ -4470,3 +4470,138 @@ def w36_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.when(sst_d > 0, F.round(ssb_d / sst_d, 6)).alias("eta_sq"),
     )
+
+
+@register(
+    "behavior_matched_att",
+    survey_ref=(
+        "[EXT] exact-matching ATT (Rubin 1973 stratified matching — "
+        "the observational-causal estimator beside the experimental "
+        "ab_test/CUPED/DID family): users stratified into covariate "
+        "cells, per-cell treated/control purchase rates, and the "
+        "average treatment effect on the treated as the n_t,c-weighted "
+        "sum of round-6 cell contrasts assembled in exact DECIMAL — "
+        "cells missing a control arm are EXCLUDED and reported (the "
+        "common-support count matching papers insist on)"
+    ),
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             user_id % 2 = 1 AS treat,
+             (user_id // 2) % 10 AS cell,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    c AS (
+      SELECT cell,
+             sum(CASE WHEN treat THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN treat THEN k ELSE 0 END) AS k_t,
+             sum(CASE WHEN treat THEN n ELSE 0 END) AS e_t,
+             sum(CASE WHEN NOT treat THEN k ELSE 0 END) AS k_c,
+             sum(CASE WHEN NOT treat THEN n ELSE 0 END) AS e_c
+      FROM u GROUP BY cell),
+    rates AS (
+      SELECT cell, n_t, n_c,
+             round(CAST(k_t AS DOUBLE) / e_t, 6) AS r_t,
+             round(CAST(k_c AS DOUBLE) / e_c, 6) AS r_c
+      FROM c WHERE n_t > 0 AND n_c > 0),
+    att AS (
+      SELECT sum(n_t) AS n_t_matched,
+             sum(n_t * CAST(round(r_t - r_c, 6) AS DECIMAL(18,6)))
+               AS wsum
+      FROM rates),
+    supp AS (
+      SELECT count(*) AS n_cells_total,
+             sum(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END)
+               AS n_cells_matched
+      FROM c)
+    SELECT r.cell AS cell,
+           CAST(r.n_t AS BIGINT) AS n_treated,
+           CAST(r.n_c AS BIGINT) AS n_control,
+           r.r_t AS rate_treated,
+           r.r_c AS rate_control,
+           round(r.r_t - r.r_c, 6) AS cell_diff,
+           round(CAST(a.wsum AS DOUBLE) / a.n_t_matched, 6) AS att,
+           CAST(s.n_cells_matched AS BIGINT) AS n_cells_matched,
+           CAST(s.n_cells_total AS BIGINT) AS n_cells_total
+    FROM rates r CROSS JOIN att a CROSS JOIN supp s
+    """,
+)
+def behavior_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-matching treatment effect over the event stream:
+    per-user purchase counts roll up into (treatment, covariate-cell)
+    strata — the cell key (user div 2) mod 10 is parity-independent, so
+    every cell carries both arms (a user%10 cell would DETERMINE the
+    arm and leave zero common support — the first cut's empty result); cells with both arms contribute their round-6 rate
+    contrast, weighted by the treated count in exact DECIMAL (the
+    README round-then-DECIMAL assembly — a float weighted sum would
+    depend on cell order); ATT = Σ n_t,c·(r_t,c − r_c,c) / Σ n_t,c is
+    one final identically-ordered division. Off-support cells (an arm
+    empty) are excluded from the estimate and COUNTED in the output —
+    the common-support disclosure. The ATT and support counts repeat
+    on every cell row (two 1-row broadcasts), so the gate hashes the
+    estimate once per cell alongside the decomposition that produced
+    it.
+
+    Scale shape: one user-keyed rollup cuts the stream, one cell-keyed
+    re-aggregation (≤10 rows), two 1-row broadcasts. No joins touch
+    event rows."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.expr("user_id div 2") % 10).alias("cell"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = F.col("treat")
+    c = u.groupBy("cell").agg(
+        F.sum(F.when(t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(t, F.col("k")).otherwise(0)).alias("k_t"),
+        F.sum(F.when(t, F.col("n")).otherwise(0)).alias("e_t"),
+        F.sum(F.when(~t, F.col("k")).otherwise(0)).alias("k_c"),
+        F.sum(F.when(~t, F.col("n")).otherwise(0)).alias("e_c"),
+    )
+    rates = c.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "cell",
+        "n_t",
+        "n_c",
+        F.round(F.col("k_t").cast("double") / F.col("e_t"), 6).alias("r_t"),
+        F.round(F.col("k_c").cast("double") / F.col("e_c"), 6).alias("r_c"),
+    )
+    att = rates.agg(
+        F.sum("n_t").alias("n_t_matched"),
+        F.sum(
+            F.col("n_t")
+            * F.round(F.col("r_t") - F.col("r_c"), 6).cast("decimal(18,6)")
+        ).alias("wsum"),
+    )
+    supp = c.agg(
+        F.count(F.lit(1)).alias("n_cells_total"),
+        F.sum(
+            F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), 1).otherwise(0)
+        ).alias("n_cells_matched"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(att))
+        .crossJoin(F.broadcast(supp))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_t").cast("long").alias("n_treated"),
+            F.col("n_c").cast("long").alias("n_control"),
+            F.col("r_t").alias("rate_treated"),
+            F.col("r_c").alias("rate_control"),
+            F.round(F.col("r_t") - F.col("r_c"), 6).alias("cell_diff"),
+            F.round(
+                F.col("wsum").cast("double") / F.col("n_t_matched"), 6
+            ).alias("att"),
+            F.col("n_cells_matched").cast("long").alias("n_cells_matched"),
+            F.col("n_cells_total").cast("long").alias("n_cells_total"),
+        )
+    )

@@ -104,6 +104,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row x 1-row cross: the sweep aggregate beside the file count
     # (the ext_hll_intersection summary class)
     "layout_overlap_depth",
+    # two 1-row broadcasts (ATT estimate + support counts) onto the
+    # <=10-row cell table (the a_bootstrap_ci class)
+    "behavior_matched_att",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
@@ -228,6 +231,9 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # 1-row audit aggregate × 6-literal-row expectation dimension —
     # the f14 fixed-dimension unpivot class
     "quality_expectation_suite",
+    # 1-row edge-count (m) broadcast onto the |communities| rollup —
+    # the curation_mixture_kl 1-row totals class
+    "graph_modularity",
 }
 
 
