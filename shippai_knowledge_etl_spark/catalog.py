@@ -527,6 +527,7 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "layout_overlap_depth",  # zone-map +1/-1 sweep read amplification
     "mm_srt_parse",  # declarative SubRip cue parsing, integer gates
     "behavior_matched_att",  # stratified-matching ATT, common support
+    "stream_holt_replay",  # two-generation state carry == one-shot
 )
 
 

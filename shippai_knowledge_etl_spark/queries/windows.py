@@ -4605,3 +4605,184 @@ def behavior_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cells_total").cast("long").alias("n_cells_total"),
         )
     )
+
+
+@register(
+    "stream_holt_replay",
+    survey_ref=(
+        "[EXT] streaming-state replay witness for the Holt recurrence "
+        "(round 10; the stream_session_replay discipline applied to "
+        "w35): the day grid is processed as TWO micro-batch "
+        "generations — the first grouped-map emits per-type (level, "
+        "trend) state, the second RESUMES from that carried state — "
+        "and the oracle is the ONE-SHOT recursive CTE that never saw "
+        "generations, so a hash match proves state carry-over "
+        "reproduces the batch fold exactly (a left fold splits at any "
+        "point; the witness checks the MECHANICS, not the algebra)"
+    ),
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dseq AS (
+      SELECT day, row_number() OVER (ORDER BY day) - 1 AS t
+      FROM (SELECT DISTINCT day FROM daily)),
+    nmax AS (SELECT count(*) AS T FROM dseq),
+    grid AS (
+      SELECT ty.event_type, d.t, coalesce(da.n, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM daily) ty
+      CROSS JOIN dseq d
+      LEFT JOIN daily da ON da.event_type = ty.event_type
+                        AND da.day = d.day),
+    rec AS (
+      SELECT g0.event_type, 0 AS t,
+             g0.c * 1000000 AS l,
+             CASE WHEN (SELECT T FROM nmax) >= 2
+                  THEN (g1.c - g0.c) * 1000000 ELSE 0 END AS b
+      FROM grid g0
+      LEFT JOIN grid g1 ON g1.event_type = g0.event_type AND g1.t = 1
+      WHERE g0.t = 0
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             (g.c * 1000000 + r.l + r.b + 2199023255552) // 2
+               - 1099511627776 AS l,
+             (((g.c * 1000000 + r.l + r.b + 2199023255552) // 2
+               - 1099511627776) - r.l + r.b + 2199023255552) // 2
+               - 1099511627776 AS b
+      FROM rec r
+      JOIN grid g ON g.event_type = r.event_type AND g.t = r.t + 1)
+    SELECT r.event_type,
+           CAST(n.T AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_scaled,
+           CAST(r.b AS BIGINT) AS trend_scaled,
+           2 AS n_generations
+    FROM rec r CROSS JOIN nmax n
+    WHERE r.t = n.T - 1
+    """,
+)
+def stream_holt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Holt smoothing across two generations: generation 1
+    (days below the corpus midpoint) runs the same grouped-map as
+    w35_holt_linear and emits per-type scaled-integer (level, trend,
+    n_seen) state; generation 2's grouped-map receives that state on
+    its rows and CONTINUES the recurrence instead of re-initializing —
+    exactly what a stateful streaming operator's store does between
+    micro-batches. The oracle replays the whole history as one
+    recursive CTE, so the gate passes iff the carried state makes the
+    split fold land on the identical final integers. A type whose
+    generation-1 slice is empty initializes fresh in generation 2 (the
+    left-fold identity), handled by the same NULL-state branch.
+
+    Scale shape: two (type, day)-grid grouped-maps plus one per-type
+    state join (|types| rows); the 1-row midpoint broadcast is the
+    behavior_did threshold class. State is two integers per type
+    regardless of history length — the streaming-store contract."""
+    import pandas as _pd  # noqa: F401 — grouped-map dependency
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("c"))
+    )
+    mid = days.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    g = grid.crossJoin(F.broadcast(mid))
+
+    S, B = 1_000_000, 1 << 41
+    H = B // 2
+
+    def step(c_t, lvl, b):
+        ln = (c_t * S + lvl + b + B) // 2 - H
+        return ln, (ln - lvl + b + B) // 2 - H
+
+    def gen1(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = [int(v) for v in pdf["c"]]
+        # the state a stream store would hold after these counts:
+        # n1 == 1 is the BRIDGE case — the trend seed needs the NEXT
+        # count (which lives in generation 2), so carry c0 and defer
+        if len(c) >= 2:
+            lvl, b = c[0] * S, (c[1] - c[0]) * S
+            for t in range(1, len(c)):
+                lvl, b = step(c[t], lvl, b)
+        else:
+            lvl, b = c[0] * S, 0  # b unseeded; c0 carried for gen 2
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "l1": lvl,
+                    "b1": b,
+                    "n1": len(c),
+                    "c0": c[0],
+                }
+            ]
+        )
+
+    def gen2(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = [int(v) for v in pdf["c"]]
+        n1 = 0 if pd.isna(pdf["n1"].iloc[0]) else int(pdf["n1"].iloc[0])
+        if n1 == 0:
+            # empty generation 1: fresh batch init on this slice
+            lvl, b = c[0] * S, (c[1] - c[0]) * S if len(c) >= 2 else 0
+            start = 1
+        elif n1 == 1:
+            # bridge: one-shot's b-init straddles the generation split
+            c0 = int(pdf["c0"].iloc[0])
+            lvl, b = c0 * S, (c[0] - c0) * S
+            start = 0
+        else:
+            lvl, b = int(pdf["l1"].iloc[0]), int(pdf["b1"].iloc[0])
+            start = 0
+        for t in range(start, len(c)):
+            lvl, b = step(c[t], lvl, b)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": n1 + len(c),
+                    "level_scaled": lvl,
+                    "trend_scaled": b,
+                }
+            ]
+        )
+
+    state = (
+        g.filter(F.col("day") < F.col("mid"))
+        .select("event_type", "day", "c")
+        .groupBy("event_type")
+        .applyInPandas(
+            gen1, "event_type string, l1 long, b1 long, n1 long, c0 long"
+        )
+    )
+    out = (
+        g.filter(F.col("day") >= F.col("mid"))
+        .select("event_type", "day", "c")
+        .join(state, "event_type", "left")
+        .groupBy("event_type")
+        .applyInPandas(
+            gen2,
+            "event_type string, n_days long, level_scaled long, "
+            "trend_scaled long",
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "level_scaled",
+        "trend_scaled",
+        F.lit(2).alias("n_generations"),
+    )

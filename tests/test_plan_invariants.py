@@ -107,6 +107,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # two 1-row broadcasts (ATT estimate + support counts) onto the
     # <=10-row cell table (the a_bootstrap_ci class)
     "behavior_matched_att",
+    # 1-row midpoint broadcast (behavior_did's threshold class) + the
+    # bounded |types| x |days| grid fill (w19/w20 class) feeding both
+    # generation grouped-maps
+    "stream_holt_replay",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
