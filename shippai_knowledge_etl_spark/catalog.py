@@ -528,6 +528,7 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "mm_srt_parse",  # declarative SubRip cue parsing, integer gates
     "behavior_matched_att",  # stratified-matching ATT, common support
     "stream_holt_replay",  # two-generation state carry == one-shot
+    "graph_random_walks",  # hash-randomness DeepWalk sampling, gated
 )
 
 

@@ -2117,3 +2117,156 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.cast("double") / (F.lit(4) * F.col("m") * F.col("m")), 6
         ).alias("q_contribution"),
     )
+
+
+@register(
+    "graph_random_walks",
+    survey_ref=(
+        "[EXT] deterministic random-walk corpus generation (Perozzi et "
+        "al. 2014 DeepWalk / Grover & Leskovec 2016 node2vec — the "
+        "sampling pass that feeds graph-embedding training): one walk "
+        "of four steps from EVERY node, the step choice drawn from "
+        "salted md5 of (position, step) mod out-degree — hash "
+        "randomness, so both engines walk the identical paths and the "
+        "md5 path fingerprint is hash-gated end to end; the walk "
+        "advances by four bounded adjacency joins, never a collect"
+    ),
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+      SELECT doc_id AS src,
+             CASE WHEN (doc_id * 7 + 1) % (SELECT n FROM n) = doc_id
+                  THEN (doc_id + 1) % (SELECT n FROM n)
+                  ELSE (doc_id * 7 + 1) % (SELECT n FROM n) END AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS src,
+             CASE WHEN (doc_id * 13 + 2) % (SELECT n FROM n) = doc_id
+                  THEN (doc_id + 2) % (SELECT n FROM n)
+                  ELSE (doc_id * 13 + 2) % (SELECT n FROM n) END AS dst
+      FROM documents),
+    adj AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+      FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM adj GROUP BY src),
+    w0 AS (
+      SELECT doc_id AS start, doc_id AS pos,
+             CAST(doc_id AS VARCHAR) AS path
+      FROM documents),
+    w1 AS (
+      SELECT w.start, a.dst AS pos, w.path || '->' || a.dst AS path
+      FROM w0 w
+      JOIN deg g ON g.src = w.pos
+      JOIN adj a ON a.src = w.pos
+       AND a.rnk = 1 + CAST('0x' || substring(
+             md5(CAST(w.pos AS VARCHAR) || ':0:walk'), 1, 13) AS BIGINT)
+             % g.d),
+    w2 AS (
+      SELECT w.start, a.dst AS pos, w.path || '->' || a.dst AS path
+      FROM w1 w
+      JOIN deg g ON g.src = w.pos
+      JOIN adj a ON a.src = w.pos
+       AND a.rnk = 1 + CAST('0x' || substring(
+             md5(CAST(w.pos AS VARCHAR) || ':1:walk'), 1, 13) AS BIGINT)
+             % g.d),
+    w3 AS (
+      SELECT w.start, a.dst AS pos, w.path || '->' || a.dst AS path
+      FROM w2 w
+      JOIN deg g ON g.src = w.pos
+      JOIN adj a ON a.src = w.pos
+       AND a.rnk = 1 + CAST('0x' || substring(
+             md5(CAST(w.pos AS VARCHAR) || ':2:walk'), 1, 13) AS BIGINT)
+             % g.d),
+    w4 AS (
+      SELECT w.start, a.dst AS pos, w.path || '->' || a.dst AS path
+      FROM w3 w
+      JOIN deg g ON g.src = w.pos
+      JOIN adj a ON a.src = w.pos
+       AND a.rnk = 1 + CAST('0x' || substring(
+             md5(CAST(w.pos AS VARCHAR) || ':3:walk'), 1, 13) AS BIGINT)
+             % g.d)
+    SELECT start AS start_node,
+           CAST(pos AS BIGINT) AS final_node,
+           md5(path) AS path_fp
+    FROM w4
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 4-step walk from every node of the (self-loop-repaired)
+    synthetic link graph, with hash randomness: at step t from node p
+    the chosen out-edge rank is 1 + int(md5(p‖':t:walk')[:13 hex]) mod
+    deg(p) — deterministic, unbiased across nodes, and identical on
+    both engines, so the md5 fingerprint of the full path string is a
+    value the gate can hash (the dedup_semantic_int8 move applied to
+    stochastic graph sampling: replace the RNG with salted content
+    hashing and the 'random' algorithm becomes oracle-checkable).
+
+    Scale shape: the walk frontier is |nodes| rows advancing through
+    four (pos = src)-keyed equi-joins against the ranked adjacency
+    list + degree table — the standard distributed walk plan (one
+    shuffle per step, frontier never grows); at 100 TB walk corpora
+    this runs walks-per-node × steps joins of key-sized rows. No
+    collect, no Python, no iteration state outside the frame."""
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+
+    def repaired(mult: int, add: int, bump: int):
+        raw = (i * mult + add) % n
+        return F.when(raw == i, (i + bump) % n).otherwise(raw)
+
+    from pyspark.sql import Window as SqlWindow
+
+    e0 = d.select(i.alias("src"), repaired(7, 1, 1).alias("dst")).unionAll(
+        d.select(i.alias("src"), repaired(13, 2, 2).alias("dst"))
+    )
+    adj = e0.withColumn(
+        "rnk",
+        F.row_number().over(SqlWindow.partitionBy("src").orderBy("dst")),
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    walk = d.select(
+        i.alias("start"),
+        i.alias("pos"),
+        i.cast("string").alias("path"),
+    )
+    for t in range(4):
+        choice = F.lit(1) + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("pos").cast("string"), F.lit(f":{t}:walk")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long") % F.col("d")
+        walk = (
+            walk.join(deg, deg["src"] == walk["pos"])
+            .withColumn("choice", choice)
+            .join(
+                adj.select(
+                    F.col("src").alias("a_src"),
+                    F.col("rnk").alias("a_rnk"),
+                    F.col("dst").alias("a_dst"),
+                ),
+                (F.col("a_src") == F.col("pos"))
+                & (F.col("a_rnk") == F.col("choice")),
+            )
+            .select(
+                "start",
+                F.col("a_dst").alias("pos"),
+                F.concat(
+                    "path", F.lit("->"), F.col("a_dst").cast("string")
+                ).alias("path"),
+            )
+        )
+    return walk.select(
+        F.col("start").alias("start_node"),
+        F.col("pos").cast("long").alias("final_node"),
+        F.md5("path").alias("path_fp"),
+    )
