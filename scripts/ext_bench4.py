@@ -19,13 +19,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# PINNED as of round 10 — never add to or remove from this tuple. One
-# row per round-10 operator: alignment/combinatorial/char-level evals,
-# the KMV/theta sketch, impact-quantized retrieval, t-closeness EMD
-# governance, the BMP codec + real-pixel tile dedup + PCM resample,
-# Hilbert-vs-Morton layout, the Holt recurrence, WordPiece encoding,
-# and exact-integer modularity scoring.
+# PINNED as of END of round 10 (re-pinned once late-round on the full
+# cohort, the EXTBENCH3 late-r9 precedent) — never add to or remove
+# from this tuple afterward. One row per round-10 operator: the GIF +
+# mu-law codec branches, alignment/combinatorial/char-level evals, the
+# KMV/theta sketch, impact-quantized retrieval, t-closeness EMD
+# governance, the BMP/AVI containers + real-pixel tile dedup + PCM
+# resample + SRT sidecar, Hilbert-vs-Morton layout, overlap depth, the
+# Holt recurrence + its streaming replay, WordPiece encoding,
+# modularity scoring, int8-exact SemDeDup, DID + matched ATT, one-way
+# ANOVA, and hash-randomness random walks.
 EXT4_SET = (
+    "mm_gif_decode",
+    "mm_wav_mulaw",
     "eval_meteor_frag",
     "eval_pass_at_k",
     "eval_chrf_bigram",
@@ -35,10 +41,19 @@ EXT4_SET = (
     "mm_bmp_decode",
     "mm_png_tile_dedup",
     "mm_audio_resample",
+    "mm_avi_decode",
+    "mm_srt_parse",
     "layout_hilbert_order",
+    "layout_overlap_depth",
     "w35_holt_linear",
+    "stream_holt_replay",
     "ext_wordpiece_encode",
     "graph_modularity",
+    "graph_random_walks",
+    "dedup_semantic_int8",
+    "behavior_did",
+    "behavior_matched_att",
+    "w36_anova_dow",
 )
 
 
