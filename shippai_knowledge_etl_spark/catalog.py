@@ -529,6 +529,7 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "behavior_matched_att",  # stratified-matching ATT, common support
     "stream_holt_replay",  # two-generation state carry == one-shot
     "graph_random_walks",  # hash-randomness DeepWalk sampling, gated
+    "mm_png_adam7",  # Adam7 interlaced decode, same closed-form gate
 )
 
 

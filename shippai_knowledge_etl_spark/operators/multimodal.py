@@ -176,7 +176,9 @@ def png_decode_features(df: DataFrame) -> DataFrame:
     )
 
 
-def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
+def attach_png_payload(
+    df: DataFrame, id_col: str, interlace: bool = False
+) -> DataFrame:
     """Deterministic PNG ingestion surrogate: per row, ENCODE a real
     PNG whose dimensions and per-row gradient derive from the id —
     width = 16 + id % 16, height = 16 + id % 8, RGB with channel bases
@@ -209,7 +211,10 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
                         )
                     ) * w
                     pixels += row
-                rows.append((i, encode_png(w, h, 3, bytes(pixels))))
+                rows.append(
+                    (i, encode_png(w, h, 3, bytes(pixels),
+                                   interlace=interlace))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

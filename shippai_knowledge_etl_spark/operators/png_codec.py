@@ -8,9 +8,12 @@ module makes the image-decode path REAL end-to-end for PNG payloads
 while JPEG/audio keep the loud-raise posture.
 
 Scope (raises loudly outside it): 8-bit depth, color types 0 (gray),
-2 (RGB), 4 (gray+alpha), 6 (RGBA) and 3 (palette, expanded to RGB),
-non-interlaced. That covers everything the sibling encoder emits and
-the overwhelming majority of real-world PNGs; 16-bit and Adam7 raise
+2 (RGB), 4 (gray+alpha), 6 (RGBA) and 3 (palette, expanded to RGB).
+Round 10 closed the Adam7 gap: interlace method 1 now decodes — each
+of the seven passes is an independently-filtered sub-image (RFC 2083
+§2.6; empty passes contribute no bytes) whose reconstructed pixels
+scatter back through the (x0, y0, dx, dy) grid — and the encoder can
+emit interlaced payloads to exercise it. 16-bit depth still raises
 ``NotImplementedError`` with the reason.
 
 Vectorization (VERDICT r9 item 3 — the declared exact-first deferral,
@@ -42,6 +45,27 @@ import numpy as np
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass.
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (x0, y0, dx, dy, w_p, h_p); empty passes have 0 dims."""
+    out = []
+    for x0, y0, dx, dy in ADAM7:
+        w_p = (width - x0 + dx - 1) // dx if width > x0 else 0
+        h_p = (height - y0 + dy - 1) // dy if height > y0 else 0
+        out.append((x0, y0, dx, dy, w_p, h_p))
+    return out
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -112,12 +136,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     with ``pixels`` the row-major reconstructed samples (palette images
     are expanded to 3-channel RGB). Pure stdlib + numpy; raises
     ``ValueError`` on malformed input and ``NotImplementedError``
-    outside the 8-bit non-interlaced scope."""
+    outside the 8-bit scope. Both interlace methods decode (Adam7
+    since round 10)."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = None
     color_type = None
+    interlaced = 0
     palette = b""
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -133,12 +159,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"PNG bit depth {bit_depth} unsupported (8 only)"
                 )
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlacing unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid IHDR compression/filter method")
             if color_type not in _CHANNELS:
                 raise ValueError(f"invalid PNG color type {color_type}")
+            interlaced = interlace
         elif ctype == b"PLTE":
             palette = chunk
         elif ctype == b"IDAT":
@@ -150,20 +177,56 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     channels = _CHANNELS[color_type]
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG pixel data length {len(raw)} != expected "
-            f"{(stride + 1) * height}"
+    if interlaced == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} != expected "
+                f"{(stride + 1) * height}"
+            )
+        # (height, 1 + stride): filter byte column 0, rest the line
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, 1 + stride
         )
-    # (height, 1 + stride): column 0 is the filter byte, rest the line
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        prev = _unfilter_scanline(
-            int(rows[y, 0]), rows[y, 1:], prev, channels
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            prev = _unfilter_scanline(
+                int(rows[y, 0]), rows[y, 1:], prev, channels
+            )
+            out[y] = prev
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back through the pass grid (empty passes contribute nothing)
+        dims = _adam7_dims(width, height)
+        expected = sum(
+            h_p * (1 + w_p * channels)
+            for (_, _, _, _, w_p, h_p) in dims
+            if w_p and h_p
         )
-        out[y] = prev
+        if len(raw) != expected:
+            raise ValueError(
+                f"interlaced PNG data length {len(raw)} != {expected}"
+            )
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        out3 = np.empty((height, width, channels), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy, w_p, h_p in dims:
+            if not (w_p and h_p):
+                continue
+            pstride = w_p * channels
+            rows = buf[pos2 : pos2 + h_p * (1 + pstride)].reshape(
+                h_p, 1 + pstride
+            )
+            pos2 += h_p * (1 + pstride)
+            prev = np.zeros(pstride, dtype=np.uint8)
+            sub = np.empty((h_p, pstride), dtype=np.uint8)
+            for j in range(h_p):
+                prev = _unfilter_scanline(
+                    int(rows[j, 0]), rows[j, 1:], prev, channels
+                )
+                sub[j] = prev
+            out3[y0::dy, x0::dx, :] = sub.reshape(h_p, w_p, channels)
+        out = out3.reshape(height, stride)
     if color_type == 3:
         if not palette:
             raise ValueError("palette PNG missing PLTE")
@@ -229,13 +292,17 @@ def encode_png(
     channels: int,
     pixels: bytes,
     filter_cycle: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Encode row-major 8-bit samples as a valid PNG. ``channels`` in
     {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}. With ``filter_cycle``
     each scanline y uses filter y % 5, deliberately exercising ALL
     five RFC 2083 filters (a production encoder picks per-row minima;
     here coverage beats compression — this encoder exists to feed the
-    decoder deterministic, filter-diverse payloads)."""
+    decoder deterministic, filter-diverse payloads). With
+    ``interlace`` the image is written Adam7: seven independently
+    filtered passes in grid order, the filter cycle restarting per
+    pass."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != stride * height:
@@ -244,14 +311,35 @@ def encode_png(
         )
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
     body = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        line = img[y]
-        ftype = y % 5 if filter_cycle else 0
-        body.append(ftype)
-        body += _filter_scanline(ftype, line, prev, channels).tobytes()
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if not interlace:
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            line = img[y]
+            ftype = y % 5 if filter_cycle else 0
+            body.append(ftype)
+            body += _filter_scanline(
+                ftype, line, prev, channels
+            ).tobytes()
+            prev = line
+    else:
+        img3 = img.reshape(height, width, channels)
+        for x0, y0, dx, dy, w_p, h_p in _adam7_dims(width, height):
+            if not (w_p and h_p):
+                continue
+            sub = img3[y0::dy, x0::dx, :].reshape(h_p, w_p * channels)
+            prev = np.zeros(w_p * channels, dtype=np.uint8)
+            for j in range(h_p):
+                line = np.ascontiguousarray(sub[j])
+                ftype = j % 5 if filter_cycle else 0
+                body.append(ftype)
+                body += _filter_scanline(
+                    ftype, line, prev, channels
+                ).tobytes()
+                prev = line
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)

@@ -1061,3 +1061,50 @@ def mm_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) == F.max("idx")
         ).alias("ok"),
     )
+
+
+@register(
+    "mm_png_adam7",
+    survey_ref=(
+        "[EXT] Adam7 interlaced PNG decode (round 10 — closes the one "
+        "documented PNG NotImplementedError besides 16-bit): the SAME "
+        "gradient images as mm_png_decode are encoded with interlace "
+        "method 1 (seven independently-filtered sub-image passes, "
+        "empty passes omitted) and must decode to the IDENTICAL "
+        "pixels — the oracle is mm_png_decode's closed form verbatim, "
+        "so any de-interlacing slip (pass order, grid offsets, "
+        "per-pass filter state) fails the hash"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 16 AS INT) AS width,
+           CAST(16 + doc_id % 8 AS INT) AS height,
+           3 AS channels,
+           CAST((16 + doc_id % 16) * (16 + doc_id % 8) AS BIGINT)
+             AS n_pixels,
+           CAST((16 + doc_id % 16) * list_sum(list_transform(
+                  range(0, 16 + doc_id % 8),
+                  y -> (doc_id % 256 + y) % 256
+                     + ((7 * doc_id) % 256 + y) % 256
+                     + ((13 * doc_id) % 256 + y) % 256))
+             AS BIGINT) AS pixel_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interlaced-container invariance: the pixel content is
+    mm_png_decode's (the oracle is byte-for-byte the same closed
+    form), only the CONTAINER changes — Adam7's seven passes, each an
+    independently filtered sub-image whose scanlines reference the
+    previous row of the SAME pass. The decoder must walk the pass
+    grid, reset filter state per pass, reconstruct every sub-image
+    and scatter it back through (x0 + i·dx, y0 + j·dy); any of those
+    steps wrong moves pixel_sum. Width 16..31 and height 16..23 make
+    every pass non-empty AND exercise non-divisible pass geometries.
+
+    Scale shape: identical to mm_png_decode — two chained narrow
+    Arrow maps, no shuffle, pixels never leave the worker."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_payload(d, "doc_id", interlace=True)
+    return multimodal.png_decode_features(payloads)

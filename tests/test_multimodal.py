@@ -659,3 +659,24 @@ def test_avi_codec_scope_errors():
     struct.pack_into("<I", short, idx + 4, 5)
     with pytest.raises(ValueError):
         decode_avi(bytes(short))
+
+
+def test_png_adam7_roundtrip_matches_flat():
+    """Interlaced encode→decode is pixel-exact and identical to the
+    non-interlaced path across odd geometries (including sizes where
+    some Adam7 passes are empty: 1×1, 2×3) and all channel counts."""
+    import random
+
+    from shippai_knowledge_etl_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(9)
+    for w, h, ch in [(1, 1, 3), (2, 3, 1), (7, 5, 3), (8, 8, 4),
+                     (16, 23, 3), (9, 2, 2), (33, 17, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, px)
+        assert decode_png(
+            encode_png(w, h, ch, px, interlace=True)
+        ) == (w, h, ch, px)
