@@ -40,6 +40,7 @@ EXT4_SET = (
     "quality_t_closeness",
     "mm_bmp_decode",
     "mm_png_tile_dedup",
+    "mm_png_adam7",
     "mm_audio_resample",
     "mm_avi_decode",
     "mm_srt_parse",

@@ -205,8 +205,11 @@ def test_png_codec_paeth_golden_scanline():
 
 
 def test_png_codec_palette_and_scope_errors():
-    """Palette images expand to RGB; 16-bit depth and interlacing
-    raise NotImplementedError; garbage raises ValueError."""
+    """Palette images expand to RGB; 16-bit depth raises
+    NotImplementedError; garbage raises ValueError. (Interlaced PNGs
+    DECODE since round 10 — test_png_adam7_roundtrip_matches_flat —
+    so the old raises-on-interlace assertion became a truncated-data
+    ValueError check on a headers-only Adam7 stream.)"""
     import struct
     import zlib
 
@@ -243,10 +246,17 @@ def test_png_codec_palette_and_scope_errors():
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(bad16)
 
+    # Adam7 is in scope now; a headers-only interlaced stream must
+    # fail as MALFORMED DATA (no IDAT), not as unimplemented scope
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    bad_i = magic + chunk(b"IHDR", ihdr_i)
-    with pytest.raises(NotImplementedError, match="interlacing"):
+    bad_i = magic + chunk(b"IHDR", ihdr_i) + chunk(b"IEND", b"")
+    with pytest.raises((ValueError, zlib.error)):
         decode_png(bad_i)
+    # and an out-of-range interlace method is invalid, not unsupported
+    ihdr_x = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    bad_x = magic + chunk(b"IHDR", ihdr_x)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_x)
 
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
