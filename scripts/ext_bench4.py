@@ -41,6 +41,7 @@ EXT4_SET = (
     "mm_bmp_decode",
     "mm_png_tile_dedup",
     "mm_png_adam7",
+    "mm_png_16bit",
     "mm_audio_resample",
     "mm_avi_decode",
     "mm_srt_parse",

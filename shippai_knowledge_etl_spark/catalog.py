@@ -530,6 +530,7 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "stream_holt_replay",  # two-generation state carry == one-shot
     "graph_random_walks",  # hash-randomness DeepWalk sampling, gated
     "mm_png_adam7",  # Adam7 interlaced decode, same closed-form gate
+    "mm_png_16bit",  # 16-bit depth decode, bpp=6 filters, BE samples
 )
 
 

@@ -1356,3 +1356,93 @@ def attach_srt_payload(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         batches, "doc_id long, payload string"
     )
+
+
+PNG16_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, n_samples long, "
+    "sample_sum long, max_sample int, ok boolean"
+)
+
+
+def attach_png16_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 16-bit PNG surrogate: RGB, w = 8 + id % 8,
+    h = 8 + id % 4, sample (x, y, c) = (id·257 + c·9999 + 1000y + x)
+    mod 65536 — full-range 16-bit values so a high/low byte swap or an
+    8-bit truncation anywhere is unmissable in the sums."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            encode_png16,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 8, 8 + i % 4
+                arr = np.empty((h, w * 3), dtype=np.uint16)
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(3):
+                            arr[y, 3 * x + c] = (
+                                i * 257 + c * 9999 + 1000 * y + x
+                            ) % 65536
+                rows.append((i, encode_png16(w, h, 3, arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def png16_decode_features(df: DataFrame) -> DataFrame:
+    """REAL 16-bit decode: reconstruct the byte stream through the
+    five filters at bpp = 6, reassemble big-endian uint16 samples, and
+    emit exact integer statistics. Narrow Arrow map, no shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.png_codec import (
+            decode_png16,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, u16 = decode_png16(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            h,
+                            c,
+                            w * h * c,
+                            int(u16.astype("int64").sum()),
+                            int(u16.max()),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id),) + (None,) * 6 + (False,))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "n_samples",
+                    "sample_sum",
+                    "max_sample",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PNG16_FEATURE_SCHEMA
+    )

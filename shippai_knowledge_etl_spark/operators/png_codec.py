@@ -346,3 +346,105 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def decode_png16(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Decode a 16-bit-depth PNG → ``(width, height, channels,
+    samples)`` with ``samples`` a uint16 ndarray of shape
+    (height, width·channels). RFC 2083 filters operate on BYTES with
+    bpp = 2·channels regardless of depth, so the reconstruction
+    machinery is the 8-bit one with a wider pixel offset; samples are
+    big-endian on the wire. Closes the codec's last documented
+    depth gap (round 10); palette (color type 3) cannot be 16-bit per
+    the spec and raises ValueError. Non-interlaced only — a 16-bit
+    Adam7 stream is vanishingly rare and raises loudly."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, comp, filt, interlace) = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+            if bit_depth != 16:
+                raise ValueError(
+                    f"decode_png16 got bit depth {bit_depth}; use "
+                    "decode_png for 8-bit"
+                )
+            if color_type == 3:
+                raise ValueError("palette PNGs cannot be 16-bit")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"invalid PNG color type {color_type}")
+            if interlace != 0:
+                raise NotImplementedError("16-bit Adam7 unsupported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid IHDR compression/filter method")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _CHANNELS[color_type]
+    bpp = 2 * channels
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != {(stride + 1) * height}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        prev = _unfilter_scanline(int(rows[y, 0]), rows[y, 1:], prev, bpp)
+        out[y] = prev
+    samples = out.reshape(height, width * channels, 2)
+    u16 = (
+        samples[:, :, 0].astype(np.uint16) << 8
+    ) | samples[:, :, 1].astype(np.uint16)
+    return width, height, channels, u16
+
+
+def encode_png16(
+    width: int,
+    height: int,
+    channels: int,
+    samples: "np.ndarray",
+    filter_cycle: bool = True,
+) -> bytes:
+    """Encode uint16 samples (shape (height, width·channels), host
+    values) as a valid 16-bit PNG: big-endian sample bytes, the same
+    five-filter cycle as the 8-bit encoder but with bpp = 2·channels
+    byte offsets."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = 2 * channels
+    stride = width * bpp
+    arr = np.asarray(samples, dtype=np.uint16).reshape(
+        height, width * channels
+    )
+    be = np.empty((height, stride), dtype=np.uint8)
+    be[:, 0::2] = (arr >> 8).astype(np.uint8)
+    be[:, 1::2] = (arr & 0xFF).astype(np.uint8)
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        line = be[y]
+        ftype = y % 5 if filter_cycle else 0
+        body.append(ftype)
+        body += _filter_scanline(ftype, line, prev, bpp).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + _chunk(b"IEND", b"")
+    )

@@ -1108,3 +1108,53 @@ def mm_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_png_payload(d, "doc_id", interlace=True)
     return multimodal.png_decode_features(payloads)
+
+
+@register(
+    "mm_png_16bit",
+    survey_ref=(
+        "[EXT] 16-bit PNG decode (round 10 — the codec's LAST "
+        "documented depth gap closed: both interlace methods and both "
+        "bit depths now decode): full-range 16-bit RGB gradients are "
+        "encoded then decoded through all five RFC 2083 filters at "
+        "bpp = 6 byte offsets, big-endian samples reassembled to "
+        "uint16; the oracle recomputes the exact sample sum and max "
+        "in closed form — a high/low byte swap, an 8-bit truncation, "
+        "or a wrong filter offset anywhere fails the hash"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(8 + doc_id % 4 AS INT) AS height,
+           3 AS channels,
+           CAST((8 + doc_id % 8) * (8 + doc_id % 4) * 3 AS BIGINT)
+             AS n_samples,
+           CAST(list_sum(list_transform(range(0, 8 + doc_id % 4), y ->
+             list_sum(list_transform(range(0, 8 + doc_id % 8), x ->
+               (doc_id * 257 + 1000 * y + x) % 65536
+               + (doc_id * 257 + 9999 + 1000 * y + x) % 65536
+               + (doc_id * 257 + 19998 + 1000 * y + x) % 65536))))
+             AS BIGINT) AS sample_sum,
+           CAST(list_max(list_transform(range(0, (8 + doc_id % 4)
+                                              * (8 + doc_id % 8) * 3), m ->
+             (doc_id * 257 + (m % 3) * 9999
+              + 1000 * ((m // 3) // (8 + doc_id % 8))
+              + (m // 3) % (8 + doc_id % 8)) % 65536))
+             AS INT) AS max_sample,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG codec's depth-completeness witness: 16-bit samples ride
+    the SAME five-filter reconstruction as 8-bit but with bpp = 6 byte
+    offsets (RFC 2083 filters operate on bytes regardless of depth),
+    then reassemble big-endian — the two classic 16-bit bugs (treating
+    the stream as 8-bit pixels, or little-endian reassembly) each move
+    sample_sum and max_sample in ways the closed-form oracle catches.
+
+    Scale shape: two chained narrow Arrow maps, the mm_png_decode
+    class; no shuffle, samples never leave the worker."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png16_payload(d, "doc_id")
+    return multimodal.png16_decode_features(payloads)

@@ -690,3 +690,47 @@ def test_png_adam7_roundtrip_matches_flat():
         assert decode_png(
             encode_png(w, h, ch, px, interlace=True)
         ) == (w, h, ch, px)
+
+
+def test_png16_codec_roundtrip_and_scope():
+    """16-bit encode→decode is sample-exact through all five filters;
+    8-bit streams are redirected to decode_png; palette-16 is invalid."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.png_codec import (
+        decode_png16,
+        encode_png,
+        encode_png16,
+    )
+
+    rng = random.Random(4)
+    for w, h, ch in [(1, 1, 3), (7, 6, 1), (16, 11, 3), (9, 8, 4)]:
+        arr = np.array(
+            [[rng.randrange(65536) for _ in range(w * ch)] for _ in range(h)],
+            dtype=np.uint16,
+        )
+        W, H, C, out = decode_png16(encode_png16(w, h, ch, arr))
+        assert (W, H, C) == (w, h, ch) and (out == arr).all()
+    with pytest.raises(ValueError, match="bit depth 8"):
+        decode_png16(encode_png(2, 2, 3, bytes(12)))
+    # hand-build a palette-16 IHDR: spec-invalid
+    import zlib as _z
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    bad = magic + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png16(bad)
