@@ -21,9 +21,76 @@ import sys
 import time
 from typing import Iterable
 
+# ---------------------------------------------------------------------------
+# Contention sentinel (VERDICT r10 item 1a). The round-10 BENCH/EXTBENCH
+# artifacts were polluted by HOST contention — frozen-since-r1 queries
+# slowed 1.3-5.8x with zero code changes — and the evidence had to be
+# reconstructed after the fact from three in-session re-runs. The fix:
+# before any timed set, run one tiny FROZEN pure-CPU probe (no IO, no
+# parquet, no Python workers — spark.range → integer hash filter →
+# count, 32 partitions so it occupies every core exactly like a real
+# single-wave stage) three times; if its median deviates more than
+# 1.25x from the pinned quiet-host value below, the whole artifact is
+# stamped "unstable": true so cross-round diffs know to distrust it.
+#
+# Statistic: MIN of 3 timed runs after 2 untimed JIT warms — a
+# contended host cannot produce a FAST sample, so the min is the
+# contention-robust envelope, while median/mean inherit the probe's
+# intrinsic JVM jitter. Calibration (round 11, ~1% steal, idle host):
+# single samples spread 0.44-0.93 s across a fresh session (JIT
+# settling), post-warm samples 0.44-0.75 s, min-of-3 0.44-0.49 s —
+# so the pin is 0.45 and the budget 1.6x (trip at 0.72 s): intrinsic
+# jitter stays under it, while the r10-class contention (frozen
+# queries uniformly 1.3-5.8x slower) cannot keep any sample below it.
+# Re-pin ONLY alongside a full bench re-pin on a verified-quiet host;
+# never because the sentinel keeps tripping — that is the signal
+# working.
+SENTINEL_PIN_SEC = 0.45
+SENTINEL_BUDGET = 1.6
+
+
+def _sentinel_probe(spark) -> None:
+    (
+        spark.range(0, 800_000_000, 1, 32)
+        .selectExpr(
+            "count(if(((id * 2654435761) % 1000003) % 97 = 3, 1, NULL)) AS c"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def contention_sentinel(spark) -> dict:
+    """Frozen CPU probe (2 warms + 3 timed, min) → {'sentinel_sec',
+    'sentinel_pin_sec', 'unstable'}; call AFTER session warmup,
+    BEFORE the timed set."""
+    for _ in range(2):
+        _sentinel_probe(spark)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sentinel_probe(spark)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "sentinel_sec": round(best, 4),
+        "sentinel_pin_sec": SENTINEL_PIN_SEC,
+        "unstable": best > SENTINEL_BUDGET * SENTINEL_PIN_SEC,
+    }
+
 
 def run_set(cat, spark, sf_dir: str, names: Iterable[str], metric: str) -> int:
     """Time each catalog query cold + 2 reps; print ONE JSON line."""
+    sent = contention_sentinel(spark)
+    if sent["unstable"]:
+        print(
+            f"# SENTINEL UNSTABLE: frozen probe median {sent['sentinel_sec']}s"
+            f" > {SENTINEL_BUDGET}x pin {SENTINEL_PIN_SEC}s — host is"
+            " contended; this artifact's timings are NOT comparable"
+            " across rounds",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     median: dict[str, float] = {}
@@ -54,6 +121,7 @@ def run_set(cat, spark, sf_dir: str, names: Iterable[str], metric: str) -> int:
                 "warm_total_sec": round(sum(warm.values()), 3),
                 "queries_median": median,
                 "median_total_sec": round(sum(median.values()), 3),
+                **sent,
                 "sf": sf_dir,
             }
         )

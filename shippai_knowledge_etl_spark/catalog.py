@@ -191,16 +191,46 @@ DRIVER_WINDOW = (
     # u4_except rotated out (the set-op family stays witnessed
     # in-window by u2_status_partition's heterogeneous union;
     # u4_except / u3_intersect / u1_union_worklists all stay
-    # oracle-green in tests/test_oracle_parity.py); the slot pins the
-    # ordered-event funnel flagship — the behavioral-analytics family
-    # (funnel/retention) had no in-window witness at all
-    "w10_funnel_conversion",
-    "f2_f11_casualty_filename",
+    # oracle-green in tests/test_oracle_parity.py); the slot pinned the
+    # ordered-event funnel flagship;
+    # w10_funnel_conversion then rotated out in round 11 (VERDICT r10
+    # item 3: rotate into the driver-unwitnessed r10 families — the
+    # behavioral family keeps THREE in-window rows: behavior_ab_cuped,
+    # behavior_markov_stationary, w35_holt_linear, plus behavior_did's
+    # new causal row this round; w10's event-time min-agg funnel
+    # machinery stays witnessed in-window by stream_session_replay's
+    # event-time session rollups, and w10 itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # difference-in-differences 2x2 causal readout — the r10 causal
+    # family (DID / matched ATT) had no driver row at all
+    "behavior_did",
+    # f2_f11_casualty_filename rotated out in round 11 (VERDICT r10
+    # item 3 sanctioned "one of f2_f11/f15_f19": the combined
+    # scalar-function suite class stays witnessed in-window by
+    # f15_f19_p9_geometry — the same multi-function roundtrip shape —
+    # F2's leading-int extraction by p1_case_id_extract's
+    # regexp_extract surface, and f2_f11 itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # round-10 REAL GIF87a decode — a genuine dictionary-building LZW
+    # decompressor walked per image inside a narrow Arrow map,
+    # hash-gated by closed-form pixel sums; the image-codec family
+    # held only PNG rows before this (VERDICT r10 item 3 named it)
+    "mm_gif_decode",
     "f6_knowledge_parse",
     # f7_split_nonblank rotated out (F7 stays witnessed in-window by
-    # case_assembly's sources_list split); the slot pins the new
-    # Gopher-style repetition-quality flagship
-    "ext_quality_repetition",
+    # case_assembly's sources_list split); the slot pinned the
+    # Gopher-style repetition-quality flagship;
+    # ext_quality_repetition then rotated out in round 11 (VERDICT r10
+    # item 3 named it: its family is partly covered in-window by
+    # curation_pipeline_e2e, whose quality gate runs the same
+    # tokenize + ratio-threshold scoring surface, and
+    # ext_quality_repetition itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins the
+    # int8-exact SemDeDup semantic dedup — the catalog's only
+    # HASH-GATED semantic near-dup, now with the cluster-size cap
+    # ENFORCED before the quadratic stage and the dropped-cluster
+    # count gated as data (VERDICT r10 item 2 executed this round)
+    "dedup_semantic_int8",
     # f8_f9_cleanup_url rotated out in round 8 (VERDICT r7 item 4:
     # redundant in-window cousins — F8 nbsp-normalize + F9 URL-regex
     # extraction stay witnessed in-window by p1_case_id_extract's
@@ -323,12 +353,34 @@ DRIVER_WINDOW = (
     # split-conformal calibration threshold — the model-governance
     # family (k-anonymity / WOE-IV / ECE / conformal) had no driver
     # row; its exact-rank TakeOrderedAndProject selection is a plan
-    # class nothing else in-window carries
-    "quality_conformal_threshold",
+    # class nothing else in-window carried at the time;
+    # quality_conformal_threshold then rotated out in round 11
+    # (VERDICT r10 item 3: the governance family keeps TWO in-window
+    # rows — quality_psi_drift and quality_table_checksum — the
+    # exact-rank ranked-cut selection class stays witnessed in-window
+    # by retrieval_eval_ndcg's per-query ranked cuts and by
+    # q3_top_revenue's PINNED-BENCH TakeOrderedAndProject measured
+    # every round, and conformal itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs); the slot pins
+    # impact-quantized retrieval — the r10 quantized-index class
+    # (round-6→DECIMAL→BIGINT impact buckets, 1-row quantization-bound
+    # broadcast) the round-10 verdict listed as hash-gated yet
+    # driver-unwitnessed
+    "retrieval_impact_quantized",
     "w3_layout_suite",
     "scenario_profile",
     "p3_label_pivot",
-    "s2_p6_worklist_route",
+    # s2_p6_worklist_route rotated out in round 11 (S2's list-page
+    # worklist expansion stays witnessed in-window by u5_udtf_expand —
+    # the VERDICT r10 core table lists both as S2's driver rows — and
+    # P6's URL route predicate by p8_link_fallback's in-window URL
+    # construction/resolution surface; s2_p6_worklist_route itself
+    # stays oracle-green in tests/test_oracle_parity.py at both SFs);
+    # the slot pins hash-randomness DeepWalk corpus generation — the
+    # r10 random-walk class (salted-md5 step choice, four bounded
+    # adjacency equi-joins, md5 path fingerprints hash-gated) the
+    # round-10 verdict listed as driver-unwitnessed
+    "graph_random_walks",
     "p7_multimedia_merge",
     "p8_link_fallback",
     # O3's dedicated row-form demo (o3_first_occurrence_dedup) sits just
@@ -484,18 +536,25 @@ DRIVER_WINDOW = (
 )
 
 
-# sf0.01 parity cohort (VERDICT r9 item 1): every query ADDED this
-# round, or whose Spark/oracle algebra CHANGED this round, is listed
-# here and gets a COMMITTED sf0.01 oracle-parity run
+# sf0.01 parity cohorts (VERDICT r9 item 1, widened r11 per VERDICT
+# r10 item 5): every query ADDED in a round, or whose Spark/oracle
+# algebra CHANGED in that round, is listed under that round number and
+# gets a COMMITTED sf0.01 oracle-parity run
 # (tests/test_oracle_parity.py::test_oracle_parity_round_cohort) — the
 # eval_bleu_log ulp-straddle class only surfaces above sf0.001, and
 # before round 10 only the 50 window queries were pinned at sf0.01.
 # Registration order is not chronological (load_catalog groups by
-# module), so the cohort is explicit names, not an index watermark.
-# Reset to the new round's names when a round closes; the old cohort
-# keeps sf0.001 regression coverage via test_oracle_parity plus
-# whatever window slots it holds.
-NEW_IN_ROUND: tuple[str, ...] = (
+# module), so cohorts are explicit names, not index watermarks.
+# The test parametrizes over the LAST TWO rounds' cohorts (bounded
+# runtime; older cohorts keep sf0.001 coverage via test_oracle_parity
+# plus whatever window slots they hold) — so the straddle-sensitive
+# class never loses sf0.01 coverage the round after it ships (the r10
+# blind spot: NEW_IN_ROUND used to reset each round). When a round
+# closes, ADD a new entry; never delete old ones (they're ~free
+# documentation and the two-round window is computed from the keys).
+COHORTS: dict[int, tuple[str, ...]] = {}
+
+COHORTS[10] = (
     # r10 algebra changes (round-9 ADVICE):
     "retrieval_wand_pruning",  # DECIMAL ub_sum + ε-widened survivor filter
     "behavior_power_mde",  # H1 term pow(x,2) → x*x on both engines
@@ -531,6 +590,51 @@ NEW_IN_ROUND: tuple[str, ...] = (
     "graph_random_walks",  # hash-randomness DeepWalk sampling, gated
     "mm_png_adam7",  # Adam7 interlaced decode, same closed-form gate
     "mm_png_16bit",  # 16-bit depth decode, bpp=6 filters, BE samples
+)
+
+COHORTS[11] = (
+    # r11 algebra changes (round-10 verdict/ADVICE):
+    "dedup_semantic_int8",  # +100000 offset, ENFORCED cluster cap 300
+    "eval_meteor_frag",  # single tokenize pass (checkpointed explode)
+    # r11 demo-graph sizing moved to parquet-footer rowcount memo
+    # (tables.table_rowcount — zero Spark jobs; values identical):
+    "graph_pagerank",
+    "graph_anchor_text",
+    "graph_label_propagation",
+    "graph_hits",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_assortativity",
+    "graph_negative_edges",
+    "graph_node_profile",
+    "graph_link_prediction",
+    "graph_personalized_pagerank",
+    "graph_bfs_closeness",
+    "graph_modularity",
+    "graph_random_walks",
+    "ext_heaps_fit",
+    "behavior_bradley_terry",
+    # r11 new operators:
+    "mm_jpeg_decode",  # real baseline-DCT JPEG (VERDICT r10 item 7)
+    "mm_wav_adpcm",  # IMA ADPCM decode, recursive-CTE codec replay
+    "mm_tiff_decode",  # TIFF IFD walk + PackBits, both byte orders
+    "mm_avi_mjpeg",  # Motion-JPEG AVI: container + codec composed
+    "eval_cohen_kappa",  # inter-annotator agreement, integer-exact
+    "w37_holt_winters",  # seasonal smoothing, 7-slot CTE state vector
+    "ext_ams_f2",  # AMS tug-of-war F2 sketch, median-of-means
+)
+
+# the CURRENT round's cohort — kept as a named alias so rotation
+# comments and round artifacts can keep saying "NEW_IN_ROUND"
+NEW_IN_ROUND: tuple[str, ...] = COHORTS[max(COHORTS)]
+
+# the sf0.01-pinned parity set: the last two rounds' cohorts
+COHORT_SF001_PINNED: tuple[str, ...] = tuple(
+    dict.fromkeys(
+        n
+        for r in sorted(COHORTS)[-2:]
+        for n in COHORTS[r]
+    )
 )
 
 

@@ -147,6 +147,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             if count > 0:  # encoded run
                 if x + count > width or y < 0:
                     raise ValueError("RLE8 run overflows row")
+                if val >= n_pal:
+                    # keep the documented ValueError contract: a run
+                    # value past a clr_used-sized palette must not
+                    # escape as a raw IndexError (round-10 ADVICE)
+                    raise ValueError("RLE8 index outside palette")
                 idx[y * width + x : y * width + x + count] = bytes(
                     [val]
                 ) * count

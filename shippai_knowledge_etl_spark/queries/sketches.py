@@ -969,3 +969,113 @@ def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         est.alias("kmv_est"),
     )
+
+
+def _ams_sign(salt: int) -> str:
+    """DuckDB ±1 sign from the parity of one salted-md5 hex digit —
+    the kmv '0x'-cast idiom reduced to a single bit."""
+    return (
+        f"(2 * (CAST('0x' || substring(md5(tok || ':ams{salt}'), 1, 1) "
+        "AS BIGINT) % 2) - 1)"
+    )
+
+
+@register(
+    "ext_ams_f2",
+    survey_ref=(
+        "[EXT] AMS tug-of-war second-moment sketch (Alon, Matias & "
+        "Szegedy 1996 — the F2/self-join-size estimator behind skew "
+        "detection and join planning): 9 independent ±1-sign "
+        "estimators from salted-md5 bit parity, each (Σ sign_i·f_t)², "
+        "median-of-9 as the exact integer middle element, gated "
+        "BESIDE the exact F2 = Σ f_t² computed in the SAME single "
+        "aggregation pass — the sketch, the truth, and the relative "
+        "error all under one hash"
+    ),
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (
+      SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+    agg AS (
+      SELECT count(*) AS n_terms,
+             sum(f * f) AS f2_exact,
+             {", ".join(f"sum({_ams_sign(i)} * f) AS s{i}"
+                        for i in range(9))}
+      FROM cnt)
+    SELECT CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
+           CAST(list_sort([s0*s0 + s1*s1 + s2*s2, s3*s3 + s4*s4 + s5*s5, s6*s6 + s7*s7 + s8*s8])[2] AS BIGINT) AS f2_est3x_median,
+           round(CAST(abs(list_sort([s0*s0 + s1*s1 + s2*s2, s3*s3 + s4*s4 + s5*s5, s6*s6 + s7*s7 + s8*s8])[2]
+                          - 3 * f2_exact) AS DOUBLE) / (3 * f2_exact), 6)
+             AS rel_err
+    FROM agg
+    """,
+)
+def ext_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment, sketched and verified in one pass: the
+    term-frequency rollup feeds ONE aggregation computing the exact
+    F2, the distinct-term count, and all nine tug-of-war sums — each
+    term's nine ±1 signs are salted-md5 bit parities (bit-identical
+    across engines, the kmv/bloom geometry), so each estimator
+    (Σ sign·f)² and the median-of-means group sums are pure integers. No float
+    exists except the final identically-ordered relative-error
+    division, round-6.
+
+    Scale shape: one tokenize Generate + one term-keyed shuffle (the
+    ext_tfidf class); the nine sign-weighted sums ride the SAME
+    aggregate as map-side partials — constant-size mergeable state,
+    which is the point of AMS: at 100 TB the sketch costs nothing
+    beyond the frequency rollup it shares, while exact F2 of a
+    shifted corpus would need that rollup anyway. The estimator-count
+    is fixed (9) so the median is one sorted-literal pick, not a
+    percentile shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+
+    def sign(i: int):
+        return (
+            F.lit(2)
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("tok"), F.lit(f":ams{i}"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            - 1
+        )
+
+    agg = cnt.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("f") * F.col("f")).alias("f2_exact"),
+        *[F.sum(sign(i) * F.col("f")).alias(f"s{i}") for i in range(9)],
+    )
+    # median-of-means, the canonical AMS assembly: groups of three
+    # estimators summed (kept as INTEGER group sums — the mean's /3 is
+    # deferred onto the exact side as 3*F2, so no division leaves the
+    # integer domain), median of the three group sums.
+    grp = [
+        sum(
+            F.col(f"s{3 * j + m}") * F.col(f"s{3 * j + m}")
+            for m in range(3)
+        )
+        for j in range(3)
+    ]
+    med = F.sort_array(F.array(*grp))[1]
+    return agg.select(
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        med.cast("long").alias("f2_est3x_median"),
+        F.round(
+            F.abs(med - F.lit(3) * F.col("f2_exact")).cast("double")
+            / (F.lit(3) * F.col("f2_exact")),
+            6,
+        ).alias("rel_err"),
+    )

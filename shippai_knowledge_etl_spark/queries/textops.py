@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.operators import textops
-from shippai_knowledge_etl_spark.tables import load, scale_out
+from shippai_knowledge_etl_spark.tables import load, scale_out, table_rowcount
 
 # DuckDB-side mirror of textops.tokenize (RE2 shares Java's \p classes).
 _TOKS = (
@@ -691,7 +691,7 @@ def ext_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join (sketch-merge class), and the Zipf closed-form
     regression over exactly 10 points."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = table_rowcount(sf_dir, "documents")
     cuts = [(n_docs * k) // 10 for k in range(1, 11)]
     ex = d.select(
         "doc_id", F.explode(textops.tokenize(F.col("text"))).alias("term")

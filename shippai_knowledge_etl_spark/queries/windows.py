@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from shippai_knowledge_etl_spark.catalog import register
 from shippai_knowledge_etl_spark.schemas import CASE_SCHEMA
 from shippai_knowledge_etl_spark.streaming import windows as W
-from shippai_knowledge_etl_spark.tables import load, scale_out
+from shippai_knowledge_etl_spark.tables import load, scale_out, table_rowcount
 
 
 @register(
@@ -3140,7 +3140,7 @@ def behavior_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost of pagerank with |edges| = 2N; localCheckpoint
     truncates lineage."""
     d = load(spark, sf_dir, "documents")
-    n = d.count()
+    n = table_rowcount(sf_dir, "documents")
     docs = d.select("doc_id", F.length("text").alias("len"))
     m0 = docs.select(
         F.col("doc_id").alias("a"),
@@ -4785,4 +4785,189 @@ def stream_holt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level_scaled",
         "trend_scaled",
         F.lit(2).alias("n_generations"),
+    )
+
+
+# Holt-Winters seasonal slot update: the recursive CTE carries the
+# 7-slot seasonal state as columns s0..s6; each step rewrites ONE slot
+# (the current t mod 7) and copies the rest.
+_HW_SPREV = (
+    "(CASE (t0 % 7) "
+    + " ".join(f"WHEN {j} THEN s{j}" for j in range(7))
+    + " END)"
+)
+_HW_SCOPY = ", ".join(
+    f"CASE WHEN (t0 % 7) = {j} THEN snew ELSE s{j} END" for j in range(7)
+)
+_HW_INIT_S = ", ".join(
+    f"c{j} * 1000000 - l6 AS s{j}" for j in range(7)
+)
+_HW_C_FIRST7 = ", ".join(
+    f"sum(CASE WHEN t = {j} THEN c ELSE 0 END) AS c{j}" for j in range(7)
+)
+
+
+@register(
+    "w37_holt_winters",
+    survey_ref=(
+        "[EXT] Holt-Winters ADDITIVE-SEASONAL smoothing (Winters "
+        "1960; the seasonal upgrade over w35's level+trend Holt): "
+        "α=β=γ=1/2 in micro-unit scaled integers with the w35 bias "
+        "trick for floor-div-by-2, classic initialization (level = "
+        "first-week mean, trend 0, seasonal s_j = x_j − mean), and "
+        "the 7-slot seasonal STATE VECTOR carried as columns through "
+        "a DuckDB RECURSIVE CTE while Spark runs the same recurrence "
+        "as a per-type grouped-map — the sequential-recurrence gate "
+        "class, now with vector state"
+    ),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dseq AS (
+      SELECT day, row_number() OVER (ORDER BY day) - 1 AS t
+      FROM (SELECT DISTINCT day FROM daily)),
+    nmax AS (SELECT count(*) AS T FROM dseq),
+    grid AS (
+      SELECT ty.event_type, d.t, coalesce(da.n, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM daily) ty
+      CROSS JOIN dseq d
+      LEFT JOIN daily da ON da.event_type = ty.event_type
+                        AND da.day = d.day),
+    init AS (
+      SELECT event_type, {_HW_C_FIRST7},
+             (sum(CASE WHEN t < 7 THEN c ELSE 0 END) * 1000000) // 7
+               AS l6
+      FROM grid WHERE t < 7 GROUP BY event_type),
+    rec AS (
+      SELECT event_type, 6 AS t, l6 AS l, CAST(0 AS BIGINT) AS b,
+             {_HW_INIT_S}
+      FROM init
+      UNION ALL
+      SELECT event_type, t0, lnew,
+             (lnew - l + b + 2199023255552) // 2 - 1099511627776,
+             {_HW_SCOPY}
+      FROM (
+        SELECT event_type, t0, l, b, s0, s1, s2, s3, s4, s5, s6, sprev,
+               x, lnew,
+               (x - lnew + sprev + 2199023255552) // 2
+                 - 1099511627776 AS snew
+        FROM (
+          SELECT event_type, t0, l, b, s0, s1, s2, s3, s4, s5, s6,
+                 sprev, x,
+                 (x - sprev + l + b + 2199023255552) // 2
+                   - 1099511627776 AS lnew
+          FROM (
+            SELECT r.event_type, r.t + 1 AS t0, r.l, r.b,
+                   r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+                   g.c * 1000000 AS x,
+                   (CASE ((r.t + 1) % 7)
+                    WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+                    WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+                    ELSE r.s6 END) AS sprev
+            FROM rec r
+            JOIN grid g ON g.event_type = r.event_type
+                       AND g.t = r.t + 1
+          )
+        )
+      )
+    )
+    SELECT r.event_type,
+           CAST(n.T AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_scaled,
+           CAST(r.b AS BIGINT) AS trend_scaled,
+           CAST((CASE (n.T % 7)
+                 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+                 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+                 ELSE r.s6 END) AS BIGINT) AS season_next_scaled,
+           round(CAST(r.l + r.b + (CASE (n.T % 7)
+                 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+                 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+                 ELSE r.s6 END) AS DOUBLE) / 1000000, 6) AS forecast_next
+    FROM rec r CROSS JOIN nmax n
+    WHERE r.t = n.T - 1
+    """,
+)
+def w37_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple exponential smoothing over per-type daily volumes,
+    exact: with α = β = γ = 1/2 every update is a floor-div-by-2 of
+    integer micro-units ((v + 2^41) div 2 − 2^40 keeps the numerator
+    non-negative — the w35/README division audit), the seasonal
+    period is 7 sequence slots, and initialization is the classic
+    first-week mean (level), zero trend, and x_j − mean seasonals.
+    The Spark side carries the 7-slot seasonal vector in a per-type
+    grouped-map; the oracle carries it as SEVEN COLUMNS of a
+    recursive CTE rewriting one slot per step — two execution models,
+    one integer fixpoint, now with vector state (the w35 class
+    extended).
+
+    Scale shape: one (type, day) rollup cuts the stream; the
+    grouped-map holds nine integers per type regardless of history
+    length. At 100 TB the recurrence still touches only the
+    |types|×|days| grid."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("c"))
+    )
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = [int(v) for v in pdf["c"]]
+        S, B = 1_000_000, 1 << 41
+        H = B // 2
+        T = len(c)
+        lvl = (sum(c[:7]) * S) // 7
+        b = 0
+        s = [c[j] * S - lvl for j in range(7)]
+        for t in range(7, T):
+            x = c[t] * S
+            dow = t % 7
+            ln = (x - s[dow] + lvl + b + B) // 2 - H
+            bn = (ln - lvl + b + B) // 2 - H
+            s[dow] = (x - ln + s[dow] + B) // 2 - H
+            lvl, b = ln, bn
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": T,
+                    "level_scaled": lvl,
+                    "trend_scaled": b,
+                    "season_next_scaled": s[T % 7],
+                }
+            ]
+        )
+
+    out = grid.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, n_days long, level_scaled long, "
+        "trend_scaled long, season_next_scaled long",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "level_scaled",
+        "trend_scaled",
+        "season_next_scaled",
+        F.round(
+            (
+                F.col("level_scaled")
+                + F.col("trend_scaled")
+                + F.col("season_next_scaled")
+            ).cast("double")
+            / 1000000,
+            6,
+        ).alias("forecast_next"),
     )

@@ -32,6 +32,39 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# (sf_dir, table) → exact row count, served from the parquet footer.
+# The demo-graph queries synthesize edges modulo the node count, so
+# they need n at PLAN-BUILD time; before round 11 each one paid an
+# eager d.count() Spark job per invocation (14 sites, one extra scan
+# each — round-10 verdict item 6). The footer's num_rows is the same
+# exact value count(*) returns (parquet metadata is authoritative),
+# costs one ~8 KiB metadata read ONCE per (sf_dir, table), and after
+# that is a dict lookup — zero Spark jobs.
+_ROWCOUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of one synthetic table, from parquet metadata."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (sf_dir, name)
+    if key not in _ROWCOUNT_MEMO:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            # Spark-written tables (test fixtures) are directories of
+            # part files; the driver's testdata is single files
+            _ROWCOUNT_MEMO[key] = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        else:
+            _ROWCOUNT_MEMO[key] = pq.ParquetFile(path).metadata.num_rows
+    return _ROWCOUNT_MEMO[key]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; session TZ pinned to UTC first so
     timestamp-derived values are independent of the caller's locale.

@@ -734,3 +734,372 @@ def test_png16_codec_roundtrip_and_scope():
     )
     with pytest.raises(ValueError, match="palette"):
         decode_png16(bad)
+
+
+def test_jpeg_codec_flat_roundtrip_gray_and_420():
+    """Flat-block JPEGs decode to EXACTLY the closed-form pixel values
+    the SQL oracle predicts — gray with restarts, color 4:2:0 with
+    interleaved MCUs (operators/jpeg_codec.py round-11 stretch)."""
+    import math
+
+    import numpy as np
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        decoded_flat,
+        encode_jpeg,
+        flat_block,
+    )
+
+    for i in (0, 2, 4, 7 * 2):  # gray geometry variants
+        w, h = 24 + 8 * (i % 3), 16 + 8 * (i % 2)
+        coeffs = [
+            [flat_block((i + 7 * bx + 13 * by) % 256, 5) for bx in range(w // 8)]
+            for by in range(h // 8)
+        ]
+        data = encode_jpeg(
+            w, h, [{"coeffs": coeffs, "q": [5] * 64, "hv": (1, 1)}],
+            restart_interval=3,
+        )
+        ww, hh, nc, pix = decode_jpeg(data)
+        assert (ww, hh, nc) == (w, h, 1)
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                exp = decoded_flat((i + 7 * bx + 13 * by) % 256, 5)
+                assert (a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == exp).all()
+
+    i = 9  # color: every pixel checked against the oracle arithmetic
+    w, h = 32 + 16 * ((i // 2) % 2), 32
+    ly = [
+        [flat_block((i + 7 * bx + 13 * by) % 256, 5) for bx in range(w // 8)]
+        for by in range(4)
+    ]
+    cb = [
+        [flat_block((3 * i + 17 * mx + 29 * my) % 256, 6) for mx in range(w // 16)]
+        for my in range(2)
+    ]
+    cr = [
+        [flat_block((5 * i + 23 * mx + 31 * my) % 256, 6) for mx in range(w // 16)]
+        for my in range(2)
+    ]
+    data = encode_jpeg(
+        w,
+        h,
+        [
+            {"coeffs": ly, "q": [5] * 64, "hv": (2, 2)},
+            {"coeffs": cb, "q": [6] * 64, "hv": (1, 1)},
+            {"coeffs": cr, "q": [6] * 64, "hv": (1, 1)},
+        ],
+        restart_interval=2,
+    )
+    ww, hh, nc, pix = decode_jpeg(data)
+    assert (ww, hh, nc) == (w, h, 3)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+    clip = lambda x: min(max(int(math.floor(x)), 0), 255)  # noqa: E731
+    for by in range(4):
+        for bx in range(w // 8):
+            y = decoded_flat((i + 7 * bx + 13 * by) % 256, 5)
+            cbv = decoded_flat((3 * i + 17 * (bx // 2) + 29 * (by // 2)) % 256, 6)
+            crv = decoded_flat((5 * i + 23 * (bx // 2) + 31 * (by // 2)) % 256, 6)
+            r = clip(y + 1.402 * (crv - 128.0) + 0.5)
+            g = clip(y - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0) + 0.5)
+            b = clip(y + 1.772 * (cbv - 128.0) + 0.5)
+            blk = a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == np.array([r, g, b])).all(), (bx, by)
+
+
+def test_jpeg_codec_ac_path_matches_basis_summation():
+    """AC-bearing blocks run the float IDCT; pin it against an
+    INDEPENDENT direct 2-D basis summation (different evaluation
+    order than the decoder's separable matrix product)."""
+    import math
+
+    import numpy as np
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    q = [int(x) for x in rng.randint(1, 32, 64)]
+    bw_, bh_ = 4, 3
+    blocks = []
+    for _by in range(bh_):
+        row = []
+        for _bx in range(bw_):
+            c = np.zeros(64, dtype=int)
+            nz = rng.choice(64, rng.randint(1, 12), replace=False)
+            c[nz] = rng.randint(-60, 60, len(nz))
+            row.append([int(x) for x in c])
+        blocks.append(row)
+    data = encode_jpeg(32, 24, [{"coeffs": blocks, "q": q, "hv": (1, 1)}])
+    _, _, _, pix = decode_jpeg(data)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(24, 32).astype(int)
+
+    def ref_block(coef):
+        deq = np.array(coef, float).reshape(8, 8) * np.array(q, float).reshape(8, 8)
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = math.sqrt(0.5) if u == 0 else 1.0
+                        cv = math.sqrt(0.5) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4.0 * deq[u, v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                out[y, x] = s
+        return np.clip(np.floor(out + 128.0 + 0.5), 0, 255).astype(int)
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            exp = ref_block(blocks[by][bx])
+            got = a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (got == exp).all(), (bx, by)
+
+
+def test_jpeg_codec_scope_errors():
+    """Out-of-scope modes raise loudly; malformed streams raise
+    ValueError — the documented codec contract."""
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        flat_block,
+    )
+
+    coeffs = [[flat_block(100, 5)]]
+    data = encode_jpeg(8, 8, [{"coeffs": coeffs, "q": [5] * 64, "hv": (1, 1)}])
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + data[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:40])  # truncated before SOS
+    # flip SOF0 -> SOF2 (progressive)
+    sof = data.index(b"\xff\xc0")
+    prog = data[:sof] + b"\xff\xc2" + data[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        decode_jpeg(prog)
+    # 16-bit DQT: set Pq high nibble
+    dqt = data.index(b"\xff\xdb")
+    pq = bytearray(data)
+    pq[dqt + 4] |= 0x10
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(bytes(pq))
+    # 12-bit precision in SOF
+    prec = bytearray(data)
+    prec[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(prec))
+
+
+def test_jpeg_decode_features_real_path(spark):
+    """The Spark surface end-to-end at a handful of ids: encode in one
+    Arrow map, decode in the next, all rows ok=true with the
+    closed-form pixel sums (the driver gate's local twin)."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import decoded_flat
+    from shippai_knowledge_etl_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        jpeg_decode_features,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = jpeg_decode_features(attach_jpeg_payload(ids, "doc_id"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6 and all(r["ok"] for r in rows.values())
+    # id 0: gray 24x16, hand-check pixel_sum
+    exp = sum(
+        64 * decoded_flat((0 + 7 * bx + 13 * by) % 256, 5)
+        for by in range(2)
+        for bx in range(3)
+    )
+    assert rows[0]["pixel_sum"] == exp
+    assert rows[1]["mode"] == "ycbcr420" and rows[1]["channels"] == 3
+
+
+def test_ima_adpcm_roundtrip_and_state_replay():
+    """encode→decode through the real block container equals a direct
+    state-machine replay (the oracle's view), block headers re-seed
+    the predictor exactly, and the quantizer tracks the signal."""
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        _ima_encode_nibble,
+        _ima_state_step,
+        decode_wav_ima,
+        encode_wav_ima,
+    )
+
+    for i in (0, 1, 5, 88):
+        spb = 33
+        n = spb * (2 + i % 2)
+        samples = [
+            ((i * 2654435761 + k * k * 40503) % 8192) - 4096 for k in range(n)
+        ]
+        data = encode_wav_ima(samples, 8000, spb, init_index=i % 89)
+        rate, spb2, dec = decode_wav_ima(data)
+        assert (rate, spb2, len(dec)) == (8000, spb, n)
+        pred, idx = samples[0], i % 89
+        rep = [pred]
+        for k in range(1, n):
+            if k % spb == 0:
+                pred = samples[k]
+                rep.append(pred)
+                continue
+            nib = _ima_encode_nibble(samples[k], pred, idx)
+            pred, idx = _ima_state_step(pred, idx, nib)
+            rep.append(pred)
+        assert rep == dec
+        for b in range(0, n, spb):
+            assert dec[b] == samples[b]  # header predictor verbatim
+
+
+def test_ima_adpcm_scope_errors():
+    import struct as _s
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        decode_wav_ima,
+        encode_wav_ima,
+    )
+
+    with pytest.raises(ValueError, match="tile"):
+        encode_wav_ima([1, 2, 3], 8000, 5)
+    with pytest.raises(ValueError, match="odd"):
+        encode_wav_ima([1, 2, 3, 4], 8000, 4)
+    data = bytearray(encode_wav_ima([0] * 33, 8000, 33))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_ima(b"JUNK" + bytes(data[4:]))
+    # flip the format tag to PCM → loud refusal
+    fmt_at = bytes(data).index(b"fmt ") + 8
+    bad = bytearray(data)
+    _s.pack_into("<H", bad, fmt_at, 1)
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav_ima(bytes(bad))
+    # stereo → NotImplementedError
+    bad = bytearray(data)
+    _s.pack_into("<H", bad, fmt_at + 2, 2)
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_wav_ima(bytes(bad))
+
+
+def test_tiff_codec_roundtrip_both_orders_and_packbits():
+    from shippai_knowledge_etl_spark.operators.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    # PackBits: literals, runs, boundary at 128
+    for payload in (
+        b"",
+        b"\x01" * 300,
+        b"abcdef",
+        b"aaabccccdd" * 41,
+        bytes(range(256)),
+    ):
+        assert packbits_decode(packbits_encode(payload), len(payload)) == payload
+
+    for i in range(6):
+        if i % 2 == 0:
+            w, h = 17 + i % 7, 9 + i % 5
+            pix = bytes(
+                (i + 3 * x + 7 * y) % 256 for y in range(h) for x in range(w)
+            )
+            data = encode_tiff(
+                w, h, pix, compression=1, rows_per_strip=4,
+                big_endian=(i % 4 == 2),
+            )
+            assert data[:2] == (b"MM" if i % 4 == 2 else b"II")
+        else:
+            w, h = 18 + i % 6, 8 + i % 4
+            pix = bytes(
+                (5 * i + 31 * (x // 6) + 11 * y) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            data = encode_tiff(w, h, pix, compression=32773, rows_per_strip=3)
+        assert decode_tiff(data) == (w, h, pix)
+
+
+def test_tiff_codec_scope_errors():
+    import struct as _s
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    pix = bytes(64)
+    data = encode_tiff(8, 8, pix, compression=1, rows_per_strip=8)
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + data[2:])
+    bad = bytearray(data)
+    _s.pack_into("<H", bad, 2, 43)
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        decode_tiff(bytes(bad))
+    # flip compression tag value (entry 4, SHORT value at +8) to LZW (5)
+    comp_entry = 8 + 2 + 3 * 12
+    bad = bytearray(data)
+    _s.pack_into("<H", bad, comp_entry + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(data[:4])
+
+
+def test_avi_mjpeg_roundtrip_and_scope():
+    """MJPG container walk returns frames in order; DIB decode and
+    MJPG decode refuse each other's streams loudly."""
+    import numpy as np
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.avi_codec import (
+        decode_avi,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_avi_rgb24,
+    )
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        decoded_flat,
+        encode_jpeg,
+        flat_block,
+    )
+
+    i, w, h = 4, 24, 16
+    frames = []
+    for f in range(3):
+        coeffs = [
+            [
+                flat_block((i + 7 * bx + 13 * by + 31 * f) % 256, 5)
+                for bx in range(w // 8)
+            ]
+            for by in range(h // 8)
+        ]
+        frames.append(
+            encode_jpeg(w, h, [{"coeffs": coeffs, "q": [5] * 64, "hv": (1, 1)}])
+        )
+    avi = encode_avi_mjpeg(w, h, frames, fps=10)
+    ww, hh, fps, out = decode_avi_mjpeg(avi)
+    assert (ww, hh, fps, len(out)) == (w, h, 10, 3)
+    for f, jf in enumerate(out):
+        fw, fh, nc, pix = decode_jpeg(jf)
+        a = np.frombuffer(pix, np.uint8).reshape(h, w)
+        assert a[0, 0] == decoded_flat((i + 31 * f) % 256, 5)
+    # the DIB decoder refuses compressed chunks, and vice versa
+    with pytest.raises(NotImplementedError, match="MJPG|compressed"):
+        decode_avi(avi)
+    rgb = encode_avi_rgb24(2, 2, [bytes(12)])
+    with pytest.raises(NotImplementedError, match="non-MJPG"):
+        decode_avi_mjpeg(rgb)
+    with pytest.raises(ValueError, match="JPEG"):
+        encode_avi_mjpeg(2, 2, [b"not a jpeg"])

@@ -114,21 +114,27 @@ def test_oracle_parity_driver_scale(spark, duck_sf001, spec):
     assert sset == dset, f"{spec.name}: value mismatch, first diffs: {mism}"
 
 
-from shippai_knowledge_etl_spark.catalog import NEW_IN_ROUND as _NEW
+from shippai_knowledge_etl_spark.catalog import (
+    COHORT_SF001_PINNED as _PINNED,
+    COHORTS as _COHORTS,
+)
 
-# This round's added/changed queries, sf0.01-pinned (VERDICT r9 item 1:
-# the eval_bleu_log ulp class is invisible at sf0.001). Window queries
-# are excluded — test_oracle_parity_driver_scale already runs them.
+# The LAST TWO rounds' added/changed queries, sf0.01-pinned (VERDICT
+# r9 item 1; widened to two rounds in r11 per VERDICT r10 item 5 — the
+# eval_bleu_log ulp class is invisible at sf0.001, and a one-round
+# cohort regained that blind spot the round after it shipped). Window
+# queries are excluded — test_oracle_parity_driver_scale already runs
+# them.
 _COHORT = [
     _SPECS[n]
-    for n in _NEW
+    for n in _PINNED
     if _SPECS[n].oracle is not None and n not in _WINDOW
 ]
 
 
 def test_round_cohort_names_exist():
-    ghosts = [n for n in _NEW if n not in _SPECS]
-    assert not ghosts, f"NEW_IN_ROUND names a ghost query: {ghosts}"
+    ghosts = [n for names in _COHORTS.values() for n in names if n not in _SPECS]
+    assert not ghosts, f"COHORTS names a ghost query: {ghosts}"
 
 
 @pytest.mark.slow

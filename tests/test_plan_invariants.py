@@ -111,6 +111,18 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # bounded |types| x |days| grid fill (w19/w20 class) feeding both
     # generation grouped-maps
     "stream_holt_replay",
+    # 1-row broadcast: the dropped-cluster count (capped_labels)
+    # cross-joined onto every accepted pair — the no-silent-caps rule
+    # made data (round-11 cluster-cap enforcement; a_bootstrap_ci's
+    # 1-row-stats class)
+    "dedup_semantic_int8",
+    # 1-row x 1-row cross: the (n, agree) global aggregate beside the
+    # marginal-product sum (the ext_hll_intersection summary class)
+    "eval_cohen_kappa",
+    # bounded grid fill: |event types| x |days| dimension cross
+    # feeding the per-type Holt-Winters grouped-map (w35's class —
+    # same justification, seasonal-state variant)
+    "w37_holt_winters",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
