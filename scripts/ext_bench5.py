@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # baseline JPEG, IMA ADPCM with its recursive-CTE codec replay, TIFF
 # with PackBits in both byte orders, Motion-JPEG-in-AVI composition)
 # plus the annotation-agreement eval, the seasonal Holt-Winters
-# recurrence, the AMS F2 sketch — and the two round-11 REWRITES whose
+# recurrence, the AMS F2 sketch, the ustar/WARC/zip ingestion-container trio — and the two round-11 REWRITES whose
 # medians the verdict asked to track (METEOR's single-tokenize form,
 # SemDeDup's enforced cluster cap).
 EXT5_SET = (
@@ -38,6 +38,11 @@ EXT5_SET = (
     "ext_ams_f2",
     "eval_meteor_frag",
     "dedup_semantic_int8",
+    "mm_tar_extract",
+    "mm_warc_parse",
+    "mm_zip_extract",
+    "stream_hw_replay",
+    "mm_pdf_text_extract",
 )
 
 

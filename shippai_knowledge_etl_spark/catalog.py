@@ -622,6 +622,12 @@ COHORTS[11] = (
     "eval_cohen_kappa",  # inter-annotator agreement, integer-exact
     "w37_holt_winters",  # seasonal smoothing, 7-slot CTE state vector
     "ext_ams_f2",  # AMS tug-of-war F2 sketch, median-of-means
+    "mm_tar_extract",  # ustar unpack, checksum-verified headers
+    "mm_warc_parse",  # WARC/1.0 Content-Length framing, boobytrapped
+    "mm_zip_extract",  # zip walk + CRC-32 replayed as recursive CTE
+    "stream_hw_replay",  # HW vector-state carry == one-shot CTE
+    "mm_pdf_text_extract",  # PDF text extraction, closes the S6 loop
+    "retrieval_maxscore_pruning",  # per-list essential-term skipping
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

@@ -1960,3 +1960,427 @@ def mjpeg_decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, MJPEG_FEATURE_SCHEMA
     )
+
+
+TAR_FEATURE_SCHEMA = (
+    "doc_id long, n_members long, archive_bytes long, "
+    "total_payload_bytes long, payload_byte_sum long, ordered_sum long, "
+    "ok boolean"
+)
+
+
+def attach_tar_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic ustar shard surrogate (round 11 — training data
+    arrives in archives): per row, 2 + id%2 members named
+    doc{id}_{m}.txt with binary payload b(j) = (7id + 13m + 31j) mod
+    256, length 40 + (id+m) mod 17, through the real header/checksum
+    encoder (operators/tar_codec.py)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.tar_codec import (
+            encode_tar,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                members = [
+                    (
+                        f"doc{i}_{m}.txt",
+                        bytes(
+                            (7 * i + 13 * m + 31 * j) % 256
+                            for j in range(40 + (i + m) % 17)
+                        ),
+                    )
+                    for m in range(2 + i % 2)
+                ]
+                rows.append((i, encode_tar(members)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def tar_extract_features(df: DataFrame) -> DataFrame:
+    """REAL ustar unpack: verify every header checksum and magic,
+    parse octal sizes, walk 512-byte blocks to the terminator; emit
+    exact member counts, byte totals, the payload byte sum and the
+    member-order-weighted ordered_sum. Malformed → ok=false."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.tar_codec import (
+            decode_tar,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    members = decode_tar(raw)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(members),
+                            len(raw),
+                            sum(len(p) for _n, p in members),
+                            sum(sum(p) for _n, p in members),
+                            sum(
+                                (m + 1) * sum(p)
+                                for m, (_n, p) in enumerate(members)
+                            ),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_members",
+                    "archive_bytes",
+                    "total_payload_bytes",
+                    "payload_byte_sum",
+                    "ordered_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, TAR_FEATURE_SCHEMA
+    )
+
+
+WARC_FEATURE_SCHEMA = (
+    "doc_id long, n_records long, n_responses long, status_sum long, "
+    "ordered_status long, body_bytes long, body_byte_sum long, ok boolean"
+)
+
+# every generated HTTP body starts with this framing boobytrap: a
+# blank line AND a fake record marker INSIDE the payload, so any
+# blank-line-splitting WARC parser mis-frames and fails the gate
+WARC_TRAP = b"\r\n\r\nWARC/1.0\r\n\r\n"
+
+
+def attach_warc_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WARC/1.0 crawl-shard surrogate (round 11 — the
+    Common Crawl arrival format): per row, one warcinfo record plus
+    2 + id%2 HTTP responses; response m targets
+    http://example.com/{id}/{m}, status 200 unless (id+m)%5 == 0
+    (then 404), body = the 16-byte framing trap + 30 + (id+m)%11
+    letter bytes 97 + (7id + 13m + j) mod 26."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.warc_codec import (
+            encode_warc,
+            http_response,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                recs = [
+                    {
+                        "type": "warcinfo",
+                        "uri": None,
+                        "record_id": f"w{i}",
+                        "payload": b"software: shippai-etl-spark/11",
+                    }
+                ]
+                for m in range(2 + i % 2):
+                    body = WARC_TRAP + bytes(
+                        97 + (7 * i + 13 * m + j) % 26
+                        for j in range(30 + (i + m) % 11)
+                    )
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"http://example.com/{i}/{m}",
+                            "record_id": f"r{i}-{m}",
+                            "payload": http_response(
+                                404 if (i + m) % 5 == 0 else 200, body
+                            ),
+                        }
+                    )
+                rows.append((i, encode_warc(recs)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def warc_parse_features(df: DataFrame) -> DataFrame:
+    """REAL WARC parse: Content-Length framing (each body embeds a
+    blank line and a fake record marker — blank-line splitting CANNOT
+    produce these sums), HTTP status extraction, exact body byte
+    accounting with record-order-weighted statuses."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.warc_codec import (
+            decode_warc,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = decode_warc(bytes(payload))
+                    resp = [r for r in recs if r["type"] == "response"]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(recs),
+                            len(resp),
+                            sum(r["status"] for r in resp),
+                            sum(
+                                (m + 1) * r["status"]
+                                for m, r in enumerate(resp)
+                            ),
+                            sum(len(r["body"]) for r in resp),
+                            sum(sum(r["body"]) for r in resp),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id),) + (None,) * 6 + (False,)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_records",
+                    "n_responses",
+                    "status_sum",
+                    "ordered_status",
+                    "body_bytes",
+                    "body_byte_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, WARC_FEATURE_SCHEMA
+    )
+
+
+ZIP_FEATURE_SCHEMA = (
+    "doc_id long, n_members long, total_bytes long, "
+    "payload_byte_sum long, crc_sum long, ok boolean"
+)
+
+
+def attach_zip_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic stored-mode zip surrogate (round 11): per row,
+    2 + id%2 members f{id}_{m}.bin with payload b(j) =
+    (id·2654435761 + 97m + 131j) mod 256, length 24 + (id+m) mod 9 —
+    short enough that the oracle's per-byte CRC-32 recursion stays a
+    bounded CTE."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.zip_codec import (
+            encode_zip,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                members = [
+                    (
+                        f"f{i}_{m}.bin",
+                        bytes(
+                            (i * 2654435761 + 97 * m + 131 * j) % 256
+                            for j in range(24 + (i + m) % 9)
+                        ),
+                    )
+                    for m in range(2 + i % 2)
+                ]
+                rows.append((i, encode_zip(members)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def zip_extract_features(df: DataFrame) -> DataFrame:
+    """REAL zip walk: end-of-central-directory → central directory →
+    local headers, every member's CRC-32 recomputed from its bytes
+    and verified against the stored value (mismatch → the whole row
+    goes ok=false); crc_sum carries the actual CRC values to the
+    gate, where the oracle re-derives them bit-for-bit from the
+    polynomial via a recursive CTE."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.zip_codec import (
+            decode_zip,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    members = decode_zip(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(members),
+                            sum(len(p) for _n, p, _c in members),
+                            sum(sum(p) for _n, p, _c in members),
+                            sum(c for _n, _p, c in members),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_members",
+                    "total_bytes",
+                    "payload_byte_sum",
+                    "crc_sum",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, ZIP_FEATURE_SCHEMA
+    )
+
+
+PDFTEXT_FEATURE_SCHEMA = (
+    "doc_id long, n_pages long, n_strings long, latin_cp_sum long, "
+    "cjk_cp_sum long, ordered_cp long, ok boolean"
+)
+
+
+def attach_pdf_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PDF report surrogate (round 11 — closing the S6
+    loop: built by OUR writer, sources/pdf_writer.py, the same code
+    path the run pipeline uses): 1 + id%2 pages; page p carries
+    2 + (id+p)%2 op pairs, each one Latin-1 text WITH PDF-escape
+    characters 'doc(id)-p-m\\end' (parentheses + backslash exercise
+    the literal-string escaping) and one CJK string of hiragana-range
+    chars chr(0x3042 + (id+p+m+j)%60) that forces the /F2 UTF-16BE
+    hex path — the CID encoding real Japanese PDFs use."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.sources.pdf_writer import (
+            pdf_document,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                pages = []
+                for p in range(1 + i % 2):
+                    ops = []
+                    for m in range(2 + (i + p) % 2):
+                        latin = f"doc({i})-{p}-{m}\\end"
+                        cjk = "".join(
+                            chr(0x3042 + (i + p + m + j) % 60)
+                            for j in range(5 + (i + m) % 4)
+                        )
+                        ops.append(
+                            {"op": "text", "x": 100, "y": 200 + 30 * m,
+                             "label": latin}
+                        )
+                        ops.append(
+                            {"op": "text", "x": 100, "y": 900 + 30 * m,
+                             "label": cjk}
+                        )
+                    pages.append({"ops": ops, "w": 2100.0, "h": 2970.0})
+                rows.append((i, pdf_document(pages)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def pdf_text_features(df: DataFrame) -> DataFrame:
+    """REAL PDF text extraction: xref walk → page tree → /Length-framed
+    content streams → stateful Tj tokenizing (escape handling on /F1
+    literals, UTF-16BE on /F2 hex strings); emits codepoint sums split
+    by script plus a page/op/script-position-weighted ordered sum —
+    wrong escape handling, a swapped font state, or out-of-order pages
+    all shift a sum. Malformed payloads → ok=false.
+
+    Scale shape: one narrow Arrow map, no shuffle — the mm_png_decode
+    class; six integers per document return to the JVM. At 100 TB
+    this is the document-corpus text-extraction pass."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.sources.pdf_reader import (
+            extract_pdf_text,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    pages = extract_pdf_text(bytes(payload))
+                    n_str = sum(len(p) for p in pages)
+                    latin = cjk = ordered = 0
+                    for p, texts in enumerate(pages):
+                        for k, s in enumerate(texts):
+                            cp = sum(ord(ch) for ch in s)
+                            m, which = divmod(k, 2)
+                            if which == 0:
+                                latin += cp
+                            else:
+                                cjk += cp
+                            ordered += cp * (p * 1000 + m * 10 + which + 1)
+                    rows.append(
+                        (int(doc_id), len(pages), n_str, latin, cjk,
+                         ordered, True)
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_pages",
+                    "n_strings",
+                    "latin_cp_sum",
+                    "cjk_cp_sum",
+                    "ordered_cp",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, PDFTEXT_FEATURE_SCHEMA
+    )

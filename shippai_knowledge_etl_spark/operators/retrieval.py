@@ -1609,3 +1609,119 @@ def bm25_champion_vs_exact(
         "exact_bm25",
         (F.col("cl_doc_id") == F.col("exact_doc_id")).alias("same_doc"),
     )
+
+
+def bm25_maxscore_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    champions: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Rank-SAFE top-k via MaxScore essential-term pruning (Turtle &
+    Flood 1995, "Query evaluation: strategies and optimizations") —
+    the TERM-level counterpart of :func:`bm25_wand_topk`'s per-doc
+    bound filter: sort terms by their index-time upper bound UB_t
+    descending and call a term NON-ESSENTIAL when the tail sum
+    Σ UB over it and every weaker term stays below θ — a document
+    containing ONLY non-essential terms cannot reach θ, so the
+    candidate set is "docs containing at least one essential term",
+    decided per POSTINGS LIST, before any per-doc arithmetic. Where
+    WAND prunes documents one bound at a time, MaxScore skips whole
+    lists — at 100 TB that is the difference between reading a stop
+    word's postings and never opening them.
+
+    Safety/rounding accounting (n_essential_terms and n_candidates are
+    hash-gated, so membership must be round-6-stable AND rank-safe):
+    θ is the champion pass's achieved k-th score (a lower bound on the
+    true k-th score); UBs are round(·,6) DECIMAL(18,6) and the tail is
+    their exact DECIMAL sum, so with each rounding ≤ 5e-7 off and θ
+    rounding up ≤ 5e-7, a doc of only-suffix terms truly scores
+    < tail_rounded + |q|·5e-7 — marking non-essential only when
+    tail_rounded < θ − ε with ε = ceil((|q|+1)/2) µ therefore never
+    prunes a true top-k member (the bm25_wand_topk quantum, applied to
+    tails). The equals-exhaustive property is pinned by pytest.
+
+    Returns the top-k rows plus (n_essential_terms, n_candidates) as
+    gated bookkeeping columns."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+    weighted = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        )
+    )
+    # four consumers (UB tails, champion θ, candidate cut, final
+    # scoring) — one lazy materialization of the index-sized
+    # query-term postings, the bm25_wand_topk barrier rationale
+    weighted = weighted.localCheckpoint(eager=False)
+    ub = weighted.groupBy("term").agg(
+        F.round(F.max("w"), 6).cast("decimal(18,6)").alias("ub")
+    )
+    champ_rank = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    champ_scores = pivot_score(
+        weighted.withColumn("champ_rank", F.row_number().over(champ_rank))
+        .filter(F.col("champ_rank") <= champions),
+        id_col,
+        query_terms,
+    )
+    theta = champ_scores.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k).agg(
+        F.min("bm25").alias("theta")
+    )
+    # tail sums over the |q|-row UB frame (a global window over a
+    # bounded dimension — allowlisted plan shape): exact DECIMAL sums,
+    # order pinned by (ub DESC, term ASC)
+    tail_w = (
+        Window.orderBy(F.desc("ub"), F.asc("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    eps_micros = (len(query_terms) + 2) // 2
+    eps = F.lit(f"0.{eps_micros:06d}").cast("decimal(18,6)")
+    tails = ub.select("term", "ub", F.sum("ub").over(tail_w).alias("tail"))
+    essential = tails.crossJoin(F.broadcast(theta)).filter(
+        F.col("tail") >= F.col("theta").cast("decimal(18,6)") - eps
+    )
+    n_ess = essential.agg(F.count(F.lit(1)).alias("n_essential_terms"))
+    cand = (
+        weighted.join(
+            F.broadcast(essential.select("term")), "term", "semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    final = (
+        pivot_score(weighted.join(cand, id_col), id_col, query_terms)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    return final.crossJoin(F.broadcast(n_ess)).crossJoin(F.broadcast(n_cand))

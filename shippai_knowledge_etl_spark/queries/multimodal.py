@@ -1515,3 +1515,256 @@ def mm_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_mjpeg_payload(d, "doc_id")
     return multimodal.mjpeg_decode_features(payloads)
+
+
+@register(
+    "mm_tar_extract",
+    survey_ref=(
+        "[EXT] REAL ustar archive unpack (round 11 — at 100 TB "
+        "training data arrives in tar shards, and the unpack step is "
+        "a pipeline operator): 512-byte headers with octal sizes and "
+        "the blanked-field CHECKSUM verified per member, block "
+        "padding, two-zero-block terminator (operators/tar_codec.py, "
+        "cross-validated against stdlib tarfile in pytest); member "
+        "counts, byte totals and the member-order-weighted payload "
+        "sum recomputed in closed form"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_members,
+           CAST(1024 * (2 + doc_id % 2) + 1024 AS BIGINT) AS archive_bytes,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2),
+                m -> 40 + (doc_id + m) % 17)) AS BIGINT)
+             AS total_payload_bytes,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2), m ->
+                list_sum(list_transform(range(0, 40 + (doc_id + m) % 17),
+                  j -> (7*doc_id + 13*m + 31*j) % 256))))
+             AS BIGINT) AS payload_byte_sum,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2), m ->
+                (m + 1) *
+                list_sum(list_transform(range(0, 40 + (doc_id + m) % 17),
+                  j -> (7*doc_id + 13*m + 31*j) % 256))))
+             AS BIGINT) AS ordered_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion family's first archive container: each payload is
+    a real ustar stream whose every header checksum the decoder
+    verifies before trusting a size field — one corrupted byte
+    mis-frames nothing, it fails loudly. The closed-form archive_bytes
+    gate (header + padded payload blocks + terminator) additionally
+    pins the ENCODER's block arithmetic.
+
+    Scale shape: two chained narrow Arrow maps, no shuffle — the
+    mm_png_decode class; six integers per shard return to the JVM.
+    At 100 TB this is the shard-unpack audit pass."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_tar_payload(d, "doc_id")
+    return multimodal.tar_extract_features(payloads)
+
+
+@register(
+    "mm_warc_parse",
+    survey_ref=(
+        "[EXT] REAL WARC/1.0 crawl parsing (round 11 — the Common "
+        "Crawl arrival format, ISO 28500): Content-Length framing "
+        "with a boobytrap (every HTTP body embeds a blank line AND a "
+        "fake 'WARC/1.0' marker, so a split-on-blank-line parser "
+        "mis-frames and CANNOT reproduce these sums), HTTP status "
+        "extraction from the response payloads, warcinfo records "
+        "skipped by type; record counts, status sums (plus the "
+        "record-order-weighted form) and exact body byte accounting "
+        "recomputed in closed form"
+    ),
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 2 AS BIGINT) AS n_records,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_responses,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2),
+                m -> CASE WHEN (doc_id + m) % 5 = 0
+                     THEN 404 ELSE 200 END)) AS BIGINT) AS status_sum,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2),
+                m -> (m + 1) * (CASE WHEN (doc_id + m) % 5 = 0
+                     THEN 404 ELSE 200 END))) AS BIGINT)
+             AS ordered_status,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2),
+                m -> 46 + (doc_id + m) % 11)) AS BIGINT) AS body_bytes,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 2), m ->
+                583 + list_sum(list_transform(
+                  range(0, 30 + (doc_id + m) % 11),
+                  j -> 97 + (7*doc_id + 13*m + j) % 26))))
+             AS BIGINT) AS body_byte_sum,
+           true AS ok
+    FROM documents
+    """,
+)
+def mm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingestion flagship: WARC records walked by byte
+    count, never by pattern — the generators plant a blank line and a
+    fake record marker INSIDE every HTTP body (constant byte sum 583
+    for the 16-byte trap, folded into the oracle), so the only parser
+    that reproduces body_byte_sum is one that honors Content-Length
+    framing end to end. Statuses ride an order-weighted gate so
+    record order is pinned too.
+
+    Scale shape: two chained narrow Arrow maps, no shuffle; seven
+    integers per shard return to the JVM. At 100 TB this is the
+    Common-Crawl intake pass — embarrassingly per-shard, the
+    mm_png_decode class. Cites /root/reference/src/extract.py:36
+    (the reference fetches pages live, one at a time; consuming an
+    at-rest crawl archive is the [EXT] scale counterpart)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_warc_payload(d, "doc_id")
+    return multimodal.warc_parse_features(payloads)
+
+
+# the CRC-32 lookup table as a SQL literal — derived from the same
+# polynomial loop as operators/zip_codec.CRC_TABLE (pytest pins the
+# two derivations equal AND equal to zlib.crc32 over byte corpora)
+_CRC_TBL = "[0, 1996959894, 3993919788, 2567524794, 124634137, 1886057615, 3915621685, 2657392035, 249268274, 2044508324, 3772115230, 2547177864, 162941995, 2125561021, 3887607047, 2428444049, 498536548, 1789927666, 4089016648, 2227061214, 450548861, 1843258603, 4107580753, 2211677639, 325883990, 1684777152, 4251122042, 2321926636, 335633487, 1661365465, 4195302755, 2366115317, 997073096, 1281953886, 3579855332, 2724688242, 1006888145, 1258607687, 3524101629, 2768942443, 901097722, 1119000684, 3686517206, 2898065728, 853044451, 1172266101, 3705015759, 2882616665, 651767980, 1373503546, 3369554304, 3218104598, 565507253, 1454621731, 3485111705, 3099436303, 671266974, 1594198024, 3322730930, 2970347812, 795835527, 1483230225, 3244367275, 3060149565, 1994146192, 31158534, 2563907772, 4023717930, 1907459465, 112637215, 2680153253, 3904427059, 2013776290, 251722036, 2517215374, 3775830040, 2137656763, 141376813, 2439277719, 3865271297, 1802195444, 476864866, 2238001368, 4066508878, 1812370925, 453092731, 2181625025, 4111451223, 1706088902, 314042704, 2344532202, 4240017532, 1658658271, 366619977, 2362670323, 4224994405, 1303535960, 984961486, 2747007092, 3569037538, 1256170817, 1037604311, 2765210733, 3554079995, 1131014506, 879679996, 2909243462, 3663771856, 1141124467, 855842277, 2852801631, 3708648649, 1342533948, 654459306, 3188396048, 3373015174, 1466479909, 544179635, 3110523913, 3462522015, 1591671054, 702138776, 2966460450, 3352799412, 1504918807, 783551873, 3082640443, 3233442989, 3988292384, 2596254646, 62317068, 1957810842, 3939845945, 2647816111, 81470997, 1943803523, 3814918930, 2489596804, 225274430, 2053790376, 3826175755, 2466906013, 167816743, 2097651377, 4027552580, 2265490386, 503444072, 1762050814, 4150417245, 2154129355, 426522225, 1852507879, 4275313526, 2312317920, 282753626, 1742555852, 4189708143, 2394877945, 397917763, 1622183637, 3604390888, 2714866558, 953729732, 1340076626, 3518719985, 2797360999, 1068828381, 1219638859, 3624741850, 2936675148, 906185462, 1090812512, 3747672003, 2825379669, 829329135, 1181335161, 3412177804, 3160834842, 628085408, 1382605366, 3423369109, 3138078467, 570562233, 1426400815, 3317316542, 2998733608, 733239954, 1555261956, 3268935591, 3050360625, 752459403, 1541320221, 2607071920, 3965973030, 1969922972, 40735498, 2617837225, 3943577151, 1913087877, 83908371, 2512341634, 3803740692, 2075208622, 213261112, 2463272603, 3855990285, 2094854071, 198958881, 2262029012, 4057260610, 1759359992, 534414190, 2176718541, 4139329115, 1873836001, 414664567, 2282248934, 4279200368, 1711684554, 285281116, 2405801727, 4167216745, 1634467795, 376229701, 2685067896, 3608007406, 1308918612, 956543938, 2808555105, 3495958263, 1231636301, 1047427035, 2932959818, 3654703836, 1088359270, 936918000, 2847714899, 3736837829, 1202900863, 817233897, 3183342108, 3401237130, 1404277552, 615818150, 3134207493, 3453421203, 1423857449, 601450431, 3009837614, 3294710456, 1567103746, 711928724, 3020668471, 3272380065, 1510334235, 755167117]"
+
+_ZIP_BYTE = "(doc_id * 2654435761 + 97 * m + 131 * j) % 256"
+
+
+@register(
+    "mm_zip_extract",
+    survey_ref=(
+        "[EXT] REAL zip unpack with CRC-32 integrity (round 11, third "
+        "ingestion container): end-of-central-directory -> central "
+        "directory -> local headers walked for real, every member's "
+        "CRC-32 recomputed from its bytes (polynomial implementation, "
+        "no zlib) and verified against the stored value; the oracle "
+        "re-derives the SAME CRCs bit-for-bit by replaying the "
+        "byte-stream recursion crc' = xor(crc >> 8, T[xor(crc, b) & "
+        "255]) as a recursive CTE over a 256-entry table literal — "
+        "the IMA-ADPCM declarative-state-machine discipline applied "
+        "to a checksum"
+    ),
+    oracle=f"""
+    WITH RECURSIVE mem AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 2)) AS m
+      FROM documents),
+    st AS (
+      SELECT doc_id, m, 24 + (doc_id + m) % 9 AS n, 0 AS j,
+             CAST(4294967295 AS BIGINT) AS crc
+      FROM mem
+      UNION ALL
+      SELECT doc_id, m, n, j + 1,
+             xor(crc // 256,
+                 {_CRC_TBL}[xor(crc % 256, {_ZIP_BYTE}) + 1])
+      FROM st WHERE j < n),
+    fin AS (
+      SELECT doc_id, sum(xor(crc, 4294967295)) AS crc_sum
+      FROM st WHERE j = n GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(2 + d.doc_id % 2 AS BIGINT) AS n_members,
+           CAST(list_sum(list_transform(range(0, 2 + d.doc_id % 2),
+                m -> 24 + (d.doc_id + m) % 9)) AS BIGINT) AS total_bytes,
+           CAST(list_sum(list_transform(range(0, 2 + d.doc_id % 2), m ->
+                list_sum(list_transform(
+                  range(0, 24 + (d.doc_id + m) % 9),
+                  j -> (d.doc_id * 2654435761 + 97 * m + 131 * j) % 256))))
+             AS BIGINT) AS payload_byte_sum,
+           CAST(f.crc_sum AS BIGINT) AS crc_sum,
+           true AS ok
+    FROM documents d JOIN fin f ON f.doc_id = d.doc_id
+    """,
+)
+def mm_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checksum-bearing container: the decoder refuses any member
+    whose recomputed CRC-32 disagrees with the stored field (the
+    planted-corruption pytest proves the refusal fires), and the gate
+    carries the CRC VALUES themselves — the oracle recomputes each
+    one from the generator bytes through the polynomial recursion as
+    a recursive CTE, so the container walk, the byte extraction and
+    the checksum arithmetic are all under one hash.
+
+    Scale shape: two chained narrow Arrow maps, no shuffle; five
+    integers per bundle return to the JVM (the mm_png_decode class).
+    At 100 TB this is the bundle-intake integrity audit. Cites
+    /root/reference/src/render_pdf.py:90-98 (bytes fetched, never
+    unpacked; archive handling is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_zip_payload(d, "doc_id")
+    return multimodal.zip_extract_features(payloads)
+
+
+# codepoint sum of a constructed VARCHAR (DuckDB): unicode() of each
+# 1-char substring
+def _cp_sum(s_expr: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, length({s_expr}) + 1), "
+        f"i -> unicode(substr({s_expr}, i, 1))))"
+    )
+
+
+_PDF_LATIN = (
+    "('doc(' || CAST(doc_id AS VARCHAR) || ')-' || CAST(p AS VARCHAR)"
+    " || '-' || CAST(m AS VARCHAR) || '\\end')"
+)
+_PDF_CJK = (
+    "array_to_string(list_transform(range(0, 5 + (doc_id + m) % 4), "
+    "j -> chr(CAST(12354 + (doc_id + p + m + j) % 60 AS INT))), '')"
+)
+_PDF_PAGES = "range(0, 1 + doc_id % 2)"
+_PDF_OPS = "range(0, 2 + (doc_id + p) % 2)"
+
+
+@register(
+    "mm_pdf_text_extract",
+    survey_ref=(
+        "[EXT] REAL PDF text extraction (round 11 — the most common "
+        "document-corpus format, and the closing of the S6 loop: the "
+        "payloads are built by THIS REPO'S writer, the same "
+        "sources/pdf_writer.py the run pipeline's --pdf flag uses): "
+        "startxref → classic xref table → trailer /Root → page tree → "
+        "/Length-framed content streams → stateful Tj tokenizing, "
+        "with Latin-1 literals carrying PDF escapes (parens + "
+        "backslash) and CJK strings on the /F2 UTF-16BE hex path; "
+        "the oracle RECONSTRUCTS every shown string in SQL and sums "
+        "codepoints, split by script and position-weighted, so wrong "
+        "escape handling, font-state tracking, or page order each "
+        "break a sum"
+    ),
+    oracle=f"""
+    WITH per_str AS (
+      SELECT doc_id, p, m,
+             {_cp_sum(_PDF_LATIN)} AS latin_cp,
+             {_cp_sum(_PDF_CJK)} AS cjk_cp
+      FROM documents,
+           unnest({_PDF_PAGES}) AS tp(p),
+           unnest({_PDF_OPS}) AS tm(m))
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_pages,
+           CAST(2 * count(*) AS BIGINT) AS n_strings,
+           CAST(sum(latin_cp) AS BIGINT) AS latin_cp_sum,
+           CAST(sum(cjk_cp) AS BIGINT) AS cjk_cp_sum,
+           CAST(sum(latin_cp * (p * 1000 + m * 10 + 1)
+                    + cjk_cp * (p * 1000 + m * 10 + 2)) AS BIGINT)
+             AS ordered_cp,
+           true AS ok
+    FROM per_str
+    GROUP BY doc_id
+    """,
+)
+def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-ingestion flagship, and a round-trip audit of our
+    own report writer: PDFs written through the full pdf_writer path
+    (xref table, page tree, /F1 Helvetica + /F2 CID font resources)
+    come back through a structural parser that never pattern-searches
+    past a stream boundary (payloads are /Length-framed) and decodes
+    each shown string under the FONT ACTIVE AT THE Tj — the state a
+    naive regex extractor does not track, caught by the script-split
+    codepoint sums. CJK text rides the UTF-16BE hex path end to end,
+    the encoding real Japanese PDFs (the reference's domain) use.
+
+    Scale shape: two chained narrow Arrow maps (write, extract), no
+    shuffle; six integers per document return to the JVM. At 100 TB
+    this is the PDF-corpus text-extraction pass — embarrassingly
+    per-document. Cites /root/reference/src/render_pdf.py:15-455 (the
+    reference writes reports; reading text back is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_pdf_payload(d, "doc_id")
+    return multimodal.pdf_text_features(payloads)

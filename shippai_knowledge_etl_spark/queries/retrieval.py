@@ -1793,3 +1793,92 @@ def retrieval_impact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_top10"),
     )
 
+
+
+@register(
+    "retrieval_maxscore_pruning",
+    survey_ref=(
+        "[EXT] MaxScore essential-term pruning (Turtle & Flood 1995), "
+        "rank-SAFE — the TERM-level counterpart of WAND's per-doc "
+        "bound filter: terms sorted by round-6 DECIMAL upper bound, "
+        "the tail-sum rule marks whole postings lists non-essential "
+        "(a doc of only non-essential terms cannot reach the champion "
+        "θ), candidates are docs containing ≥1 essential term — "
+        "decided per LIST before any per-doc arithmetic — and the "
+        "returned top-10 is provably identical to exhaustive "
+        "evaluation (the (|q|+1)·5e-7 quantum widening, applied to "
+        "tails); essential-term and candidate counts ride as gated "
+        "columns so the skip is measured, not argued"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cw AS (
+      SELECT p.doc_id, p.term, p.tf, w.w
+      FROM postings p
+      JOIN weights w ON w.doc_id = p.doc_id AND w.term = p.term),
+    champw AS (
+      SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS r
+      FROM cw),
+    champ_scores AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w END), 0),
+                 6) AS bm25
+      FROM champw WHERE r <= 8 GROUP BY doc_id),
+    theta AS (
+      SELECT min(bm25) AS theta FROM (
+        SELECT bm25 FROM champ_scores
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
+    ub AS (SELECT term,
+                  CAST(round(max(w), 6) AS DECIMAL(18,6)) AS ub
+           FROM weights GROUP BY term),
+    tails AS (
+      SELECT term, ub,
+             sum(ub) OVER (ORDER BY ub DESC, term ASC
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS tail
+      FROM ub),
+    ess AS (
+      -- non-essential only when the tail sits BELOW theta minus the
+      -- 2µ quantum ((|q|+1)·5e-7 rounded up): rank-safe, ulp-stable
+      SELECT term FROM tails CROSS JOIN theta
+      WHERE tail >= CAST(theta AS DECIMAL(18,6))
+                    - CAST(0.000002 AS DECIMAL(18,6))),
+    ne AS (SELECT count(*) AS n_essential_terms FROM ess),
+    cand AS (
+      SELECT DISTINCT doc_id FROM weights
+      WHERE term IN (SELECT term FROM ess)),
+    nc AS (SELECT count(*) AS n_candidates FROM cand),
+    final AS (
+      SELECT w.doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w.w END), 0),
+                 6) AS bm25
+      FROM weights w JOIN cand USING (doc_id)
+      GROUP BY w.doc_id
+      ORDER BY bm25 DESC, w.doc_id ASC LIMIT 10)
+    SELECT f.doc_id, f.bm25,
+           CAST(ne.n_essential_terms AS BIGINT) AS n_essential_terms,
+           CAST(nc.n_candidates AS BIGINT) AS n_candidates
+    FROM final f CROSS JOIN ne CROSS JOIN nc
+    """,
+)
+def retrieval_maxscore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 under MaxScore list skipping, hash-gated end to end:
+    champion-depth-8 θ, per-term round-6 DECIMAL bounds, tail sums
+    over the UB-sorted term dimension, candidates = docs with ≥1
+    essential term. Safety argument in
+    operators/retrieval.py:bm25_maxscore_topk (θ is achieved, tails
+    dominate only-suffix docs, ε absorbs round-6 slack); the
+    equals-exhaustive property is additionally pinned by pytest.
+    Beside retrieval_wand_pruning the catalog now carries BOTH classic
+    dynamic-pruning families — per-document bounds and per-list
+    essential sets."""
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_maxscore_topk(
+        d, "doc_id", "text", QUERY_TERMS, 10, champions=8
+    )

@@ -1094,15 +1094,21 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exploded rows."""
     cap = 300
     e = load(spark, sf_dir, "embeddings")
-    ids = e.select("vec_id", "label")
+    # id-level frame carries orig_id so dropped vectors are NEVER
+    # exploded: sizes and the keep-set are decided on this tiny frame,
+    # and only surviving (vec_id, orig_id) rows join back to the one
+    # per-original explode below — the hot label costs one grouped
+    # count, not a corpus-sized explode that a semi-join then discards
+    ids = e.select("vec_id", "label", F.col("vec_id").alias("orig_id"))
     ids_aug = ids.unionByName(
         ids.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "label"
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "orig_id"
         )
     ).unionByName(
         ids.select(
             (F.col("vec_id") + 200000).alias("vec_id"),
             F.lit(-1).cast("long").alias("label"),
+            "orig_id",
         )
     )
     sizes = ids_aug.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
@@ -1115,35 +1121,26 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # infer isnotnull() over (the round-4 n-gram-Jaccard class — the
     # first cut quantized with transform() lambdas and the plan gate
     # flagged 8 inferred transform-nullchecks in the join tree).
-    raw = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    )
-    base = raw.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
+    # one explode per ORIGINAL vector; planted variants reuse it via
+    # the kept-id join (so the capped hot label never explodes at all)
+    base = e.select(
+        F.col("vec_id").alias("orig_id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "orig_id",
         "pos",
         F.floor(F.col("x").cast("double") * F.lit(127) + F.lit(0.5))
         .cast("long")
         .alias("v"),
     )
-    rows = base.unionByName(
-        base.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "label", "pos", "v"
-        )
-    ).unionByName(
-        base.select(
-            (F.col("vec_id") + 200000).alias("vec_id"),
-            F.lit(-1).cast("long").alias("label"),
-            "pos",
-            "v",
-        )
-    )
-    # cap enforcement: only rows of kept (≤ cap) labels survive to the
-    # norm rollup and the quadratic (label, pos) self-join below
-    rows = rows.join(
-        F.broadcast(kept_labels.select(F.col("label").cast("long").alias("label"))),
-        "label",
+    kl = kept_labels.select(F.col("label").cast("long").alias("klabel"))
+    kept_ids = ids_aug.join(
+        F.broadcast(kl),
+        ids_aug["label"].cast("long") == kl["klabel"],
         "semi",
+    ).select("vec_id", F.col("label").cast("long").alias("label"), "orig_id")
+    rows = kept_ids.join(base, "orig_id").select(
+        "vec_id", "label", "pos", "v"
     )
     norms = rows.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm")

@@ -1029,7 +1029,13 @@ def ext_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the frequency rollup it shares, while exact F2 of a
     shifted corpus would need that rollup anyway. The estimator-count
     is fixed (9) so the median is one sorted-literal pick, not a
-    percentile shuffle."""
+    percentile shuffle. Accuracy honesty: AMS variance is ~2F2²/g per
+    g-mean group, so 3 groups give a wide (~80%) standard-error
+    envelope — on this corpus (31 distinct terms, one dominating F2)
+    the observed rel_err ≈ 0.35 sits inside it; production sizes g to
+    the tolerance (the sketch stays one aggregate either way), and
+    rel_err is GATED AS DATA so the estimate's quality is itself
+    hash-checked, not asserted."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))

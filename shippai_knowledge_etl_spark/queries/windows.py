@@ -4971,3 +4971,233 @@ def w37_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_next"),
     )
+
+
+# Shared Holt-Winters fold (alpha=beta=gamma=1/2, period 7, micro-unit
+# integers, w35 bias trick) — module-level so the split-at-every-point
+# identity is pytest-pinnable (tests/test_windows_ext.py) and both
+# grouped-maps of stream_hw_replay call the SAME arithmetic.
+_HW_S, _HW_B, _HW_H = 1_000_000, 1 << 41, 1 << 40
+
+
+def _hw_state_after(c: list) -> tuple:
+    """(n, level, trend, seasonal[7]) after folding counts c from t=0.
+    Below 7 counts the init window is still filling — level/trend/s
+    are not yet defined (the caller carries raw counts instead)."""
+    n = len(c)
+    if n < 7:
+        return n, 0, 0, [0] * 7
+    lvl = (sum(c[:7]) * _HW_S) // 7
+    b = 0
+    s = [c[j] * _HW_S - lvl for j in range(7)]
+    for t in range(7, n):
+        lvl, b = _hw_step(c[t], t, lvl, b, s)
+    return n, lvl, b, s
+
+
+def _hw_step(c_t: int, t: int, lvl: int, b: int, s: list) -> tuple:
+    """One Holt-Winters update at absolute position t (mutates s)."""
+    x = c_t * _HW_S
+    dow = t % 7
+    ln = (x - s[dow] + lvl + b + _HW_B) // 2 - _HW_H
+    bn = (ln - lvl + b + _HW_B) // 2 - _HW_H
+    s[dow] = (x - ln + s[dow] + _HW_B) // 2 - _HW_H
+    return ln, bn
+
+
+def _hw_resume(n1: int, lvl: int, b: int, s: list, c2: list) -> tuple:
+    """Continue the fold from carried state over generation-2 counts."""
+    s = list(s)
+    for i, c_t in enumerate(c2):
+        lvl, b = _hw_step(c_t, n1 + i, lvl, b, s)
+    return n1 + len(c2), lvl, b, s
+
+
+@register(
+    "stream_hw_replay",
+    survey_ref=(
+        "[EXT] streaming-state replay witness for Holt-Winters (round "
+        "11; the stream_holt_replay discipline applied to w37's "
+        "VECTOR state): generation 1's grouped-map emits per-type "
+        "(level, trend, SEVEN seasonal slots) — or, while the 7-day "
+        "init window is still filling, the raw carried counts — and "
+        "generation 2 RESUMES from that state at the correct absolute "
+        "day offset (the dow slots depend on t mod 7, so a replay "
+        "that loses the offset scrambles the seasonal vector); the "
+        "oracle is the ONE-SHOT recursive CTE that never saw "
+        "generations"
+    ),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dseq AS (
+      SELECT day, row_number() OVER (ORDER BY day) - 1 AS t
+      FROM (SELECT DISTINCT day FROM daily)),
+    nmax AS (SELECT count(*) AS T FROM dseq),
+    grid AS (
+      SELECT ty.event_type, d.t, coalesce(da.n, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM daily) ty
+      CROSS JOIN dseq d
+      LEFT JOIN daily da ON da.event_type = ty.event_type
+                        AND da.day = d.day),
+    init AS (
+      SELECT event_type, {_HW_C_FIRST7},
+             (sum(CASE WHEN t < 7 THEN c ELSE 0 END) * 1000000) // 7
+               AS l6
+      FROM grid WHERE t < 7 GROUP BY event_type),
+    rec AS (
+      SELECT event_type, 6 AS t, l6 AS l, CAST(0 AS BIGINT) AS b,
+             {_HW_INIT_S}
+      FROM init
+      UNION ALL
+      SELECT event_type, t0, lnew,
+             (lnew - l + b + 2199023255552) // 2 - 1099511627776,
+             {_HW_SCOPY}
+      FROM (
+        SELECT event_type, t0, l, b, s0, s1, s2, s3, s4, s5, s6, sprev,
+               x, lnew,
+               (x - lnew + sprev + 2199023255552) // 2
+                 - 1099511627776 AS snew
+        FROM (
+          SELECT event_type, t0, l, b, s0, s1, s2, s3, s4, s5, s6,
+                 sprev, x,
+                 (x - sprev + l + b + 2199023255552) // 2
+                   - 1099511627776 AS lnew
+          FROM (
+            SELECT r.event_type, r.t + 1 AS t0, r.l, r.b,
+                   r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+                   g.c * 1000000 AS x,
+                   (CASE ((r.t + 1) % 7)
+                    WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+                    WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+                    ELSE r.s6 END) AS sprev
+            FROM rec r
+            JOIN grid g ON g.event_type = r.event_type
+                       AND g.t = r.t + 1
+          )
+        )
+      )
+    )
+    SELECT r.event_type,
+           CAST(n.T AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_scaled,
+           CAST(r.b AS BIGINT) AS trend_scaled,
+           CAST((CASE (n.T % 7)
+                 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+                 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+                 ELSE r.s6 END) AS BIGINT) AS season_next_scaled,
+           2 AS n_generations
+    FROM rec r CROSS JOIN nmax n
+    WHERE r.t = n.T - 1
+    """,
+)
+def stream_hw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Holt-Winters across two micro-batch generations:
+    generation 1 folds its day slice and emits the streaming store's
+    state — nine integers per type (level, trend, seven seasonal
+    slots) once the init window has filled, or the raw counts while
+    it has not (carrying partial-window inputs IS what a real state
+    store does before a window closes); generation 2 resumes at the
+    correct absolute day offset so each update lands in the right
+    seasonal slot. The oracle replays the whole history as one
+    recursive CTE with the seasonal vector as seven columns — a hash
+    match proves the split fold reproduces the one-shot fold to the
+    last micro-unit, vector state included. The split-at-EVERY-point
+    identity (including mid < 7 bridges this corpus never hits) is
+    pytest-pinned over the shared fold helpers.
+
+    Scale shape: two (type, day)-grid grouped-maps + one |types|-row
+    state join; the 1-row midpoint broadcast is the behavior_did
+    class. State is nine integers per type regardless of history."""
+    import pandas as _pd  # noqa: F401 — grouped-map dependency
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("c"))
+    )
+    mid = days.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    g = grid.crossJoin(F.broadcast(mid))
+
+    state_schema = (
+        "event_type string, n1 long, l long, b long, "
+        + ", ".join(f"s{j} long" for j in range(7))
+        + ", "
+        + ", ".join(f"craw{j} long" for j in range(7))
+    )
+
+    def gen1(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c = [int(v) for v in pdf["c"]]
+        n1, lvl, b, s = _hw_state_after(c)
+        craw = (c + [0] * 7)[:7] if n1 < 7 else [0] * 7
+        row = {"event_type": pdf["event_type"].iloc[0], "n1": n1,
+               "l": lvl, "b": b}
+        row.update({f"s{j}": s[j] for j in range(7)})
+        row.update({f"craw{j}": craw[j] for j in range(7)})
+        return pd.DataFrame([row])
+
+    def gen2(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        c2 = [int(v) for v in pdf["c"]]
+        n1 = 0 if pd.isna(pdf["n1"].iloc[0]) else int(pdf["n1"].iloc[0])
+        if n1 < 7:
+            carried = [int(pdf[f"craw{j}"].iloc[0]) for j in range(n1)] \
+                if n1 else []
+            n, lvl, b, s = _hw_state_after(carried + c2)
+        else:
+            lvl = int(pdf["l"].iloc[0])
+            b = int(pdf["b"].iloc[0])
+            s = [int(pdf[f"s{j}"].iloc[0]) for j in range(7)]
+            n, lvl, b, s = _hw_resume(n1, lvl, b, s, c2)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": n,
+                    "level_scaled": lvl,
+                    "trend_scaled": b,
+                    "season_next_scaled": s[n % 7],
+                }
+            ]
+        )
+
+    state = (
+        g.filter(F.col("day") < F.col("mid"))
+        .select("event_type", "day", "c")
+        .groupBy("event_type")
+        .applyInPandas(gen1, state_schema)
+    )
+    out = (
+        g.filter(F.col("day") >= F.col("mid"))
+        .select("event_type", "day", "c")
+        .join(state, "event_type", "left")
+        .groupBy("event_type")
+        .applyInPandas(
+            gen2,
+            "event_type string, n_days long, level_scaled long, "
+            "trend_scaled long, season_next_scaled long",
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "level_scaled",
+        "trend_scaled",
+        "season_next_scaled",
+        F.lit(2).alias("n_generations"),
+    )

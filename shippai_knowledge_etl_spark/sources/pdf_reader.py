@@ -1,0 +1,177 @@
+"""Minimal PDF text extractor (PDF 1.4 subset, pure stdlib).
+
+Round 11 closes the S6 loop: the engine has WRITTEN dependency-free
+PDF reports since round 2 (sources/pdf_writer.py — the reference's
+render_pdf.py analog); this module READS text back out of PDFs, the
+single most common document-corpus extraction a 100 TB text pipeline
+runs. The parser is structural, not regex-over-the-whole-file: it
+walks startxref → xref table → trailer /Root → page tree → /Contents,
+honors each stream's declared /Length (never searches for
+``endstream`` — payloads may legally contain that byte string), and
+tokenizes content streams statefully (the active font at each ``Tj``
+decides whether the shown string is a Latin-1 literal with PDF
+escapes or a UTF-16BE hex string — the writer's /F1 vs /F2 CID
+convention, which is how real CJK PDFs encode text too).
+
+Scope (raises loudly outside it): PDF 1.x with a classic ``xref``
+table, uncompressed content streams, literal ``(..)`` and hex
+``<..>`` strings shown via ``Tj``. Cross-reference STREAMS
+(PDF 1.5+), /Filter-compressed content, /Encrypt, and ``TJ`` array
+shows raise ``NotImplementedError`` naming the feature; structural
+corruption raises ``ValueError``.
+
+Reference analog: src/render_pdf.py WRITES reports; reading text back
+is the [EXT] ingestion counterpart (and doubles as a round-trip audit
+of our own writer).
+"""
+
+from __future__ import annotations
+
+import re
+
+_REF = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_KIDS = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+
+
+def _xref_offsets(data: bytes) -> tuple[dict[int, int], bytes]:
+    """startxref → {obj_id: offset}, trailer dict bytes."""
+    tail = data.rfind(b"startxref")
+    if tail < 0:
+        raise ValueError("missing startxref")
+    m = re.match(rb"startxref\s+(\d+)", data[tail:])
+    if not m:
+        raise ValueError("malformed startxref")
+    at = int(m.group(1))
+    if data[at : at + 4] != b"xref":
+        raise NotImplementedError(
+            "cross-reference stream (PDF 1.5+) — classic xref tables only"
+        )
+    pos = at + 4
+    offsets: dict[int, int] = {}
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[pos:])
+        if not m:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        pos += m.end()
+        for i in range(count):
+            entry = data[pos : pos + 20]
+            if len(entry) < 18:
+                raise ValueError("truncated xref entry")
+            off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+            if kind == b"n":
+                offsets[start + i] = int(off)
+            pos += 20
+    t = data.find(b"trailer", pos - 1)
+    if t < 0:
+        raise ValueError("missing trailer")
+    trailer = data[t : data.find(b">>", t) + 2]
+    if b"/Encrypt" in trailer:
+        raise NotImplementedError("encrypted PDF")
+    return offsets, trailer
+
+
+def _obj_body(data: bytes, offsets: dict[int, int], obj_id: int) -> bytes:
+    off = offsets.get(obj_id)
+    if off is None:
+        raise ValueError(f"object {obj_id} missing from xref")
+    m = re.match(rb"(\d+)\s+0\s+obj\b", data[off:])
+    if not m or int(m.group(1)) != obj_id:
+        raise ValueError(f"xref offset for object {obj_id} is wrong")
+    end = data.find(b"endobj", off)
+    if end < 0:
+        raise ValueError(f"object {obj_id} missing endobj")
+    return data[off + m.end() : end]
+
+
+def _stream_payload(body: bytes) -> bytes:
+    """Dict + stream → payload of exactly /Length bytes (never search
+    for endstream — the payload may contain it)."""
+    m = re.search(rb"/Length\s+(\d+)", body)
+    if not m:
+        raise ValueError("stream object missing /Length")
+    if b"/Filter" in body.split(b"stream", 1)[0]:
+        raise NotImplementedError("filtered (compressed) content stream")
+    at = body.find(b"stream")
+    if at < 0:
+        raise ValueError("missing stream keyword")
+    start = at + len(b"stream")
+    if body[start : start + 2] == b"\r\n":
+        start += 2
+    elif body[start : start + 1] == b"\n":
+        start += 1
+    return body[start : start + int(m.group(1))]
+
+
+def _unescape_latin(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x5C:  # backslash
+            i += 1
+            if i >= len(raw):
+                raise ValueError("dangling escape in literal string")
+            out.append(raw[i])
+        else:
+            out.append(b)
+        i += 1
+    return out.decode("latin-1")
+
+
+_TOKEN = re.compile(
+    rb"/F(\d+)\s+\d+(?:\.\d+)?\s+Tf"  # font select
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*(Tj|TJ)?"  # literal string (+ op)
+    rb"|<([0-9a-fA-F]*)>\s*(Tj|TJ)?"  # hex string (+ op)
+)
+
+
+def _stream_texts(stream: bytes) -> list[str]:
+    """Shown strings in stream order; the active font decides the
+    decoding (F1 → Latin-1 literal, F2 → UTF-16BE hex)."""
+    texts: list[str] = []
+    font = 1
+    for m in _TOKEN.finditer(stream):
+        if m.group(1) is not None:
+            font = int(m.group(1))
+        elif m.group(2) is not None:
+            if m.group(3) == b"TJ":
+                raise NotImplementedError("TJ array text show")
+            if m.group(3) == b"Tj":
+                texts.append(_unescape_latin(m.group(2)))
+        elif m.group(4) is not None:
+            if m.group(5) == b"TJ":
+                raise NotImplementedError("TJ array text show")
+            if m.group(5) == b"Tj":
+                h = m.group(4).decode("ascii")
+                if font == 2:
+                    texts.append(bytes.fromhex(h).decode("utf-16-be"))
+                else:
+                    texts.append(bytes.fromhex(h).decode("latin-1"))
+    return texts
+
+
+def extract_pdf_text(data: bytes) -> list[list[str]]:
+    """PDF bytes → per-page lists of shown text strings, in order."""
+    if not data.startswith(b"%PDF-1."):
+        raise ValueError("not a PDF (missing %PDF-1.x header)")
+    offsets, trailer = _xref_offsets(data)
+    refs = {k.decode(): v for k, v in _REF.findall(trailer)}
+    root = _obj_body(data, offsets, int(refs["Root"]))
+    pages_ref = dict(_REF.findall(root)).get(b"Pages")
+    if pages_ref is None:
+        raise ValueError("catalog missing /Pages")
+    pages_obj = _obj_body(data, offsets, int(pages_ref))
+    km = _KIDS.search(pages_obj)
+    if not km:
+        raise ValueError("page tree missing /Kids")
+    kid_ids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", km.group(1))]
+    out: list[list[str]] = []
+    for kid in kid_ids:
+        page = _obj_body(data, offsets, kid)
+        prefs = dict(_REF.findall(page))
+        if b"Contents" not in prefs:
+            raise ValueError(f"page object {kid} missing /Contents")
+        content = _obj_body(data, offsets, int(prefs[b"Contents"]))
+        out.append(_stream_texts(_stream_payload(content)))
+    return out

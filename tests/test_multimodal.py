@@ -1103,3 +1103,172 @@ def test_avi_mjpeg_roundtrip_and_scope():
         decode_avi_mjpeg(rgb)
     with pytest.raises(ValueError, match="JPEG"):
         encode_avi_mjpeg(2, 2, [b"not a jpeg"])
+
+
+def test_tar_codec_roundtrip_stdlib_and_errors():
+    """Our ustar stream parses with stdlib tarfile (independent
+    implementation agreement), checksums catch corruption, scope
+    raises are loud."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.tar_codec import (
+        decode_tar,
+        encode_tar,
+    )
+
+    members = [
+        (
+            f"doc5_{m}.txt",
+            bytes((35 + 13 * m + 31 * j) % 256 for j in range(40 + m)),
+        )
+        for m in range(3)
+    ]
+    t = encode_tar(members)
+    assert decode_tar(t) == members
+    tf = tarfile.open(fileobj=io.BytesIO(t))
+    assert [(mi.name, tf.extractfile(mi).read()) for mi in tf.getmembers()] \
+        == members
+    # corrupt one header byte → checksum mismatch
+    bad = bytearray(t)
+    bad[5] ^= 0x01
+    with pytest.raises(ValueError, match="checksum"):
+        decode_tar(bytes(bad))
+    # directory typeflag → loud refusal
+    bad = bytearray(t)
+    bad[156] = ord("5")
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_tar(bytes(bad))
+    with pytest.raises(ValueError, match="block-aligned"):
+        decode_tar(t[:100])
+    with pytest.raises(NotImplementedError, match="longname"):
+        encode_tar([("x" * 120, b"")])
+
+
+def test_warc_codec_framing_survives_embedded_markers():
+    """Content-Length framing is the contract: bodies containing blank
+    lines and fake 'WARC/1.0' markers must parse byte-exactly."""
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.warc_codec import (
+        decode_warc,
+        encode_warc,
+        http_response,
+    )
+
+    body = b"AAAA\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nBBBB"
+    recs = [
+        {"type": "warcinfo", "uri": None, "record_id": "w0",
+         "payload": b"software: t"},
+        {"type": "response", "uri": "http://e.com/1", "record_id": "r1",
+         "payload": http_response(200, body)},
+        {"type": "response", "uri": "http://e.com/2", "record_id": "r2",
+         "payload": http_response(404, b"")},
+    ]
+    data = encode_warc(recs)
+    out = decode_warc(data)
+    assert [r["type"] for r in out] == ["warcinfo", "response", "response"]
+    assert out[1]["body"] == body and out[1]["status"] == 200
+    assert out[2]["status"] == 404
+    with pytest.raises(ValueError, match="version"):
+        decode_warc(b"WARC/0.9\r\n" + data[10:])
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        decode_warc(data[:-20])
+    bad = encode_warc(
+        [{"type": "metadata", "uri": None, "record_id": "m",
+          "payload": b"x"}]
+    )
+    with pytest.raises(NotImplementedError, match="metadata"):
+        decode_warc(bad)
+
+
+def test_zip_codec_crc_table_matches_zlib_and_detects_corruption():
+    """The polynomial-derived CRC table equals zlib's CRC-32 over byte
+    corpora; stdlib zipfile reads our archives; corruption is refused."""
+    import io
+    import zipfile
+    import zlib
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.zip_codec import (
+        crc32_bytes,
+        decode_zip,
+        encode_zip,
+    )
+
+    for payload in (b"", b"a", bytes(range(256)), b"spark" * 100):
+        assert crc32_bytes(payload) == (zlib.crc32(payload) & 0xFFFFFFFF)
+    members = [
+        (f"f7_{m}.bin", bytes((7 + 97 * m + 131 * j) % 256
+                              for j in range(24 + m)))
+        for m in range(3)
+    ]
+    z = encode_zip(members)
+    assert [(n, p) for n, p, _c in decode_zip(z)] == members
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    # flip a payload byte → CRC mismatch refused
+    first_payload_at = z.index(members[0][1])
+    bad = bytearray(z)
+    bad[first_payload_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_zip(bytes(bad))
+    with pytest.raises(ValueError, match="end-of-central"):
+        decode_zip(z[: len(z) // 2])
+
+
+def test_pdf_reader_roundtrip_and_scope():
+    """Text written by sources/pdf_writer comes back exactly: PDF
+    escapes in Latin literals, CJK via the /F2 UTF-16BE hex path,
+    multi-page order; scope violations raise loudly."""
+    import pytest
+
+    from shippai_knowledge_etl_spark.sources.pdf_reader import (
+        extract_pdf_text,
+    )
+    from shippai_knowledge_etl_spark.sources.pdf_writer import (
+        minimal_pdf,
+        pdf_document,
+    )
+
+    i = 7
+    pages = []
+    for p in range(2):
+        ops = []
+        for m in range(3):
+            ops.append(
+                {"op": "text", "x": 100, "y": 200 + 30 * m,
+                 "label": f"doc({i})-{p}-{m}\\end"}
+            )
+            ops.append(
+                {"op": "text", "x": 100, "y": 900 + 30 * m,
+                 "label": "".join(
+                     chr(0x3042 + (i + p + m + j) % 60) for j in range(5)
+                 )}
+            )
+        pages.append({"ops": ops, "w": 2100.0, "h": 2970.0})
+    data = pdf_document(pages)
+    texts = extract_pdf_text(data)
+    assert len(texts) == 2 and texts[0][0] == f"doc({i})-0-0\\end"
+    assert texts[1][1] == "".join(
+        chr(0x3042 + (i + 1 + 0 + j) % 60) for j in range(5)
+    )
+    # rect labels and headings are text too
+    d2 = minimal_pdf(
+        [{"op": "rect", "x": 10, "y": 10, "w": 500, "h": 100,
+          "fill": "#ff0000", "label": "boxed"},
+         {"op": "text", "x": 10, "y": 300, "label": "hello"}],
+        2100.0, 2970.0,
+    )
+    assert extract_pdf_text(d2) == [["boxed", "hello"]]
+    with pytest.raises(ValueError, match="PDF"):
+        extract_pdf_text(b"not a pdf")
+    with pytest.raises(ValueError, match="startxref"):
+        extract_pdf_text(data[: len(data) // 2])
+    # corrupt the xref keyword so the table cannot be located
+    bad = data.replace(b"xref\n0 ", b"xrEf\n0 ", 1)
+    with pytest.raises((ValueError, NotImplementedError)):
+        extract_pdf_text(bad)

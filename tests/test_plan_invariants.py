@@ -123,6 +123,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # feeding the per-type Holt-Winters grouped-map (w35's class —
     # same justification, seasonal-state variant)
     "w37_holt_winters",
+    # 1-row midpoint broadcast + the bounded |types| x |days| grid
+    # fill feeding both generation grouped-maps (stream_holt_replay's
+    # exact class, vector-state variant)
+    "stream_hw_replay",
     # two bounded shapes: the (days x 256-register) grid fill is a
     # dimension-by-dimension cross (both sides constant-bounded), and
     # the exact ground truth is a non-equi trailing-window range join
@@ -232,6 +236,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # bookkeeping counts (the a_bootstrap_ci 1-row stats class); the
     # candidate filter compares each doc's 3-term bound to the 1-row θ
     "retrieval_wand_pruning",
+    # same 1-row broadcast set as retrieval_wand_pruning (stats, θ,
+    # two bookkeeping counts) plus the |q|-row essential-term
+    # broadcast semi-join — MaxScore's per-LIST cut (round 11)
+    "retrieval_maxscore_pruning",
     # 1-row max-active-day broadcast onto the per-user rollup — the
     # quality_sequence_gaps 1-row min/max class
     "behavior_rfm_segments",
@@ -364,6 +372,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # SinglePartition exchanges are the 1-row aggregates (corpus
     # stats, θ, and the two bookkeeping counts)
     "retrieval_wand_pruning",
+    # the WAND shape plus ONE extra global window: the UB tail sums
+    # run over the |q|-row (=3) term dimension — SinglePartition moves
+    # 3 rows at any corpus size (the w15/zipf bounded-rollup
+    # discipline; round 11)
+    "retrieval_maxscore_pruning",
     # heuristic false positive, the ext_bm25_batch class: the cumsum
     # window partitions by cohort_week (inspect: "Window ...
     # hashpartitioning(cohort_week"); the SinglePartition exchange is

@@ -582,3 +582,35 @@ def test_wand_pruning_rank_safe(spark, sf_dir):
         (r["doc_id"], r["bm25"]) for r in exact
     ]
     assert wand[0]["n_survivors"] <= wand[0]["n_docs_scored_bound"]
+
+
+def test_maxscore_pruning_rank_safe(spark, sf_dir):
+    """MaxScore's contract: the list-skipped top-10 equals exhaustive
+    evaluation exactly (doc ids AND scores), at least one term is
+    essential whenever results exist, and the candidate set genuinely
+    shrinks relative to all docs containing any query term."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        bm25_maxscore_topk,
+        bm25_topk,
+    )
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    q = ("spark", "join", "window")
+    ms = bm25_maxscore_topk(d, "doc_id", "text", q, 10, champions=8).collect()
+    exact = bm25_topk(d, "doc_id", "text", q, 10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in ms] == [
+        (r["doc_id"], r["bm25"]) for r in exact
+    ]
+    assert 1 <= ms[0]["n_essential_terms"] <= len(q)
+    from pyspark.sql import functions as F
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+
+    any_term = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t"), "doc_id")
+        .filter(F.col("t").isin(*q))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert ms[0]["n_candidates"] <= any_term
