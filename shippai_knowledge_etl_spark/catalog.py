@@ -628,6 +628,7 @@ COHORTS[11] = (
     "stream_hw_replay",  # HW vector-state carry == one-shot CTE
     "mm_pdf_text_extract",  # PDF text extraction, closes the S6 loop
     "retrieval_maxscore_pruning",  # per-list essential-term skipping
+    "behavior_sprt",  # Wald sequential test, constant-LLR cumsum
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

@@ -5201,3 +5201,106 @@ def stream_hw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "season_next_scaled",
         F.lit(2).alias("n_generations"),
     )
+
+
+@register(
+    "behavior_sprt",
+    survey_ref=(
+        "[EXT] sequential probability ratio test (Wald 1945 — the "
+        "always-valid sequential-decision primitive modern "
+        "experimentation platforms run instead of fixed-horizon "
+        "tests): per-user Bernoulli SPRT on purchase conversion, H0 "
+        "p=0.2 vs H1 p=0.3, α=β=0.05; each event contributes a "
+        "CONSTANT log-likelihood step (ln(1.5) / ln(7/8) pre-scaled "
+        "to ×1e6 integers as shared literals — the behavior_power_mde "
+        "z-quantile discipline, so no runtime float exists), the LLR "
+        "walk is one ordered cumsum, and the decision is the FIRST "
+        "boundary crossing (ln19-scaled), all exact integers"
+    ),
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             row_number() OVER w AS seq,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN 405465 ELSE -133531 END) OVER w AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    per_user AS (
+      SELECT user_id,
+             max(seq) AS n_events,
+             min(CASE WHEN cum >= 2944439 THEN seq END) AS hi_at,
+             min(CASE WHEN cum <= -2944439 THEN seq END) AS lo_at,
+             max(CASE WHEN seq IS NOT NULL THEN cum END)
+               FILTER (seq = (SELECT max(s2.seq) FROM steps s2
+                              WHERE s2.user_id = steps.user_id))
+               AS llr_final
+      FROM steps GROUP BY user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE
+             WHEN hi_at IS NOT NULL
+                  AND (lo_at IS NULL OR hi_at < lo_at) THEN 'accept_h1'
+             WHEN lo_at IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+           CAST(coalesce(least(hi_at, lo_at), hi_at, lo_at, 0)
+                AS BIGINT) AS n_at_decision,
+           CAST(llr_final AS BIGINT) AS llr_scaled
+    FROM per_user
+    """,
+)
+def behavior_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT as a relational fold: the per-event log-likelihood
+    increments are compile-time constants (the test's p0/p1 fix them),
+    so the sequential statistic is an ordered integer cumsum and the
+    stopping rule is the first index crossing ±ln((1−β)/α) — no
+    iteration, no state machine, one user-keyed window. Decisions,
+    stopping times and final LLRs are all exact ×1e6 integers.
+
+    Scale shape: one user-keyed ordered window + a per-user rollup on
+    the SAME key (Catalyst reuses the partitioning) — at 100 TB this
+    is a single shuffle of the event stream, the w10/w12 class."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    step = F.when(F.col("event_type") == "purchase", 405465).otherwise(
+        -133531
+    )
+    s = e.select(
+        "user_id",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("seq"),
+        F.sum(step).over(w).alias("cum"),
+    )
+    hi, lo = F.lit(2944439), F.lit(-2944439)
+    per_user = s.groupBy("user_id").agg(
+        F.max("seq").alias("n_events"),
+        F.min(F.when(F.col("cum") >= hi, F.col("seq"))).alias("hi_at"),
+        F.min(F.when(F.col("cum") <= lo, F.col("seq"))).alias("lo_at"),
+        F.max_by("cum", "seq").alias("llr_final"),
+    )
+    return per_user.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(
+            F.col("hi_at").isNotNull()
+            & (F.col("lo_at").isNull() | (F.col("hi_at") < F.col("lo_at"))),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("lo_at").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce(
+            F.least("hi_at", "lo_at"), F.col("hi_at"), F.col("lo_at"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_at_decision"),
+        F.col("llr_final").cast("long").alias("llr_scaled"),
+    )
