@@ -629,6 +629,7 @@ COHORTS[11] = (
     "mm_pdf_text_extract",  # PDF text extraction, closes the S6 loop
     "retrieval_maxscore_pruning",  # per-list essential-term skipping
     "behavior_sprt",  # Wald sequential test, constant-LLR cumsum
+    "mm_wav_alaw",  # G.711 A-law branch, audioop-verified full range
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

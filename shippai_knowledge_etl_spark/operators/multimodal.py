@@ -2384,3 +2384,80 @@ def pdf_text_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, PDFTEXT_FEATURE_SCHEMA
     )
+
+
+def attach_alaw_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic G.711 A-law WAV surrogate (round 11 — the
+    European telephony companding, completing G.711 beside round-10's
+    mu-law): the SAME Knuth-LCG 16-bit stream as attach_wav_payload,
+    companded through the real A-law encoder (byte-equal to stdlib
+    audioop over the full 16-bit range, tests/test_multimodal.py)
+    into a format-tag-6 container."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import (
+            encode_wav_alaw,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 64 + 2 * (i % 32)
+                samples = [
+                    ((i * 2654435761 + k * 40503) % 65536) - 32768
+                    for k in range(n)
+                ]
+                rows.append((i, encode_wav_alaw(samples, 8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def wav_alaw_features(df: DataFrame) -> DataFrame:
+    """REAL A-law decode + quantization-error profile against the
+    regenerated original — the mm_wav_mulaw shape on format tag 6."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.wav_codec import (
+            decode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    i = int(doc_id)
+                    _rate, _ch, _bits, dec = decode_wav(bytes(payload))
+                    n = len(dec)
+                    orig = [
+                        ((i * 2654435761 + k * 40503) % 65536) - 32768
+                        for k in range(n)
+                    ]
+                    errs = [abs(a - b) for a, b in zip(orig, dec)]
+                    rows.append(
+                        (i, n, sum(dec), sum(errs), max(errs), True)
+                    )
+                except Exception:
+                    rows.append((int(doc_id),) + (None,) * 4 + (False,))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sum_expanded",
+                    "sum_abs_err",
+                    "max_abs_err",
+                    "ok",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, MULAW_FEATURE_SCHEMA
+    )

@@ -181,14 +181,17 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
                         "WAVE_FORMAT_EXTENSIBLE with non-PCM SubFormat"
                     )
                 tag = 1
-            if tag == 7:
+            if tag in (6, 7):
                 if bits != 8:
-                    raise ValueError(f"mu-law with {bits}-bit storage")
+                    raise ValueError(
+                        f"G.711 (tag {tag}) with {bits}-bit storage"
+                    )
             elif tag != 1:
                 raise NotImplementedError(
-                    f"WAV format tag {tag} (integer PCM and G.711 mu-law "
-                    "are supported; float/ADPCM/a-law need audio libs "
-                    "absent here)"
+                    f"WAV format tag {tag} (integer PCM, G.711 mu-law/"
+                    "A-law are supported here; IMA ADPCM via "
+                    "decode_wav_ima; float needs audio libs absent "
+                    "in this container)"
                 )
             elif bits not in (8, 16):
                 raise NotImplementedError(f"{bits}-bit PCM decode not supported")
@@ -204,6 +207,9 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
         # expanded linear values — that is what decoding means here;
         # bits reports the storage width per the WAV convention
         samples = [mulaw_expand(b) for b in pcm_bytes]
+    elif tag == 6:
+        # A-law (round 11): same posture as mu-law, the G.711 twin
+        samples = [alaw_expand(b) for b in pcm_bytes]
     elif bits == 16:
         n = len(pcm_bytes) // 2
         samples = list(struct.unpack(f"<{n}h", pcm_bytes[: 2 * n]))
@@ -381,3 +387,81 @@ def decode_wav_ima(data: bytes) -> tuple[int, int, list[int]]:
                 out.append(pred)
                 k += 1
     return rate, spb, out
+
+
+# G.711 A-law (the European/international companding twin of mu-law;
+# ITU-T G.711 1988, Sun g711.c arithmetic). Segment ends in the
+# 13-bit domain after the >>3 reduction.
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def alaw_compress(x: int) -> int:
+    """16-bit linear sample → one A-law byte (ITU-T G.711).
+
+    Reduce to the 13-bit domain (arithmetic >>3), segment search over
+    the A-law chord ends, 4-bit mantissa, then the even-bit inversion
+    (XOR 0xD5 positive / 0x55 negative — A-law's transmission
+    scrambling, the counterpart of mu-law's ones' complement).
+    Verified byte-equal to stdlib audioop.lin2alaw over the full
+    16-bit range (tests/test_multimodal.py)."""
+    pcm = x >> 3
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    for seg, end in enumerate(_ALAW_SEG_END):
+        if pcm <= end:
+            break
+    else:
+        return 0x7F ^ mask
+    aval = seg << 4
+    if seg < 2:
+        aval |= (pcm >> 1) & 0xF
+    else:
+        aval |= (pcm >> seg) & 0xF
+    return aval ^ mask
+
+
+def alaw_expand(b: int) -> int:
+    """One A-law byte → 16-bit linear sample (inverse of the above;
+    verified byte-equal to audioop.alaw2lin over all 256 bytes)."""
+    v = b ^ 0x55
+    t = (v & 0x0F) << 4
+    seg = (v & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if v & 0x80 else -t
+
+
+def encode_wav_alaw(
+    samples: list[int], sample_rate: int, channels: int = 1
+) -> bytes:
+    """Compress interleaved 16-bit linear samples to an A-law WAV
+    (format tag 6, 8 bits stored) — same container layout as mu-law."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("sample count must be a positive multiple of channels")
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"sample {s} outside 16-bit linear range")
+    data = bytes(alaw_compress(s) for s in samples)
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", 6, channels, sample_rate, sample_rate * block_align,
+        block_align, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

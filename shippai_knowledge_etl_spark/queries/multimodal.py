@@ -1768,3 +1768,81 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_pdf_payload(d, "doc_id")
     return multimodal.pdf_text_features(payloads)
+
+
+# closed-form A-law quantization Q(x) (verified equal to the byte
+# codec over the FULL 16-bit range in pytest): 13-bit reduction,
+# chord/mantissa reconstruction per segment, sign from the reduced
+# value
+_ALAW_PCM = "(CASE WHEN {x} >= 0 THEN ({x}) // 8 ELSE -((-({x}) + 7) // 8) END)"
+_ALAW_M = f"(CASE WHEN {_ALAW_PCM} >= 0 THEN {_ALAW_PCM} ELSE -{_ALAW_PCM} - 1 END)"
+_ALAW_T = (
+    f"(CASE WHEN {_ALAW_M} <= 31 THEN 16*(({_ALAW_M}//2)%16) + 8"
+    f" WHEN {_ALAW_M} <= 63 THEN 16*(({_ALAW_M}//2)%16) + 264"
+    f" WHEN {_ALAW_M} <= 127 THEN (16*(({_ALAW_M}//4)%16) + 264) * 2"
+    f" WHEN {_ALAW_M} <= 255 THEN (16*(({_ALAW_M}//8)%16) + 264) * 4"
+    f" WHEN {_ALAW_M} <= 511 THEN (16*(({_ALAW_M}//16)%16) + 264) * 8"
+    f" WHEN {_ALAW_M} <= 1023 THEN (16*(({_ALAW_M}//32)%16) + 264) * 16"
+    f" WHEN {_ALAW_M} <= 2047 THEN (16*(({_ALAW_M}//64)%16) + 264) * 32"
+    f" WHEN {_ALAW_M} <= 4095 THEN (16*(({_ALAW_M}//128)%16) + 264) * 64"
+    " ELSE 32256 END)"
+)
+_ALAW_Q = f"(CASE WHEN {_ALAW_PCM} >= 0 THEN {_ALAW_T} ELSE -{_ALAW_T} END)"
+_ALAW_X = "((doc_id * 2654435761 + k * 40503) % 65536 - 32768)"
+
+
+@register(
+    "mm_wav_alaw",
+    survey_ref=(
+        "[EXT] REAL G.711 A-law decode (round 11 — the European "
+        "telephony companding, completing G.711 beside round-10's "
+        "mu-law): the Knuth-LCG 16-bit stream is companded through "
+        "the real A-law encoder (13-bit reduction, chord search, "
+        "0xD5/0x55 even-bit inversion — verified BYTE-EQUAL to stdlib "
+        "audioop over the full 16-bit range) into a format-tag-6 WAV, "
+        "decoded back through the chord/mantissa expansion, and the "
+        "exact expanded-sample sum plus the quantization-error "
+        "profile are gated against an oracle replaying Q(x) per "
+        "sample in closed-form integer arithmetic"
+    ),
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             64 + 2 * (doc_id % 32) AS n,
+             list_transform(
+               list_transform(range(0, 64 + 2 * (doc_id % 32)),
+                              k -> {_ALAW_X}),
+               x -> {_ALAW_Q.format(x='x')}) AS qs,
+             list_transform(
+               list_transform(range(0, 64 + 2 * (doc_id % 32)),
+                              k -> {_ALAW_X}),
+               x -> abs(x - {_ALAW_Q.format(x='x')})) AS errs
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(qs) AS BIGINT) AS sum_expanded,
+           CAST(list_sum(errs) AS BIGINT) AS sum_abs_err,
+           CAST(list_max(errs) AS BIGINT) AS max_abs_err,
+           true AS ok
+    FROM q
+    """,
+)
+def mm_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711's second half: A-law differs from mu-law in every detail
+    that matters to a decoder — 13-bit (not biased 14-bit) reduction,
+    chord ends instead of a bias-and-bit-test, the 0xD5/0x55 even-bit
+    inversion instead of ones' complement — and this closes the
+    wav_codec A-law loud-raise with the same discipline as mu-law:
+    encoder and decoder verified byte-equal to an INDEPENDENT
+    implementation (stdlib audioop) over the entire 16-bit domain in
+    pytest, and the decode gated against a closed-form integer replay
+    of Q(x) (itself pinned equal to the byte codec over the full
+    range).
+
+    Scale shape: two chained narrow Arrow maps, zero shuffle; five
+    integers per clip return to the JVM — the mm_wav_mulaw class.
+    Cites /root/reference/src/render_pdf.py:90-98 (media bytes
+    fetched, never decoded; decoding is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_alaw_payload(d, "doc_id")
+    return multimodal.wav_alaw_features(payloads)

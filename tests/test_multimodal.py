@@ -1272,3 +1272,54 @@ def test_pdf_reader_roundtrip_and_scope():
     bad = data.replace(b"xref\n0 ", b"xrEf\n0 ", 1)
     with pytest.raises((ValueError, NotImplementedError)):
         extract_pdf_text(bad)
+
+
+def test_alaw_matches_audioop_full_range_and_closed_form():
+    """Our A-law compress/expand are byte-equal to stdlib audioop over
+    the ENTIRE 16-bit domain (independent-implementation agreement),
+    and the oracle's closed-form Q(x) equals compress∘expand."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from shippai_knowledge_etl_spark.operators.wav_codec import (
+        alaw_compress,
+        alaw_expand,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    for x in range(-32768, 32768, 7):  # dense stride incl. negatives
+        assert alaw_compress(x) == audioop.lin2alaw(struct.pack("<h", x), 2)[0]
+    for x in range(-64, 65):  # exhaustive near zero (segment 0 edges)
+        assert alaw_compress(x) == audioop.lin2alaw(struct.pack("<h", x), 2)[0]
+    for bb in range(256):
+        assert alaw_expand(bb) == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([bb]), 2)
+        )[0]
+
+    def q_closed(x):
+        pcm = x // 8 if x >= 0 else -((-x + 7) // 8)
+        m = pcm if pcm >= 0 else -pcm - 1
+        if m <= 31:
+            t = 16 * ((m // 2) % 16) + 8
+        elif m <= 63:
+            t = 16 * ((m // 2) % 16) + 264
+        elif m <= 4095:
+            seg = m.bit_length() - 5
+            t = (16 * ((m >> seg) % 16) + 264) << (seg - 1)
+        else:
+            t = 32256
+        return t if pcm >= 0 else -t
+
+    for x in range(-32768, 32768, 11):
+        assert q_closed(x) == alaw_expand(alaw_compress(x)), x
+
+    # container roundtrip through the tag-6 branch
+    samples = [((5 * 2654435761 + k * 40503) % 65536) - 32768 for k in range(64)]
+    rate, ch, bits, dec = decode_wav(encode_wav_alaw(samples, 8000))
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert dec == [alaw_expand(alaw_compress(s)) for s in samples]
