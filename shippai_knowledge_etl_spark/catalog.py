@@ -630,6 +630,7 @@ COHORTS[11] = (
     "retrieval_maxscore_pruning",  # per-list essential-term skipping
     "behavior_sprt",  # Wald sequential test, constant-LLR cumsum
     "mm_wav_alaw",  # G.711 A-law branch, audioop-verified full range
+    "retrieval_blockmax_wand",  # per-block maxima, tighter than UB
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

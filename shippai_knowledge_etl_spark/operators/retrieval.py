@@ -1725,3 +1725,131 @@ def bm25_maxscore_topk(
         .limit(k)
     )
     return final.crossJoin(F.broadcast(n_ess)).crossJoin(F.broadcast(n_cand))
+
+
+def bm25_blockmax_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int,
+    block: int = 64,
+    champions: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Rank-SAFE top-k via Block-Max WAND (Ding & Suel 2011, "Faster
+    top-k document retrieval using block-max indexes") — the third
+    member of the dynamic-pruning family: where classic WAND bounds a
+    document by each term's GLOBAL maximum weight, BMW stores a
+    maximum per fixed-size block of the postings list and bounds the
+    document by the maxima of the blocks it actually sits in — a
+    strictly tighter bound, so strictly fewer candidates survive.
+    Relationally: block = id div ``block``, per-(term, block) round-6
+    DECIMAL maxima, and the per-doc bound joins each present posting
+    to ITS OWN block's maximum (same fixed-order pivot as WAND's).
+
+    Safety: bm(t, block(d)) ≥ w(t, d) for every posting by
+    construction, so the bound dominates the true score; θ is the
+    champion pass's achieved k-th score; the round-6 slack is
+    absorbed by the same ε = ceil((|q|+1)/2) µ widening as
+    bm25_wand_topk (identical accounting — the bound is still a
+    |q|-term fixed-order DECIMAL sum).
+
+    Both survivor counts are returned gated (n_survivors_block and
+    the classic global-UB n_survivors_global), so the tightening is
+    measured data, and equals-exhaustive is pinned by pytest."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    postings = (
+        docs.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_stats(docs.select(id_col, "dl"))
+    weighted = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ),
+        )
+        .withColumn("blk", F.expr(f"{id_col} div {block}"))
+    )
+    weighted = weighted.localCheckpoint(eager=False)  # the WAND barrier
+    zero_dec = F.lit("0").cast("decimal(18,6)")
+    # per-(term, block) maxima — the block-max index; per-term global
+    # UBs ride the same frame for the comparison count
+    bmax = weighted.groupBy("term", "blk").agg(
+        F.round(F.max("w"), 6).cast("decimal(18,6)").alias("bm")
+    )
+    ub = weighted.groupBy("term").agg(
+        F.round(F.max("w"), 6).cast("decimal(18,6)").alias("ub")
+    )
+    champ_rank = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    champ_scores = pivot_score(
+        weighted.withColumn("champ_rank", F.row_number().over(champ_rank))
+        .filter(F.col("champ_rank") <= champions),
+        id_col,
+        query_terms,
+    )
+    theta = champ_scores.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k).agg(
+        F.min("bm25").alias("theta")
+    )
+    eps_micros = (len(query_terms) + 2) // 2
+    eps = F.lit(f"0.{eps_micros:06d}").cast("decimal(18,6)")
+
+    def bound_and_filter(src, bcol, out_count):
+        per_doc = src.groupBy(id_col).agg(
+            *[
+                F.max(F.when(F.col("term") == t, F.col(bcol))).alias(
+                    f"b_{i}"
+                )
+                for i, t in enumerate(query_terms)
+            ]
+        )
+        s = None
+        for i in range(len(query_terms)):
+            piece = F.coalesce(F.col(f"b_{i}"), zero_dec)
+            s = piece if s is None else s + piece
+        surv = (
+            per_doc.select(id_col, s.alias("bsum"))
+            .crossJoin(F.broadcast(theta))
+            .filter(
+                F.col("bsum") >= F.col("theta").cast("decimal(18,6)") - eps
+            )
+            .select(id_col)
+        )
+        return surv, surv.agg(F.count(F.lit(1)).alias(out_count))
+
+    blk_rows = weighted.select(id_col, "term", "blk").join(
+        bmax, ["term", "blk"]
+    )
+    surv_blk, n_blk = bound_and_filter(blk_rows, "bm", "n_survivors_block")
+    ub_rows = weighted.select(id_col, "term").join(F.broadcast(ub), "term")
+    _surv_glob, n_glob = bound_and_filter(
+        ub_rows, "ub", "n_survivors_global"
+    )
+    final = (
+        pivot_score(weighted.join(surv_blk, id_col), id_col, query_terms)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    return final.crossJoin(F.broadcast(n_blk)).crossJoin(F.broadcast(n_glob))

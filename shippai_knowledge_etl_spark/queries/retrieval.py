@@ -1882,3 +1882,105 @@ def retrieval_maxscore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_maxscore_topk(
         d, "doc_id", "text", QUERY_TERMS, 10, champions=8
     )
+
+
+@register(
+    "retrieval_blockmax_wand",
+    survey_ref=(
+        "[EXT] Block-Max WAND (Ding & Suel 2011) — the modern third "
+        "member of the dynamic-pruning family beside WAND and "
+        "MaxScore: per-(term, 64-doc-block) round-6 DECIMAL maxima "
+        "bound each document by the blocks it actually sits in, a "
+        "strictly tighter bound than the global UB, and BOTH survivor "
+        "counts (block-max and classic global) ride as gated columns "
+        "so the tightening is measured data; rank-safe under the same "
+        "(|q|+1)·5e-7 quantum, equals-exhaustive pytest-pinned"
+    ),
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cw AS (
+      SELECT p.doc_id, p.term, p.tf, w.w
+      FROM postings p
+      JOIN weights w ON w.doc_id = p.doc_id AND w.term = p.term),
+    champw AS (
+      SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS r
+      FROM cw),
+    champ_scores AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w END), 0),
+                 6) AS bm25
+      FROM champw WHERE r <= 8 GROUP BY doc_id),
+    theta AS (
+      SELECT min(bm25) AS theta FROM (
+        SELECT bm25 FROM champ_scores
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
+    bmax AS (
+      SELECT term, doc_id // 64 AS blk,
+             CAST(round(max(w), 6) AS DECIMAL(18,6)) AS bm
+      FROM weights GROUP BY term, doc_id // 64),
+    ub AS (SELECT term,
+                  CAST(round(max(w), 6) AS DECIMAL(18,6)) AS ub
+           FROM weights GROUP BY term),
+    bbound AS (
+      SELECT w.doc_id,
+             coalesce(max(CASE WHEN w.term = 'spark' THEN b.bm END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'join' THEN b.bm END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'window' THEN b.bm END),
+                      CAST(0 AS DECIMAL(18,6)))
+               AS bsum
+      FROM weights w
+      JOIN bmax b ON b.term = w.term AND b.blk = w.doc_id // 64
+      GROUP BY w.doc_id),
+    gbound AS (
+      SELECT w.doc_id,
+             coalesce(max(CASE WHEN w.term = 'spark' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'join' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
+           + coalesce(max(CASE WHEN w.term = 'window' THEN u.ub END),
+                      CAST(0 AS DECIMAL(18,6)))
+               AS gsum
+      FROM weights w JOIN ub u USING (term) GROUP BY w.doc_id),
+    sblk AS (
+      SELECT b.doc_id FROM bbound b CROSS JOIN theta t
+      WHERE b.bsum >= CAST(t.theta AS DECIMAL(18,6))
+                      - CAST(0.000002 AS DECIMAL(18,6))),
+    nb AS (SELECT count(*) AS n_survivors_block FROM sblk),
+    sglob AS (
+      SELECT g.doc_id FROM gbound g CROSS JOIN theta t
+      WHERE g.gsum >= CAST(t.theta AS DECIMAL(18,6))
+                      - CAST(0.000002 AS DECIMAL(18,6))),
+    ng AS (SELECT count(*) AS n_survivors_global FROM sglob),
+    final AS (
+      SELECT w.doc_id,
+             round(coalesce(max(CASE WHEN term = 'spark' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'join' THEN w.w END), 0)
+                 + coalesce(max(CASE WHEN term = 'window' THEN w.w END), 0),
+                 6) AS bm25
+      FROM weights w JOIN sblk USING (doc_id)
+      GROUP BY w.doc_id
+      ORDER BY bm25 DESC, w.doc_id ASC LIMIT 10)
+    SELECT f.doc_id, f.bm25,
+           CAST(nb.n_survivors_block AS BIGINT) AS n_survivors_block,
+           CAST(ng.n_survivors_global AS BIGINT) AS n_survivors_global
+    FROM final f CROSS JOIN nb CROSS JOIN ng
+    """,
+)
+def retrieval_blockmax_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 under block-max bounds: the per-(term, block) maxima are
+    what a block-max index stores at rest (the skip-list metadata of
+    every modern engine's postings), and the per-doc bound joins each
+    posting to its OWN block's maximum — tighter than WAND's global
+    UB, with the reduction itself gated (n_survivors_block ≤
+    n_survivors_global, both data). Safety argument in
+    operators/retrieval.py:bm25_blockmax_topk."""
+    d = load(spark, sf_dir, "documents")
+    return retrieval.bm25_blockmax_topk(
+        d, "doc_id", "text", QUERY_TERMS, 10, block=64, champions=8
+    )

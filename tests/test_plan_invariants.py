@@ -240,6 +240,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # two bookkeeping counts) plus the |q|-row essential-term
     # broadcast semi-join — MaxScore's per-LIST cut (round 11)
     "retrieval_maxscore_pruning",
+    # the WAND broadcast set again: stats, θ, and the TWO survivor
+    # counts (block-max and global — the tightening measured as data;
+    # round 11)
+    "retrieval_blockmax_wand",
     # 1-row max-active-day broadcast onto the per-user rollup — the
     # quality_sequence_gaps 1-row min/max class
     "behavior_rfm_segments",
@@ -377,6 +381,10 @@ _ALLOWED_GLOBAL_WINDOW = {
     # 3 rows at any corpus size (the w15/zipf bounded-rollup
     # discipline; round 11)
     "retrieval_maxscore_pruning",
+    # the exact retrieval_wand_pruning shape (term-partitioned
+    # champion WindowGroupLimits; SinglePartition exchanges are the
+    # 1-row aggregates — stats, θ, two survivor counts; round 11)
+    "retrieval_blockmax_wand",
     # heuristic false positive, the ext_bm25_batch class: the cumsum
     # window partitions by cohort_week (inspect: "Window ...
     # hashpartitioning(cohort_week"); the SinglePartition exchange is

@@ -614,3 +614,23 @@ def test_maxscore_pruning_rank_safe(spark, sf_dir):
         .count()
     )
     assert ms[0]["n_candidates"] <= any_term
+
+
+def test_blockmax_wand_rank_safe_and_tighter(spark, sf_dir):
+    """BMW's contract: the block-bounded top-10 equals exhaustive
+    evaluation exactly, and the block-max survivor set is never
+    larger than the classic global-UB survivor set."""
+    from shippai_knowledge_etl_spark.operators.retrieval import (
+        bm25_blockmax_topk,
+        bm25_topk,
+    )
+    from shippai_knowledge_etl_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    q = ("spark", "join", "window")
+    bmw = bm25_blockmax_topk(d, "doc_id", "text", q, 10).collect()
+    exact = bm25_topk(d, "doc_id", "text", q, 10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in bmw] == [
+        (r["doc_id"], r["bm25"]) for r in exact
+    ]
+    assert bmw[0]["n_survivors_block"] <= bmw[0]["n_survivors_global"]
