@@ -631,6 +631,7 @@ COHORTS[11] = (
     "behavior_sprt",  # Wald sequential test, constant-LLR cumsum
     "mm_wav_alaw",  # G.711 A-law branch, audioop-verified full range
     "retrieval_blockmax_wand",  # per-block maxima, tighter than UB
+    "behavior_fdr_bh",  # BH step-up over the metric battery
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

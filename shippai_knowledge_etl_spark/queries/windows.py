@@ -5304,3 +5304,167 @@ def behavior_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_at_decision"),
         F.col("llr_final").cast("long").alias("llr_scaled"),
     )
+
+
+# BH step-up thresholds for m=5 tests at FDR alpha=0.05, df=1:
+# T_k = (Phi^{-1}(1 - (k*alpha/m)/2))^2, precomputed with stdlib
+# statistics.NormalDist and embedded as round-6 SHARED LITERALS (the
+# behavior_power_mde z-quantile discipline) — comparing the round-6
+# statistic to a literal is ulp-stable because both engines derive
+# the statistic from identical doubles in identical operand order.
+_BH_T = {1: 6.634897, 2: 5.411894, 3: 4.709292, 4: 4.217885, 5: 3.841459}
+_BH_T_SQL = (
+    "(CASE rnk "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _BH_T.items())
+    + " END)"
+)
+
+
+@register(
+    "behavior_fdr_bh",
+    survey_ref=(
+        "[EXT] Benjamini-Hochberg FDR control (Benjamini & Hochberg "
+        "1995) over a metric battery — what an experimentation "
+        "platform runs when one A/B test reads out MANY metrics: per "
+        "event type, the two-proportion z² statistic between user-"
+        "parity arms assembled as one fixed-order double expression "
+        "(squares via x·x, round-6 at the end), then the step-up rule "
+        "against PRECOMPUTED chi²(1) thresholds T_k (inverse-normal "
+        "shared literals, the power_mde discipline) — reject every "
+        "metric ranked ≤ the largest k with stat_(k) ≥ T_k; "
+        "statistics, ranks, thresholds and the rejection frontier "
+        "are all gated"
+    ),
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN user_id % 2 = 1 AND event_type2 = 'purchase'
+                 THEN 1 ELSE 0 END) AS k1,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN user_id % 2 = 0 AND event_type2 = 'purchase'
+                 THEN 1 ELSE 0 END) AS k0
+      FROM (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                 AS event_type2
+        FROM events)
+      WHERE event_type2 IS NOT NULL
+      GROUP BY event_type),
+    stats AS (
+      -- a testable metric needs both arms nonempty and a
+      -- non-degenerate pooled rate (else the z² denominator is 0);
+      -- the screen is part of the contract on BOTH engines
+      SELECT event_type, n1, k1, n0, k0,
+             round(
+               ((CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0)
+                * (CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0))
+               / ((CAST(k1 + k0 AS DOUBLE)/(n1 + n0))
+                  * (1.0 - CAST(k1 + k0 AS DOUBLE)/(n1 + n0))
+                  * (1.0/n1 + 1.0/n0)), 6) AS z2
+      FROM cells
+      WHERE n1 > 0 AND n0 > 0 AND k1 + k0 > 0 AND k1 + k0 < n1 + n0),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY z2 DESC, event_type ASC)
+               AS rnk
+      FROM stats),
+    frontier AS (
+      SELECT coalesce(max(CASE WHEN z2 >= {_BH_T_SQL} THEN rnk END), 0)
+               AS k_star
+      FROM ranked)
+    SELECT r.event_type,
+           CAST(r.n1 AS BIGINT) AS n_treat,
+           CAST(r.k1 AS BIGINT) AS conv_treat,
+           CAST(r.n0 AS BIGINT) AS n_ctrl,
+           CAST(r.k0 AS BIGINT) AS conv_ctrl,
+           r.z2,
+           CAST(r.rnk AS BIGINT) AS rnk,
+           {_BH_T_SQL} AS bh_threshold,
+           r.rnk <= f.k_star AS rejected,
+           CAST(f.k_star AS BIGINT) AS k_star
+    FROM ranked r CROSS JOIN frontier f
+    """,
+)
+def behavior_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction as a relational step-up: each event
+    type tests whether the NEXT event is a purchase at a different
+    rate between arms (a lead() conditional rollup — one user-keyed
+    window), z² assembled once per type in fixed operand order, and
+    the BH frontier k* = max{k : stat_(k) ≥ T_k} computed over the
+    ≤|types|-row ranked battery (a bounded global window + a 1-row
+    frontier broadcast — allowlisted classes). BH's step-up REJECTS
+    EVERY rank ≤ k* even where an individual stat dips below its own
+    threshold — the property a naive per-metric comparison gets
+    wrong, and exactly what the gate checks.
+
+    Scale shape: one event-stream window + a |types|-sized battery;
+    at 100 TB the stream rollup is the entire cost (the w13 class) —
+    the correction itself runs on a handful of rows however large
+    the corpus."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("event_type2"),
+    ).filter(F.col("event_type2").isNotNull())
+    treat = F.col("user_id") % 2 == 1
+    conv = F.col("event_type2") == "purchase"
+    cells = s.groupBy("event_type").agg(
+        F.sum(F.when(treat, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(treat & conv, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(~treat, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(~treat & conv, 1).otherwise(0)).alias("k0"),
+    )
+    k1d = F.col("k1").cast("double")
+    k0d = F.col("k0").cast("double")
+    d = k1d / F.col("n1") - k0d / F.col("n0")
+    pp = (F.col("k1") + F.col("k0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    )
+    den = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n0")
+    )
+    stats = cells.filter(
+        (F.col("n1") > 0)
+        & (F.col("n0") > 0)
+        & (F.col("k1") + F.col("k0") > 0)
+        & (F.col("k1") + F.col("k0") < F.col("n1") + F.col("n0"))
+    ).withColumn("z2", F.round(d * d / den, 6))
+    ranked = stats.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("z2"), F.asc("event_type"))),
+    )
+    thr = F.coalesce(
+        *[
+            F.when(F.col("rnk") == kk, F.lit(vv))
+            for kk, vv in _BH_T.items()
+        ]
+    )
+    ranked = ranked.withColumn("bh_threshold", thr)
+    frontier = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("z2") >= F.col("bh_threshold"), F.col("rnk"))
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(frontier))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_treat"),
+            F.col("k1").cast("long").alias("conv_treat"),
+            F.col("n0").cast("long").alias("n_ctrl"),
+            F.col("k0").cast("long").alias("conv_ctrl"),
+            "z2",
+            F.col("rnk").cast("long").alias("rnk"),
+            "bh_threshold",
+            (F.col("rnk") <= F.col("k_star")).alias("rejected"),
+            F.col("k_star").cast("long").alias("k_star"),
+        )
+    )

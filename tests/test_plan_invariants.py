@@ -244,6 +244,10 @@ _ALLOWED_TINY_BROADCAST_BNLJ = {
     # counts (block-max and global — the tightening measured as data;
     # round 11)
     "retrieval_blockmax_wand",
+    # 1-row frontier broadcast (k* = the BH step-up cut) onto the
+    # ≤|types|-row ranked battery (the a_bootstrap_ci 1-row class;
+    # round 11)
+    "behavior_fdr_bh",
     # 1-row max-active-day broadcast onto the per-user rollup — the
     # quality_sequence_gaps 1-row min/max class
     "behavior_rfm_segments",
@@ -385,6 +389,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     # champion WindowGroupLimits; SinglePartition exchanges are the
     # 1-row aggregates — stats, θ, two survivor counts; round 11)
     "retrieval_blockmax_wand",
+    # bounded-input global window: the battery rank runs over the
+    # ≤|event types| per-metric stats rows (the w15/zipf bounded-
+    # rollup discipline); the SinglePartition exchange is the 1-row
+    # frontier aggregate (round 11)
+    "behavior_fdr_bh",
     # heuristic false positive, the ext_bm25_batch class: the cumsum
     # window partitions by cohort_week (inspect: "Window ...
     # hashpartitioning(cohort_week"); the SinglePartition exchange is
