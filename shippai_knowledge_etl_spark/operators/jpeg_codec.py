@@ -27,8 +27,24 @@ Rounding discipline (the cross-engine hash-gate contract):
     0.714136·(cr−128), b = y + 1.772·(cb−128)), so a SQL oracle
     computing the identical double expressions matches bit-for-bit.
 
-Scope (raises loudly outside it): baseline sequential DCT (SOF0),
-8-bit precision, Huffman coding. Progressive (SOF2), extended
+Round 12 adds the PROGRESSIVE process (SOF2, T.81 Annex G) — the
+remaining mass of any crawl's image bytes (VERDICT r11 missing #1):
+spectral selection (per-component AC band scans; DC scans may be
+interleaved), successive approximation (point transform: arithmetic
+shift for DC, magnitude shift toward zero for AC; refinement scans
+carry one correction bit per already-nonzero coefficient and ±1
+significance codes for new ones), EOB-run coding (EOBn symbols with
+appended run-length bits), per-scan Huffman tables built by the
+T.81 Annex K.2 optimal-length procedure (the standard Annex K tables
+lack the EOBn symbols progressive scans need), and restart markers
+resetting both the DC predictors and the EOB run. Successive
+approximation is lossless once every scan reaches Al=0, so a
+complete progressive decode reconstructs EXACTLY the coefficients of
+the equivalent baseline stream — the equivalence the tests and the
+``mm_jpeg_progressive`` gate pin.
+
+Scope (raises loudly outside it): baseline sequential DCT (SOF0) and
+progressive DCT (SOF2), 8-bit precision, Huffman coding. Extended
 sequential (SOF1), lossless/hierarchical, arithmetic coding (SOF9+),
 12-bit precision and DNL raise ``NotImplementedError`` with the
 reason; malformed streams raise ``ValueError``.
@@ -396,12 +412,16 @@ def _idct_block(coeffs: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG → (width, height, n_channels, pixels).
+    """Decode a baseline OR progressive JPEG → (width, height,
+    n_channels, pixels).
 
     Pixels are row-major bytes: 1 byte/pixel for grayscale, RGB
     interleaved for 3-component images (JFIF YCbCr→RGB with the fixed
     operand order documented in the module header). Partial MCUs at
     the right/bottom edges are decoded in full and cropped.
+    Progressive streams (SOF2) accumulate raw coefficients across
+    every scan, then dequantize + IDCT once — bit-identical to the
+    baseline decode of the same quantized coefficients.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -410,14 +430,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[int, dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    prog_coeffs: list[np.ndarray] | None = None
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if progressive and prog_coeffs is not None:
+                break  # all scans consumed — reconstruct below
             raise ValueError("EOI before SOS")
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2 : pos + seglen]
@@ -446,7 +470,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated DHT segment")
                 htables[tc_th] = _decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -457,11 +481,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "hv": (hv >> 4, hv & 0x0F), "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} (progressive/"
-                "extended/lossless/arithmetic)"
+                f"unsupported SOF marker 0xFF{marker:02X} (extended/"
+                "lossless/hierarchical/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -474,26 +499,62 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             pos += seglen
-            break
+            if not progressive:
+                break
+            # progressive: Ss / Se / Ah|Al follow the component specs
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            w_, h_, comps_ = frame
+            if prog_coeffs is None:
+                hmax_ = max(c["hv"][0] for c in comps_)
+                vmax_ = max(c["hv"][1] for c in comps_)
+                mx_ = -(-w_ // (8 * hmax_))
+                my_ = -(-h_ // (8 * vmax_))
+                prog_coeffs = [
+                    np.zeros((my_ * c["hv"][1], mx_ * c["hv"][0], 64),
+                             dtype=np.int64)
+                    for c in comps_
+                ]
+            pos = _decode_scan_prog(
+                data, pos, w_, h_, comps_, prog_coeffs, scan,
+                ss, se, ah, al, htables, restart_interval,
+            )
+            continue
         # APPn / COM / anything else with a length: skip
         pos += seglen
 
     w, h, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) baseline")
     hmax = max(c["hv"][0] for c in comps)
     vmax = max(c["hv"][1] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    scan_by_id = {s[0]: s for s in scan}
     planes = []
     for c in comps:
         ch, cv = c["hv"]
         planes.append(
             np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.int64)
         )
+
+    if progressive:
+        # all scans already accumulated raw coefficients; dequantize
+        # and IDCT once — exactly what a baseline decode of the same
+        # coefficients computes
+        for ci, c in enumerate(comps):
+            q = np.array(qtables[c["tq"]], dtype=np.int64)
+            arr = prog_coeffs[ci]
+            nby, nbx, _ = arr.shape
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = _idct_block(arr[by, bx] * q)
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        return _finish_pixels(w, h, comps, planes, hmax, vmax)
+
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) baseline")
+    scan_by_id = {s[0]: s for s in scan}
 
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
@@ -555,10 +616,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 f"marker 0xFF{br.marker:02X} interrupted entropy data"
             ) from None
 
+    return _finish_pixels(w, h, comps, planes, hmax, vmax)
+
+
+def _finish_pixels(
+    w: int, h: int, comps: list[dict], planes: list, hmax: int, vmax: int
+) -> tuple[int, int, int, bytes]:
+    """Shared decode tail: crop, upsample chroma by replication to the
+    luma grid, JFIF YCbCr→RGB in the pinned operand order."""
     if len(comps) == 1:
         return w, h, 1, planes[0][:h, :w].astype(np.uint8).tobytes()
 
-    # upsample chroma by replication to the luma grid, crop, convert
     full = []
     for ci, c in enumerate(comps):
         ch, cv = c["hv"]
@@ -600,3 +668,530 @@ def decoded_flat(value: int, q: int) -> int:
     """The exact decoded pixel value of a flat block — the closed form
     the SQL oracles replay: (q·quantize_dc + 1028) >> 3."""
     return (q * quantize_dc(value, q) + 1028) >> 3
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2, T.81 Annex G) — round 12, VERDICT r11 item 3
+# ---------------------------------------------------------------------------
+
+
+def build_huffman_spec(
+    freq: dict[int, int],
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Optimal length-limited Huffman spec (BITS[1..16], HUFFVAL) from
+    symbol frequencies — the T.81 Annex K.2 procedure: CODE_SIZE via
+    chained lowest-frequency merges (ties broken toward the LARGER
+    symbol value), COUNT_BITS, ADJUST_BI folding lengths >16 down, and
+    the reserved pseudo-symbol 256 guaranteeing no real code is
+    all-ones. Needed because progressive scans emit EOBn symbols
+    (r<<4 for r=1..14) that the standard Annex K tables do not carry.
+    """
+    f = [0] * 257
+    for s, c in freq.items():
+        if not 0 <= s <= 255:
+            raise ValueError(f"symbol {s} out of range")
+        f[s] = c
+    f[256] = 1  # reserved: soaks up the all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        for i in range(257):  # least freq, ties to larger value
+            if f[i] > 0 and (v1 < 0 or f[i] < f[v1] or (f[i] == f[v1] and i > v1)):
+                v1 = i
+        for i in range(257):
+            if i != v1 and f[i] > 0 and (
+                v2 < 0 or f[i] < f[v2] or (f[i] == f[v2] and i > v2)
+            ):
+                v2 = i
+        if v2 < 0:
+            break
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # ADJUST_BI (K.2 figure K.3)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16  # drop the reserved symbol's slot from the longest length
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1
+    huffval = tuple(
+        s
+        for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s] > 0
+    )
+    return tuple(bits[1:17]), huffval
+
+
+class _CountEmitter:
+    """First-pass scan walk: collects Huffman symbol frequencies."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self) -> None:
+        pass
+
+
+class _WriteEmitter:
+    """Second-pass scan walk: writes codes + raw bits + RST markers."""
+
+    def __init__(self, bw: _BitWriter, codes) -> None:
+        self.bw = bw
+        self.codes = codes
+        self.rst = 0
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self) -> None:
+        self.bw.byte_align()
+        self.bw.out += b"\xff" + bytes([0xD0 + self.rst])
+        self.rst = (self.rst + 1) % 8
+
+
+def _scan_units(
+    w: int, h: int, comps: list[dict], idxs: list[int]
+) -> list[list[tuple[int, int, int]]]:
+    """Data-unit sequence for one scan: a list of restart units, each
+    a list of (comp_index, by, bx) blocks. Interleaved scans (>1
+    component) walk MCUs; single-component scans walk the component's
+    OWN block grid in raster order (T.81 A.2.2 — non-interleaved
+    dimensions are ceil of the scaled component size, not the padded
+    MCU grid)."""
+    hmax = max(c["hv"][0] for c in comps)
+    vmax = max(c["hv"][1] for c in comps)
+    if len(idxs) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        units = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for ci in idxs:
+                ch, cv = comps[ci]["hv"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blocks.append((ci, my * cv + by, mx * ch + bx))
+            units.append(blocks)
+        return units
+    ci = idxs[0]
+    ch, cv = comps[ci]["hv"]
+    cw = -(-(w * ch) // hmax)
+    chh = -(-(h * cv) // vmax)
+    nbx = -(-cw // 8)
+    nby = -(-chh // 8)
+    return [[(ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+
+
+def _decode_scan_prog(
+    data: bytes,
+    pos: int,
+    w: int,
+    h: int,
+    comps: list[dict],
+    coeffs: list[np.ndarray],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict[int, dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the raw-coefficient arrays;
+    returns the stream position of the next marker. Implements the
+    four T.81 Annex G scan kinds: DC first (diffs of the
+    arithmetic-shifted value), DC refine (one bit ORed at Al), AC
+    first (run/size with EOBn run coding, values shifted by Al), AC
+    refine (±1 significance codes + correction bits, sign-magnitude)
+    — the jdphuff.c control flow, re-derived from the spec."""
+    ids = {c["id"]: i for i, c in enumerate(comps)}
+    idxs = [ids[cs] for cs, _, _ in scan]
+    tds = {ids[cs]: td for cs, td, _ in scan}
+    tas = {ids[cs]: ta for cs, _, ta in scan}
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive scan cannot mix DC and AC (Ss=0 requires Se=0"
+            " — T.81 G.1.1.1.1)"
+        )
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not 0 <= ss <= se <= 63 or ah > 13 or al > 13:
+        raise ValueError(f"bad scan header Ss={ss} Se={se} Ah={ah} Al={al}")
+    units = _scan_units(w, h, comps, idxs)
+    br = _BitReader(data, pos)
+    preds = {ci: 0 for ci in idxs}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    try:
+        for u, blocks in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                br.byte_align()
+                if br.marker is None:
+                    if data[br.pos] != 0xFF:
+                        raise ValueError("expected RST marker")
+                    br.marker = data[br.pos + 1]
+                    br.pos += 2
+                if not 0xD0 <= br.marker <= 0xD7:
+                    raise ValueError(f"expected RST, got 0xFF{br.marker:02X}")
+                br.marker = None
+                preds = {ci: 0 for ci in idxs}
+                eobrun = 0
+            for ci, by, bx in blocks:
+                blk = coeffs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:  # DC first
+                        size = _decode_huffman(br, htables[tds[ci]])
+                        diff = _extend(br.read_bits(size), size)
+                        preds[ci] += diff
+                        blk[0] = preds[ci] << al
+                    else:  # DC refine: one bit ORed at position Al
+                        if br.read_bit():
+                            blk[0] = int(blk[0]) | p1
+                    continue
+                act = htables[0x10 | tas[ci]]
+                if ah == 0:  # AC first
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huffman(br, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refine
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_huffman(br, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                # r == 15: run of 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                newval = p1 if br.read_bit() else m1
+                            while k <= se:
+                                zi = ZIGZAG[k]
+                                c = int(blk[zi])
+                                if c != 0:
+                                    if br.read_bit() and (c & p1) == 0:
+                                        blk[zi] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[ZIGZAG[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:  # refine the band's tail
+                            zi = ZIGZAG[k]
+                            c = int(blk[zi])
+                            if c != 0:
+                                if br.read_bit() and (c & p1) == 0:
+                                    blk[zi] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    except _MarkerHit:
+        raise ValueError(
+            f"marker 0xFF{br.marker:02X} interrupted progressive scan"
+        ) from None
+    return br.pos
+
+
+def _enc_dc_first(em, units, coeffs, dc_codes_unused, al, ri) -> None:
+    preds: dict[int, int] = {}
+    for u, blocks in enumerate(units):
+        if ri and u and u % ri == 0:
+            em.restart()
+            preds = {}
+        for ci, by, bx in blocks:
+            v = coeffs[ci][by][bx][0] >> al  # arithmetic shift (G.1.2.1)
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            size, extra = _magnitude_bits(diff)
+            em.sym(size)
+            em.bits(extra, size)
+
+
+def _enc_dc_refine(em, units, coeffs, al, ri) -> None:
+    for u, blocks in enumerate(units):
+        if ri and u and u % ri == 0:
+            em.restart()
+        for ci, by, bx in blocks:
+            em.bits((coeffs[ci][by][bx][0] >> al) & 1, 1)
+
+
+def _enc_ac_first(em, units, coeffs, ss, se, al, ri) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            em.sym(n << 4)
+            em.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for u, blocks in enumerate(units):
+        if ri and u and u % ri == 0:
+            flush()
+            em.restart()
+        ci, by, bx = blocks[0]
+        blk = coeffs[ci][by][bx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = blk[ZIGZAG[k]]
+            t = abs(v) >> al  # magnitude shift toward zero (G.1.2.2)
+            if v < 0:
+                t = -t
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                em.sym(0xF0)
+                r -= 16
+            size, extra = _magnitude_bits(t)
+            em.sym((r << 4) | size)
+            em.bits(extra, size)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
+    """TWO correction-bit buffers, exactly the jcphuff.c discipline
+    (BE vs BR): ``held`` carries the bits of blocks already covered by
+    the pending EOB run and is emitted WITH the EOBn symbol; ``cur``
+    carries the current block's bits since its last emitted symbol and
+    follows THAT symbol — the decoder reads held bits while replaying
+    the run-covered blocks' bands and cur bits inside the current
+    block's advance loop, so merging the buffers mis-frames the
+    stream (the round-12 first-draft bug, caught by the multi-block
+    equivalence test)."""
+    eobrun = 0
+    held: list[int] = []  # run-covered blocks' bits (jcphuff BE)
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+            for b in held:
+                em.bits(b, 1)
+            held.clear()
+
+    for u, blocks in enumerate(units):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            em.restart()
+        ci, by, bx = blocks[0]
+        blk = coeffs[ci][by][bx]
+        absv = [abs(blk[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+        eob_k = ss - 1  # last newly-significant index
+        for k in range(ss, se + 1):
+            if absv[k - ss] == 1:
+                eob_k = k
+        r = 0
+        cur: list[int] = []  # this block's bits since last symbol (BR)
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                flush_eob()
+                em.sym(0xF0)
+                r -= 16
+                for b in cur:
+                    em.bits(b, 1)
+                cur = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                cur.append(t & 1)
+                continue
+            flush_eob()
+            em.sym((r << 4) | 1)
+            em.bits(1 if blk[ZIGZAG[k]] > 0 else 0, 1)
+            for b in cur:
+                em.bits(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eobrun += 1
+            held.extend(cur)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def progressive_scan_script(
+    ncomp: int,
+    dc_al: int = 1,
+    ac_al: int = 2,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> list[tuple[str, tuple[int, ...], int, int, int, int]]:
+    """The default scan script: (kind, comp_indices, Ss, Se, Ah, Al).
+    DC first (interleaved) at Al=dc_al, per-component AC band first
+    scans at Al=ac_al, then DC/AC refinement passes down to Al=0."""
+    allc = tuple(range(ncomp))
+    scans: list[tuple[str, tuple[int, ...], int, int, int, int]] = [
+        ("dc_first", allc, 0, 0, 0, dc_al)
+    ]
+    for ci in range(ncomp):
+        for s0, s1 in bands:
+            scans.append(("ac_first", (ci,), s0, s1, 0, ac_al))
+    for al in range(dc_al - 1, -1, -1):
+        scans.append(("dc_refine", allc, 0, 0, al + 1, al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for s0, s1 in bands:
+                scans.append(("ac_refine", (ci,), s0, s1, al + 1, al))
+    return scans
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    components: list[dict],
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode a progressive (SOF2) JFIF JPEG from QUANTIZED coefficient
+    blocks — the same ``components`` contract as :func:`encode_jpeg`.
+    Each scan is two-pass: a counting walk collects symbol
+    frequencies, :func:`build_huffman_spec` derives an optimal table,
+    a DHT overwrites slot 0 of the scan's class, then the entropy
+    pass writes the bits. A complete default script (``scans=None``)
+    reaches Al=0 everywhere, so decoding reproduces the baseline
+    pixels of the same coefficients exactly."""
+    ncomp = len(components)
+    if ncomp not in (1, 3):
+        raise ValueError(f"progressive encode supports 1 or 3, got {ncomp}")
+    hmax = max(c["hv"][0] for c in components)
+    vmax = max(c["hv"][1] for c in components)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dimensions must tile the MCU grid exactly")
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
+    for c in components:
+        h, v = c["hv"]
+        if len(c["coeffs"]) != mcuy * v or len(c["coeffs"][0]) != mcux * h:
+            raise ValueError("coefficient grid does not match geometry")
+    if scans is None:
+        scans = progressive_scan_script(ncomp)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    for i, c in enumerate(components[:2]):
+        zz = bytes(c["q"][ZIGZAG[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, i) + zz
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for i, c in enumerate(components):
+        h, v = c["hv"]
+        out += struct.pack(">BBB", i + 1, (h << 4) | v, min(i, 1))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    comp_meta = [{"hv": c["hv"]} for c in components]
+    coeff_grids = [c["coeffs"] for c in components]
+
+    def run(kind, em, units, ss, se, al):
+        if kind == "dc_first":
+            _enc_dc_first(em, units, coeff_grids, None, al, restart_interval)
+        elif kind == "dc_refine":
+            _enc_dc_refine(em, units, coeff_grids, al, restart_interval)
+        elif kind == "ac_first":
+            _enc_ac_first(em, units, coeff_grids, ss, se, al, restart_interval)
+        else:
+            _enc_ac_refine(
+                em, units, coeff_grids, ss, se, al, restart_interval
+            )
+
+    for kind, idxs, ss, se, ah, al in scans:
+        units = _scan_units(width, height, comp_meta, list(idxs))
+        counter = _CountEmitter()
+        run(kind, counter, units, ss, se, al)
+        if counter.freq:  # dc_refine scans carry no Huffman symbols
+            bits, vals = build_huffman_spec(counter.freq)
+            tc = 0 if kind == "dc_first" else 1
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 3 + 16 + len(vals), (tc << 4) | 0
+            )
+            out += bytes(bits) + bytes(vals)
+            codes = _canonical_codes(bits, vals)
+        else:
+            codes = {}
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(idxs), len(idxs))
+        for ci in idxs:
+            out += struct.pack(">BB", ci + 1, 0)  # Td=0, Ta=0
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        bw = _BitWriter()
+        run(kind, _WriteEmitter(bw, codes), units, ss, se, al)
+        bw.byte_align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

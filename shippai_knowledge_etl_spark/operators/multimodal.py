@@ -1612,6 +1612,202 @@ def jpeg_decode_features(df: DataFrame) -> DataFrame:
     )
 
 
+JPEG_PROG_SCHEMA = (
+    "doc_id long, width int, height int, channels int, n_scans int, "
+    "pixel_sum long, wsum long, diff_sum long, diff_wsum long, ok boolean"
+)
+
+
+def attach_jpeg_progressive_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic progressive-JPEG (SOF2) ingestion surrogate
+    (round 12, VERDICT r11 item 3 — the remaining mass of any crawl's
+    image bytes): per row, THREE real JPEG streams.
+
+    ``flat_prog``: the EXACT images of attach_jpeg_payload (even ids
+    grayscale, odd ids YCbCr 4:2:0, flat per-block DC) re-encoded
+    PROGRESSIVELY — default scan script (DC Al=1→0, per-component AC
+    bands 1-5/6-63 at Al=2→1→0), restart interval 3/2 in EVERY scan —
+    so the closed-form pixel-sum oracle of mm_jpeg_decode applies
+    verbatim to a stream whose entropy layout shares nothing with the
+    baseline one (EOBn runs, refinement bits, per-scan Annex-K.2
+    Huffman tables).
+
+    ``acb_base`` / ``acb_prog``: the same geometry with DENSE AC
+    coefficients (11 per luma block, 5 per chroma, magnitudes spanning
+    all three successive-approximation levels) encoded baseline AND
+    progressively — the float-IDCT path has no SQL twin, so the gate
+    on these is the EQUIVALENCE: both decodes must agree pixel for
+    pixel (diff sums 0)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+            ZIGZAG,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            flat_block,
+        )
+
+        def grids(i: int):
+            """(w, h, components) with flat DC; AC added by caller."""
+            if i % 2 == 0:
+                w, h = 24 + 8 * (i % 3), 16 + 8 * (i % 2)
+                coeffs = [
+                    [
+                        flat_block((i + 7 * bx + 13 * by) % 256, 5)
+                        for bx in range(w // 8)
+                    ]
+                    for by in range(h // 8)
+                ]
+                return w, h, [
+                    {"coeffs": coeffs, "q": [5] * 64, "hv": (1, 1)}
+                ]
+            w, h = 32 + 16 * ((i // 2) % 2), 32
+            ly = [
+                [
+                    flat_block((i + 7 * bx + 13 * by) % 256, 5)
+                    for bx in range(w // 8)
+                ]
+                for by in range(4)
+            ]
+            cb = [
+                [
+                    flat_block((3 * i + 17 * mx + 29 * my) % 256, 6)
+                    for mx in range(w // 16)
+                ]
+                for my in range(2)
+            ]
+            cr = [
+                [
+                    flat_block((5 * i + 23 * mx + 31 * my) % 256, 6)
+                    for mx in range(w // 16)
+                ]
+                for my in range(2)
+            ]
+            return w, h, [
+                {"coeffs": ly, "q": [5] * 64, "hv": (2, 2)},
+                {"coeffs": cb, "q": [6] * 64, "hv": (1, 1)},
+                {"coeffs": cr, "q": [6] * 64, "hv": (1, 1)},
+            ]
+
+        def add_ac(comps, i: int):
+            for ci, c in enumerate(comps):
+                nac = 11 if ci == 0 else 5
+                for by, row in enumerate(c["coeffs"]):
+                    for bx, blk in enumerate(row):
+                        for k in range(1, 1 + nac):
+                            blk[ZIGZAG[k]] = (
+                                (i * 31 + ci * 11 + bx * 7 + by * 13 + k * 5)
+                                % 15
+                            ) - 7
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                ri = 3 if i % 2 == 0 else 2
+                w, h, comps = grids(i)
+                flat_prog = encode_jpeg_progressive(
+                    w, h, comps, restart_interval=ri
+                )
+                add_ac(comps, i)
+                acb_base = encode_jpeg(w, h, comps, restart_interval=ri)
+                acb_prog = encode_jpeg_progressive(
+                    w, h, comps, restart_interval=ri
+                )
+                rows.append((i, flat_prog, acb_base, acb_prog))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "flat_prog", "acb_base", "acb_prog"],
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches,
+        "doc_id long, flat_prog binary, acb_base binary, acb_prog binary",
+    )
+
+
+def jpeg_progressive_features(df: DataFrame) -> DataFrame:
+    """REAL progressive decode end-to-end, gated two ways: the flat
+    payload's exact pixel sum + position-weighted wsum (closed-form —
+    the mm_jpeg_decode oracle applies verbatim because successive
+    approximation is lossless at Al=0), and the AC-bearing pair's
+    pixel-by-pixel difference between the progressive and baseline
+    decodes (diff_sum / diff_wsum, both 0 iff every coefficient of
+    every scan landed exactly). n_scans is parsed from the stream (SOS
+    marker count), pinning the scan script itself.
+
+    Scale shape: one narrow Arrow map — three full entropy decodes per
+    row stay in the Python worker; eight small values per image return
+    to the JVM (the mm_png_decode class)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        def sums(w, h, nc, pix):
+            a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+            a = a.reshape(h, w, nc).sum(axis=2)
+            wgt = (
+                np.arange(w, dtype=np.int64)[None, :]
+                + 2 * np.arange(h, dtype=np.int64)[:, None]
+                + 1
+            )
+            return int(a.sum()), int((a * wgt).sum())
+
+        for pdf in it:
+            rows = []
+            for doc_id, fp, ab, ap in zip(
+                pdf["doc_id"], pdf["flat_prog"], pdf["acb_base"],
+                pdf["acb_prog"],
+            ):
+                try:
+                    fp = bytes(fp)
+                    w, h, nc, pix = decode_jpeg(fp)
+                    psum, wsum = sums(w, h, nc, pix)
+                    n_scans = fp.count(b"\xff\xda")
+                    bw, bh, bn, bpix = decode_jpeg(bytes(ab))
+                    pw, ph, pn, ppix = decode_jpeg(bytes(ap))
+                    if (bw, bh, bn) != (pw, ph, pn):
+                        raise ValueError("geometry mismatch base vs prog")
+                    d = np.frombuffer(ppix, dtype=np.uint8).astype(
+                        np.int64
+                    ) - np.frombuffer(bpix, dtype=np.uint8).astype(np.int64)
+                    d = np.abs(d).reshape(bh, bw, bn).sum(axis=2)
+                    wgt = (
+                        np.arange(bw, dtype=np.int64)[None, :]
+                        + 2 * np.arange(bh, dtype=np.int64)[:, None]
+                        + 1
+                    )
+                    rows.append(
+                        (
+                            int(doc_id), w, h, nc, n_scans, psum, wsum,
+                            int(d.sum()), int((d * wgt).sum()), True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None,
+                         None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_scans",
+                    "pixel_sum", "wsum", "diff_sum", "diff_wsum", "ok",
+                ],
+            )
+
+    return df.select(
+        "doc_id", "flat_prog", "acb_base", "acb_prog"
+    ).mapInPandas(batches, JPEG_PROG_SCHEMA)
+
+
 ADPCM_FEATURE_SCHEMA = (
     "doc_id long, n_samples long, n_blocks long, sum_decoded long, "
     "max_abs long, sum_abs_err long, ok boolean"

@@ -881,10 +881,17 @@ def test_jpeg_codec_scope_errors():
         decode_jpeg(b"\x00\x00" + data[2:])
     with pytest.raises(ValueError):
         decode_jpeg(data[:40])  # truncated before SOS
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF1 (extended sequential): still a loud raise
     sof = data.index(b"\xff\xc0")
+    ext = data[:sof] + b"\xff\xc1" + data[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(ext)
+    # flip SOF0 -> SOF2: progressive is now IMPLEMENTED (round 12),
+    # but a baseline scan header (Ss=0, Se=63) is illegal in a
+    # progressive frame — the relabeled stream must fail loudly, not
+    # decode garbage
     prog = data[:sof] + b"\xff\xc2" + data[sof + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    with pytest.raises(ValueError, match="mix DC and AC"):
         decode_jpeg(prog)
     # 16-bit DQT: set Pq high nibble
     dqt = data.index(b"\xff\xdb")
@@ -1323,3 +1330,204 @@ def test_alaw_matches_audioop_full_range_and_closed_form():
     rate, ch, bits, dec = decode_wav(encode_wav_alaw(samples, 8000))
     assert (rate, ch, bits) == (8000, 1, 8)
     assert dec == [alaw_expand(alaw_compress(s)) for s in samples]
+
+
+def _jpg_coeff_grid(i, nbx, nby, q, nac, spread=False):
+    """Deterministic quantized-coefficient grids for the progressive
+    equivalence tests: flat DC per block + nac AC values in [-7, 7]
+    (optionally spread across the zigzag range)."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        flat_block,
+    )
+
+    grid = []
+    for by in range(nby):
+        row = []
+        for bx in range(nbx):
+            blk = flat_block((i + 7 * bx + 13 * by) % 256, q)
+            for k in range(1, 1 + nac):
+                kk = (k * 5) % 63 + 1 if spread else k
+                blk[ZIGZAG[kk]] = ((i * 31 + bx * 7 + by * 13 + k * 5) % 15) - 7
+            row.append(blk)
+        grid.append(row)
+    return grid
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """THE progressive contract: successive approximation is lossless
+    once every scan reaches Al=0, so decoding a complete SOF2 stream
+    reproduces the baseline decode of the same quantized coefficients
+    byte-for-byte — across grayscale and 4:2:0 color, AC density 0
+    (pure EOB-run streams) through dense, spread zigzag positions,
+    and restart intervals 0/1/2 in every scan."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for i in range(6):
+        for nac in (0, 3, 11):
+            for spread in (False, True):
+                comps = [
+                    {
+                        "coeffs": _jpg_coeff_grid(i, 3, 2, 5, nac, spread),
+                        "q": [5] * 64,
+                        "hv": (1, 1),
+                    }
+                ]
+                base = decode_jpeg(encode_jpeg(24, 16, comps))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(
+                        24, 16, comps, restart_interval=i % 3
+                    )
+                )
+                assert prog == base, (i, nac, spread)
+    for i in range(4):
+        comps = [
+            {"coeffs": _jpg_coeff_grid(i, 4, 4, 5, 7), "q": [5] * 64,
+             "hv": (2, 2)},
+            {"coeffs": _jpg_coeff_grid(3 * i + 1, 2, 2, 6, 4), "q": [6] * 64,
+             "hv": (1, 1)},
+            {"coeffs": _jpg_coeff_grid(5 * i + 2, 2, 2, 6, 4), "q": [6] * 64,
+             "hv": (1, 1)},
+        ]
+        base = decode_jpeg(encode_jpeg(32, 32, comps, restart_interval=3))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(32, 32, comps, restart_interval=(i % 2) * 2)
+        )
+        assert prog == base, i
+
+
+def test_jpeg_progressive_fuzz_scripts_and_magnitudes():
+    """Seeded fuzz over the full coefficient range with varying Al
+    schedules (0..3), band splits (1/2/3 bands) and restart intervals:
+    every script that reaches Al=0 must reproduce the baseline decode.
+    Exercises EOBn runs > 1, ZRL-in-refinement, correction-bit
+    buffering across run-covered blocks, and multi-level significance
+    travel (a coefficient first visible only at the last pass)."""
+    import numpy as np
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        progressive_scan_script,
+    )
+
+    rng = np.random.RandomState(1207)
+    for trial in range(30):
+        nbx, nby = int(rng.randint(1, 5)), int(rng.randint(1, 4))
+        grid = []
+        for _by in range(nby):
+            row = []
+            for _bx in range(nbx):
+                blk = [0] * 64
+                blk[0] = int(rng.randint(-200, 200))
+                for _ in range(int(rng.randint(0, 30))):
+                    blk[ZIGZAG[int(rng.randint(1, 64))]] = int(
+                        rng.randint(-127, 128)
+                    )
+                row.append(blk)
+            grid.append(row)
+        comps = [{"coeffs": grid, "q": [3] * 64, "hv": (1, 1)}]
+        base = decode_jpeg(encode_jpeg(nbx * 8, nby * 8, comps))
+        sc = progressive_scan_script(
+            1,
+            dc_al=int(rng.randint(0, 3)),
+            ac_al=int(rng.randint(0, 4)),
+            bands=(((1, 63),), ((1, 5), (6, 63)),
+                   ((1, 2), (3, 20), (21, 63)))[trial % 3],
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                nbx * 8, nby * 8, comps,
+                restart_interval=int(rng.randint(0, 4)), scans=sc,
+            )
+        )
+        assert prog == base, trial
+
+
+def test_jpeg_progressive_eob_run_spanning_blocks():
+    """A corpus shaped to force one EOBn code covering MANY blocks
+    (all-zero AC everywhere except the last block): the decoder must
+    carry the run across blocks and restart boundaries must reset it."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        flat_block,
+    )
+
+    grid = [[flat_block(40 + 9 * bx, 5) for bx in range(8)] for _ in range(1)]
+    grid[0][7][ZIGZAG[3]] = 5  # only the last block carries AC
+    comps = [{"coeffs": grid, "q": [5] * 64, "hv": (1, 1)}]
+    base = decode_jpeg(encode_jpeg(64, 8, comps))
+    for ri in (0, 3):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(64, 8, comps, restart_interval=ri)
+        )
+        assert prog == base, ri
+
+
+def test_jpeg_build_huffman_spec_properties():
+    """The Annex K.2 builder: lengths ≤ 16, Kraft inequality strictly
+    honored (incomplete codes are legal), every input symbol present
+    exactly once, and a canonical decode table round-trips every
+    symbol — including a skewed 200-symbol distribution that forces
+    the ADJUST_BI >16-bit fold."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        _canonical_codes,
+        _decode_table,
+        build_huffman_spec,
+    )
+
+    cases = [
+        {0: 1},
+        {0: 5, 1: 3, 0xF0: 1},
+        {s: 2 ** max(0, 18 - s) for s in range(200)},  # forces ADJUST_BI
+        {s: 1 + (s * 7) % 13 for s in range(0, 256, 3)},
+    ]
+    for freq in cases:
+        bits, vals = build_huffman_spec(freq)
+        assert len(bits) == 16 and sum(bits) == len(vals)
+        assert sorted(vals) == sorted(freq)
+        assert sum(n * 2 ** (16 - ln) for ln, n in
+                   zip(range(1, 17), bits)) < 2 ** 16  # strict: all-ones free
+        enc = _canonical_codes(bits, vals)
+        dec = _decode_table(bits, vals)
+        assert len(enc) == len(freq)
+        for sym, (code, ln) in enc.items():
+            assert dec[(ln, code)] == sym
+
+
+def test_jpeg_progressive_features_real_path(spark):
+    """The Spark surface end-to-end at a handful of ids: three real
+    streams per row, flat-progressive sums equal the closed form,
+    AC-pair decode difference exactly zero, scan counts pin the
+    script (8 grayscale / 20 color)."""
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import decoded_flat
+    from shippai_knowledge_etl_spark.operators.multimodal import (
+        attach_jpeg_progressive_payload,
+        jpeg_progressive_features,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = jpeg_progressive_features(
+        attach_jpeg_progressive_payload(ids, "doc_id")
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6 and all(r["ok"] for r in rows.values())
+    assert all(r["diff_sum"] == 0 and r["diff_wsum"] == 0
+               for r in rows.values())
+    assert rows[0]["n_scans"] == 8 and rows[1]["n_scans"] == 20
+    exp = sum(
+        64 * decoded_flat((0 + 7 * bx + 13 * by) % 256, 5)
+        for by in range(2)
+        for bx in range(3)
+    )
+    assert rows[0]["pixel_sum"] == exp
+    assert rows[1]["channels"] == 3
