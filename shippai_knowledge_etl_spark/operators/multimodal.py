@@ -2258,7 +2258,8 @@ def tar_extract_features(df: DataFrame) -> DataFrame:
 
 WARC_FEATURE_SCHEMA = (
     "doc_id long, n_records long, n_responses long, status_sum long, "
-    "ordered_status long, body_bytes long, body_byte_sum long, ok boolean"
+    "ordered_status long, body_bytes long, body_byte_sum long, "
+    "n_gz_members long, ok boolean"
 )
 
 # every generated HTTP body starts with this framing boobytrap: a
@@ -2273,13 +2274,17 @@ def attach_warc_payload(df: DataFrame, id_col: str) -> DataFrame:
     2 + id%2 HTTP responses; response m targets
     http://example.com/{id}/{m}, status 200 unless (id+m)%5 == 0
     (then 404), body = the 16-byte framing trap + 30 + (id+m)%11
-    letter bytes 97 + (7id + 13m + j) mod 26."""
+    letter bytes 97 + (7id + 13m + j) mod 26. Round 12 (VERDICT r11
+    item 4): ODD ids arrive as member-wise .warc.gz — one gzip member
+    per record, the Common Crawl layout — even ids stay plain, so
+    both intake paths hold a driver witness."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         from shippai_knowledge_etl_spark.operators.warc_codec import (
             encode_warc,
+            encode_warc_gzip,
             http_response,
         )
 
@@ -2310,7 +2315,8 @@ def attach_warc_payload(df: DataFrame, id_col: str) -> DataFrame:
                             ),
                         }
                     )
-                rows.append((i, encode_warc(recs)))
+                enc = encode_warc_gzip if i % 2 else encode_warc
+                rows.append((i, enc(recs)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -2322,20 +2328,22 @@ def warc_parse_features(df: DataFrame) -> DataFrame:
     """REAL WARC parse: Content-Length framing (each body embeds a
     blank line and a fake record marker — blank-line splitting CANNOT
     produce these sums), HTTP status extraction, exact body byte
-    accounting with record-order-weighted statuses."""
+    accounting with record-order-weighted statuses. Gzipped shards
+    are walked member by member and n_gz_members pins the per-record
+    framing contract (== n_records for .warc.gz, 0 for plain)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         from shippai_knowledge_etl_spark.operators.warc_codec import (
-            decode_warc,
+            decode_warc_auto,
         )
 
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    recs = decode_warc(bytes(payload))
+                    recs, n_gz = decode_warc_auto(bytes(payload))
                     resp = [r for r in recs if r["type"] == "response"]
                     rows.append(
                         (
@@ -2349,12 +2357,13 @@ def warc_parse_features(df: DataFrame) -> DataFrame:
                             ),
                             sum(len(r["body"]) for r in resp),
                             sum(sum(r["body"]) for r in resp),
+                            n_gz,
                             True,
                         )
                     )
                 except Exception:
                     rows.append(
-                        (int(doc_id),) + (None,) * 6 + (False,)
+                        (int(doc_id),) + (None,) * 7 + (False,)
                     )
             yield pd.DataFrame(
                 rows,
@@ -2366,6 +2375,7 @@ def warc_parse_features(df: DataFrame) -> DataFrame:
                     "ordered_status",
                     "body_bytes",
                     "body_byte_sum",
+                    "n_gz_members",
                     "ok",
                 ],
             )
@@ -2377,16 +2387,19 @@ def warc_parse_features(df: DataFrame) -> DataFrame:
 
 ZIP_FEATURE_SCHEMA = (
     "doc_id long, n_members long, total_bytes long, "
-    "payload_byte_sum long, crc_sum long, ok boolean"
+    "payload_byte_sum long, crc_sum long, n_deflated long, ok boolean"
 )
 
 
 def attach_zip_payload(df: DataFrame, id_col: str) -> DataFrame:
-    """Deterministic stored-mode zip surrogate (round 11): per row,
-    2 + id%2 members f{id}_{m}.bin with payload b(j) =
-    (id·2654435761 + 97m + 131j) mod 256, length 24 + (id+m) mod 9 —
-    short enough that the oracle's per-byte CRC-32 recursion stays a
-    bounded CTE."""
+    """Deterministic zip surrogate (round 11; round 12 widens to
+    DEFLATE): per row, 2 + id%2 members f{id}_{m}.bin with payload
+    b(j) = (id·2654435761 + 97m + 131j) mod 256, length
+    24 + (id+m) mod 9 — short enough that the oracle's per-byte
+    CRC-32 recursion stays a bounded CTE. Members with (id+m) odd are
+    method-8 DEFLATED (1 + id%2 per archive), the rest stored — the
+    gated sums are all over the INFLATED bytes, so a wrong inflate
+    cannot reproduce them OR the stored CRCs."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2409,7 +2422,9 @@ def attach_zip_payload(df: DataFrame, id_col: str) -> DataFrame:
                     )
                     for m in range(2 + i % 2)
                 ]
-                rows.append((i, encode_zip(members)))
+                methods = [8 if (i + m) % 2 else 0
+                           for m in range(2 + i % 2)]
+                rows.append((i, encode_zip(members, methods)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -2441,15 +2456,16 @@ def zip_extract_features(df: DataFrame) -> DataFrame:
                         (
                             int(doc_id),
                             len(members),
-                            sum(len(p) for _n, p, _c in members),
-                            sum(sum(p) for _n, p, _c in members),
-                            sum(c for _n, _p, c in members),
+                            sum(len(p) for _n, p, _c, _m in members),
+                            sum(sum(p) for _n, p, _c, _m in members),
+                            sum(c for _n, _p, c, _m in members),
+                            sum(1 for _n, _p, _c, m in members if m == 8),
                             True,
                         )
                     )
                 except Exception:
                     rows.append(
-                        (int(doc_id), None, None, None, None, False)
+                        (int(doc_id), None, None, None, None, None, False)
                     )
             yield pd.DataFrame(
                 rows,
@@ -2459,6 +2475,7 @@ def zip_extract_features(df: DataFrame) -> DataFrame:
                     "total_bytes",
                     "payload_byte_sum",
                     "crc_sum",
+                    "n_deflated",
                     "ok",
                 ],
             )

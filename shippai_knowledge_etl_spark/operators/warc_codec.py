@@ -17,9 +17,20 @@ headers are parsed too (split at the FIRST blank line — inside the
 HTTP payload that is legal because the generators put the boobytrap
 in the HTTP body, which stays opaque bytes).
 
-Scope: warcinfo / response records, byte-exact framing. Unknown
-WARC-Type raises ``NotImplementedError``; missing mandatory headers,
-bad version lines and framing errors raise ``ValueError``.
+Round 12 (VERDICT r11 item 4): member-wise GZIP — the actual Common
+Crawl arrival format is one gzip member PER RECORD, concatenated
+(that is what makes offset-indexed random access into a .warc.gz
+possible), so :func:`decode_warc_auto` walks gzip members one
+``zlib.decompressobj(wbits=31)`` at a time via ``unused_data``
+chaining and REQUIRES each member to frame exactly one record — a
+whole-stream ``gzip.decompress`` would silently accept broken
+per-record framing that real index-based readers choke on.
+
+Scope: warcinfo / response records, byte-exact framing, plain or
+member-gzipped streams. Unknown WARC-Type raises
+``NotImplementedError``; missing mandatory headers, bad version
+lines, framing errors and truncated gzip members raise
+``ValueError``.
 
 Reference analog: the reference fetches live pages one URL at a time
 (src/extract.py:36); consuming an at-rest crawl archive is the [EXT]
@@ -65,6 +76,53 @@ def http_response(status: int, body: bytes) -> bytes:
         + _CRLF
         + body
     )
+
+
+def encode_warc_gzip(records: list[dict]) -> bytes:
+    """records → member-wise .warc.gz bytes: each record's plain WARC
+    serialization compressed as its OWN gzip member (mtime pinned to 0
+    for determinism), members concatenated — the Common Crawl layout."""
+    import gzip
+
+    out = bytearray()
+    for r in records:
+        out += gzip.compress(encode_warc([r]), compresslevel=9, mtime=0)
+    return bytes(out)
+
+
+def decode_warc_auto(data: bytes) -> tuple[list[dict], int]:
+    """Plain or gzipped WARC bytes → (records, n_gzip_members).
+
+    Gzip streams (1F 8B magic) are walked member by member; each
+    member must inflate to exactly one record (the per-record framing
+    contract real .warc.gz index readers depend on), so
+    ``n_gzip_members == len(records)`` for gzipped input; plain input
+    reports 0 members."""
+    if data[:2] != b"\x1f\x8b":
+        return decode_warc(data), 0
+    import zlib
+
+    records: list[dict] = []
+    n = 0
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member: {e}")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        recs = decode_warc(member)
+        if len(recs) != 1:
+            raise ValueError(
+                f"gzip member frames {len(recs)} records (expected 1 — "
+                "per-record members are the .warc.gz contract)"
+            )
+        records.extend(recs)
+        n += 1
+        rest = d.unused_data
+    return records, n
 
 
 def decode_warc(data: bytes) -> list[dict]:

@@ -1647,7 +1647,11 @@ def mm_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extraction from the response payloads, warcinfo records "
         "skipped by type; record counts, status sums (plus the "
         "record-order-weighted form) and exact body byte accounting "
-        "recomputed in closed form"
+        "recomputed in closed form; round 12 (VERDICT r11 item 4): "
+        "odd ids arrive as member-wise .warc.gz (one gzip member per "
+        "record, the Common Crawl layout, walked by decompressobj "
+        "unused_data chaining) with n_gz_members pinning the "
+        "one-record-per-member framing contract"
     ),
     oracle="""
     SELECT doc_id,
@@ -1667,6 +1671,8 @@ def mm_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                   range(0, 30 + (doc_id + m) % 11),
                   j -> 97 + (7*doc_id + 13*m + j) % 26))))
              AS BIGINT) AS body_byte_sum,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 + doc_id % 2
+                     ELSE 0 END AS BIGINT) AS n_gz_members,
            true AS ok
     FROM documents
     """,
@@ -1711,7 +1717,10 @@ _ZIP_BYTE = "(doc_id * 2654435761 + 97 * m + 131 * j) % 256"
         "byte-stream recursion crc' = xor(crc >> 8, T[xor(crc, b) & "
         "255]) as a recursive CTE over a 256-entry table literal — "
         "the IMA-ADPCM declarative-state-machine discipline applied "
-        "to a checksum"
+        "to a checksum; round 12 (VERDICT r11 item 4): members with "
+        "(id+m) odd are method-8 DEFLATED and inflated with raw-zlib "
+        "wbits=-15, and because the CRC covers the INFLATED bytes "
+        "the same recursion now hash-witnesses the inflate itself"
     ),
     oracle=f"""
     WITH RECURSIVE mem AS (
@@ -1739,6 +1748,7 @@ _ZIP_BYTE = "(doc_id * 2654435761 + 97 * m + 131 * j) % 256"
                   j -> (d.doc_id * 2654435761 + 97 * m + 131 * j) % 256))))
              AS BIGINT) AS payload_byte_sum,
            CAST(f.crc_sum AS BIGINT) AS crc_sum,
+           CAST(1 + d.doc_id % 2 AS BIGINT) AS n_deflated,
            true AS ok
     FROM documents d JOIN fin f ON f.doc_id = d.doc_id
     """,

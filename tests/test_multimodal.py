@@ -1214,7 +1214,7 @@ def test_zip_codec_crc_table_matches_zlib_and_detects_corruption():
         for m in range(3)
     ]
     z = encode_zip(members)
-    assert [(n, p) for n, p, _c in decode_zip(z)] == members
+    assert [(n, p) for n, p, _c, _m in decode_zip(z)] == members
     zf = zipfile.ZipFile(io.BytesIO(z))
     assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
     # flip a payload byte → CRC mismatch refused
@@ -1225,6 +1225,46 @@ def test_zip_codec_crc_table_matches_zlib_and_detects_corruption():
         decode_zip(bytes(bad))
     with pytest.raises(ValueError, match="end-of-central"):
         decode_zip(z[: len(z) // 2])
+
+
+def test_zip_codec_deflate_members():
+    """Round-12 deflate widening: method-8 members inflate back to
+    the exact payload bytes, stdlib zipfile agrees, compressible
+    payloads actually shrink on the wire, a corrupted deflate stream
+    is refused, and the CRC check runs over the INFLATED bytes (a
+    bit-flip inside the compressed data fails CRC or inflate — never
+    silently passes)."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.zip_codec import (
+        decode_zip,
+        encode_zip,
+    )
+
+    members = [
+        ("stored.bin", bytes(range(64))),
+        ("deflated.txt", b"the quick brown fox " * 50),
+        ("mixed.bin", bytes((7 * j) % 256 for j in range(200))),
+    ]
+    z = encode_zip(members, methods=[0, 8, 8])
+    got = decode_zip(z)
+    assert [(n, p) for n, p, _c, _m in got] == members
+    assert [m for _n, _p, _c, m in got] == [0, 8, 8]
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    info = {i.filename: i for i in zf.infolist()}
+    assert info["deflated.txt"].compress_size < len(members[1][1])
+    # corrupt a byte inside the deflated stream → loud refusal
+    start = z.index(b"deflated.txt") + len("deflated.txt")
+    bad = bytearray(z)
+    bad[start + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate|CRC|inflated"):
+        decode_zip(bytes(bad))
+    with pytest.raises(NotImplementedError, match="method"):
+        encode_zip([("x", b"y")], methods=[12])
 
 
 def test_pdf_reader_roundtrip_and_scope():
@@ -1531,3 +1571,47 @@ def test_jpeg_progressive_features_real_path(spark):
     )
     assert rows[0]["pixel_sum"] == exp
     assert rows[1]["channels"] == 3
+
+
+def test_warc_gzip_member_framing():
+    """Member-wise .warc.gz: every record its own gzip member (the
+    Common Crawl random-access contract). decode_warc_auto reports the
+    member count, refuses a member that frames two records or a
+    truncated member, and stdlib gzip.decompress agrees with the
+    concatenated plaintext."""
+    import gzip
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.operators.warc_codec import (
+        decode_warc_auto,
+        encode_warc,
+        encode_warc_gzip,
+        http_response,
+    )
+
+    recs = [
+        {"type": "warcinfo", "uri": None, "record_id": "w0",
+         "payload": b"software: x"},
+        {"type": "response", "uri": "http://e.com/1", "record_id": "r1",
+         "payload": http_response(200, b"\r\n\r\nWARC/1.0\r\n\r\nbody-a")},
+        {"type": "response", "uri": "http://e.com/2", "record_id": "r2",
+         "payload": http_response(404, b"body-b")},
+    ]
+    plain = encode_warc(recs)
+    gz = encode_warc_gzip(recs)
+    got_plain, n0 = decode_warc_auto(plain)
+    got_gz, n3 = decode_warc_auto(gz)
+    assert n0 == 0 and n3 == 3
+    assert got_plain == got_gz
+    assert [r["status"] for r in got_gz if r["type"] == "response"] == [
+        200, 404]
+    assert gzip.decompress(gz) == plain
+    # one member holding TWO records violates the per-record contract
+    bad = gzip.compress(encode_warc(recs[:2]), mtime=0) + gzip.compress(
+        encode_warc([recs[2]]), mtime=0
+    )
+    with pytest.raises(ValueError, match="frames 2 records"):
+        decode_warc_auto(bad)
+    with pytest.raises(ValueError, match="gzip"):
+        decode_warc_auto(gz[: len(gz) - 8])
