@@ -1851,6 +1851,77 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.pdf_text_features(payloads)
 
 
+_PDF2_LATIN = (
+    "('d' || CAST(doc_id AS VARCHAR) || '(p' || CAST(p AS VARCHAR)"
+    " || ')' || CAST(m AS VARCHAR))"
+)
+_PDF2_CJK_CP = (
+    "list_sum(list_transform(range(0, 4 + (doc_id + m) % 3), "
+    "j -> 12354 + (doc_id + 2*p + 3*m + j) % 60))"
+)
+_PDF2_PAGES = "range(0, 1 + doc_id % 2)"
+_PDF2_OPS = "range(0, 2 + (doc_id + p) % 2)"
+
+
+@register(
+    "mm_pdf_flate_extract",
+    survey_ref=(
+        "[EXT] ADVERSARIAL PDF text extraction (round 12, VERDICT r11 "
+        "item 5 — making the read loop non-self-referential): fixtures "
+        "a hand-rolled generator builds that the repo's own writer "
+        "CANNOT emit — /FlateDecode-compressed content streams "
+        "(/Length frames the COMPRESSED bytes; a wrong frame breaks "
+        "zlib loudly), TJ arrays whose kerning numbers interleave "
+        "string segments with an escaped paren SPLIT ACROSS segments, "
+        "UTF-16BE hex CJK runs, non-contiguous object ids with free "
+        "xref entries filling the hole, and physical object order "
+        "scrambled against the xref; the oracle reconstructs every "
+        "shown string in SQL and sums codepoints script-split and "
+        "position-weighted"
+    ),
+    oracle=f"""
+    WITH per_str AS (
+      SELECT doc_id, p, m,
+             {_cp_sum(_PDF2_LATIN)} AS latin_cp,
+             {_PDF2_CJK_CP} AS cjk_cp
+      FROM documents,
+           unnest({_PDF2_PAGES}) AS tp(p),
+           unnest({_PDF2_OPS}) AS tm(m))
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_pages,
+           CAST(2 * count(*) AS BIGINT) AS n_strings,
+           CAST(sum(latin_cp) AS BIGINT) AS latin_cp_sum,
+           CAST(sum(cjk_cp) AS BIGINT) AS cjk_cp_sum,
+           CAST(sum(latin_cp * (p * 1000 + m * 10 + 1)
+                    + cjk_cp * (p * 1000 + m * 10 + 2)) AS BIGINT)
+             AS ordered_cp,
+           true AS ok
+    FROM per_str
+    GROUP BY doc_id
+    """,
+)
+def mm_pdf_flate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r11 wrong #2 executed: mm_pdf_text_extract only ever
+    read PDFs produced by this repo's own writer; this row reads a
+    fixture class the writer cannot produce. The TJ gate is exact —
+    segments ['d{i}\\\\(', 'p{p}', '\\\\){m}'] concatenate to
+    'd{i}(p{p}){m}' only if the parser treats kerning numbers as
+    positioning and unescapes ACROSS segment boundaries — and the
+    flate gate is structural: /Length frames compressed bytes, so a
+    parser that pattern-searches for endstream or skips the inflate
+    cannot reproduce any codepoint sum. Free xref entries and
+    catalog-last physical order force real xref trust.
+
+    Scale shape: two chained narrow Arrow maps, no shuffle; six
+    integers per document return to the JVM — the mm_png_decode
+    class. Cites /root/reference/src/render_pdf.py:15-455 (the
+    reference writes uncompressed PDFs; reading real-world compressed
+    ones is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_pdf_flate_payload(d, "doc_id")
+    return multimodal.pdf_text_features(payloads)
+
+
 # closed-form A-law quantization Q(x) (verified equal to the byte
 # codec over the FULL 16-bit range in pytest): 13-bit reduction,
 # chord/mantissa reconstruction per segment, sign from the reduced

@@ -1615,3 +1615,72 @@ def test_warc_gzip_member_framing():
         decode_warc_auto(bad)
     with pytest.raises(ValueError, match="gzip"):
         decode_warc_auto(gz[: len(gz) - 8])
+
+
+def test_pdf_reader_flate_and_tj_arrays():
+    """Round-12 reader widening: /FlateDecode streams inflate (with
+    /Length framing the COMPRESSED bytes), TJ array segments
+    concatenate into one shown run with kerning numbers dropped and
+    escapes working ACROSS segment boundaries, non-flate filters
+    still raise, and a corrupted flate stream is refused."""
+    import zlib
+
+    import pytest
+
+    from shippai_knowledge_etl_spark.sources.pdf_reader import (
+        extract_pdf_text,
+    )
+
+    content = (
+        b"BT /F1 12 Tf [(a\\() -10 (b) -12 (\\)c)] TJ "
+        b"/F2 14 Tf <30423044> Tj ET"
+    )
+    comp = zlib.compress(content)
+
+    def pdf(stream_obj: bytes) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: stream_obj,
+        }
+        out = bytearray(b"%PDF-1.5\n")
+        offs = {}
+        for oid in (4, 3, 2, 1):  # scrambled physical order
+            offs[oid] = len(out)
+            out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 5\n0000000000 65535 f \n"
+        for oid in range(1, 5):
+            out += b"%010d 00000 n \n" % offs[oid]
+        out += (
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_at
+        )
+        return bytes(out)
+
+    flate_obj = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream"
+    )
+    pages = extract_pdf_text(pdf(flate_obj))
+    assert pages == [["a(b)c", "あい"]]
+
+    plain_obj = (
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream"
+    )
+    assert extract_pdf_text(pdf(plain_obj)) == [["a(b)c", "あい"]]
+
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        extract_pdf_text(pdf(
+            b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(comp)
+            + comp + b"\nendstream"
+        ))
+    bad = bytearray(comp)
+    bad[5] ^= 0xFF
+    with pytest.raises(ValueError, match="FlateDecode"):
+        extract_pdf_text(pdf(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(bad)
+            + bytes(bad) + b"\nendstream"
+        ))
