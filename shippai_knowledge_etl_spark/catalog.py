@@ -117,8 +117,20 @@ DRIVER_WINDOW = (
     # channel with bias-then-floor means — the decode machinery stays
     # driver-witnessed through the larger plan, and mm_wav_decode
     # itself stays oracle-green in tests/test_oracle_parity.py at
-    # both SFs (plus the mulaw branch's pytest golden parity)
-    "mm_audio_resample",
+    # both SFs (plus the mulaw branch's pytest golden parity);
+    # mm_audio_resample then rotated out in round 12 (VERDICT r11
+    # item 2 named it: "mm_audio_resample now that codec rows exist"
+    # — the attach-payload → narrow-Arrow-decode plan class keeps TWO
+    # in-window rows via mm_gif_decode and this slot's successor, and
+    # mm_audio_resample itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs, re-pinned at sf0.01 in
+    # COHORTS[12], with the audio decode family's full pytest golden
+    # coverage in tests/test_multimodal.py); the slot pins the
+    # round-11 flagship codec the verdict named first: REAL
+    # baseline-DCT JPEG decode, hash-gated by closed-form pixel and
+    # position-weighted sums through real Huffman/restart/4:2:0
+    # bitstreams — the image family's only lossy codec row
+    "mm_jpeg_decode",
     # j5_range_join_buckets rotated out (the non-equi join family stays
     # witnessed in-window by j6_asof_latest_order — the as-of pick IS a
     # range-bounded non-equi join resolved per key — and
@@ -149,8 +161,22 @@ DRIVER_WINDOW = (
     # in tests/test_oracle_parity.py and SCALEPROBE-measured linear);
     # the slot pins landmark multi-source BFS closeness — the round-9
     # iterative frontier-expansion loop class (per-round join + (seed,
-    # node) min, bounded |landmarks|·|nodes| state) had no driver row
-    "graph_bfs_closeness",
+    # node) min, bounded |landmarks|·|nodes| state) had no driver row;
+    # graph_bfs_closeness then rotated out in round 12 (VERDICT r11
+    # item 2: "three iterative-graph rows is one more than the family
+    # needs" — the iterative-loop classes keep TWO in-window rows,
+    # graph_kcore's monotone peel and graph_personalized_pagerank's
+    # damped propagation, and the per-round bounded-adjacency
+    # join-step shape additionally rides graph_random_walks in-window;
+    # bfs_closeness itself stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs, re-pinned at sf0.01 in
+    # COHORTS[12]); the slot pins the crawl-ingestion flagship:
+    # WARC/1.0 Content-Length framing with the embedded-marker
+    # boobytrap, and since round 12 the member-wise .warc.gz path —
+    # the Common Crawl arrival format — with n_gz_members pinning the
+    # one-record-per-member contract (the ingestion quartet's first
+    # driver row; VERDICT r11 item 2 asked for one)
+    "mm_warc_parse",
     # w5_cumulative_sum rotated out (W5 stays witnessed in-window by
     # w3_layout_suite's running-position cumsum); dedup_minhash_verified
     # then rotated out in round 8 (VERDICT r7 item 3: it held a driver
@@ -365,8 +391,21 @@ DRIVER_WINDOW = (
     # impact-quantized retrieval — the r10 quantized-index class
     # (round-6→DECIMAL→BIGINT impact buckets, 1-row quantization-bound
     # broadcast) the round-10 verdict listed as hash-gated yet
-    # driver-unwitnessed
-    "retrieval_impact_quantized",
+    # driver-unwitnessed;
+    # retrieval_impact_quantized then rotated out in round 12 for the
+    # strictly-more-modern member of the SAME quantized-pruning
+    # family: retrieval_blockmax_wand carries the identical
+    # round-6→DECIMAL→BIGINT impact-bucket discipline at per-block
+    # granularity (per-(term,block) maxima ARE quantized bounds) plus
+    # the 1-row θ-bound broadcast and survivor filtering that
+    # retrieval_wand_pruning keeps in-window; impact_quantized itself
+    # stays oracle-green in tests/test_oracle_parity.py at both SFs,
+    # re-pinned at sf0.01 in COHORTS[12], and remains an EXTBENCH5
+    # timing row; the slot pins Block-Max WAND (Ding & Suel 2011) —
+    # the dynamic-pruning family's modern flagship, hash-gated with
+    # its block-bound tightening measured as data (VERDICT r11 item 2
+    # named it)
+    "retrieval_blockmax_wand",
     "w3_layout_suite",
     "scenario_profile",
     "p3_label_pivot",
@@ -464,8 +503,19 @@ DRIVER_WINDOW = (
     # tests/test_oracle_parity.py at both SFs); the slot pins the
     # Markov stationary distribution — the round-9 behavioral chain's
     # scaled-integer power-iteration fixpoint on the bounded |types|²
-    # transition grid, a loop class with no prior driver row
-    "behavior_markov_stationary",
+    # transition grid, a loop class with no prior driver row;
+    # behavior_markov_stationary then rotated out in round 12
+    # (VERDICT r11 item 2: rotate into the driver-unwitnessed r11
+    # families — the scaled-integer power-iteration fixpoint class
+    # stays witnessed in-window by graph_personalized_pagerank, the
+    # SAME damped scaled-integer iteration with contribution joins on
+    # a bounded grid, and markov_stationary itself stays oracle-green
+    # in tests/test_oracle_parity.py at both SFs, re-pinned at sf0.01
+    # in COHORTS[12]); the slot pins Benjamini-Hochberg FDR — the
+    # multiple-testing governance class (step-up cut as a 1-row
+    # frontier broadcast over the metric battery) the round-11
+    # verdict listed as hash-gated yet driver-unwitnessed
+    "behavior_fdr_bh",
     # simsearch_near_dup rotated out (the sign-LSH signature machinery
     # stays witnessed in-window by simsearch_hamming_topk — same packed
     # 64-bit signs + bit_count(xor) — and the bucketed-candidate
@@ -531,8 +581,19 @@ DRIVER_WINDOW = (
     # oracle rather than a per-group sequence label; p13 stays
     # oracle-green in tests/test_oracle_parity.py at both SFs); the
     # slot pins Holt linear-trend smoothing — the round-10 sequential-
-    # recurrence class with no prior driver row
-    "w35_holt_linear",
+    # recurrence class with no prior driver row;
+    # w35_holt_linear then rotated out in round 12 for its strictly-
+    # larger successor (the mm_wav_decode → mm_audio_resample
+    # precedent): w37_holt_winters RUNS the same per-key grouped-map
+    # applyInPandas mechanism — the surface p13's rotation routed
+    # through w35 — carrying the same level+trend recurrence PLUS the
+    # 7-slot seasonal state vector, checked against a DuckDB
+    # RECURSIVE-CTE oracle exactly as w35 was; w35_holt_linear itself
+    # stays oracle-green in
+    # tests/test_oracle_parity.py at both SFs, re-pinned at sf0.01 in
+    # COHORTS[12], and its streaming replay witness stream_holt_replay
+    # keeps the state-carry contract pytest+oracle-pinned
+    "w37_holt_winters",
 )
 
 
@@ -632,6 +693,23 @@ COHORTS[11] = (
     "mm_wav_alaw",  # G.711 A-law branch, audioop-verified full range
     "retrieval_blockmax_wand",  # per-block maxima, tighter than UB
     "behavior_fdr_bh",  # BH step-up over the metric battery
+)
+
+COHORTS[12] = (
+    # r12 new operators:
+    "mm_jpeg_progressive",  # SOF2 decode (VERDICT r11 item 3)
+    "mm_pdf_flate_extract",  # adversarial flate/TJ PDFs (item 5)
+    # r12 algebra changes (VERDICT r11 item 4):
+    "mm_zip_extract",  # deflate members + n_deflated column
+    "mm_warc_parse",  # member-wise .warc.gz + n_gz_members column
+    # r12 window rotations: every rotated-OUT query keeps two rounds
+    # of sf0.01 pinning here so leaving the window never drops a
+    # scale level in the same round
+    "graph_bfs_closeness",
+    "mm_audio_resample",
+    "retrieval_impact_quantized",
+    "behavior_markov_stationary",
+    "w35_holt_linear",
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation
