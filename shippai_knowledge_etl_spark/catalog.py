@@ -699,6 +699,16 @@ COHORTS[12] = (
     # r12 new operators:
     "mm_jpeg_progressive",  # SOF2 decode (VERDICT r11 item 3)
     "mm_pdf_flate_extract",  # adversarial flate/TJ PDFs (item 5)
+    "graph_sssp",  # Bellman-Ford on the generic fixpoint loop (item 8)
+    # r12 loop refactor: every iterative operator now runs on
+    # operators/fixpoint.py:iterate — results must be bit-identical
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_personalized_pagerank",
+    "graph_label_propagation",
+    "graph_hits",
+    "dedup_clusters",
+    "dedup_cluster_representatives",
     # r12 algebra changes (VERDICT r11 item 4):
     "mm_zip_extract",  # deflate members + n_deflated column
     "mm_warc_parse",  # member-wise .warc.gz + n_gz_members column

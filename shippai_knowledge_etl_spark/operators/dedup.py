@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shippai_knowledge_etl_spark.operators.fixpoint import iterate
 from shippai_knowledge_etl_spark.operators.textops import tokenize
 
 
@@ -540,37 +541,47 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels0 = (
         edges.select("src")
         .distinct()
         .withColumn("component", F.col("src"))
         .localCheckpoint(eager=True)
     )
-    converged = False
-    for _ in range(max_iter):
+
+    def step(labels, _i):
         nbr = edges.join(
             labels.select(
-                F.col("src").alias("dst"), F.col("component").alias("nbr_component")
+                F.col("src").alias("dst"),
+                F.col("component").alias("nbr_component"),
             ),
             "dst",
         ).select("src", F.col("nbr_component").alias("component"))
-        new_labels = (
+        return (
             nbr.unionByName(labels)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        shrunk = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
+
+    def no_label_shrunk(prev, new):
+        # min-label propagation is monotone non-increasing, so "no
+        # label shrank" IS the fixpoint test (cheaper than the generic
+        # row-set probe: an id-keyed join instead of exceptAll)
+        return (
+            new.alias("n")
+            .join(prev.alias("o"), "src")
             .filter(F.col("n.component") < F.col("o.component"))
             .limit(1)
             .count()
+            == 0
         )
-        labels = new_labels
-        if shrunk == 0:
-            converged = True
-            break
+
+    # step checkpoints eagerly itself (the probe materializes each
+    # round anyway) — disable iterate's own cadence
+    labels, _, converged = iterate(
+        labels0, step, max_iter,
+        checkpoint_every=1 << 30, stop_when=no_label_shrunk,
+    )
     edges.unpersist()
     if not converged:
         raise RuntimeError(
@@ -639,10 +650,7 @@ def connected_components_lss(
         ).collect()[0]
         return (row.n, row.h)
 
-    edges = base.localCheckpoint(eager=True)
-    prev = canonical_checksum(edges)
-    converged = False
-    for _ in range(max_iter):
+    def step(edges, _i):
         # large-star over the symmetric neighborhood
         nbr = sym(edges)
         mins = (
@@ -666,12 +674,23 @@ def connected_components_lss(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        edges = small.localCheckpoint(eager=True)
-        cur = canonical_checksum(edges)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        return small.localCheckpoint(eager=True)
+
+    # edge-set fixpoint via the cached-checksum probe: one checksum
+    # action per round (the previous round's is remembered), never a
+    # recomputation of the prior state
+    seen = {"c": None}
+
+    def edge_set_fixed(prev, new):
+        pc = seen["c"] if seen["c"] is not None else canonical_checksum(prev)
+        nc = canonical_checksum(new)
+        seen["c"] = nc
+        return nc == pc
+
+    edges, _, converged = iterate(
+        base.localCheckpoint(eager=True), step, max_iter,
+        checkpoint_every=1 << 30, stop_when=edge_set_fixed,
+    )
     if not converged:
         raise RuntimeError(
             f"connected_components_lss did not converge in {max_iter} rounds"

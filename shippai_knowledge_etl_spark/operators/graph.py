@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shippai_knowledge_etl_spark.operators.fixpoint import iterate
+
 SCALE = 1_000_000_000_000  # ranks in units of 1e-12
 
 
@@ -70,11 +72,10 @@ def pagerank(
     # would re-run the edge scan + outdegree agg from source (the same
     # reason dedup.connected_components persists its edge list)
     deg_edges = edges.join(outdeg, "src").persist()
-    for i in range(n_iters):
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
         contribs = (
-            deg_edges.join(
-                ranks.withColumnRenamed("id", "src"), "src"
-            )
+            deg_edges.join(state.withColumnRenamed("id", "src"), "src")
             .select(
                 "dst",
                 F.expr("rank_scaled div outdeg").alias("contrib"),
@@ -82,23 +83,22 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(reset)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
-                    )
-                ).alias("rank_scaled"),
-            )
+        return nodes.join(
+            contribs.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            (
+                F.lit(reset)
+                + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
+            ).alias("rank_scaled"),
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+
     # eager final checkpoint: materializes the state (and any pending
     # lazy checkpoints) so the cached edge list can be released now
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks, _, _ = iterate(
+        ranks, step, n_iters,
+        checkpoint_every=checkpoint_every, eager_final=True,
+    )
     deg_edges.unpersist()
     return ranks
 
@@ -213,8 +213,8 @@ def label_propagation(
     ``pagerank`` / ``dedup.connected_components``.
     """
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
-    state = nodes.select("id", "label", "is_seed")
-    for i in range(n_iters):
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
         votes = (
             edges.join(
                 state.filter(F.col("label").isNotNull()).select(
@@ -233,19 +233,20 @@ def label_propagation(
                 )
             )["lbl"].alias("maj")
         )
-        state = (
-            state.join(best.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                F.when(F.col("is_seed"), F.col("label"))
-                .otherwise(F.coalesce(F.col("maj"), F.col("label")))
-                .alias("label"),
-                "is_seed",
-            )
+        return state.join(
+            best.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            F.when(F.col("is_seed"), F.col("label"))
+            .otherwise(F.coalesce(F.col("maj"), F.col("label")))
+            .alias("label"),
+            "is_seed",
         )
-        if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=False)
-    state = state.localCheckpoint(eager=True)
+
+    state, _, _ = iterate(
+        nodes.select("id", "label", "is_seed"), step, n_iters,
+        checkpoint_every=checkpoint_every, eager_final=True,
+    )
     edges.unpersist()
     return state
 
@@ -287,12 +288,8 @@ def hits(
     ``checkpoint_every`` rounds truncates lineage.
     """
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
-    state = nodes.select(
-        "id",
-        F.lit(0).cast("long").alias("auth_scaled"),
-        F.lit(HITS_SCALE).cast("long").alias("hub_scaled"),
-    )
-    for i in range(n_iters):
+
+    def step(state, _i):
         raw_a = (
             edges.join(
                 state.select(
@@ -325,7 +322,7 @@ def hits(
             .agg(F.sum("a").alias("rh"))
         )
         tot_h = raw_h.agg(F.sum("rh").alias("t"))
-        state = (
+        return (
             auth.join(raw_h.withColumnRenamed("src", "id"), "id", "left")
             .crossJoin(F.broadcast(tot_h))
             .select(
@@ -336,9 +333,18 @@ def hits(
                 ).alias("hub_scaled"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=False)
-    state = state.localCheckpoint(eager=True)
+
+    state, _, _ = iterate(
+        nodes.select(
+            "id",
+            F.lit(0).cast("long").alias("auth_scaled"),
+            F.lit(HITS_SCALE).cast("long").alias("hub_scaled"),
+        ),
+        step,
+        n_iters,
+        checkpoint_every=checkpoint_every,
+        eager_final=True,
+    )
     edges.unpersist()
     return state
 
@@ -479,17 +485,20 @@ def k_core(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     adj = adj.persist()
-    surv = nodes.select("id")
-    for i in range(n_iters):
+
+    def step(surv, _i):
         deg = (
             adj.join(surv.withColumnRenamed("id", "a"), "a")
             .join(surv.withColumnRenamed("id", "b"), "b")
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        surv = deg.filter(F.col("deg") >= k).select(F.col("a").alias("id"))
-        if (i + 1) % checkpoint_every == 0:
-            surv = surv.localCheckpoint(eager=False)
+        return deg.filter(F.col("deg") >= k).select(F.col("a").alias("id"))
+
+    surv, _, _ = iterate(
+        nodes.select("id"), step, n_iters,
+        checkpoint_every=checkpoint_every,
+    )
     final_deg = (
         adj.join(surv.withColumnRenamed("id", "a"), "a")
         .join(surv.withColumnRenamed("id", "b"), "b")
@@ -750,9 +759,10 @@ def personalized_pagerank(
         (F.col("is_seed") * base).cast("long").alias("rank_scaled"),
     )
     deg_edges = edges.join(outdeg, "src").persist()
-    for i in range(n_iters):
+
+    def step(state, _i):
         contribs = (
-            deg_edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            deg_edges.join(state.withColumnRenamed("id", "src"), "src")
             .select(
                 "dst",
                 F.expr("rank_scaled div outdeg").alias("contrib"),
@@ -760,7 +770,7 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = marked.join(
+        return marked.join(
             contribs.withColumnRenamed("dst", "id"), "id", "left"
         ).select(
             "id",
@@ -773,9 +783,11 @@ def personalized_pagerank(
             .cast("long")
             .alias("rank_scaled"),
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    ranks = ranks.localCheckpoint(eager=True)
+
+    ranks, _, _ = iterate(
+        ranks, step, n_iters,
+        checkpoint_every=checkpoint_every, eager_final=True,
+    )
     deg_edges.unpersist()
     return ranks
 
@@ -822,19 +834,105 @@ def multi_source_bfs(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     adj = adj.persist()
-    state = seeds.select(
-        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
-    )
-    for i in range(1, n_rounds + 1):
+
+    def step(state, _i):
         expanded = state.join(adj, state["node"] == adj["a"]).select(
-            state["seed"], adj["b"].alias("node"), (state["dist"] + 1).alias("dist")
+            state["seed"], adj["b"].alias("node"),
+            (state["dist"] + 1).alias("dist"),
         )
-        state = (
+        return (
             state.unionAll(expanded)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
         )
-        if i % checkpoint_every == 0 or i == n_rounds:
-            state = state.localCheckpoint(eager=(i == n_rounds))
+
+    state, _, _ = iterate(
+        seeds.select(
+            "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+        ),
+        step,
+        n_rounds,
+        checkpoint_every=checkpoint_every,
+        eager_final=True,
+    )
     adj.unpersist()
     return state
+
+
+INF_DIST = 10**15  # unreachable sentinel: far above any real path sum
+
+
+def shortest_paths(
+    nodes: DataFrame,
+    edges_w: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int,
+    checkpoint_every: int = 1,
+    converge: bool = True,
+) -> tuple[DataFrame, int]:
+    """Multi-source weighted shortest paths (Bellman-Ford relaxation,
+    round 12) — the first operator built ON the generic fixpoint loop
+    (``operators/fixpoint.py:iterate``): state is (id, dist) with
+    dist 0 at seeds and the INF sentinel elsewhere; each round relaxes
+    dist'(v) = min(dist(v), min over edges (u,v,w) of dist(u)+w), a
+    monotone non-increasing map whose fixpoint is the true distance.
+
+    ``converge=True`` early-exits via the ``unchanged`` probe; because
+    relaxation is monotone, a converged run equals the fixed-budget
+    run of ANY budget ≥ the convergence round — which is exactly why
+    an early-exiting Spark loop can hash-match an oracle that unrolls
+    all ``n_rounds`` as chained CTEs (``graph_sssp``'s gate). Returns
+    ``(state, rounds_run)``.
+
+    Scale shape: per round ONE src-keyed join of the (pre-persisted)
+    weighted edge list against the frontier-bearing state + one
+    dst-keyed min with map-side partials; state is 2 longs per node.
+    Weights must be non-negative (Bellman-Ford with negative edges
+    needs |V|-1 rounds and a cycle check — out of scope, raise)."""
+    from shippai_knowledge_etl_spark.operators.fixpoint import unchanged
+
+    ew = edges_w.filter(F.col("src") != F.col("dst")).persist()
+    state0 = (
+        nodes.join(
+            seeds.select(F.col("id").alias("id"), F.lit(0).alias("d0")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("d0"), F.lit(INF_DIST))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        relax = (
+            ew.join(
+                state.filter(F.col("dist") < INF_DIST).withColumnRenamed(
+                    "id", "src"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("relax"))
+        )
+        return state.join(
+            relax.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("relax"), F.lit(INF_DIST))
+            ).alias("dist"),
+        )
+
+    out, rounds, _ = iterate(
+        state0,
+        step,
+        n_rounds,
+        checkpoint_every=checkpoint_every,
+        eager_final=True,
+        stop_when=unchanged if converge else None,
+    )
+    ew.unpersist()
+    return out, rounds

@@ -2270,3 +2270,101 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("final_node"),
         F.md5("path").alias("path_fp"),
     )
+
+
+_SSSP_INF = 10**15
+_SSSP_ROUNDS = 20
+# AS MATERIALIZED: each step references its predecessor twice (the
+# relax subquery and the least() join); without materialization DuckDB
+# inlines CTEs, so 20 chained steps expand 2^20 copies of s0 and the
+# planner opens the parquet once per copy ("Too many open files")
+_SSSP_STEP = """
+    s{i} AS MATERIALIZED (
+      SELECT n.id, least(s{p}.dist, COALESCE(m.relax, {inf})) AS dist
+      FROM nodes n JOIN s{p} ON s{p}.id = n.id
+      LEFT JOIN (SELECT e.dst, min(s.dist + e.w) AS relax
+                 FROM edges e JOIN s{p} s ON s.id = e.src
+                 WHERE s.dist < {inf}
+                 GROUP BY e.dst) m ON m.dst = n.id)
+"""
+
+
+@register(
+    "graph_sssp",
+    survey_ref=(
+        "[EXT] multi-source weighted shortest paths (round 12 — the "
+        "first operator built ON the generic fixpoint loop, "
+        "operators/fixpoint.py:iterate, VERDICT r11 item 8's named "
+        "stretch): Bellman-Ford relaxation dist'(v) = min(dist(v), "
+        "min over (u,v,w) of dist(u)+w) over the deterministic "
+        "two-out-link graph with weights 1+(src+dst)%7 from seeds "
+        "id%101==0; the Spark loop EARLY-EXITS at the fixpoint "
+        "(unchanged-state probe) yet hash-matches an oracle that "
+        "unrolls all 20 budget rounds as chained CTEs — monotone "
+        "relaxation makes a converged run equal any larger budget, "
+        "which is the property the fixpoint operator exists to "
+        "exploit"
+    ),
+    oracle=(
+        "WITH nodes AS (SELECT doc_id AS id FROM documents),\n"
+        "e0 AS (\n"
+        f"  SELECT doc_id AS src, (doc_id*7+1) % {_PR_N} AS dst"
+        " FROM documents\n"
+        "  UNION ALL\n"
+        f"  SELECT doc_id, (doc_id*13+2) % {_PR_N} FROM documents),\n"
+        "edges AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 7 AS w"
+        " FROM e0 WHERE src <> dst),\n"
+        "s0 AS MATERIALIZED (SELECT id, CASE WHEN id % 101 = 0 THEN 0 ELSE "
+        f"{_SSSP_INF} END AS dist FROM nodes),\n"
+        + ",\n".join(
+            _SSSP_STEP.format(i=i, p=i - 1, inf=_SSSP_INF)
+            for i in range(1, _SSSP_ROUNDS + 1)
+        )
+        + f"""
+    SELECT id AS doc_id,
+           CAST(CASE WHEN dist >= {_SSSP_INF} THEN -1 ELSE dist END
+                AS BIGINT) AS dist,
+           dist < {_SSSP_INF} AS reached
+    FROM s{_SSSP_ROUNDS}
+    """
+    ),
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP to the FIXPOINT: the catalog's iterative graph
+    loops all run a fixed oracle-matched budget; this one runs the
+    generic ``iterate`` loop with a convergence probe and stops the
+    round nothing relaxes (~12 rounds on this corpus, under the
+    20-round budget the oracle unrolls), proving the engine's
+    recursive-CTE-class semantics — terminate-on-fixpoint — not just
+    bounded unrolling. Distances are exact integers; unreachable
+    nodes surface as dist -1, reached false.
+
+    Scale shape (operators/graph.py:shortest_paths): per round one
+    src-keyed equi-join of the persisted weighted edges against the
+    reachable state + one dst-keyed min with map-side partials; the
+    convergence probe is a bounded exceptAll().limit(1) action — the
+    pagerank_until sanctioned class. State is 2 longs per node;
+    lineage localCheckpoint-truncated each round."""
+    from shippai_knowledge_etl_spark.operators.graph import shortest_paths
+
+    d = load(spark, sf_dir, "documents")
+    n = table_rowcount(sf_dir, "documents")
+    i = F.col("doc_id")
+    nodes = d.select(i.alias("id"))
+    e0 = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst")).unionAll(
+        d.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst"))
+    )
+    edges = e0.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+    )
+    seeds = nodes.filter(F.col("id") % 101 == 0)
+    dist, _rounds = shortest_paths(nodes, edges, seeds, _SSSP_ROUNDS)
+    inf = F.lit(_SSSP_INF)
+    return dist.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("dist") >= inf, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+        (F.col("dist") < inf).alias("reached"),
+    )

@@ -654,3 +654,66 @@ def test_multi_source_bfs_exact_distances(spark):
         for r in multi_source_bfs(edges, seeds2, n_rounds=2).collect()
     }
     assert out2[(7, 5)] == 2 and out2[(0, 4)] == 2 and (7, 4) not in out2
+
+
+def test_fixpoint_iterate_modes(spark):
+    """The generic loop: fixed-budget mode runs exactly n rounds;
+    fixpoint mode early-exits the round nothing changes and the
+    result equals any larger budget (the monotone-map property the
+    SSSP gate exploits)."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.fixpoint import (
+        iterate,
+        unchanged,
+    )
+
+    state0 = spark.range(0, 8).select(
+        F.col("id"), F.least(F.col("id"), F.lit(5)).alias("v")
+    )
+
+    def step(state, _i):
+        # monotone: v -> max(v - 2, 0); fixpoint (all zeros) after 3
+        return state.select(
+            "id", F.greatest(F.col("v") - 2, F.lit(0)).alias("v")
+        )
+
+    fixed, r_fixed, conv_fixed = iterate(state0, step, 2)
+    assert r_fixed == 2 and not conv_fixed
+    assert {r["v"] for r in fixed.collect()} == {0, 1}  # 5->3->1, small->0
+
+    conv, r_conv, did_conv = iterate(state0, step, 50, stop_when=unchanged)
+    assert r_conv == 4 and did_conv  # 3 shrinking rounds + 1 confirming
+    assert all(r["v"] == 0 for r in conv.collect())
+
+    big, _r_big, _ = iterate(state0, step, 10)
+    assert sorted(map(tuple, conv.collect())) == sorted(
+        map(tuple, big.collect())
+    )
+
+
+def test_shortest_paths_exact_and_early_exit(spark):
+    """Hand-checked Bellman-Ford on a weighted diamond + an
+    unreachable island; the converged run equals a fixed over-budget
+    run and rounds_run reflects the true convergence round."""
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import (
+        INF_DIST,
+        shortest_paths,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # 0->1 (w4), 0->2 (w1), 2->1 (w1), 1->3 (w2), 4->5 (w1); 4,5 island
+    edges = spark.createDataFrame(
+        [(0, 1, 4), (0, 2, 1), (2, 1, 1), (1, 3, 2), (4, 5, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out, rounds = shortest_paths(nodes, edges, seeds, 10)
+    got = {r["id"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 1: 2, 2: 1, 3: 4, 4: INF_DIST, 5: INF_DIST}
+    assert rounds == 4  # dists settle after 3 rounds + 1 confirming
+
+    fixed, _ = shortest_paths(nodes, edges, seeds, 9, converge=False)
+    assert {r["id"]: r["dist"] for r in fixed.collect()} == got
