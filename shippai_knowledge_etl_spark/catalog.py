@@ -700,6 +700,7 @@ COHORTS[12] = (
     "mm_jpeg_progressive",  # SOF2 decode (VERDICT r11 item 3)
     "mm_pdf_flate_extract",  # adversarial flate/TJ PDFs (item 5)
     "graph_sssp",  # Bellman-Ford on the generic fixpoint loop (item 8)
+    "behavior_attribution_position",  # U-shaped multi-touch credit
     # r12 loop refactor: every iterative operator now runs on
     # operators/fixpoint.py:iterate — results must be bit-identical
     "graph_pagerank",

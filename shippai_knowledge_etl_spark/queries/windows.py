@@ -5468,3 +5468,176 @@ def behavior_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k_star").cast("long").alias("k_star"),
         )
     )
+
+
+_ATTR_GAP_S = 43_200  # 12h session gap, in whole seconds
+
+
+@register(
+    "behavior_attribution_position",
+    survey_ref=(
+        "[EXT] sessionized position-based (U-shaped) conversion "
+        "attribution (round 12 — the multi-touch upgrade over w14's "
+        "last-touch form): event-time sessions per user (12h gap, "
+        "lag + cumsum gaps-and-islands on exact unix_micros), the "
+        "JOURNEY = non-purchase touches strictly before the session's "
+        "first purchase (running-purchase-count = 0, so equal-ts "
+        "ordering is pinned by event_id), credit in EXACT basis "
+        "points: 1 touch 10000, 2 touches 5000/5000, else 40/20/40 "
+        "with the middle split by integer floor-division and the "
+        "REMAINDER assigned to the first touch — every conversion "
+        "session sums to exactly 10000 bp by construction, no float "
+        "anywhere; touchless conversions surface as the 'direct' "
+        "channel, so total credit equals 10000 x conversion sessions"
+    ),
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tus
+      FROM events),
+    lagd AS (
+      SELECT *, lag(tus) OVER
+        (PARTITION BY user_id ORDER BY tus, event_id) AS pus
+      FROM ev),
+    brk AS (
+      SELECT *, CASE WHEN pus IS NULL
+                       OR tus - pus > {_ATTR_GAP_S} THEN 1 ELSE 0 END AS b
+      FROM lagd),
+    sess AS (
+      SELECT *, sum(b) OVER
+        (PARTITION BY user_id ORDER BY tus, event_id
+         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk),
+    cum AS (
+      SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, sid ORDER BY tus, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cp,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, sid) AS np
+      FROM sess),
+    journey AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER
+               (PARTITION BY user_id, sid ORDER BY tus, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, sid) AS n
+      FROM cum WHERE np > 0 AND cp = 0),
+    credited AS (
+      SELECT event_type AS channel,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN rn = 1 THEN 4000 + (2000 - (n-2) * (2000 // (n-2)))
+                  WHEN rn = n THEN 4000
+                  ELSE 2000 // (n-2) END AS bp,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS isf,
+             CASE WHEN rn = n THEN 1 ELSE 0 END AS isl
+      FROM journey),
+    direct AS (
+      SELECT count(*) AS n_direct FROM (
+        SELECT user_id, sid
+        FROM cum WHERE np > 0
+        GROUP BY user_id, sid
+        HAVING sum(CASE WHEN cp = 0 THEN 1 ELSE 0 END) = 0))
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(isf) AS BIGINT) AS n_first,
+           CAST(sum(isl) AS BIGINT) AS n_last,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY channel
+    UNION ALL
+    SELECT 'direct', 0, 0, 0, CAST(10000 * n_direct AS BIGINT)
+    FROM direct WHERE n_direct > 0
+    """,
+)
+def behavior_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which channels EARN conversions, not just which touched last:
+    the U-shaped model marketing/growth stacks run over sessionized
+    journeys, made hash-exact — 40/20/40 in integer basis points with
+    the floor-division remainder pinned to the first touch, so both
+    engines produce identical integers and every conversion session's
+    credit sums to exactly 10000. A single-touch journey counts as
+    both first AND last touch (documented, gated). Touchless
+    conversions are the 'direct' row.
+
+    Scale shape: two user-keyed window passes (lag, cumsum) + one
+    (user, session)-keyed pass — all three reuse ONE user-hash
+    shuffle partitioning (Catalyst chains same-key windows without
+    re-exchanging); the credit math is per-row codegen; the final
+    rollup is a 6-key channel aggregate with map-side partials. At
+    100 TB the state never exceeds the events table width + 3 longs.
+    Cites reference analog: none — the reference has no event
+    analytics; [EXT] surface."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("tus"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    sess = ev.withColumn(
+        "b",
+        F.when(
+            F.lag("tus").over(wu).isNull()
+            | (F.col("tus") - F.lag("tus").over(wu) > _ATTR_GAP_S),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("b").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cum = sess.withColumn(
+        "cp", F.sum(is_p).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "np", F.sum(is_p).over(Window.partitionBy("user_id", "sid"))
+    )
+    journey = (
+        cum.filter((F.col("np") > 0) & (F.col("cp") == 0))
+        .withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid"))
+        )
+    )
+    credited = journey.select(
+        F.col("event_type").alias("channel"),
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when(
+            F.col("rn") == 1,
+            F.lit(4000)
+            + (
+                F.lit(2000)
+                - (F.col("n") - 2) * F.expr("2000 div (n - 2)")
+            ),
+        )
+        .when(F.col("rn") == F.col("n"), F.lit(4000))
+        .otherwise(F.expr("2000 div (n - 2)"))
+        .alias("bp"),
+        F.when(F.col("rn") == 1, 1).otherwise(0).alias("isf"),
+        F.when(F.col("rn") == F.col("n"), 1).otherwise(0).alias("isl"),
+    )
+    per_channel = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("isf").cast("long").alias("n_first"),
+        F.sum("isl").cast("long").alias("n_last"),
+        F.sum("bp").cast("long").alias("credit_bp"),
+    )
+    direct = (
+        cum.filter(F.col("np") > 0)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.sum(F.when(F.col("cp") == 0, 1).otherwise(0)).alias("n_journey")
+        )
+        .filter(F.col("n_journey") == 0)
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+        .filter(F.col("n_direct") > 0)
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            F.lit(0).cast("long").alias("n_first"),
+            F.lit(0).cast("long").alias("n_last"),
+            (F.lit(10000) * F.col("n_direct")).cast("long").alias("credit_bp"),
+        )
+    )
+    return per_channel.unionByName(direct)

@@ -73,3 +73,60 @@ def test_fdr_bh_step_up_rejects_planted_effect(spark):
     # step-up consistency: rejected == (rnk <= k_star) for every row
     for r in out.values():
         assert r["rejected"] == (r["rnk"] <= r["k_star"])
+
+
+def test_attribution_position_hand_built(spark):
+    """Hand-built journeys exercise every credit branch: 1-touch
+    (10000, counts as first AND last), 2-touch (5000/5000), 5-touch
+    (middle 2000//3=666 each, remainder 2000-3*666=2 pinned to the
+    FIRST touch: 4002/666/666/666/4000), a direct conversion, a
+    session with NO purchase (no credit), and a gap >12h splitting
+    two sessions. Every conversion session sums to exactly 10000."""
+    import datetime
+    import os
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, mins, etype):
+        return (eid, t0 + datetime.timedelta(minutes=mins), uid, etype,
+                0.0, "{}")
+
+    rows = [
+        # user 1: [view, purchase] -> 1-touch journey (view 10000)
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "purchase"),
+        # user 2: [click, signup, purchase] -> 2-touch 5000/5000
+        ev(3, 2, 0, "click"), ev(4, 2, 5, "signup"),
+        ev(5, 2, 9, "purchase"),
+        # user 3: 5 touches then purchase -> 4002/666/666/666/4000
+        ev(6, 3, 0, "view"), ev(7, 3, 1, "click"), ev(8, 3, 2, "error"),
+        ev(9, 3, 3, "click"), ev(10, 3, 4, "signup"),
+        ev(11, 3, 8, "purchase"),
+        # user 4: direct conversion (purchase opens the session)
+        ev(12, 4, 0, "purchase"),
+        # user 5: touches but NO purchase -> no credit at all
+        ev(13, 5, 0, "view"), ev(14, 5, 2, "click"),
+        # user 6: gap > 12h splits sessions: first has no purchase,
+        # second is a 1-touch journey
+        ev(15, 6, 0, "click"),
+        ev(16, 6, 13 * 60, "view"), ev(17, 6, 13 * 60 + 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        fn = load_catalog()["behavior_attribution_position"].fn
+        got = {r["channel"]: r for r in fn(spark, td).collect()}
+    # credit: view 10000(u1) + 4002(u3 first) + 10000(u6) = 24002
+    assert got["view"]["credit_bp"] == 24002
+    assert got["click"]["credit_bp"] == 5000 + 666 + 666
+    assert got["signup"]["credit_bp"] == 5000 + 4000  # u2 last + u3 last
+    assert got["error"]["credit_bp"] == 666
+    assert got["direct"]["credit_bp"] == 10000
+    # single-touch journeys count as first AND last
+    assert got["view"]["n_first"] == 3 and got["view"]["n_last"] == 2
+    total = sum(r["credit_bp"] for r in got.values())
+    assert total == 4 * 10000 + 10000  # 4 journeys + 1 direct
