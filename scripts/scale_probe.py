@@ -418,6 +418,100 @@ def probe_semantic_cap(spark, docs, k):
     }
 
 
+def probe_sssp(spark, docs, k):
+    """Round-12 fixpoint receipt: graph_sssp's per-round relax join
+    must stay linear in the graph. Fresh-data regime: k epochs of the
+    demo graph (ids offset per epoch, edges within epochs, seeds
+    id%101==0 per epoch), 3 FIXED Bellman-Ford rounds through the
+    real operator — reached-node count and edge count both k-fold; a
+    hidden all-pairs stage would blow the reach superlinearly."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.operators.graph import (
+        INF_DIST,
+        shortest_paths,
+    )
+    from shippai_knowledge_etl_spark.tables import load, table_rowcount
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = table_rowcount(sf_dir, "documents")
+    nodes = edges = seeds = None
+    for epoch in range(k):
+        off = epoch * 10_000_000
+        i = F.col("doc_id")
+        nn = d.select((i + off).alias("id"))
+        e0 = d.select(
+            (i + off).alias("src"), ((i * 7 + 1) % n + off).alias("dst")
+        ).unionAll(
+            d.select(
+                (i + off).alias("src"), ((i * 13 + 2) % n + off).alias("dst")
+            )
+        )
+        ee = e0.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+        )
+        ss = nn.filter((F.col("id") - off) % 101 == 0)
+        nodes = nn if nodes is None else nodes.unionAll(nn)
+        edges = ee if edges is None else edges.unionAll(ee)
+        seeds = ss if seeds is None else seeds.unionAll(ss)
+    state, _rounds = shortest_paths(
+        nodes, edges, seeds, 3, converge=False
+    )
+    reached = state.filter(F.col("dist") < INF_DIST).count()
+    return {
+        "edge_rows": edges.count(),
+        "reached_nodes_r3": int(reached),
+        "state_rows": nodes.count(),
+    }
+
+
+def probe_attribution(spark, docs, k):
+    """Round-12 attribution receipt: the journey/credit row counts
+    must stay linear in events. Fresh-data regime: k epochs of the
+    events table with per-epoch user offsets (fresh users — sessions
+    never straddle epochs), run through the registered query's exact
+    window chain; journey rows and total credited basis points both
+    k-fold, and per-session credit stays exactly 10000."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from shippai_knowledge_etl_spark.tables import load
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ev = load(spark, sf_dir, "events")
+    folded = None
+    for epoch in range(k):
+        part = ev.select(
+            (F.col("event_id") + epoch * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + epoch * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        folded = part if folded is None else folded.unionAll(part)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        folded.write.parquet(os.path.join(td, "events.parquet"))
+        from shippai_knowledge_etl_spark.catalog import load_catalog
+
+        out = load_catalog()["behavior_attribution_position"].fn(spark, td)
+        row = out.agg(
+            F.sum("n_touches").alias("touches"),
+            F.sum("credit_bp").alias("credit_bp"),
+        ).collect()[0]
+    return {
+        "journey_touch_rows": int(row["touches"]),
+        "credit_bp_total": int(row["credit_bp"]),
+    }
+
+
 PROBES = {
     "dedup_ngram_jaccard": probe_jaccard,
     "dedup_prefix_allpairs": probe_prefix,
@@ -429,6 +523,8 @@ PROBES = {
     "curation_source_overlap": probe_source_overlap,
     "graph_pagerank_densify": probe_pagerank_densify,
     "dedup_semantic_cap": probe_semantic_cap,
+    "graph_sssp": probe_sssp,
+    "behavior_attribution": probe_attribution,
 }
 
 # Per-metric growth expectation; anything not listed defaults to

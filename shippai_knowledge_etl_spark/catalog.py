@@ -701,6 +701,10 @@ COHORTS[12] = (
     "mm_pdf_flate_extract",  # adversarial flate/TJ PDFs (item 5)
     "graph_sssp",  # Bellman-Ford on the generic fixpoint loop (item 8)
     "behavior_attribution_position",  # U-shaped multi-touch credit
+    "layout_compaction_binpack",  # FFD packing vs list-state CTE
+    "sketch_quantile_pow2",  # gamma=2 DDSketch, integer bit-length
+    "crawl_robots_filter",  # RFC 9309 longest-match allow/deny
+    "curation_utf8_sanitize",  # WHATWG maximal-subpart FFFD audit
     # r12 loop refactor: every iterative operator now runs on
     # operators/fixpoint.py:iterate — results must be bit-identical
     "graph_pagerank",

@@ -17,7 +17,7 @@ write path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,3 +49,51 @@ def zorder_key2_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(terms)
+
+
+def ffd_binpack(files: DataFrame, capacity: int) -> DataFrame:
+    """First-fit-decreasing compaction planning (round 12): given a
+    manifest of (part, fid, sz) small-file rows, assign each file a
+    target bin per PARTITION — files sorted size-descending (fid
+    ascending on ties), each placed into the LOWEST-index bin whose
+    load + size stays within ``capacity``, else a new bin. The
+    classic 11/9·OPT+1 heuristic (Johnson 1973) every lakehouse
+    compaction service (Iceberg/Delta OPTIMIZE) runs per partition.
+
+    Returns (part, fid, sz, bin) with bin 1-based in placement order.
+    Oversized files (sz > capacity) open their own bin and nothing
+    else joins it — the natural first-fit behavior, kept rather than
+    special-cased.
+
+    Scale shape: FFD is inherently sequential IN ITS FOLD, so the
+    distribution axis is the partition — exactly how real table
+    services shard the problem — via one grouped-map
+    ``applyInPandas`` over part (the w35_holt_linear mechanism);
+    per-partition manifests are file COUNTS (thousands), not data, so
+    the per-group state is trivially bounded. The oracle replays the
+    identical fold as a recursive CTE whose state is the per-bin load
+    LIST (``layout_compaction_binpack``)."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["sz", "fid"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        bins: list[int] = []
+        for sz in pdf["sz"]:
+            sz = int(sz)
+            for j, ld in enumerate(loads):
+                if ld + sz <= capacity:
+                    loads[j] = ld + sz
+                    bins.append(j + 1)
+                    break
+            else:
+                loads.append(sz)
+                bins.append(len(loads))
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return files.select("part", "fid", "sz").groupBy("part").applyInPandas(
+        pack, "part long, fid long, sz long, bin long"
+    )

@@ -314,3 +314,155 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 validation / sanitization (round 12)
+# ---------------------------------------------------------------------------
+
+REPLACEMENT_CP = 0xFFFD
+
+
+def utf8_decode_replace(b: bytes) -> tuple[int, int, int]:
+    """Hand-rolled WHATWG UTF-8 decoder with U+FFFD substitution of
+    MAXIMAL SUBPARTS (Unicode 15 §3.9 "best practice", the behavior
+    CPython's ``errors='replace'`` implements — the fuzz test pins the
+    two equal over random byte soup): returns (n_codepoints,
+    codepoint_sum, n_replacements).
+
+    The subtle parts a naive decoder gets wrong, all covered: C0/C1
+    and F5-FF are invalid LEAD bytes (one FFFD each — C0 AF overlong
+    yields TWO replacements, not an accepted '/'); E0's second byte
+    floor is A0 (overlong guard), ED's ceiling is 9F (surrogate
+    guard), F0's floor is 90, F4's ceiling is 8F (plane 17 guard) —
+    a lead byte whose FIRST continuation is range-invalid forms a
+    1-byte subpart, while a valid prefix truncated later forms a
+    subpart of its valid length (E3 81 at end of stream = ONE FFFD).
+    """
+    i = 0
+    nl = len(b)
+    n = s = r = 0
+
+    def cont(j: int, lo: int = 0x80, hi: int = 0xBF) -> bool:
+        return j < nl and lo <= b[j] <= hi
+
+    while i < nl:
+        c = b[i]
+        if c < 0x80:
+            n, s, i = n + 1, s + c, i + 1
+            continue
+        if 0xC2 <= c <= 0xDF:
+            if cont(i + 1):
+                s += ((c & 0x1F) << 6) | (b[i + 1] & 0x3F)
+                n, i = n + 1, i + 2
+                continue
+            width = 1
+        elif 0xE0 <= c <= 0xEF:
+            lo = 0xA0 if c == 0xE0 else 0x80
+            hi = 0x9F if c == 0xED else 0xBF
+            if cont(i + 1, lo, hi):
+                if cont(i + 2):
+                    s += (
+                        ((c & 0x0F) << 12)
+                        | ((b[i + 1] & 0x3F) << 6)
+                        | (b[i + 2] & 0x3F)
+                    )
+                    n, i = n + 1, i + 3
+                    continue
+                width = 2
+            else:
+                width = 1
+        elif 0xF0 <= c <= 0xF4:
+            lo = 0x90 if c == 0xF0 else 0x80
+            hi = 0x8F if c == 0xF4 else 0xBF
+            if cont(i + 1, lo, hi):
+                if cont(i + 2):
+                    if cont(i + 3):
+                        s += (
+                            ((c & 0x07) << 18)
+                            | ((b[i + 1] & 0x3F) << 12)
+                            | ((b[i + 2] & 0x3F) << 6)
+                            | (b[i + 3] & 0x3F)
+                        )
+                        n, i = n + 1, i + 4
+                        continue
+                    width = 3
+                else:
+                    width = 2
+            else:
+                width = 1
+        else:  # lone continuation 80-BF, overlong leads C0/C1, F5-FF
+            width = 1
+        n, s, r, i = n + 1, s + REPLACEMENT_CP, r + 1, i + width
+    return n, s, r
+
+
+def utf8_sanitize_features(df: DataFrame) -> DataFrame:
+    """Per-payload UTF-8 intake audit over (doc_id, payload binary):
+    byte count, decoded codepoint count, codepoint sum (with FFFD
+    substitutions included — so the sums pin the decoder's exact
+    replacement behavior, not just a validity bit), replacement
+    count, and the clean flag.
+
+    Scale shape: one narrow Arrow map, no shuffle — bytes never leave
+    the worker; five integers per document return to the JVM. At
+    100 TB this is the crawl-intake sanitize pass that runs BEFORE
+    any tokenizer (a tokenizer fed raw invalid bytes poisons its
+    merges)."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def batches(it: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bb = bytes(payload)
+                n, s, r = utf8_decode_replace(bb)
+                rows.append((int(doc_id), len(bb), n, s, r, r == 0))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "n_codepoints", "cp_sum",
+                    "n_replacements", "clean",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches,
+        "doc_id long, n_bytes long, n_codepoints long, cp_sum long, "
+        "n_replacements long, clean boolean",
+    )
+
+
+def attach_utf8_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-validity byte corpus for the UTF-8 intake
+    audit: ascii 'u{id}', one valid 3-byte hiragana cp 0x3042+id%60,
+    then — unless id%5==0 (the clean cohort) — one planted invalid
+    sequence by id%4: lone continuation 80 / overlong C0 AF (the
+    classic '/' smuggle — must yield TWO replacements, never an
+    accepted slash) / surrogate ED A0 80 (three) / truncated E3 81 at
+    END of stream (one, the maximal-subpart case), with a trailing
+    'z' except in the truncated case."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def batches(it: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        planted = (b"\x80", b"\xc0\xaf", b"\xed\xa0\x80", b"\xe3\x81")
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                p = b"u" + str(i).encode()
+                p += chr(0x3042 + i % 60).encode()
+                if i % 5 != 0:
+                    p += planted[i % 4]
+                if not (i % 5 != 0 and i % 4 == 3):
+                    p += b"z"
+                rows.append((i, p))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )

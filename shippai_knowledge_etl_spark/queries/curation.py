@@ -44,7 +44,7 @@ from shippai_knowledge_etl_spark.queries.dedup import (
     _PLANTED_SQL,
     documents_with_planted_dups,
 )
-from shippai_knowledge_etl_spark.tables import scale_out
+from shippai_knowledge_etl_spark.tables import load, scale_out
 
 MIN_TOKENS = 25  # ≈ p15 of the corpus: drops fragments, keeps bulk
 STOPWORD_PER_200 = 1  # kept ⟺ 200*n_stop >= n_tokens (ratio ≥ 0.005)
@@ -153,4 +153,132 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             k_stop / F.greatest(k_tokens, F.lit(1)).cast("double"), 6
         ).alias("kept_stop_ratio"),
+    )
+
+
+@register(
+    "crawl_robots_filter",
+    survey_ref=(
+        "[EXT] robots.txt longest-match filtering (round 12 — RFC "
+        "9309, the compliance gate every crawl pipeline runs before "
+        "spending fetch budget; the reference fetches pages with NO "
+        "robots check, src/fetch.py): per-domain rule sets (3-5 "
+        "Allow/Disallow path prefixes plus the implicit empty-prefix "
+        "allow), candidate URLs matched by prefix, the MOST SPECIFIC "
+        "(longest) rule winning with allow beating disallow on ties "
+        "— resolved as one max(struct(match_len, is_allow)) per URL, "
+        "pure integer/boolean arithmetic both engines replay"
+    ),
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             doc_id % 50 AS domain,
+             '/p' || CAST(doc_id % 20 AS VARCHAR) ||
+               '/x' || CAST(doc_id % 7 AS VARCHAR) AS path
+      FROM documents),
+    rules AS (
+      SELECT DISTINCT domain,
+             unnest(list_transform(range(0, 3 + domain % 3), r ->
+               struct_pack(
+                 prefix := '/p' ||
+                   CAST((domain * 7 + r * 13) % 20 AS VARCHAR),
+                 is_allow := CAST((domain + r) % 3 = 0 AS INT)))) AS rule
+      FROM urls),
+    flat AS (
+      SELECT domain, rule.prefix AS prefix, rule.is_allow AS is_allow
+      FROM rules
+      UNION ALL
+      SELECT DISTINCT domain, '' AS prefix, 1 AS is_allow FROM urls),
+    matched AS (
+      SELECT u.doc_id, u.domain, u.path,
+             max(struct_pack(
+               len := length(f.prefix), allow := f.is_allow)) AS best
+      FROM urls u JOIN flat f
+        ON f.domain = u.domain AND starts_with(u.path, f.prefix)
+      GROUP BY u.doc_id, u.domain, u.path)
+    SELECT doc_id,
+           CAST(domain AS BIGINT) AS domain,
+           path,
+           CAST(best.len AS BIGINT) AS matched_len,
+           best.allow = 1 AS allowed
+    FROM matched
+    """,
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would a compliant crawler fetch this URL: the RFC 9309
+    resolution — collect every rule whose path prefix matches,
+    take the longest, allow wins length ties — falls out of ONE
+    ordered struct max (len, is_allow), since (len, 1) > (len, 0)
+    encodes the tiebreak and the implicit '' allow rule (length 0)
+    guarantees a match for every URL. Rule sets are deterministic
+    per domain so both engines derive identical rule tables.
+
+    Scale shape: the rule table is domains x ~5 rules — broadcast
+    side by construction (real robots files are per-host and tiny);
+    the match is a broadcast theta-join (prefix startswith) against
+    the URL frontier with a map-side-partial struct-max per URL — no
+    fact-side shuffle at all. At 100 TB frontier scale this is the
+    politeness gate before fetch scheduling. Cites
+    /root/reference/src/fetch.py:66 (fetches with no robots check;
+    compliance is [EXT] surface)."""
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("domain"),
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("/x"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("path"),
+    )
+    domains = urls.select("domain").distinct()
+    rules = (
+        domains.select(
+            "domain",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 2 + domain % 3), r -> "
+                    "struct(concat('/p', CAST((domain * 7 + r * 13) % 20 "
+                    "AS STRING)) AS prefix, "
+                    "CAST(CASE WHEN (domain + r) % 3 = 0 THEN 1 ELSE 0 "
+                    "END AS INT) AS is_allow))"
+                )
+            ).alias("rule"),
+        )
+        .select(
+            "domain",
+            F.col("rule.prefix").alias("prefix"),
+            F.col("rule.is_allow").alias("is_allow"),
+        )
+        .unionByName(
+            domains.select(
+                "domain",
+                F.lit("").alias("prefix"),
+                F.lit(1).alias("is_allow"),
+            )
+        )
+    )
+    matched = (
+        urls.alias("u")
+        .join(
+            F.broadcast(rules.alias("r")),
+            F.expr(
+                "u.domain = r.domain AND startswith(u.path, r.prefix)"
+            ),
+        )
+        .groupBy(F.col("u.doc_id"), F.col("u.domain"), F.col("u.path"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("r.prefix").alias("len"),
+                    F.col("r.is_allow").alias("allow"),
+                )
+            ).alias("best")
+        )
+    )
+    return matched.select(
+        F.col("doc_id"),
+        F.col("domain").cast("long").alias("domain"),
+        F.col("path"),
+        F.col("best.len").cast("long").alias("matched_len"),
+        (F.col("best.allow") == 1).alias("allowed"),
     )

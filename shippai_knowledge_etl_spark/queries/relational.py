@@ -2841,3 +2841,87 @@ def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("area").cast("double") / F.col("span"), 6),
         ).alias("mean_depth"),
     )
+
+
+_FFD_CAP = 40
+_FFD_IDX = (
+    "list_filter(range(1, len(f.loads)+1), "
+    f"i -> f.loads[i] + o.sz <= {_FFD_CAP})[1]"
+)
+
+
+@register(
+    "layout_compaction_binpack",
+    survey_ref=(
+        "[EXT] first-fit-decreasing compaction planning (round 12 — "
+        "the small-file bin packer behind every lakehouse OPTIMIZE; "
+        "Johnson 1973's 11/9 OPT + 1 heuristic): per PARTITION, "
+        "files sorted size-desc (fid-asc ties) fold through the "
+        "lowest-index-bin-that-fits rule; Spark runs the fold as a "
+        "grouped-map applyInPandas per partition (the w35 mechanism "
+        "— the distribution axis is the partition, exactly how real "
+        "table services shard packing), the oracle replays it as a "
+        "recursive CTE whose carried state is the per-bin load LIST "
+        "(list_filter for first-fit, list_transform for the load "
+        "update) — the sequential-recurrence gate class extended to "
+        "LIST state; every per-file bin assignment is hash-gated"
+    ),
+    oracle=f"""
+    WITH RECURSIVE files AS (
+      SELECT year(o_orderdate) AS part, o_orderkey // 100 AS fid,
+             count(*) AS sz
+      FROM orders GROUP BY 1, 2),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY part
+                                   ORDER BY sz DESC, fid) AS rn
+      FROM files),
+    fold AS (
+      SELECT part, 0 AS rn, CAST([] AS BIGINT[]) AS loads,
+             CAST(NULL AS BIGINT) AS fid, CAST(NULL AS BIGINT) AS sz,
+             CAST(NULL AS BIGINT) AS bin
+      FROM (SELECT DISTINCT part FROM ordered)
+      UNION ALL
+      SELECT o.part, o.rn,
+             CASE WHEN {_FFD_IDX} IS NULL
+                  THEN list_append(f.loads, o.sz)
+                  ELSE list_transform(range(1, len(f.loads)+1),
+                         i -> CASE WHEN i = {_FFD_IDX}
+                              THEN f.loads[i] + o.sz
+                              ELSE f.loads[i] END) END,
+             o.fid, o.sz,
+             COALESCE({_FFD_IDX}, len(f.loads) + 1)
+      FROM fold f JOIN ordered o ON o.part = f.part AND o.rn = f.rn + 1)
+    SELECT CAST(part AS BIGINT) AS part, fid AS file_id,
+           sz AS size_rows, CAST(bin AS BIGINT) AS bin
+    FROM fold WHERE rn > 0
+    """,
+)
+def layout_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which small files merge into which compaction target: the
+    manifest (year partitions x orderkey//100 file buckets, size =
+    row count) runs FFD per partition and EVERY file's bin assignment
+    is gated — a wrong sort order, a last-fit instead of first-fit,
+    or a capacity off-by-one moves assignments and breaks the hash.
+    Oversized files open their own bin (natural first-fit behavior,
+    exercised when capacity < max file size at larger SFs).
+
+    Scale shape (operators/layout.py:ffd_binpack): one manifest agg
+    (map-side partials), one part-keyed grouped-map over FILE COUNTS
+    (not data) — per-partition state is a bin-load list bounded by
+    files-per-partition; the plan the real compaction services run.
+    Reference analog: none (the reference writes one JSON per case,
+    src/run.py:139-166); table maintenance is [EXT] surface."""
+    from shippai_knowledge_etl_spark.operators.layout import ffd_binpack
+
+    o = load(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("part"),
+        F.expr("o_orderkey div 100").alias("fid"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    packed = ffd_binpack(files, _FFD_CAP)
+    return packed.select(
+        F.col("part").cast("long").alias("part"),
+        F.col("fid").cast("long").alias("file_id"),
+        F.col("sz").cast("long").alias("size_rows"),
+        F.col("bin").cast("long").alias("bin"),
+    )

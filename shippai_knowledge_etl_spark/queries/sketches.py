@@ -1085,3 +1085,136 @@ def ext_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "sketch_quantile_pow2",
+    survey_ref=(
+        "[EXT] power-of-2 quantile sketch (round 12 — the DDSketch "
+        "family, Masson et al. VLDB 2019, at gamma = 2): bucket = "
+        "bit-length of the positive integer value (length(bin(v)) — "
+        "INTEGER-EXACT on both engines, no float log anywhere), at "
+        "most 64 mergeable buckets total; per-shard histograms merge "
+        "by addition and the merged==direct equality is gated "
+        "(merge-associativity witness, the HLL discipline); "
+        "quantile answer = first bucket whose cumulative count "
+        "reaches ceil(q*N/1000), gated with its [2^(b-1), 2^b-1] "
+        "bound bracketing the EXACT order statistic (the gamma=2 "
+        "relative-error guarantee, proven per row as within_bound)"
+    ),
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) + 1 AS v,
+             l_suppkey % 16 AS shard
+      FROM lineitem),
+    per_shard AS (
+      SELECT shard, length(bin(v)) AS b, count(*) AS c
+      FROM vals GROUP BY 1, 2),
+    merged AS (SELECT b, sum(c) AS c FROM per_shard GROUP BY b),
+    direct AS (SELECT length(bin(v)) AS b, count(*) AS c
+               FROM vals GROUP BY 1),
+    mok AS (
+      SELECT COALESCE(min(m.c = d.c), true) AS merge_ok
+      FROM merged m FULL JOIN direct d USING (b)),
+    n AS (SELECT count(*) AS n_total FROM vals),
+    cum AS (
+      SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM merged),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_permille),
+    picks AS (
+      SELECT q.q_permille, n.n_total,
+             (SELECT min(cum.b) FROM cum
+              WHERE cum.cc >= (q.q_permille * n.n_total + 999) // 1000)
+               AS bucket
+      FROM qs q CROSS JOIN n),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM vals),
+    out AS (
+      SELECT p.q_permille, p.n_total, p.bucket,
+             (1::BIGINT << (p.bucket - 1)) AS est_lo,
+             (1::BIGINT << p.bucket) - 1 AS est_hi,
+             r.v AS exact_val
+      FROM picks p JOIN ranked r
+        ON r.rnk = (p.q_permille * p.n_total + 999) // 1000)
+    SELECT CAST(q_permille AS BIGINT) AS q_permille,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(est_lo AS BIGINT) AS est_lo,
+           CAST(est_hi AS BIGINT) AS est_hi,
+           CAST(exact_val AS BIGINT) AS exact_val,
+           (exact_val BETWEEN est_lo AND est_hi) AS within_bound,
+           (SELECT merge_ok FROM mok) AS merge_ok
+    FROM out
+    """,
+)
+def sketch_quantile_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles without floats: the gamma=2 DDSketch
+    degenerates to bit-length buckets, which makes every piece of the
+    pipeline — bucketing, shard merge, cumulative pick, even the
+    relative-error guarantee — exact integer data both engines
+    reproduce bit-for-bit. The exact order statistic rides along as
+    the audit column, and within_bound gates the sketch's ±2x
+    contract against it per quantile.
+
+    Scale shape: the sketch side is two bucket-keyed aggregates
+    (map-side partials; at most 64 groups) + a 64-row cumulative
+    window + a 3-row quantile probe against broadcast 1-row N — all
+    index-metadata-sized. The exact-rank audit is the only global
+    sort and exists to VERIFY the sketch (drop it in production and
+    the plan is pure map-side histogram merge, the 100 TB path).
+    Reference analog: none; [EXT] sketch surface."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice) AS BIGINT) + 1").alias("v"),
+        F.expr("l_suppkey % 16").alias("shard"),
+    )
+    b = F.expr("length(bin(v))").alias("b")
+    per_shard = li.groupBy("shard", b).agg(F.count(F.lit(1)).alias("c"))
+    merged = per_shard.groupBy("b").agg(F.sum("c").alias("c"))
+    direct = li.groupBy(b).agg(F.count(F.lit(1)).alias("cd"))
+    mok = (
+        merged.join(direct, "b", "full")
+        .agg(
+            F.coalesce(
+                F.min(F.col("c") == F.col("cd")), F.lit(True)
+            ).alias("merge_ok")
+        )
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))
+    from pyspark.sql import Window as SqlWindow
+
+    cum = merged.select(
+        "b", F.sum("c").over(SqlWindow.orderBy("b")).alias("cc")
+    )
+    qs = spark.createDataFrame([(500,), (900,), (990,)], "q_permille long")
+    rank_expr = "(q_permille * n_total + 999) div 1000"
+    picks = (
+        qs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(cum))
+        .filter(F.expr(f"cc >= {rank_expr}"))
+        .groupBy("q_permille", "n_total")
+        .agg(F.min("b").alias("bucket"))
+    )
+    ranked = li.select(
+        "v", F.row_number().over(SqlWindow.orderBy("v")).alias("rnk")
+    )
+    out = (
+        picks.join(ranked, F.expr(f"rnk = {rank_expr}"))
+        .crossJoin(F.broadcast(mok))
+        .select(
+            F.col("q_permille").cast("long"),
+            F.col("n_total").cast("long"),
+            F.col("bucket").cast("long"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+            .cast("long")
+            .alias("est_lo"),
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1)
+            .cast("long")
+            .alias("est_hi"),
+            F.col("v").cast("long").alias("exact_val"),
+            F.expr(
+                "v BETWEEN shiftleft(CAST(1 AS BIGINT), bucket - 1) "
+                "AND shiftleft(CAST(1 AS BIGINT), bucket) - 1"
+            ).alias("within_bound"),
+            "merge_ok",
+        )
+    )
+    return out

@@ -1662,3 +1662,73 @@ def ext_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+_U8_DIGSUM = (
+    "list_sum(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),"
+    " i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))))"
+)
+_U8_NREPL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 0"
+    " WHEN doc_id % 4 = 3 THEN 1 ELSE doc_id % 4 + 1 END)"
+)
+_U8_PLANTED_BYTES = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 0"
+    " WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN 2"
+    " WHEN doc_id % 4 = 2 THEN 3 ELSE 2 END)"
+)
+_U8_TRAILING = "(CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 = 3 THEN 0 ELSE 1 END)"
+
+
+@register(
+    "curation_utf8_sanitize",
+    survey_ref=(
+        "[EXT] UTF-8 intake audit (round 12 — the sanitize pass a "
+        "crawl corpus runs BEFORE any tokenizer): a hand-rolled "
+        "WHATWG maximal-subpart decoder (fuzz-pinned BYTE-EQUAL to "
+        "CPython's errors='replace' over 3000 random byte soups plus "
+        "every boundary case — the audioop/tarfile independent-"
+        "implementation discipline) counts and substitutes U+FFFD for "
+        "lone continuations, C0 AF overlongs (TWO replacements, the "
+        "classic '/' smuggle refused), ED surrogates, and truncated "
+        "multibyte tails; the oracle recomputes byte counts, "
+        "codepoint counts, and FFFD-inclusive codepoint sums in "
+        "closed form per planted case"
+    ),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 + length(CAST(doc_id AS VARCHAR)) + 3
+                + {_U8_PLANTED_BYTES} + {_U8_TRAILING} AS BIGINT)
+             AS n_bytes,
+           CAST(1 + length(CAST(doc_id AS VARCHAR)) + 1
+                + {_U8_NREPL} + {_U8_TRAILING} AS BIGINT) AS n_codepoints,
+           CAST(117 + {_U8_DIGSUM} + 12354 + doc_id % 60
+                + 65533 * {_U8_NREPL} + 122 * {_U8_TRAILING} AS BIGINT)
+             AS cp_sum,
+           CAST({_U8_NREPL} AS BIGINT) AS n_replacements,
+           doc_id % 5 = 0 AS clean
+    FROM documents
+    """,
+)
+def curation_utf8_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the byte stream actually text: every payload mixes ascii, a
+    valid CJK multibyte, and (for 4 of 5 docs) one planted invalid
+    sequence chosen to hit a DIFFERENT decoder bug class — the
+    FFFD-inclusive cp_sum means the gate pins not just invalidity
+    detection but the exact WHATWG substitution behavior (how many
+    replacements, which bytes consumed per subpart). The overlong
+    C0 AF row is the security case: a decoder that accepts it reads
+    '/' where the bytes say otherwise, and its cp_sum breaks here.
+
+    Scale shape (operators/textops.py:utf8_sanitize_features): one
+    narrow Arrow map, no shuffle; five integers per document return
+    to the JVM. Cites /root/reference/src/extract.py:36 (the
+    reference trusts requests' decoding blindly; byte-level intake
+    hygiene is [EXT] surface)."""
+    from shippai_knowledge_etl_spark.operators.textops import (
+        attach_utf8_payload,
+        utf8_sanitize_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return utf8_sanitize_features(attach_utf8_payload(d, "doc_id"))

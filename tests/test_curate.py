@@ -895,3 +895,36 @@ def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
         )
         assert flags[i] == (not dominated), f"doc {i}"
     assert any(flags.values()) and not all(flags.values())
+
+
+def test_utf8_decode_replace_matches_cpython_fuzz():
+    """The hand-rolled WHATWG maximal-subpart decoder is byte-equal to
+    CPython's errors='replace' over random byte soup and every
+    boundary class: lone continuation, C0/C1 overlongs (two FFFDs —
+    never an accepted '/'), ED surrogates, F0/F4 plane guards, E0
+    floor, truncated tails at end-of-stream."""
+    import random
+
+    from shippai_knowledge_etl_spark.operators.textops import (
+        utf8_decode_replace,
+    )
+
+    random.seed(1207)
+    for _ in range(2000):
+        b = bytes(random.randrange(256) for _ in range(random.randint(0, 24)))
+        exp = b.decode("utf-8", "replace")
+        n, s, r = utf8_decode_replace(b)
+        assert (n, s, r) == (
+            len(exp), sum(map(ord, exp)), exp.count("�")
+        ), b.hex()
+    cases = {
+        b"\x80": 1, b"\xc0\xaf": 2, b"\xc1\xbf": 2, b"\xed\xa0\x80": 3,
+        b"\xe0\x9f\x80": 3, b"\xe3\x81": 1, b"\xf0\x80\x80\x80": 4,
+        b"\xf4\x90\x80\x80": 4, b"\xf5\x80": 2, b"\xf0\x9f\x98\x80": 0,
+        b"\xf0\x9f\x98": 1, b"\xff": 1,
+    }
+    for b, nf in cases.items():
+        exp = b.decode("utf-8", "replace")
+        n, s, r = utf8_decode_replace(b)
+        assert r == exp.count("�") == nf, (b.hex(), r, nf)
+        assert (n, s) == (len(exp), sum(map(ord, exp)))

@@ -51,6 +51,11 @@ def plans(spark, sf_dir):
 # count, the range-bucket boundary table). A BNLJ anywhere else — or
 # any non-broadcast CartesianProduct — is a scale bug.
 _ALLOWED_TINY_BROADCAST_BNLJ = {
+    # round 12 quantile sketch: 3-row quantile frame x 1-row N x
+    # <=64-row bucket-cumulative frame — every BNLJ side is
+    # index-metadata-sized by construction (the sketch IS <=64
+    # mergeable buckets; the 1-row N is the a_bootstrap_ci class)
+    "sketch_quantile_pow2",
     "j5_range_join_buckets",  # ≤ handful of buckets, non-equi bounds
     "ext_tfidf",  # 1-row total-doc-count factor
     "simsearch_topk_cosine",  # 1-row query embedding
@@ -412,6 +417,17 @@ _ALLOWED_GLOBAL_WINDOW = {
     # ≤ 2·|files| netted boundary dates — the MANIFEST, not the fact
     # table (zonemap class; w15 bounded-rollup discipline)
     "layout_overlap_depth",
+    # round 12 quantile sketch: the bucket cumulative runs over the
+    # <=64-row merged histogram (w15 bounded-rollup discipline); the
+    # global exact-rank row_number is the AUDIT column verifying the
+    # sketch's +-2x bound — drop it in production and the plan is a
+    # pure map-side histogram merge (docstring documents this)
+    "sketch_quantile_pow2",
+    # heuristic false positive, the w34_cohort_ltv class: every
+    # Window partitions by user_id / (user_id, sid) (inspect:
+    # "Window ... hashpartitioning(user_id"); the SinglePartition
+    # exchange is the 1-row direct-conversion count aggregate
+    "behavior_attribution_position",
 }
 
 
