@@ -87,14 +87,19 @@ def iterate(
     converged = False
     for i in range(n_rounds):
         new = step(state, i)
+        # checkpoint BEFORE probing, and EAGERLY when a probe exists:
+        # the probe is an action over (prev, new), and probing lazy
+        # lineage re-executes every prior round per probe — measured
+        # 24 s → ~6 s on graph_sssp at sf0.1 when the round-12 EXT6
+        # pin first caught it
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=stop_when is not None)
         rounds_run = i + 1
         if stop_when is not None and stop_when(state, new):
             state = new
             converged = True
             break
         state = new
-        if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=False)
     if eager_final:
         state = state.localCheckpoint(eager=True)
     return state, rounds_run, converged

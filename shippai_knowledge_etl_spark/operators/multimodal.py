@@ -24,6 +24,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shippai_knowledge_etl_spark.tables import scale_out
+
 if TYPE_CHECKING:
     import pandas as pd
 
@@ -217,7 +219,7 @@ def attach_png_payload(
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -258,7 +260,7 @@ def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_wav(samples, rate, channels)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -806,7 +808,7 @@ def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_gif(w, h, palette, idx)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -902,7 +904,7 @@ def attach_mulaw_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_wav_mulaw(samples, 8000, 1)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1029,7 +1031,7 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
                     rows.append((i, encode_bmp_rle8(w, h, idx, palette)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1261,7 +1263,7 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_avi_rgb24(w, h, frames, fps)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1353,7 +1355,7 @@ def attach_srt_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, "\n\n".join(blocks)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload string"
     )
 
@@ -1393,7 +1395,7 @@ def attach_png16_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_png16(w, h, 3, arr)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1538,7 +1540,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, data))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1722,7 +1724,7 @@ def attach_jpeg_progressive_payload(df: DataFrame, id_col: str) -> DataFrame:
                 columns=["doc_id", "flat_prog", "acb_base", "acb_prog"],
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches,
         "doc_id long, flat_prog binary, acb_base binary, acb_prog binary",
     )
@@ -1844,7 +1846,7 @@ def attach_adpcm_payload(df: DataFrame, id_col: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -1961,7 +1963,7 @@ def attach_tiff_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, data))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2086,7 +2088,7 @@ def attach_mjpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_avi_mjpeg(w, h, frames, fps=10)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2196,7 +2198,7 @@ def attach_tar_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_tar(members)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2319,7 +2321,7 @@ def attach_warc_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, enc(recs)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2427,7 +2429,7 @@ def attach_zip_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_zip(members, methods)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2533,7 +2535,7 @@ def attach_pdf_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, pdf_document(pages)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2615,7 +2617,7 @@ def attach_pdf_flate_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((int(doc_id), build_pdf(int(doc_id))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
@@ -2708,7 +2710,7 @@ def attach_alaw_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, encode_wav_alaw(samples, 8000)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )
 

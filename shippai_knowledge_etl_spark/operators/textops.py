@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shippai_knowledge_etl_spark.tables import scale_out
+
 # Tiny per-language marker sets for the n-gram/stopword heuristic.
 # Deliberately small: the operator shape (tokenize → bucket-count →
 # argmax) is what matters; swap in real frequency tables at production.
@@ -463,6 +465,6 @@ def attach_utf8_payload(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append((i, p))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return scale_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, "doc_id long, payload binary"
     )

@@ -2368,3 +2368,131 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dist"),
         (F.col("dist") < inf).alias("reached"),
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    survey_ref=(
+        "[EXT] sorted-neighborhood dedup (round 12 — Hernandez & "
+        "Stolfo 1995, the SORT-based candidate generator beside the "
+        "family's hash blocking, LSH banding and prefix filtering): "
+        "docs ranked by a 16-char sort key, candidates = pairs within "
+        "window w=2 of the sorted order (generated as an EQUI-join on "
+        "rank+gap, never an inequality self-join), then exact "
+        "token-set Jaccard through the relational gram-keyed spine "
+        "(distinct-token explode + pair-token equi-joins — the "
+        "lambda-free dedup_ngram_jaccard idiom, no HOFs); rank gaps, "
+        "intersection/union sizes and integer jaccard_pct all gated"
+    ),
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY substr(text, 1, 16), doc_id)
+               AS rnk
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             g.g AS rank_gap
+      FROM r a
+      CROSS JOIN (SELECT unnest([1, 2]) AS g) g
+      JOIN r b ON b.rnk = a.rnk + g.g),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS ni
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.id_a
+      JOIN toks tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+      GROUP BY p.id_a, p.id_b),
+    out AS (
+      SELECT p.id_a, p.id_b, p.rank_gap,
+             COALESCE(i.ni, 0) AS n_inter,
+             sa.n + sb.n - COALESCE(i.ni, 0) AS n_union
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+    SELECT id_a, id_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST((100 * n_inter) // n_union AS BIGINT) AS jaccard_pct
+    FROM out
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third candidate-generation geometry: hashing blocks on
+    equality, LSH blocks on signature collisions — SNM blocks on
+    ADJACENCY under a domain sort key, which catches near-dups whose
+    difference sits exactly where a hash key would split them. The
+    window-w pairing is an equi-join on (rank + gap), so the plan
+    stays a bounded join, not an inequality blow-up; the verify stage
+    is the family's exact relational Jaccard.
+
+    Scale shape: ONE global sort of (key, id) — at 100 TB this is a
+    range-partitioned sort (the Exchange rangepartitioning Spark
+    already emits for orderBy) with ranks assigned per range + offset;
+    the demo's row_number window is that plan's local[] form (plan
+    gate carries the comment). Pair fan-out is exactly w·N — linear
+    by construction, the property that made SNM the classic
+    large-record-linkage algorithm."""
+    from pyspark.sql import Window as SqlWindow
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    r = d.withColumn(
+        "rnk",
+        F.row_number().over(
+            SqlWindow.orderBy(F.substring("text", 1, 16), "doc_id")
+        ),
+    ).select("doc_id", "rnk")
+    # gap fan-out by explode, not a tiny crossJoin: same 2N rows,
+    # zero join operators in the plan
+    a = r.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("g"),
+    )
+    pairs = a.join(
+        r.select(F.col("doc_id").alias("id_b"), F.col("rnk").alias("rnk_b")),
+        F.col("rnk_b") == F.col("rnk_a") + F.col("g"),
+    ).select("id_a", "id_b", F.col("g").alias("rank_gap"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("id_a"), "tok"), "id_a"
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), "tok"),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rank_gap").cast("long"),
+            F.coalesce("ni", F.lit(0)).cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("ni", F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("(100 * coalesce(ni, 0)) div (na + nb - coalesce(ni, 0))")
+            .cast("long")
+            .alias("jaccard_pct"),
+        )
+    )
+    return out

@@ -417,6 +417,12 @@ _ALLOWED_GLOBAL_WINDOW = {
     # ≤ 2·|files| netted boundary dates — the MANIFEST, not the fact
     # table (zonemap class; w15 bounded-rollup discipline)
     "layout_overlap_depth",
+    # round 12 sorted-neighborhood dedup: the global row_number IS
+    # the algorithm (SNM sorts the corpus and pairs adjacent rows);
+    # at 100 TB the orderBy becomes an Exchange rangepartitioning
+    # sort with ranks assigned per range + offset — the docstring
+    # documents the scale path; pair fan-out is exactly w*N
+    "dedup_sorted_neighborhood",
     # round 12 quantile sketch: the bucket cumulative runs over the
     # <=64-row merged histogram (w15 bounded-rollup discipline); the
     # global exact-rank row_number is the AUDIT column verifying the
