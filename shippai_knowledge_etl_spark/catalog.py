@@ -706,6 +706,7 @@ COHORTS[12] = (
     "crawl_robots_filter",  # RFC 9309 longest-match allow/deny
     "curation_utf8_sanitize",  # WHATWG maximal-subpart FFFD audit
     "dedup_sorted_neighborhood",  # SNM window pairing + exact verify
+    "w38_changepoint_binseg",  # exact-integer binseg level shift
     # r12 loop refactor: every iterative operator now runs on
     # operators/fixpoint.py:iterate — results must be bit-identical
     "graph_pagerank",

@@ -5641,3 +5641,145 @@ def behavior_attribution_position(
         )
     )
     return per_channel.unionByName(direct)
+
+
+@register(
+    "w38_changepoint_binseg",
+    survey_ref=(
+        "[EXT] binary-segmentation changepoint detection (round 12 — "
+        "the SEGMENTATION family beside w15's CUSUM drift MONITOR: "
+        "CUSUM asks 'is the stream drifting now', binseg asks 'where "
+        "did the level shift' — Scott & Knott 1974; the single-split "
+        "step PELT/ruptures iterate): per event type over the daily "
+        "grid, the best split t* maximizes the between-segment "
+        "functional S_L^2/n_L + S_R^2/n_R, made EXACT-integer by "
+        "scoring q(t) = ((S_L^2 n_R + S_R^2 n_L) * 1e6) div "
+        "(n_L n_R) — floor division both engines replay bit-for-bit "
+        "— with argmax resolved by one max(struct(q, -t)) so score "
+        "ties break to the earliest day; the no-split score "
+        "q0 = (S^2 * 1e6) div n rides along and gain = q* - q0 >= 0 "
+        "is gated as data (the variance-explained evidence for the "
+        "split)"
+    ),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS t,
+             cnt FROM daily),
+    pre AS (
+      SELECT event_type, t,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY t) AS ps,
+             sum(cnt) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+      FROM grid),
+    cand AS (
+      SELECT event_type, t, rn AS nl, n - rn AS nr, ps AS sl, s - ps AS sr,
+             s, n
+      FROM pre WHERE rn < n),
+    scored AS (
+      SELECT event_type, t, nl, nr, sl, sr,
+             ((sl*sl*nr + sr*sr*nl) * 1000000) // (nl*nr) AS q,
+             (s*s*1000000) // n AS q0
+      FROM cand),
+    best AS (
+      SELECT event_type,
+             max(struct_pack(q := q, tneg := -t)) AS b
+      FROM scored GROUP BY event_type)
+    SELECT s.event_type,
+           CAST(s.t AS BIGINT) AS t_star,
+           CAST(s.nl AS BIGINT) AS n_left,
+           CAST(s.nr AS BIGINT) AS n_right,
+           CAST(s.sl AS BIGINT) AS sum_left,
+           CAST(s.sr AS BIGINT) AS sum_right,
+           CAST(s.q AS BIGINT) AS q_star,
+           CAST(s.q0 AS BIGINT) AS q_single,
+           CAST(s.q - s.q0 AS BIGINT) AS gain
+    FROM best b JOIN scored s
+      ON s.event_type = b.event_type AND s.q = b.b.q AND s.t = -b.b.tneg
+    """,
+)
+def w38_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the level shifted, per event type: prefix sums give every
+    candidate split's segment sums in one pass, the scaled integer
+    score makes the argmax engine-exact (no float SSE anywhere — the
+    identity argmin SSE == argmax S_L^2/n_L + S_R^2/n_R needs only
+    sums and counts), and gain >= 0 holds by Cauchy-Schwarz so a
+    negative gain is an arithmetic bug the gate would catch.
+
+    Scale shape: the |types| x |days| grid is calendar-bounded (the
+    w19/w20 discipline — never the raw stream); one type-keyed window
+    pass + a |grid|-row score scan + a 5-row argmax join. Recursing
+    binseg on the sub-segments (full PELT) iterates this same bounded
+    step. Reference analog: none; [EXT] time-series surface."""
+    from pyspark.sql import Window as SqlWindow
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").alias(
+            "day"
+        ),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = SqlWindow.partitionBy("event_type")
+    grid = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(wt)).alias("t"),
+        "cnt",
+    )
+    wo = wt.orderBy("t")
+    pre = grid.select(
+        "event_type",
+        "t",
+        F.sum("cnt").over(wo).alias("ps"),
+        F.sum("cnt").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    cand = pre.filter(F.col("rn") < F.col("n")).select(
+        "event_type",
+        "t",
+        F.col("rn").alias("nl"),
+        (F.col("n") - F.col("rn")).alias("nr"),
+        F.col("ps").alias("sl"),
+        (F.col("s") - F.col("ps")).alias("sr"),
+        "s",
+        "n",
+    )
+    scored = cand.select(
+        "event_type",
+        "t",
+        "nl",
+        "nr",
+        "sl",
+        "sr",
+        F.expr("((sl*sl*nr + sr*sr*nl) * 1000000) div (nl*nr)").alias("q"),
+        F.expr("(s*s*1000000) div n").alias("q0"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(F.struct(F.col("q"), (-F.col("t")).alias("tneg"))).alias("b")
+    )
+    return (
+        best.join(
+            scored.alias("s"),
+            (F.col("s.event_type") == best["event_type"])
+            & (F.col("s.q") == F.col("b.q"))
+            & (F.col("s.t") == -F.col("b.tneg")),
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.t").cast("long").alias("t_star"),
+            F.col("s.nl").cast("long").alias("n_left"),
+            F.col("s.nr").cast("long").alias("n_right"),
+            F.col("s.sl").cast("long").alias("sum_left"),
+            F.col("s.sr").cast("long").alias("sum_right"),
+            F.col("s.q").cast("long").alias("q_star"),
+            F.col("s.q0").cast("long").alias("q_single"),
+            (F.col("s.q") - F.col("s.q0")).cast("long").alias("gain"),
+        )
+    )

@@ -130,3 +130,44 @@ def test_attribution_position_hand_built(spark):
     assert got["view"]["n_first"] == 3 and got["view"]["n_last"] == 2
     total = sum(r["credit_bp"] for r in got.values())
     assert total == 4 * 10000 + 10000  # 4 journeys + 1 direct
+
+
+def test_changepoint_binseg_planted_step(spark):
+    """A planted step function recovers its exact changepoint: type A
+    runs 10 days at 2/day then 10 days at 20/day — t* must be day 9
+    (the last low day), gain large; type B is constant 5/day — any
+    split gives q == q0 for balanced... (constant series: q(t) == q0
+    exactly for every t by algebra), so gain == 0 and the tie-break
+    picks the EARLIEST candidate day."""
+    import datetime
+    import os
+    import tempfile
+
+    from shippai_knowledge_etl_spark.catalog import load_catalog
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        n_a = 2 if day < 10 else 20
+        for k in range(n_a):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(days=day, minutes=k),
+                         1, "alpha", 0.0, "{}"))
+        for k in range(5):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(days=day, minutes=k),
+                         2, "beta", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        fn = load_catalog()["w38_changepoint_binseg"].fn
+        got = {r["event_type"]: r for r in fn(spark, td).collect()}
+    a = got["alpha"]
+    assert a["t_star"] == 9 and a["n_left"] == 10 and a["n_right"] == 10
+    assert a["sum_left"] == 20 and a["sum_right"] == 200
+    assert a["gain"] > 0
+    b = got["beta"]
+    assert b["gain"] == 0 and b["t_star"] == 0  # tie → earliest day
