@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # loop (early-exit convergence probes included in its time), the
 # U-shaped attribution window chain, FFD compaction packing
 # (grouped-map fold), the gamma=2 quantile sketch, RFC 9309 robots
-# filtering — plus the two round-12 WIDENINGS whose medians should
-# be tracked (deflate members in zip, member-gzip WARC).
+# filtering, the WHATWG UTF-8 sanitize pass, sorted-neighborhood
+# dedup and binseg changepoint detection — plus the two round-12
+# WIDENINGS whose medians should be tracked (deflate members in
+# zip, member-gzip WARC).
 EXT6_SET = (
     "mm_jpeg_progressive",
     "mm_pdf_flate_extract",
@@ -40,6 +42,9 @@ EXT6_SET = (
     "crawl_robots_filter",
     "mm_zip_extract",
     "mm_warc_parse",
+    "curation_utf8_sanitize",
+    "dedup_sorted_neighborhood",
+    "w38_changepoint_binseg",
 )
 
 
