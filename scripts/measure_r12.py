@@ -20,10 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import sys
 import time
 from pathlib import Path
+
+import pandas as pd
 
 REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
@@ -79,7 +80,6 @@ def main() -> int:
 
     # session warm-up: JVM codegen + Python worker pool (bench.py's
     # protocol), so the first measured query is not charged session cost
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     q[args.names[0]](spark, args.sf).write.format("noop").mode(

@@ -877,20 +877,30 @@ def shortest_paths(
     dist'(v) = min(dist(v), min over edges (u,v,w) of dist(u)+w), a
     monotone non-increasing map whose fixpoint is the true distance.
 
-    ``converge=True`` early-exits via the ``unchanged`` probe; because
+    ``converge=True`` early-exits via the frontier-empty probe; because
     relaxation is monotone, a converged run equals the fixed-budget
     run of ANY budget ≥ the convergence round — which is exactly why
     an early-exiting Spark loop can hash-match an oracle that unrolls
     all ``n_rounds`` as chained CTEs (``graph_sssp``'s gate). Returns
     ``(state, rounds_run)``.
 
-    Scale shape: per round ONE src-keyed join of the (pre-persisted)
-    weighted edge list against the frontier-bearing state + one
-    dst-keyed min with map-side partials; state is 2 longs per node.
+    Scale shape (round-12 optimization — guide §2.4/§2.3, measured
+    9.6 s → see OPTIMIZATION_r12.md): the state carries a ``changed``
+    flag and only the FRONTIER (rows whose dist improved last round)
+    joins the edge list each round — classic frontier Bellman-Ford.
+    Exact by induction: a node u whose dist did not change in round i
+    contributed dist(u)+w to every out-neighbor in the round after u
+    last changed, and that value is already folded into the
+    neighbor's dist, so re-contributing it cannot lower anything;
+    per-round states are therefore bit-identical to the full-relax
+    form. Convergence is "frontier empty" — a limit(1) scan of the
+    already-checkpointed state — replacing the generic ``unchanged``
+    exceptAll probe, which cost two extra shuffles over BOTH state
+    copies every round. At 100 TB the frontier shrinks geometrically
+    after the graph's effective diameter, so late rounds join
+    near-empty frontiers instead of the full reachable set.
     Weights must be non-negative (Bellman-Ford with negative edges
     needs |V|-1 rounds and a cycle check — out of scope, raise)."""
-    from shippai_knowledge_etl_spark.operators.fixpoint import unchanged
-
     ew = edges_w.filter(F.col("src") != F.col("dst")).persist()
     state0 = (
         nodes.join(
@@ -904,16 +914,17 @@ def shortest_paths(
             .cast("long")
             .alias("dist"),
         )
+        # round-0 frontier = the seeds (the only rows that "changed"
+        # relative to the all-INF prior state)
+        .withColumn("changed", F.col("dist") < INF_DIST)
     )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select(
+            F.col("id").alias("src"), "dist"
+        )
         relax = (
-            ew.join(
-                state.filter(F.col("dist") < INF_DIST).withColumnRenamed(
-                    "id", "src"
-                ),
-                "src",
-            )
+            ew.join(frontier, "src")
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("w")).alias("relax"))
         )
@@ -924,7 +935,15 @@ def shortest_paths(
             F.least(
                 F.col("dist"), F.coalesce(F.col("relax"), F.lit(INF_DIST))
             ).alias("dist"),
+            (F.coalesce(F.col("relax"), F.lit(INF_DIST)) < F.col("dist"))
+            .alias("changed"),
         )
+
+    def frontier_empty(_prev: DataFrame, new: DataFrame) -> bool:
+        # `new` is already eagerly checkpointed by iterate() when a
+        # probe is present: this is a limit-1 scan of materialized
+        # rows, never a recomputation of the round
+        return new.filter(F.col("changed")).limit(1).count() == 0
 
     out, rounds, _ = iterate(
         state0,
@@ -932,7 +951,7 @@ def shortest_paths(
         n_rounds,
         checkpoint_every=checkpoint_every,
         eager_final=True,
-        stop_when=unchanged if converge else None,
+        stop_when=frontier_empty if converge else None,
     )
     ew.unpersist()
-    return out, rounds
+    return out.select("id", "dist"), rounds

@@ -125,6 +125,59 @@ def _pair_gram_stats(d: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _pair_gram_stats_uni_bi(d: DataFrame) -> DataFrame:
+    """Per-pair unigram AND bigram stats in ONE tokenize pass and ONE
+    (pair, gram) shuffle (round-12 optimization, guide §2.3/§2.4 —
+    BLEU-2 previously ran ``_pair_gram_stats`` twice, i.e. two full
+    tokenize+Generate scans and two gram-keyed exchanges over the same
+    corpus; the plan showed 8 parquet scans).
+
+    Both orders ride one explode by padding unigrams into the bigram
+    struct shape: ``arrays_zip(toks, <empty>)`` pads its second array
+    with nulls, so a unigram is ``(tok, NULL)`` and a bigram
+    ``(tok_i, tok_{i+1})`` — tokens are non-empty strings, so the two
+    populations can never collide under group-by equality, and
+    ``b IS NULL`` routes each gram row to its order's conditional
+    sums. Same lambda-free arrays_zip-of-slices construction as
+    ``shingle_pos_structs`` (whole-stage codegen, no HOF fallback);
+    counts are exact integers, so the BLEU assembly downstream is
+    unchanged and the hash gate sees identical values.
+
+    Returns (pair_id, t1c, t1r, m1, t2c, m2): candidate/reference
+    unigram totals, clipped unigram matches, candidate bigram total,
+    clipped bigram matches."""
+    toks = tokenize(F.col("text"))
+    sz = F.size(toks)
+    win = F.greatest(sz - 1, F.lit(0))
+    uni = F.arrays_zip(
+        F.slice(toks, 1, sz).alias("a"), F.slice(toks, 1, 0).alias("b")
+    )
+    bi0 = F.arrays_zip(
+        F.slice(toks, 1, win).alias("a"), F.slice(toks, 2, win).alias("b")
+    )
+    bi = F.when(sz >= 2, bi0).otherwise(F.slice(bi0, 1, 0))
+    g = d.select("doc_id", F.explode(F.concat(uni, bi)).alias("g"))
+    pg = g.groupBy(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "g"
+    ).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_cand"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
+    )
+    is_bi = F.col("g.b").isNotNull()
+    z = F.lit(0)
+    return pg.groupBy("pair_id").agg(
+        F.sum(F.when(~is_bi, F.col("c_cand")).otherwise(z)).alias("t1c"),
+        F.sum(F.when(~is_bi, F.col("c_ref")).otherwise(z)).alias("t1r"),
+        F.sum(F.when(~is_bi, F.least("c_cand", "c_ref")).otherwise(z)).alias(
+            "m1"
+        ),
+        F.sum(F.when(is_bi, F.col("c_cand")).otherwise(z)).alias("t2c"),
+        F.sum(F.when(is_bi, F.least("c_cand", "c_ref")).otherwise(z)).alias(
+            "m2"
+        ),
+    )
+
+
 def _pairs(d: DataFrame) -> DataFrame:
     c = d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("pair_id"))
     r = d.filter(F.col("doc_id") % 2 == 1).select(
@@ -255,10 +308,11 @@ def eval_bleu_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented at queries/coverage.py:522), while both engines' ln()
     agrees at round-6 across the catalog (woe_iv, mixture_kl).
 
-    Scale shape: the unigram and bigram clipped-match stages are two
-    independent gram-keyed shuffles over the SAME tokenize pass class
-    as eval_rouge_bigram; everything after is per-pair arithmetic on
-    five longs."""
+    Scale shape (round-12): unigram and bigram clipped-match stats ride
+    ONE tokenize pass and ONE gram-keyed shuffle — unigrams padded into
+    the bigram struct shape so both orders share the explode and the
+    exchange (_pair_gram_stats_uni_bi); everything after is per-pair
+    arithmetic on five longs."""
     return _bleu_log_frame(load(spark, sf_dir, "documents"))
 
 
@@ -268,19 +322,13 @@ def _bleu_log_frame(d: DataFrame) -> DataFrame:
     tests/test_evals.py) — so the round-then-DECIMAL assembly and the
     brevity guard are unit-tested on the exact production select, not
     a re-derivation."""
-    s1 = _pair_gram_stats(d, 1).select(
-        "pair_id",
-        F.col("ct").alias("t1c"),
-        F.col("rt").alias("t1r"),
-        F.col("m").alias("m1"),
-    )
-    s2 = _pair_gram_stats(d, 2).select(
-        "pair_id", F.col("ct").alias("t2c"), F.col("m").alias("m2")
-    )
+    # round-12: one merged tokenize pass + one gram shuffle for both
+    # orders (see _pair_gram_stats_uni_bi) — was two _pair_gram_stats
+    # calls, i.e. two full scans and two exchanges
+    s12 = _pair_gram_stats_uni_bi(d)
     j = (
         _pairs(d)
-        .join(s1, "pair_id", "left")
-        .join(s2, "pair_id", "left")
+        .join(s12, "pair_id", "left")
         .select(
             "pair_id",
             F.coalesce("t1c", F.lit(0)).alias("t1c"),

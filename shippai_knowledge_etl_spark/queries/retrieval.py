@@ -1716,6 +1716,16 @@ def retrieval_impact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = d.select(F.col("doc_id"), toks.alias("toks")).select(
         "doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols
     )
+    # Round-12 optimization (guide §2.3 "don't recompute what you can
+    # keep"; the eval_meteor_frag lazy-localCheckpoint idiom): four
+    # consumers read per_doc — the corpus-stats aggregate, the global
+    # impact-bounds aggregate, and the two top-10 cuts — and without a
+    # barrier each one re-runs tokenize + the array_remove tf counting
+    # from the parquet scan (measured: 16 Scan parquet leaves in the
+    # physical plan, i.e. the tokenize pass ran 4x per execution).
+    # per_doc is 5 longs per doc, so the materialized footprint is
+    # tiny at any corpus size; lazy so plan-building stays action-free.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

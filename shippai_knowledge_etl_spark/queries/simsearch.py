@@ -1142,6 +1142,16 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = kept_ids.join(base, "orig_id").select(
         "vec_id", "label", "pos", "v"
     )
+    # Round-12 optimization (guide §2.3; the eval_meteor_frag lazy-
+    # localCheckpoint idiom): three consumers read rows — norms, and
+    # both sides of the (label, pos) self-join — and each re-ran the
+    # whole upstream (the 3-way ids_aug union, the sizes/kept-labels
+    # aggregates, the posexplode, the kept-id join): measured 110
+    # Scan parquet leaves in the physical plan for a 0.8 MB table.
+    # rows is |kept vectors|·dim narrow longs — the frame the scale
+    # docstring already bounds — so one materialization is strictly
+    # cheaper than any second recomputation.
+    rows = rows.localCheckpoint(eager=False)
     norms = rows.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm")
     )
