@@ -157,15 +157,22 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, width: int) -> None:
-        for i in range(width - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # batched byte emission (round-12, guide §4.2 — the per-bit
+        # loop was one Python iteration per OUTPUT BIT of every scan;
+        # this emits the identical MSB-first bit sequence, so payloads
+        # are byte-identical): append whole bytes off the top of the
+        # accumulator, keep the sub-byte remainder
+        acc = (self.acc << width) | (code & ((1 << width) - 1))
+        nbits = self.nbits + width
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def byte_align(self) -> None:
         """Pad the current byte with 1-bits (T.81 F.1.2.3)."""
@@ -343,9 +350,17 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        # batched extraction (round-12, guide §4.2): fill whole bytes
+        # until n bits are buffered, then one shift+mask — the same
+        # bytes are pulled in the same order as the per-bit loop, so
+        # marker/stuffing behavior is unchanged
+        if n <= 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def byte_align(self) -> None:
@@ -358,10 +373,18 @@ class _MarkerHit(Exception):
 
 
 def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    # bit consumption inlined against the reader's buffer (round-12,
+    # guide §4.2: one method call per bit was ~40% of entropy-decode
+    # time); stale high accumulator bits are harmless — reads only ever
+    # touch the low ``nbits`` bits, exactly as read_bit did
     code = 0
+    get = table.get
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        v = table.get((length, code))
+        if br.nbits == 0:
+            br._fill()
+        br.nbits -= 1
+        code = (code << 1) | ((br.acc >> br.nbits) & 1)
+        v = get((length, code))
         if v is not None:
             return v
     raise ValueError("invalid Huffman code in entropy stream")
@@ -694,20 +717,37 @@ def build_huffman_spec(
     f[256] = 1  # reserved: soaks up the all-ones code
     codesize = [0] * 257
     others = [-1] * 257
+    # Heap-based K.2 merge (round-12 optimization — the linear scans
+    # rescanned all 257 slots twice per merge, ~30k iterations per
+    # table and a table is built per scan per image). The heap orders
+    # by (freq, -symbol), which IS the spec's selection rule — least
+    # frequency, ties to the LARGER symbol value — so the merge
+    # sequence, code sizes and therefore the emitted BYTES are
+    # identical to the linear form. Stale entries (freq changed by a
+    # later merge, or zeroed as a v2) are lazily skipped.
+    import heapq
+
+    heap = [(f[i], -i, i) for i in range(257) if f[i] > 0]
+    heapq.heapify(heap)
     while True:
         v1 = v2 = -1
-        for i in range(257):  # least freq, ties to larger value
-            if f[i] > 0 and (v1 < 0 or f[i] < f[v1] or (f[i] == f[v1] and i > v1)):
+        while heap:
+            fr, _, i = heapq.heappop(heap)
+            if f[i] == fr:
                 v1 = i
-        for i in range(257):
-            if i != v1 and f[i] > 0 and (
-                v2 < 0 or f[i] < f[v2] or (f[i] == f[v2] and i > v2)
-            ):
-                v2 = i
+                break
+        while heap:
+            fr, _, i = heap[0]
+            if f[i] != fr or f[i] == 0:
+                heapq.heappop(heap)
+                continue
+            v2 = i
+            break
         if v2 < 0:
             break
         f[v1] += f[v2]
         f[v2] = 0
+        heapq.heappush(heap, (f[v1], -v1, v1))
         codesize[v1] += 1
         while others[v1] != -1:
             v1 = others[v1]
@@ -737,10 +777,12 @@ def build_huffman_spec(
         i -= 1
     if i > 0:
         bits[i] -= 1
+    # sort only the symbols that actually received codes (same
+    # (codesize, symbol) order as sorting the full 0..255 range)
     huffval = tuple(
-        s
-        for s in sorted(range(256), key=lambda s: (codesize[s], s))
-        if codesize[s] > 0
+        s for _, s in sorted(
+            (codesize[s], s) for s in range(256) if codesize[s] > 0
+        )
     )
     return tuple(bits[1:17]), huffval
 
@@ -907,6 +949,12 @@ def _decode_scan_prog(
                         k += 1
                 else:  # AC refine
                     k = ss
+                    # one tolist per block: the refinement loops index
+                    # the 64-vector per coefficient, and Python-int
+                    # list access is ~3x a numpy scalar read (the
+                    # png_codec _unfilter_scanline measurement); the
+                    # arithmetic is identical on plain ints
+                    bl = blk.tolist()
                     if eobrun == 0:
                         while k <= se:
                             rs = _decode_huffman(br, act)
@@ -927,27 +975,28 @@ def _decode_scan_prog(
                                 newval = p1 if br.read_bit() else m1
                             while k <= se:
                                 zi = ZIGZAG[k]
-                                c = int(blk[zi])
+                                c = bl[zi]
                                 if c != 0:
                                     if br.read_bit() and (c & p1) == 0:
-                                        blk[zi] = c + (p1 if c >= 0 else m1)
+                                        bl[zi] = c + (p1 if c >= 0 else m1)
                                 else:
                                     if r == 0:
                                         break
                                     r -= 1
                                 k += 1
                             if newval and k <= se:
-                                blk[ZIGZAG[k]] = newval
+                                bl[ZIGZAG[k]] = newval
                             k += 1
                     if eobrun > 0:
                         while k <= se:  # refine the band's tail
                             zi = ZIGZAG[k]
-                            c = int(blk[zi])
+                            c = bl[zi]
                             if c != 0:
                                 if br.read_bit() and (c & p1) == 0:
-                                    blk[zi] = c + (p1 if c >= 0 else m1)
+                                    bl[zi] = c + (p1 if c >= 0 else m1)
                             k += 1
                         eobrun -= 1
+                    blk[:] = bl
     except _MarkerHit:
         raise ValueError(
             f"marker 0xFF{br.marker:02X} interrupted progressive scan"
@@ -1032,6 +1081,17 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
     eobrun = 0
     held: list[int] = []  # run-covered blocks' bits (jcphuff BE)
 
+    def emit_bits(bits: list[int]) -> None:
+        # batch a 0/1 list into ONE write call (round-12 — per-bit
+        # em.bits(b, 1) calls were the scan's hottest line); MSB-first
+        # packing reproduces the per-bit emission order exactly
+        n = len(bits)
+        if n:
+            v = 0
+            for b in bits:
+                v = (v << 1) | b
+            em.bits(v, n)
+
     def flush_eob() -> None:
         nonlocal eobrun
         if eobrun:
@@ -1039,17 +1099,17 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
             em.sym(nb << 4)
             em.bits(eobrun - (1 << nb), nb)
             eobrun = 0
-            for b in held:
-                em.bits(b, 1)
+            emit_bits(held)
             held.clear()
 
+    zz_band = ZIGZAG[ss : se + 1]
     for u, blocks in enumerate(units):
         if ri and u and u % ri == 0:
             flush_eob()
             em.restart()
         ci, by, bx = blocks[0]
         blk = coeffs[ci][by][bx]
-        absv = [abs(blk[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+        absv = [abs(blk[z]) >> al for z in zz_band]
         eob_k = ss - 1  # last newly-significant index
         for k in range(ss, se + 1):
             if absv[k - ss] == 1:
@@ -1065,8 +1125,7 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
                 flush_eob()
                 em.sym(0xF0)
                 r -= 16
-                for b in cur:
-                    em.bits(b, 1)
+                emit_bits(cur)
                 cur = []
             if t > 1:  # history coefficient: buffer its correction bit
                 cur.append(t & 1)
@@ -1074,8 +1133,7 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
             flush_eob()
             em.sym((r << 4) | 1)
             em.bits(1 if blk[ZIGZAG[k]] > 0 else 0, 1)
-            for b in cur:
-                em.bits(b, 1)
+            emit_bits(cur)
             cur = []
             r = 0
         if r > 0 or cur:
