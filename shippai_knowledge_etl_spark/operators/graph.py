@@ -835,10 +835,18 @@ def multi_source_bfs(
     )
     adj = adj.persist()
 
-    def step(state, _i):
-        expanded = state.join(adj, state["node"] == adj["a"]).select(
-            state["seed"], adj["b"].alias("node"),
-            (state["dist"] + 1).alias("dist"),
+    def step(state, i):
+        # frontier expansion (round-12, guide §2.3): only pairs FIRST
+        # reached last round (dist == i at 0-based round i) can mint a
+        # new minimum — a pair at dist d < i already contributed its
+        # d+1 neighbors in round d+1, so re-expanding it reproduces
+        # rows the min already absorbed. Per-round states are
+        # bit-identical to the full-expansion form; the join volume
+        # drops from the whole reached set to the newest ring.
+        frontier = state.filter(F.col("dist") == i)
+        expanded = frontier.join(adj, frontier["node"] == adj["a"]).select(
+            frontier["seed"], adj["b"].alias("node"),
+            (frontier["dist"] + 1).alias("dist"),
         )
         return (
             state.unionAll(expanded)

@@ -1595,21 +1595,32 @@ def ext_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(textops.tokenize(F.col("text"))).alias("pos", "word"),
     )
-    cands = None
-    for L in (2, 3, 4):
-        c = (
-            toks.filter(F.length("word") >= L)
-            .select(
-                "word",
-                F.explode(
-                    F.sequence(F.lit(0), F.length("word") - L)
-                ).alias("s"),
-            )
-            .select(
-                F.col("word").substr(F.col("s") + 1, F.lit(L)).alias("piece")
-            )
+    # Round-12 optimization (guide §2.3): toks feeds the candidate
+    # explode, the distinct-word segmentation AND the final rejoin —
+    # the lazy localCheckpoint barrier (eval_meteor_frag idiom) stops
+    # each consumer re-running tokenize+posexplode from the scan.
+    toks = toks.localCheckpoint(eager=False)
+    # One Generate for all three candidate lengths (was a 3-branch
+    # union, i.e. three explode passes over toks): anchor on start
+    # position s (valid for L=2 whenever len>=2), emit the 3/4-char
+    # pieces only where they fit — the same (piece) multiset, so the
+    # frequency cut picks the identical vocabulary.
+    w = F.col("word")
+    ln = F.length(w)
+    pieces = F.array(
+        w.substr(F.col("s") + 1, F.lit(2)),
+        F.when(ln - F.col("s") >= 3, w.substr(F.col("s") + 1, F.lit(3))),
+        F.when(ln - F.col("s") >= 4, w.substr(F.col("s") + 1, F.lit(4))),
+    )
+    cands = (
+        toks.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 2)).alias("s"),
         )
-        cands = c if cands is None else cands.unionByName(c)
+        .select(F.explode(pieces).alias("piece"))
+        .filter(F.col("piece").isNotNull())
+    )
     vocab_rows = (
         cands.groupBy("piece")
         .agg(F.count(F.lit(1)).alias("cnt"))
