@@ -953,6 +953,12 @@ def shortest_paths(
         # rows, never a recomputation of the round
         return new.filter(F.col("changed")).limit(1).count() == 0
 
+    # NOTE (round-12, measured): probing/checkpointing on a sparser
+    # 2-round cadence was tried and REVERTED — the step references
+    # ``state`` twice (frontier filter + final join), so an
+    # un-checkpointed round is recomputed per reference inside the
+    # next round's job and the loop got ~3x slower, not faster.
+    # Every-round eager checkpoints are load-bearing here.
     out, rounds, _ = iterate(
         state0,
         step,

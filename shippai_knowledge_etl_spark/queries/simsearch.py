@@ -1155,10 +1155,21 @@ def dedup_semantic_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = rows.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("norm")
     )
-    a = rows.select(
+    # Round-12 optimization (guide §2.2/§2.5 — AQE coalescing is blind
+    # to join fan-out): the (label, pos) shuffle input is a few MB, so
+    # AQE coalesced the self-join to ONE post-shuffle partition and the
+    # |cluster|²-fanned join output (measured 12.8M rows at sf0.1) ran
+    # single-threaded. An EXPLICIT partition count pins the exchange
+    # (AQE never coalesces a user-specified repartition); the count is
+    # the session's slot count — environment-derived, not a local
+    # constant — and the downstream pair aggregate still collapses
+    # map-side before its own (small) exchange.
+    par = max(rows.sparkSession.sparkContext.defaultParallelism, 1)
+    rows_rp = rows.repartition(par, "label", "pos")
+    a = rows_rp.select(
         "label", "pos", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
-    b = rows.select(
+    b = rows_rp.select(
         "label", "pos", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
     )
     dots = (
