@@ -1168,7 +1168,13 @@ def sketch_quantile_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = F.expr("length(bin(v))").alias("b")
     per_shard = li.groupBy("shard", b).agg(F.count(F.lit(1)).alias("c"))
-    merged = per_shard.groupBy("b").agg(F.sum("c").alias("c"))
+    # Round-12: the merged 64-bucket histogram feeds the merge audit,
+    # the cumulative, the below-bucket offsets AND the total — the lazy
+    # localCheckpoint barrier stops each consumer re-aggregating the
+    # corpus (guide §2.3); the frame is <=64 rows at ANY corpus size.
+    merged = per_shard.groupBy("b").agg(F.sum("c").alias("c")).localCheckpoint(
+        eager=False
+    )
     direct = li.groupBy(b).agg(F.count(F.lit(1)).alias("cd"))
     mok = (
         merged.join(direct, "b", "full")
@@ -1178,12 +1184,16 @@ def sketch_quantile_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_ok")
         )
     )
-    n = li.agg(F.count(F.lit(1)).alias("n_total"))
+    # N = sum of the merged bucket counts (identical integer to a
+    # count(*) over the corpus — v is never null) — saves a third full
+    # corpus aggregate (round 12)
+    n = merged.agg(F.sum("c").cast("long").alias("n_total"))
     from pyspark.sql import Window as SqlWindow
 
-    cum = merged.select(
-        "b", F.sum("c").over(SqlWindow.orderBy("b")).alias("cc")
+    cumf = merged.select(
+        "b", "c", F.sum("c").over(SqlWindow.orderBy("b")).alias("cc")
     )
+    cum = cumf.select("b", "cc")
     qs = spark.createDataFrame([(500,), (900,), (990,)], "q_permille long")
     rank_expr = "(q_permille * n_total + 999) div 1000"
     picks = (
@@ -1193,8 +1203,24 @@ def sketch_quantile_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_permille", "n_total")
         .agg(F.min("b").alias("bucket"))
     )
-    ranked = li.select(
-        "v", F.row_number().over(SqlWindow.orderBy("v")).alias("rnk")
+    # Exact-rank audit WITHOUT the single-partition corpus sort
+    # (round-12, guide §2.4): bit-length buckets are MONOTONE in v, so
+    # a row's global rank = (count in lower buckets) + (its rank
+    # within its own bucket). Only rows of the <=3 picked buckets are
+    # ranked, under a bucket-partitioned window — the Exchange moves a
+    # bounded slice and sorts it in parallel, where the old global
+    # row_number funneled the whole corpus through ONE partition.
+    # Ties within a bucket share the same v, so the value at any rank
+    # is unchanged by tie order.
+    below = cumf.select("b", (F.col("cc") - F.col("c")).alias("below"))
+    sel = picks.select(F.col("bucket").alias("b")).distinct()
+    in_picked = li.select("v", b).join(F.broadcast(sel), "b", "semi")
+    ranked = (
+        in_picked.withColumn(
+            "rib", F.row_number().over(SqlWindow.partitionBy("b").orderBy("v"))
+        )
+        .join(F.broadcast(below), "b")
+        .select("v", (F.col("below") + F.col("rib")).alias("rnk"))
     )
     out = (
         picks.join(ranked, F.expr(f"rnk = {rank_expr}"))
