@@ -729,6 +729,22 @@ COHORTS[12] = (
     "w35_holt_linear",
 )
 
+COHORTS[13] = (
+    # r13 optimization round 2: every touched query path stays sf0.01-
+    # pinned (VERDICT r12 item 10's ratchet). JPEG codec internals
+    # (record/replay encoder, event-driven AC scans, batched IDCT —
+    # byte-identical payloads proven in tests):
+    "mm_jpeg_decode",
+    "mm_jpeg_progressive",
+    "mm_avi_mjpeg",
+    # sentinel-gram pair presence (the _pairs scan+join removal):
+    "eval_rouge_bigram",
+    "eval_bleu_log",
+    "eval_chrf_bigram",
+    # pre-partitioned edge persist in shortest_paths:
+    "graph_sssp",
+)
+
 # the CURRENT round's cohort — kept as a named alias so rotation
 # comments and round artifacts can keep saying "NEW_IN_ROUND"
 NEW_IN_ROUND: tuple[str, ...] = COHORTS[max(COHORTS)]

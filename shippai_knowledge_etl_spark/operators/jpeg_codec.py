@@ -143,9 +143,16 @@ def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _decode_table(bits, vals) -> dict[tuple[int, int], int]:
-    """(length, code) → value — the decoder-side canonical map."""
-    return {cl[::-1]: v for v, cl in _canonical_codes(bits, vals).items()}
+def _decode_table(bits, vals) -> dict[int, int]:
+    """(1 << length) | code → value — the decoder-side canonical map.
+    The 1-prefix makes codes of different lengths distinct under one
+    INT key (round-13, guide §4.2: the (length, code) tuple key paid a
+    tuple alloc + tuple hash per candidate length per symbol; the
+    lookup sequence is otherwise unchanged)."""
+    return {
+        (1 << ln) | code: v
+        for v, (code, ln) in _canonical_codes(bits, vals).items()
+    }
 
 
 class _BitWriter:
@@ -372,19 +379,21 @@ class _MarkerHit(Exception):
     """Internal: a non-stuffing marker interrupted the bit stream."""
 
 
-def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _decode_huffman(br: _BitReader, table: dict[int, int]) -> int:
     # bit consumption inlined against the reader's buffer (round-12,
     # guide §4.2: one method call per bit was ~40% of entropy-decode
     # time); stale high accumulator bits are harmless — reads only ever
-    # touch the low ``nbits`` bits, exactly as read_bit did
-    code = 0
+    # touch the low ``nbits`` bits, exactly as read_bit did. The
+    # running ``code`` carries the 1-prefix of the int-keyed table, so
+    # each candidate length is one int dict probe (round 13).
+    code = 1
     get = table.get
-    for length in range(1, 17):
+    for _length in range(16):
         if br.nbits == 0:
             br._fill()
         br.nbits -= 1
         code = (code << 1) | ((br.acc >> br.nbits) & 1)
-        v = get((length, code))
+        v = get(code)
         if v is not None:
             return v
     raise ValueError("invalid Huffman code in entropy stream")
@@ -432,6 +441,38 @@ def _idct_block(coeffs: np.ndarray) -> np.ndarray:
     pix = _IDCT_M.T @ f @ _IDCT_M
     out = np.floor(pix + 128.0 + 0.5)
     return np.clip(out, 0.0, 255.0).astype(np.int64)
+
+
+def _idct_plane(deq: np.ndarray) -> np.ndarray:
+    """Dequantized coefficient grid (nby, nbx, 64) → pixel plane
+    (nby·8, nbx·8) int64 in ONE vectorized pass over every block
+    (round-13, guide §4.2 — the per-block `_idct_block` loop paid a
+    Python call + several small-array numpy dispatches per 8×8 block;
+    the batched form runs two broadcast matmuls for the whole plane).
+
+    Exactness: the float path evaluates the same `M.T @ f @ M` per
+    block (batched matmul is per-block independent — each output cell
+    is the same 8-term dot products) with the same
+    `floor(pix + 128.0 + 0.5)` rounding; DC-only blocks are then
+    OVERWRITTEN with `_idct_block`'s exact integer dcval shortcut
+    ((dc + 1028) >> 3, clipped), so no float ever reaches a
+    closed-form-gated pixel."""
+    nby, nbx, _ = deq.shape
+    flat = deq.reshape(nby * nbx, 64)
+    f = flat.reshape(nby * nbx, 8, 8).astype(np.float64)
+    pix = _IDCT_M.T @ f @ _IDCT_M
+    out = np.floor(pix + 128.0 + 0.5)
+    out = np.clip(out, 0.0, 255.0).astype(np.int64)
+    dc_only = ~np.any(flat[:, 1:], axis=1)
+    if dc_only.any():
+        val = (flat[dc_only, 0] + 1028) >> 3
+        np.clip(val, 0, 255, out=val)
+        out[dc_only] = val[:, None, None]
+    return (
+        out.reshape(nby, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -567,18 +608,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # coefficients computes
         for ci, c in enumerate(comps):
             q = np.array(qtables[c["tq"]], dtype=np.int64)
-            arr = prog_coeffs[ci]
-            nby, nbx, _ = arr.shape
-            for by in range(nby):
-                for bx in range(nbx):
-                    blk = _idct_block(arr[by, bx] * q)
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            planes[ci] = _idct_plane(prog_coeffs[ci] * q)
         return _finish_pixels(w, h, comps, planes, hmax, vmax)
 
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved) baseline")
     scan_by_id = {s[0]: s for s in scan}
 
+    # entropy-decode dequantized coefficients into per-component grids,
+    # then IDCT every block in one vectorized pass (round-13, guide
+    # §4.2 — was a per-block `_idct_block` call interleaved with the
+    # bit reading; the coefficient values and their block positions are
+    # unchanged, so the pixels are bit-identical)
+    base_coeffs = [
+        np.zeros(
+            (mcuy * c["hv"][1], mcux * c["hv"][0], 64), dtype=np.int64
+        )
+        for c in comps
+    ]
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     n_mcu = mcux * mcuy
@@ -612,7 +659,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         size = _decode_huffman(br, dct)
                         diff = _extend(br.read_bits(size), size)
                         preds[ci] += diff
-                        coeffs = np.zeros(64, dtype=np.int64)
+                        coeffs = base_coeffs[ci][my * cv + by, mx * ch + bx]
                         coeffs[0] = preds[ci] * q[0]
                         k = 1
                         while k < 64:
@@ -629,16 +676,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                             v = _extend(br.read_bits(s), s)
                             coeffs[ZIGZAG[k]] = v * q[ZIGZAG[k]]
                             k += 1
-                        blk = _idct_block(coeffs)
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             m += 1
         except _MarkerHit:
             raise ValueError(
                 f"marker 0xFF{br.marker:02X} interrupted entropy data"
             ) from None
 
+    for ci in range(len(comps)):
+        planes[ci] = _idct_plane(base_coeffs[ci])
     return _finish_pixels(w, h, comps, planes, hmax, vmax)
 
 
@@ -801,6 +846,48 @@ class _CountEmitter:
 
     def restart(self) -> None:
         pass
+
+
+class _RecordEmitter:
+    """Single scan walk that counts Huffman symbol frequencies AND
+    records the emission stream, so the entropy pass is a replay of
+    the recorded ops instead of a second traversal of every data unit
+    (round-13, guide §4.2 — the two-pass walk re-ran the zero-run /
+    significance scans over all 63 band positions of every block
+    twice; replaying emits the identical (sym, bits, restart) sequence
+    in the identical order, so payloads stay byte-identical)."""
+
+    __slots__ = ("freq", "ops")
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+        # op encoding: n >= 0 -> bits(v, n); n == -1 -> sym(v);
+        # n == -2 -> restart()
+        self.ops: list[tuple[int, int]] = []
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+        self.ops.append((s, -1))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append((v, n))
+
+    def restart(self) -> None:
+        self.ops.append((0, -2))
+
+    def replay(self, em: "_WriteEmitter") -> None:
+        bw = em.bw
+        codes = em.codes
+        write = bw.write
+        for v, n in self.ops:
+            if n >= 0:
+                write(v, n)
+            elif n == -1:
+                code, length = codes[v]
+                write(code, length)
+            else:
+                em.restart()
 
 
 class _WriteEmitter:
@@ -988,13 +1075,24 @@ def _decode_scan_prog(
                                 bl[ZIGZAG[k]] = newval
                             k += 1
                     if eobrun > 0:
-                        while k <= se:  # refine the band's tail
-                            zi = ZIGZAG[k]
-                            c = bl[zi]
-                            if c != 0:
-                                if br.read_bit() and (c & p1) == 0:
+                        # refine the band's tail: ONE batched read of
+                        # the correction bits — one bit per nonzero-
+                        # history coefficient, consumed in the same
+                        # MSB-first order as the per-bit loop
+                        # (round-13, guide §4.2)
+                        nz = [
+                            ZIGZAG[kk]
+                            for kk in range(k, se + 1)
+                            if bl[ZIGZAG[kk]] != 0
+                        ]
+                        if nz:
+                            got = br.read_bits(len(nz))
+                            shift = len(nz)
+                            for zi in nz:
+                                shift -= 1
+                                c = bl[zi]
+                                if (got >> shift) & 1 and (c & p1) == 0:
                                     bl[zi] = c + (p1 if c >= 0 else m1)
-                            k += 1
                         eobrun -= 1
                     blk[:] = bl
     except _MarkerHit:
@@ -1027,6 +1125,27 @@ def _enc_dc_refine(em, units, coeffs, al, ri) -> None:
             em.bits((coeffs[ci][by][bx][0] >> al) & 1, 1)
 
 
+def _band_events(coeffs, units, ss: int, se: int, al: int):
+    """Per-scan vectorized precompute for the AC encoders (round-13,
+    guide §4.2 — the per-position Python walk touched all se−ss+1 band
+    slots of every block; real blocks carry a handful of significant
+    coefficients, so iterating EVENTS only is a ~5x smaller loop).
+    Returns (ev_block, ev_k, ev_mag, ev_pos, n): parallel Python lists
+    of the band positions whose shifted magnitude |v|>>al is nonzero,
+    in (block, k) raster order — exactly the positions at which the
+    position-walk emitted or buffered anything; zero-gap lengths are
+    reconstructed arithmetically by the callers."""
+    ci = units[0][0][0]
+    grid = np.asarray(coeffs[ci], dtype=np.int64)
+    nby, nbx, _ = grid.shape
+    vals = grid.reshape(nby * nbx, 64)[:, ZIGZAG[ss : se + 1]]
+    mags = np.abs(vals) >> al
+    nz_b, nz_k = np.nonzero(mags)
+    ev_mag = mags[nz_b, nz_k].tolist()
+    ev_pos = (vals[nz_b, nz_k] > 0).tolist()
+    return nz_b.tolist(), nz_k.tolist(), ev_mag, ev_pos, len(ev_mag)
+
+
 def _enc_ac_first(em, units, coeffs, ss, se, al, ri) -> None:
     eobrun = 0
 
@@ -1038,30 +1157,30 @@ def _enc_ac_first(em, units, coeffs, ss, se, al, ri) -> None:
             em.bits(eobrun - (1 << n), n)
             eobrun = 0
 
-    for u, blocks in enumerate(units):
+    ev_b, ev_k, ev_mag, ev_pos, nev = _band_events(coeffs, units, ss, se, al)
+    p = 0
+    for u, _blocks in enumerate(units):
         if ri and u and u % ri == 0:
             flush()
             em.restart()
-        ci, by, bx = blocks[0]
-        blk = coeffs[ci][by][bx]
-        r = 0
-        for k in range(ss, se + 1):
-            v = blk[ZIGZAG[k]]
-            t = abs(v) >> al  # magnitude shift toward zero (G.1.2.2)
-            if v < 0:
-                t = -t
-            if t == 0:
-                r += 1
-                continue
+        q = p
+        while q < nev and ev_b[q] == u:
+            q += 1
+        prev = ss - 1
+        for j in range(p, q):
+            k = ss + ev_k[j]
+            r = k - prev - 1
+            prev = k
             flush()
             while r > 15:
                 em.sym(0xF0)
                 r -= 16
+            t = ev_mag[j] if ev_pos[j] else -ev_mag[j]
             size, extra = _magnitude_bits(t)
             em.sym((r << 4) | size)
             em.bits(extra, size)
-            r = 0
-        if r:
+        p = q
+        if prev < se:  # trailing (or all-)zero band tail → EOB run
             eobrun += 1
             if eobrun == 0x7FFF:
                 flush()
@@ -1102,25 +1221,27 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
             emit_bits(held)
             held.clear()
 
-    zz_band = ZIGZAG[ss : se + 1]
-    for u, blocks in enumerate(units):
+    ev_b, ev_k, ev_mag, ev_pos, nev = _band_events(coeffs, units, ss, se, al)
+    p = 0
+    for u, _blocks in enumerate(units):
         if ri and u and u % ri == 0:
             flush_eob()
             em.restart()
-        ci, by, bx = blocks[0]
-        blk = coeffs[ci][by][bx]
-        absv = [abs(blk[z]) >> al for z in zz_band]
+        q = p
+        while q < nev and ev_b[q] == u:
+            q += 1
         eob_k = ss - 1  # last newly-significant index
-        for k in range(ss, se + 1):
-            if absv[k - ss] == 1:
-                eob_k = k
+        for j in range(p, q):
+            if ev_mag[j] == 1:
+                eob_k = ss + ev_k[j]
         r = 0
+        prev = ss - 1
         cur: list[int] = []  # this block's bits since last symbol (BR)
-        for k in range(ss, se + 1):
-            t = absv[k - ss]
-            if t == 0:
-                r += 1
-                continue
+        for j in range(p, q):
+            k = ss + ev_k[j]
+            t = ev_mag[j]
+            r += k - prev - 1  # zero-history gap since the last event
+            prev = k
             while r > 15 and k <= eob_k:
                 flush_eob()
                 em.sym(0xF0)
@@ -1132,10 +1253,12 @@ def _enc_ac_refine(em, units, coeffs, ss, se, al, ri) -> None:
                 continue
             flush_eob()
             em.sym((r << 4) | 1)
-            em.bits(1 if blk[ZIGZAG[k]] > 0 else 0, 1)
+            em.bits(1 if ev_pos[j] else 0, 1)
             emit_bits(cur)
             cur = []
             r = 0
+        r += se - prev  # trailing zero-history tail
+        p = q
         if r > 0 or cur:
             eobrun += 1
             held.extend(cur)
@@ -1231,7 +1354,7 @@ def encode_jpeg_progressive(
 
     for kind, idxs, ss, se, ah, al in scans:
         units = _scan_units(width, height, comp_meta, list(idxs))
-        counter = _CountEmitter()
+        counter = _RecordEmitter()
         run(kind, counter, units, ss, se, al)
         if counter.freq:  # dc_refine scans carry no Huffman symbols
             bits, vals = build_huffman_spec(counter.freq)
@@ -1248,7 +1371,7 @@ def encode_jpeg_progressive(
             out += struct.pack(">BB", ci + 1, 0)  # Td=0, Ta=0
         out += struct.pack(">BBB", ss, se, (ah << 4) | al)
         bw = _BitWriter()
-        run(kind, _WriteEmitter(bw, codes), units, ss, se, al)
+        counter.replay(_WriteEmitter(bw, codes))
         bw.byte_align()
         out += bw.out
     out += b"\xff\xd9"

@@ -91,7 +91,9 @@ def _gram_counts(d: DataFrame, n: int) -> DataFrame:
 
 def _pair_gram_stats(d: DataFrame, n: int) -> DataFrame:
     """Per-pair (ct, rt, m) for order ``n`` in ONE pass: candidate
-    total, reference total, and the clipped multiset intersection.
+    total, reference total, and the clipped multiset intersection —
+    for exactly the pairs where BOTH parity docs exist (the `_pairs`
+    inner-join contract, folded in).
 
     Because the pairing is id arithmetic (candidate 2p / reference
     2p+1), both sides of every pair land in the SAME group of one
@@ -106,22 +108,48 @@ def _pair_gram_stats(d: DataFrame, n: int) -> DataFrame:
     inner-join clipped sum exactly — one-sided grams contribute
     least(c, 0) = 0.
 
+    Round-13 (guide §2.4, VERDICT r12 item 7): doc presence rides the
+    SAME explode as a per-doc SENTINEL gram (all-NULL struct — tokens
+    are non-empty strings, so it can never collide with a real gram),
+    so the `_pairs(d)` side plan — two more corpus scans, a pair_id
+    self-join, and the stats left-join — is gone entirely: the pair
+    set is two conditional maxes in the pair-level aggregation, and
+    a pair with no real grams yields exact zeros where the old
+    left-join + coalesce(0) did.
+
     At 100 TB the gram key is the same cardinality class as the
     dedup_ngram_jaccard shingle shuffle — linear in corpus tokens
     (measured linear in scripts/scale_probe.py)."""
-    g = d.select(
-        "doc_id", F.explode(shingle_pos_structs(F.col("text"), n)).alias("g")
+    sent = F.struct(
+        *[F.lit(None).cast("string").alias(f"t{i}") for i in range(n)]
     )
+    empty = F.slice(F.array(sent), 1, 0)
+    grams = F.concat(
+        F.coalesce(shingle_pos_structs(F.col("text"), n), empty),
+        F.array(sent),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
     pg = g.groupBy(
         (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "g"
     ).agg(
         F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_cand"),
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
     )
-    return pg.groupBy("pair_id").agg(
-        F.sum("c_cand").alias("ct"),
-        F.sum("c_ref").alias("rt"),
-        F.sum(F.least("c_cand", "c_ref")).alias("m"),
+    real = F.col("g.t0").isNotNull()
+    z = F.lit(0)
+    return (
+        pg.groupBy("pair_id")
+        .agg(
+            F.sum(F.when(real, F.col("c_cand")).otherwise(z)).alias("ct"),
+            F.sum(F.when(real, F.col("c_ref")).otherwise(z)).alias("rt"),
+            F.sum(
+                F.when(real, F.least("c_cand", "c_ref")).otherwise(z)
+            ).alias("m"),
+            F.max(F.when(~real, F.col("c_cand")).otherwise(z)).alias("hc"),
+            F.max(F.when(~real, F.col("c_ref")).otherwise(z)).alias("hr"),
+        )
+        .filter((F.col("hc") > 0) & (F.col("hr") > 0))
+        .select("pair_id", "ct", "rt", "m")
     )
 
 
@@ -143,9 +171,17 @@ def _pair_gram_stats_uni_bi(d: DataFrame) -> DataFrame:
     counts are exact integers, so the BLEU assembly downstream is
     unchanged and the hash gate sees identical values.
 
+    Round-13 (guide §2.4, VERDICT r12 item 7): a per-doc SENTINEL gram
+    (a=NULL, b=NULL — distinct from unigrams (tok, NULL) because
+    tokens are non-empty, and from every bigram) rides the same
+    explode, carrying doc presence into the pair aggregation — the
+    `_pairs(d)` two-scan self-join plan is gone (see
+    `_pair_gram_stats` for the argument).
+
     Returns (pair_id, t1c, t1r, m1, t2c, m2): candidate/reference
     unigram totals, clipped unigram matches, candidate bigram total,
-    clipped bigram matches."""
+    clipped bigram matches — for exactly the pairs where both parity
+    docs exist."""
     toks = tokenize(F.col("text"))
     sz = F.size(toks)
     win = F.greatest(sz - 1, F.lit(0))
@@ -156,7 +192,19 @@ def _pair_gram_stats_uni_bi(d: DataFrame) -> DataFrame:
         F.slice(toks, 1, win).alias("a"), F.slice(toks, 2, win).alias("b")
     )
     bi = F.when(sz >= 2, bi0).otherwise(F.slice(bi0, 1, 0))
-    g = d.select("doc_id", F.explode(F.concat(uni, bi)).alias("g"))
+    sent = F.struct(
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    )
+    empty = F.slice(F.array(sent), 1, 0)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.coalesce(uni, empty), F.coalesce(bi, empty), F.array(sent)
+            )
+        ).alias("g"),
+    )
     pg = g.groupBy(
         (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "g"
     ).agg(
@@ -164,17 +212,26 @@ def _pair_gram_stats_uni_bi(d: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
     )
     is_bi = F.col("g.b").isNotNull()
+    is_uni = F.col("g.a").isNotNull() & F.col("g.b").isNull()
+    is_sent = F.col("g.a").isNull()
     z = F.lit(0)
-    return pg.groupBy("pair_id").agg(
-        F.sum(F.when(~is_bi, F.col("c_cand")).otherwise(z)).alias("t1c"),
-        F.sum(F.when(~is_bi, F.col("c_ref")).otherwise(z)).alias("t1r"),
-        F.sum(F.when(~is_bi, F.least("c_cand", "c_ref")).otherwise(z)).alias(
-            "m1"
-        ),
-        F.sum(F.when(is_bi, F.col("c_cand")).otherwise(z)).alias("t2c"),
-        F.sum(F.when(is_bi, F.least("c_cand", "c_ref")).otherwise(z)).alias(
-            "m2"
-        ),
+    return (
+        pg.groupBy("pair_id")
+        .agg(
+            F.sum(F.when(is_uni, F.col("c_cand")).otherwise(z)).alias("t1c"),
+            F.sum(F.when(is_uni, F.col("c_ref")).otherwise(z)).alias("t1r"),
+            F.sum(
+                F.when(is_uni, F.least("c_cand", "c_ref")).otherwise(z)
+            ).alias("m1"),
+            F.sum(F.when(is_bi, F.col("c_cand")).otherwise(z)).alias("t2c"),
+            F.sum(
+                F.when(is_bi, F.least("c_cand", "c_ref")).otherwise(z)
+            ).alias("m2"),
+            F.max(F.when(is_sent, F.col("c_cand")).otherwise(z)).alias("hc"),
+            F.max(F.when(is_sent, F.col("c_ref")).otherwise(z)).alias("hr"),
+        )
+        .filter((F.col("hc") > 0) & (F.col("hr") > 0))
+        .select("pair_id", "t1c", "t1r", "m1", "t2c", "m2")
     )
 
 
@@ -229,13 +286,9 @@ def eval_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-arithmetic
     equi-join, so 100 TB costs one linear shuffle of gram strings."""
     d = load(spark, sf_dir, "documents")
-    stats = _pair_gram_stats(d, 2)
-    j = _pairs(d).join(stats, "pair_id", "left").select(
-        "pair_id",
-        F.coalesce("ct", F.lit(0)).alias("ct"),
-        F.coalesce("rt", F.lit(0)).alias("rt"),
-        F.coalesce("m", F.lit(0)).alias("m"),
-    )
+    # round-13: _pair_gram_stats now carries pair presence on the same
+    # explode (sentinel gram), so the _pairs scan+join plan is gone
+    j = _pair_gram_stats(d, 2)
     md = F.col("m").cast("double")
     return j.select(
         "pair_id",
@@ -324,20 +377,10 @@ def _bleu_log_frame(d: DataFrame) -> DataFrame:
     a re-derivation."""
     # round-12: one merged tokenize pass + one gram shuffle for both
     # orders (see _pair_gram_stats_uni_bi) — was two _pair_gram_stats
-    # calls, i.e. two full scans and two exchanges
-    s12 = _pair_gram_stats_uni_bi(d)
-    j = (
-        _pairs(d)
-        .join(s12, "pair_id", "left")
-        .select(
-            "pair_id",
-            F.coalesce("t1c", F.lit(0)).alias("t1c"),
-            F.coalesce("t1r", F.lit(0)).alias("t1r"),
-            F.coalesce("t2c", F.lit(0)).alias("t2c"),
-            F.coalesce("m1", F.lit(0)).alias("m1"),
-            F.coalesce("m2", F.lit(0)).alias("m2"),
-        )
-    )
+    # calls, i.e. two full scans and two exchanges. Round-13: pair
+    # presence rides the same explode (sentinel gram), so the _pairs
+    # scan+join is gone too; a pair with no grams yields exact zeros.
+    j = _pair_gram_stats_uni_bi(d)
     # operand order mirrors the oracle exactly: each ln is rounded at 6
     # BEFORE the weighted sum, and the sum itself is assembled in exact
     # DECIMAL arithmetic (the README round-then-DECIMAL discipline —
@@ -698,22 +741,37 @@ def eval_chrf_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("s").substr(F.col("i") + 1, F.lit(2)).alias("gram")
     )
-    pg = grams.groupBy(
+    # round-13 (guide §2.4, VERDICT r12 item 7): doc presence rides the
+    # gram shuffle as one NULL-gram SENTINEL row per doc (grams are
+    # 2-char strings, never NULL — no collision; the union scans only
+    # the doc_id column), replacing the _pairs two-scan self-join +
+    # left-join plan; the length<2 filter above only drops GRAM rows,
+    # sentinels keep every doc visible to the pair test exactly as
+    # _pairs did.
+    sentinels = d.select(
+        "doc_id", F.lit(None).cast("string").alias("gram")
+    )
+    pg = grams.unionByName(sentinels).groupBy(
         (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"), "gram"
     ).agg(
         F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_cand"),
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_ref"),
     )
-    st = pg.groupBy("pair_id").agg(
-        F.sum("c_cand").alias("tc"),
-        F.sum("c_ref").alias("tr"),
-        F.sum(F.least("c_cand", "c_ref")).alias("m"),
-    )
-    j = _pairs(d).join(st, "pair_id", "left").select(
-        "pair_id",
-        F.coalesce("tc", F.lit(0)).alias("tc"),
-        F.coalesce("tr", F.lit(0)).alias("tr"),
-        F.coalesce("m", F.lit(0)).alias("m"),
+    real = F.col("gram").isNotNull()
+    z = F.lit(0)
+    j = (
+        pg.groupBy("pair_id")
+        .agg(
+            F.sum(F.when(real, F.col("c_cand")).otherwise(z)).alias("tc"),
+            F.sum(F.when(real, F.col("c_ref")).otherwise(z)).alias("tr"),
+            F.sum(
+                F.when(real, F.least("c_cand", "c_ref")).otherwise(z)
+            ).alias("m"),
+            F.max(F.when(~real, F.col("c_cand")).otherwise(z)).alias("hc"),
+            F.max(F.when(~real, F.col("c_ref")).otherwise(z)).alias("hr"),
+        )
+        .filter((F.col("hc") > 0) & (F.col("hr") > 0))
+        .select("pair_id", "tc", "tr", "m")
     )
     return j.select(
         "pair_id",

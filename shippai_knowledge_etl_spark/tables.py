@@ -158,6 +158,34 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Driver-side leaf-file size estimate for ``df``'s inputs (the
+    scale_out estimation idiom, factored for callers that gate a
+    SCALE-DEPENDENT plan choice — e.g. pre-partitioning a persisted
+    relation only when it is too big to broadcast). Returns None when
+    the size cannot be cheaply known (remote storage, no files) —
+    callers should treat None as "large", which is the right default
+    for production layouts. Never triggers execution
+    (``df.rdd.getNumPartitions()`` under AQE would run every upstream
+    shuffle stage just to answer)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        path = re.sub(r"^file:/*", "/", f)
+        try:
+            total += os.stat(path).st_size
+        except OSError:
+            return None
+    return total
+
+
 # events as the nanos-as-long reader sees it (streaming sources must
 # declare a schema up front).
 EVENTS_RAW_DDL = (

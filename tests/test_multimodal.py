@@ -1541,7 +1541,90 @@ def test_jpeg_build_huffman_spec_properties():
         dec = _decode_table(bits, vals)
         assert len(enc) == len(freq)
         for sym, (code, ln) in enc.items():
-            assert dec[(ln, code)] == sym
+            # decode table keys are 1-prefixed ints (round 13): the
+            # leading 1 bit disambiguates code lengths
+            assert dec[(1 << ln) | code] == sym
+
+
+def test_jpeg_idct_plane_matches_per_block_idct():
+    """Round-13 internals pin: the batched `_idct_plane` must equal the
+    per-block `_idct_block` loop it replaced on every block — including
+    the exact-integer DC-only shortcut, clipping extremes, and negative
+    DCs — so the vectorization can never drift from the scalar path."""
+    import numpy as np
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        _idct_block,
+        _idct_plane,
+    )
+
+    rng = np.random.RandomState(1309)
+    for trial in range(8):
+        nby, nbx = int(rng.randint(1, 5)), int(rng.randint(1, 6))
+        deq = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                kind = (by + bx + trial) % 4
+                deq[by, bx, 0] = int(rng.randint(-3000, 3000))
+                if kind == 0:
+                    pass  # DC-only block → integer shortcut path
+                elif kind == 1:
+                    for _ in range(int(rng.randint(1, 12))):
+                        deq[by, bx, ZIGZAG[int(rng.randint(1, 64))]] = int(
+                            rng.randint(-600, 600)
+                        )
+                elif kind == 2:
+                    deq[by, bx, :] = rng.randint(-2000, 2000, 64)
+                # kind == 3: DC-only at a clipping extreme
+                else:
+                    deq[by, bx, 0] = 5000 if trial % 2 else -5000
+        plane = _idct_plane(deq)
+        for by in range(nby):
+            for bx in range(nbx):
+                ref = _idct_block(deq[by, bx])
+                got = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (got == ref).all(), (trial, by, bx)
+
+
+def test_jpeg_band_events_matches_position_walk():
+    """Round-13 internals pin: `_band_events` (the AC encoders' skip-
+    the-zeros precompute) must list exactly the positions whose shifted
+    magnitude is nonzero, in (block, k) raster order, with the correct
+    magnitudes and signs — the walk the per-position loop used to do."""
+    import numpy as np
+
+    from shippai_knowledge_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        _band_events,
+        _scan_units,
+    )
+
+    rng = np.random.RandomState(42)
+    for ss, se, al in ((1, 5, 2), (6, 63, 1), (1, 63, 0), (3, 20, 3)):
+        nby, nbx = 3, 4
+        grid = [
+            [
+                [int(rng.randint(-40, 40)) for _ in range(64)]
+                for _bx in range(nbx)
+            ]
+            for _by in range(nby)
+        ]
+        comps = [{"hv": (1, 1)}]
+        units = _scan_units(nbx * 8, nby * 8, comps, [0])
+        ev_b, ev_k, ev_mag, ev_pos, nev = _band_events(
+            [grid], units, ss, se, al
+        )
+        expect = []
+        for u, blocks in enumerate(units):
+            _ci, by, bx = blocks[0]
+            blk = grid[by][bx]
+            for k in range(ss, se + 1):
+                t = abs(blk[ZIGZAG[k]]) >> al
+                if t:
+                    expect.append((u, k - ss, t, blk[ZIGZAG[k]] > 0))
+        assert nev == len(expect)
+        assert list(zip(ev_b, ev_k, ev_mag, ev_pos)) == expect
 
 
 def test_jpeg_progressive_features_real_path(spark):
