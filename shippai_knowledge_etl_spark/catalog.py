@@ -743,6 +743,14 @@ COHORTS[13] = (
     "eval_chrf_bigram",
     # pre-partitioned edge persist in shortest_paths:
     "graph_sssp",
+    # round-13 session 2: HOF let-binding + scale_out (winnow /
+    # rolling fingerprints), METEOR sentinel pair presence, frontier
+    # connected components, single-pass U-shaped attribution
+    "ext_winnow_fingerprints",
+    "ext_fingerprint",
+    "eval_meteor_frag",
+    "behavior_attribution_position",
+    "dedup_clusters",
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

@@ -16,14 +16,24 @@ def chunk(arr: Column, n: int = 3) -> Column:
     (``group_by_three``, src/extract.py:370-371; requirements.md:144).
 
     ``flatten(chunk(x)) == x`` and all groups but the last have size n.
+
+    ``arr`` is let-bound through a one-element transform so the
+    per-group slices read a lambda variable: an expression inside a HOF
+    lambda is re-evaluated per element, so a computed ``arr`` (e.g. the
+    scenario category slices in run.py) would otherwise be rebuilt for
+    every group (see operators/textops._let).
     """
-    groups = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(arr) - 1) / n).cast("int")),
-        lambda i: F.slice(arr, i * n + 1, n),
-    )
-    return F.when(F.size(arr) > 0, groups).otherwise(
-        F.expr("CAST(array() AS ARRAY<ARRAY<STRING>>)")
-    )
+
+    def _groups(a: Column) -> Column:
+        groups = F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(a) - 1) / n).cast("int")),
+            lambda i: F.slice(a, i * n + 1, n),
+        )
+        return F.when(F.size(a) > 0, groups).otherwise(
+            F.expr("CAST(array() AS ARRAY<ARRAY<STRING>>)")
+        )
+
+    return F.element_at(F.transform(F.array(arr), _groups), 1)
 
 
 def slice_categories(items: Column, doubles: Column) -> Column:

@@ -103,7 +103,7 @@ def bpe_train(
     Returns (ordered merge list, final symbolized vocabulary)."""
     state = _initial_state(words).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for i in range(n_merges):
         top = (
             _pair_counts(state)
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
@@ -120,7 +120,17 @@ def bpe_train(
             F.regexp_replace("syms", _merge_pattern(a, b), a + b).alias(
                 "syms"
             ),
-        ).localCheckpoint()
+        )
+        # Checkpoint every 8th round, not every round: the eager
+        # materialization is a full extra job per merge, while the
+        # un-truncated lineage is only a chain of ≤8 codegen'd
+        # regexp_replace projections over the vocabulary-sized base —
+        # the next round's argmax probe evaluates it in its own job
+        # anyway (round-13 measurement: 2 jobs/round → 1 for 7 of 8
+        # rounds; unlike shortest_paths' rejected sparse cadence, state
+        # is referenced ONCE per round, so nothing recomputes twice).
+        if i % 8 == 7:
+            state = state.localCheckpoint()
     return merges, state
 
 

@@ -137,18 +137,39 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.concat_ws(" ", tokenize(col)))
 
 
+def _let(bound: Column, body) -> Column:
+    """Single-element ``transform`` as a let binding: evaluate ``bound``
+    ONCE, hand the lambda variable to ``body``. An expression placed
+    inside a higher-order-function lambda is re-evaluated per element —
+    ``transform(seq, i -> f(slice(heavy, ...)))`` recomputes the whole
+    ``heavy`` subtree for EVERY i (round-13 measurement: the winnowing
+    query spent 71 s at sf0.001 re-tokenizing per gram and re-hashing
+    every gram per window, O(n²) per document). Binding the heavy array
+    through a one-element transform makes the inner references cheap
+    lambda-variable reads: O(n²) → O(n·w)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def window_fingerprints(col: Column, window: int = 8, stride: int = 4) -> Column:
     """Rolling-window fingerprints (near-dup building block): md5 of
-    each token window of ``window`` tokens every ``stride`` tokens."""
-    toks = tokenize(col)
-    n_windows = F.greatest(
-        F.lit(1),
-        (F.floor((F.size(toks) - window) / stride) + 1).cast("int"),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * stride + 1, window))),
-    )
+    each token window of ``window`` tokens every ``stride`` tokens.
+
+    The token array is let-bound (see ``_let``) so the per-window slices
+    read a lambda variable instead of re-running tokenize per window."""
+
+    def _fps(toks: Column) -> Column:
+        n_windows = F.greatest(
+            F.lit(1),
+            (F.floor((F.size(toks) - window) / stride) + 1).cast("int"),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, window))
+            ),
+        )
+
+    return _let(tokenize(col), _fps)
 
 
 
@@ -169,19 +190,37 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
     Pure array HOFs over the token list — per-row, zero shuffle; the
     min over md5 hex strings is lexicographic, identical in Spark and
     DuckDB, and the output is sorted so the oracle compares as a set.
+
+    Both intermediate arrays are let-bound (see ``_let``): the gram
+    hashes read the BOUND token array and the window minima read the
+    BOUND gram array. The original form re-evaluated ``grams`` (itself
+    re-running tokenize per gram) inside every window's slice —
+    O(n_windows · n_grams) tokenize+md5 per document, measured 71 s for
+    the sf0.001 parity case; the bound form is one tokenize, n md5s and
+    n·w comparisons.
     """
-    toks = tokenize(col)
-    n_grams = F.greatest(F.lit(1), (F.size(toks) - k + 1).cast("int"))
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+
+    def _mins(grams: Column) -> Column:
+        n_windows = F.greatest(F.lit(1), F.size(grams) - w + 1)
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_windows - 1),
+                    lambda i: F.array_min(F.slice(grams, i + 1, w)),
+                )
+            )
+        )
+
+    def _grams(toks: Column) -> Column:
+        n_grams = F.greatest(F.lit(1), (F.size(toks) - k + 1).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        )
+
+    return _let(
+        tokenize(col), lambda toks: _let(_grams(toks), _mins)
     )
-    n_windows = F.greatest(F.lit(1), F.size(grams) - w + 1)
-    mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(grams, i + 1, w)),
-    )
-    return F.array_sort(F.array_distinct(mins))
 
 
 # ---------------------------------------------------------------------------

@@ -235,12 +235,11 @@ def _pair_gram_stats_uni_bi(d: DataFrame) -> DataFrame:
     )
 
 
-def _pairs(d: DataFrame) -> DataFrame:
-    c = d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("pair_id"))
-    r = d.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("pair_id")
-    )
-    return c.join(r, "pair_id")
+# NOTE: the engine-side `_pairs(d)` helper (two corpus scans + a
+# pair_id self-join) is GONE as of round 13 — every eval query now
+# derives pair presence from its own exploded pass via a per-doc
+# sentinel row (rouge/bleu/chrf: sentinel gram; meteor: pos-0 NULL
+# token). `_PAIRS_SQL` remains the oracle-side definition.
 
 
 @register(
@@ -521,10 +520,27 @@ def eval_meteor_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB the materialized stream is linear in corpus tokens —
     # strictly cheaper than three full tokenize scans of the same
     # corpus.
+    # Round 13 (the rouge/bleu/chrf sentinel idiom, VERDICT r12 item 7
+    # applied to METEOR): a per-doc NULL-token SENTINEL rides the same
+    # explode at position 0, real tokens shift to pos+1. Everything
+    # downstream is shift-invariant — the alignment joins on tok (a
+    # NULL tok equi-joins nothing), chunk detection uses only position
+    # DIFFERENCES, and the per-doc total becomes max(pos) instead of
+    # max(pos)+1 — while the sentinel guarantees EVERY document (even
+    # zero-token ones) appears in ``tot``, so pair presence (the
+    # `_pairs` inner-join contract) is derivable from the same
+    # materialized pass: the two extra corpus scans and the pair_id
+    # self-join are gone from the plan.
     toks = d.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+        "doc_id",
+        F.posexplode(
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                tokenize(F.col("text")),
+            )
+        ).alias("pos", "tok"),
     ).localCheckpoint(eager=False)
-    occ = toks.withColumn(
+    occ = toks.filter(F.col("tok").isNotNull()).withColumn(
         "occ",
         F.row_number().over(Window.partitionBy("doc_id", "tok").orderBy("pos")),
     )
@@ -560,26 +576,27 @@ def eval_meteor_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH engines (posexplode/unnest of an empty array emits no
     # rows); the left join + coalesce(nt, 0) below restores their 0
     # exactly as size() used to.
-    tot = toks.groupBy("doc_id").agg((F.max("pos") + F.lit(1)).alias("nt"))
+    # max(pos) = token count exactly BECAUSE of the pos-0 sentinel (a
+    # zero-token doc has only the sentinel → 0); every doc has a row,
+    # so the even/odd inner join below IS `_pairs`'s doc-presence
+    # contract — derived from the one materialized pass instead of two
+    # fresh corpus scans + a pair_id self-join
+    tot = toks.groupBy("doc_id").agg(F.max("pos").alias("nt"))
     p = (
-        _pairs(d)
-        .withColumn("cand_id", F.col("pair_id"))
-        .withColumn("ref_id", F.col("pair_id") + 1)
+        tot.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("pair_id"), F.col("nt").alias("tc"))
         .join(
-            tot.select(F.col("doc_id").alias("cand_id"), F.col("nt").alias("tc")),
-            "cand_id",
-            "left",
-        )
-        .join(
-            tot.select(F.col("doc_id").alias("ref_id"), F.col("nt").alias("tr")),
-            "ref_id",
-            "left",
+            tot.filter(F.col("doc_id") % 2 == 1).select(
+                (F.col("doc_id") - 1).alias("pair_id"),
+                F.col("nt").alias("tr"),
+            ),
+            "pair_id",
         )
         .join(st, "pair_id", "left")
         .select(
             "pair_id",
-            F.coalesce("tc", F.lit(0)).cast("long").alias("tc"),
-            F.coalesce("tr", F.lit(0)).cast("long").alias("tr"),
+            F.col("tc").cast("long").alias("tc"),
+            F.col("tr").cast("long").alias("tr"),
             F.coalesce("m", F.lit(0)).cast("long").alias("m"),
             F.coalesce("chunks", F.lit(0)).cast("long").alias("chunks"),
         )

@@ -123,7 +123,9 @@ def ext_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # scale_out: per-row md5-per-window compute on a single-split local
+    # scan would run on 1 core (see ext_winnow_fingerprints)
+    d = scale_out(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         textops.fingerprint(F.col("text")).alias("doc_fp"),
@@ -214,8 +216,13 @@ def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprint set per document (sorted, JSON at the gate
     boundary — the driver can't hash arrays). See
     ``textops.winnow_fingerprints`` for the coverage/density guarantees
-    and why this beats fixed-stride sampling for copy detection."""
-    d = load(spark, sf_dir, "documents")
+    and why this beats fixed-stride sampling for copy detection.
+
+    scale_out: the cost is per-row gram hashing + window minima, and
+    the local single-file scan yields ONE split — without the
+    conditional repartition the whole corpus hashes on 1 of 32 cores
+    (no-op on real multi-split layouts; the scenario_source lesson)."""
+    d = scale_out(load(spark, sf_dir, "documents"))
     toks = textops.tokenize(F.col("text"))
     return d.select(
         "doc_id",

@@ -5585,62 +5585,77 @@ def behavior_attribution_position(
     ).withColumn(
         "sid", F.sum("b").over(wu.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # Round 13: ONE pass instead of two. The old form consumed the
+    # sessionized `cum` frame from two branches (journey credits +
+    # the touchless-direct count), so the whole two-window sessionize
+    # chain over events ran TWICE (plan: 2 parquet scans, 2 window
+    # stacks). Three observations fold both branches into the same
+    # window pass:
+    #   - journey rows (cp = 0) are a PREFIX of their session (cp is
+    #     non-decreasing), so the post-filter row_number over journey
+    #     rows equals the whole-session row_number — computable in the
+    #     SAME same-key window stack before any filter;
+    #   - the journey length n is sum(cp = 0) over the session — the
+    #     same shape as np, one more agg on the existing partition;
+    #   - a touchless conversion session is np > 0 ∧ n_journey = 0,
+    #     countable from its rs = 1 representative row.
+    # The final rollup groups by (channel, is_direct) so the 'direct'
+    # row stays a separate output row by construction (the old
+    # unionByName semantics), not by assuming no event_type collides.
     ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    wsess = Window.partitionBy("user_id", "sid")
     is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    cum = sess.withColumn(
-        "cp", F.sum(is_p).over(ws.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn(
-        "np", F.sum(is_p).over(Window.partitionBy("user_id", "sid"))
-    )
-    journey = (
-        cum.filter((F.col("np") > 0) & (F.col("cp") == 0))
-        .withColumn("rn", F.row_number().over(ws))
+    cum = (
+        sess.withColumn(
+            "cp",
+            F.sum(is_p).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("np", F.sum(is_p).over(wsess))
+        .withColumn("rs", F.row_number().over(ws))
         .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid"))
+            "nj",
+            F.sum(F.when(F.col("cp") == 0, 1).otherwise(0)).over(wsess),
         )
     )
-    credited = journey.select(
-        F.col("event_type").alias("channel"),
-        F.when(F.col("n") == 1, F.lit(10000))
-        .when(F.col("n") == 2, F.lit(5000))
+    contrib = cum.filter(
+        (F.col("np") > 0)
+        & (
+            (F.col("cp") == 0)
+            | ((F.col("rs") == 1) & (F.col("nj") == 0))
+        )
+    )
+    is_direct = F.col("nj") == 0
+    n, rn = F.col("nj"), F.col("rs")
+    credited = contrib.select(
+        is_direct.alias("is_direct"),
+        F.when(is_direct, F.lit("direct"))
+        .otherwise(F.col("event_type"))
+        .alias("channel"),
+        F.when(is_direct, F.lit(10000))
+        .when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
         .when(
-            F.col("rn") == 1,
+            rn == 1,
             F.lit(4000)
-            + (
-                F.lit(2000)
-                - (F.col("n") - 2) * F.expr("2000 div (n - 2)")
-            ),
+            + (F.lit(2000) - (n - 2) * F.expr("2000 div (nj - 2)")),
         )
-        .when(F.col("rn") == F.col("n"), F.lit(4000))
-        .otherwise(F.expr("2000 div (n - 2)"))
+        .when(rn == n, F.lit(4000))
+        .otherwise(F.expr("2000 div (nj - 2)"))
         .alias("bp"),
-        F.when(F.col("rn") == 1, 1).otherwise(0).alias("isf"),
-        F.when(F.col("rn") == F.col("n"), 1).otherwise(0).alias("isl"),
+        F.when(is_direct, 0).otherwise(1).alias("touch"),
+        F.when(~is_direct & (rn == 1), 1).otherwise(0).alias("isf"),
+        F.when(~is_direct & (rn == n), 1).otherwise(0).alias("isl"),
     )
-    per_channel = credited.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.sum("isf").cast("long").alias("n_first"),
-        F.sum("isl").cast("long").alias("n_last"),
-        F.sum("bp").cast("long").alias("credit_bp"),
-    )
-    direct = (
-        cum.filter(F.col("np") > 0)
-        .groupBy("user_id", "sid")
+    return (
+        credited.groupBy("is_direct", "channel")
         .agg(
-            F.sum(F.when(F.col("cp") == 0, 1).otherwise(0)).alias("n_journey")
+            F.sum("touch").cast("long").alias("n_touches"),
+            F.sum("isf").cast("long").alias("n_first"),
+            F.sum("isl").cast("long").alias("n_last"),
+            F.sum("bp").cast("long").alias("credit_bp"),
         )
-        .filter(F.col("n_journey") == 0)
-        .agg(F.count(F.lit(1)).alias("n_direct"))
-        .filter(F.col("n_direct") > 0)
-        .select(
-            F.lit("direct").alias("channel"),
-            F.lit(0).cast("long").alias("n_touches"),
-            F.lit(0).cast("long").alias("n_first"),
-            F.lit(0).cast("long").alias("n_last"),
-            (F.lit(10000) * F.col("n_direct")).cast("long").alias("credit_bp"),
-        )
+        .drop("is_direct")
     )
-    return per_channel.unionByName(direct)
 
 
 @register(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -30,6 +31,125 @@ from shippai_knowledge_etl_spark.schemas import PAGE_ROW_SCHEMA
 # A real DataType, not a DDL string: string return types are re-parsed
 # on the Python worker, where no SparkSession exists.
 ROWS_TYPE = T.ArrayType(PAGE_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fast event scanner (guide §4.2: make the inside of the UDF fast).
+#
+# stdlib HTMLParser spends ~85% of its time in the generic goahead /
+# parse_starttag machinery (measured 108 µs for a ~250-byte case page,
+# round 13). This scanner tokenizes the STRICT common subset — plain
+# start/end/self-closing tags with well-formed attributes, text, and
+# character references — with one regex pass plus a tag-string memo
+# (tag syntax repeats massively across pages), and BAILS to the real
+# HTMLParser for anything else: comments, doctypes, CDATA elements
+# (script/style), quoted '>' inside attributes, lone '<', or a trailing
+# ambiguous '&' (which HTMLParser withholds pending more input —
+# parse_* never call close(), so the fallback reproduces that too).
+# Event semantics are HTMLParser-equivalent by construction where it
+# does NOT bail (tag/attr names lowercased, charrefs unescaped with the
+# same html.unescape, handle_startendtag for '<t/>'), and the fallback
+# guarantees equivalence everywhere else; a 6000-doc fuzz battery
+# comparing event streams is pinned in tests. Handlers stay HTMLParser
+# subclasses so the fallback is just handler.feed().
+# ---------------------------------------------------------------------------
+
+_SCAN = re.compile(r"[^<]+|<[^>]*>|<")
+_TAG = re.compile(
+    r"<(?:"
+    r"/(?P<cname>[a-zA-Z][a-zA-Z0-9]*)\s*"
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9]*)"
+    r"(?P<attrs>(?:\s+[a-zA-Z][\-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'`=]+))?)*)"
+    r"\s*(?P<selfclose>/?)"
+    r")>\Z"
+)
+_ATTR = re.compile(
+    r"([a-zA-Z][\-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'`=]+)))?"
+)
+_AMBIG_AMP = re.compile(r"[\s;]")
+_CDATA_ELEMS = ("script", "style")
+
+_BAIL = ("bail",)
+# tag-SYNTAX memo (token string → parsed event), shared per worker: it
+# caches how markup parses, never what any page's data produced
+_tag_cache: dict = {}
+
+
+def _parse_tag(tok: str):
+    m = _TAG.match(tok)
+    if m is None:
+        return _BAIL
+    cname = m.group("cname")
+    if cname is not None:
+        return ("e", cname.lower())
+    name = m.group("name").lower()
+    if name in _CDATA_ELEMS:
+        return _BAIL
+    rawattrs = m.group("attrs")
+    attrs = []
+    if rawattrs:
+        for am in _ATTR.finditer(rawattrs):
+            v = am.group(2)
+            if v is None:
+                v = am.group(3)
+            if v is None:
+                v = am.group(4)
+            if v is not None and "&" in v:
+                v = unescape(v)
+            attrs.append((am.group(1).lower(), v))
+    return ("se" if m.group("selfclose") else "s", name, attrs)
+
+
+def feed_fast(handler: HTMLParser, html: str) -> HTMLParser:
+    """Feed ``html`` into ``handler`` via the fast scanner, falling back
+    to ``handler.feed`` (the inherited HTMLParser) on any construct the
+    scanner does not prove it handles identically. Events are only
+    dispatched after the WHOLE page scanned clean, so a mid-page bail
+    never leaves half-applied state."""
+    cache = _tag_cache
+    n = len(html)
+    events: list = []
+    append = events.append
+    for m in _SCAN.finditer(html):
+        tok = m.group()
+        if tok[0] != "<":
+            if "&" in tok:
+                if m.end() == n:
+                    amp = tok.rfind("&", max(0, len(tok) - 34))
+                    if amp >= 0 and not _AMBIG_AMP.search(tok, amp):
+                        handler.feed(html)
+                        return handler
+                tok = unescape(tok)
+            append(("d", tok))
+            continue
+        ev = cache.get(tok)
+        if ev is None:
+            if len(cache) > 65536:
+                cache.clear()
+            cache[tok] = ev = _parse_tag(tok)
+        if ev is _BAIL:
+            handler.feed(html)
+            return handler
+        append(ev)
+    hs, he, hd, hse = (
+        handler.handle_starttag,
+        handler.handle_endtag,
+        handler.handle_data,
+        handler.handle_startendtag,
+    )
+    for e in events:
+        k = e[0]
+        if k == "d":
+            hd(e[1])
+        elif k == "s":
+            hs(e[1], e[2])
+        elif k == "e":
+            he(e[1])
+        else:
+            hse(e[1], e[2])
+    return handler
 
 
 class _TableRowParser(HTMLParser):
@@ -75,7 +195,7 @@ class _TableRowParser(HTMLParser):
 
 def parse_page(html: str) -> list[tuple[int, str, str, str, str | None]]:
     p = _TableRowParser()
-    p.feed(html)
+    feed_fast(p, html)
     return [
         (i, label, value, bgcolor, href)
         for i, (label, value, bgcolor, href) in enumerate(p.rows)
@@ -143,7 +263,7 @@ class _AnchorListParser(HTMLParser):
 
 def parse_list_page(html: str) -> list[tuple[int, str, str]]:
     p = _AnchorListParser()
-    p.feed(html)
+    feed_fast(p, html)
     return p.links
 
 
@@ -308,7 +428,7 @@ class _CasePageParser(HTMLParser):
 
 def parse_case_page(html: str) -> dict:
     p = _CasePageParser()
-    p.feed(html)
+    feed_fast(p, html)
     return {
         "rows": [
             (i, label, value, bgcolor, href)
@@ -469,7 +589,7 @@ class _ScenarioPageParser(HTMLParser):
 
 def parse_scenario_page(html: str) -> dict:
     p = _ScenarioPageParser()
-    p.feed(html)
+    feed_fast(p, html)
     scope = p.main if p.saw_main else p.all
     return {"items": scope["items"], "seps": scope["seps"]}
 
@@ -560,7 +680,7 @@ class _BlockParser(HTMLParser):
 
 def parse_blocks(html: str) -> list[tuple[int, str, str, int]]:
     p = _BlockParser()
-    p.feed(html or "")
+    feed_fast(p, html or "")
     p._flush()
     return p.blocks
 

@@ -18,10 +18,7 @@ def test_rouge_bigram_clipped_counts(spark):
     cat-sat, sat-on, on-the, the-mat, mat-the. Reference bigrams (4):
     the-cat, cat-on, on-the, the-mat. Clipped matches: the-cat
     min(2,1)=1, on-the 1, the-mat 1 → 3."""
-    from shippai_knowledge_etl_spark.queries.evals import (
-        _pair_gram_stats,
-        _pairs,
-    )
+    from shippai_knowledge_etl_spark.queries.evals import _pair_gram_stats
 
     d = _frame(
         spark,
@@ -30,7 +27,13 @@ def test_rouge_bigram_clipped_counts(spark):
     row = _pair_gram_stats(d, 2).collect()
     assert len(row) == 1 and row[0]["pair_id"] == 0
     assert (row[0]["ct"], row[0]["rt"], row[0]["m"]) == (7, 4, 3)
-    assert [r["pair_id"] for r in _pairs(d).collect()] == [0]
+    # pair presence (the old `_pairs` inner-join contract, now carried
+    # by the sentinel gram): an unpaired trailing candidate — and even
+    # an EMPTY paired candidate — still forms exactly its own pairs
+    d3 = _frame(spark, ["", "ref text", "cand no ref"])
+    assert [
+        r["pair_id"] for r in _pair_gram_stats(d3, 2).collect()
+    ] == [0]
 
 
 def test_rouge_query_f1_algebra(spark, sf_dir):

@@ -37,11 +37,19 @@ _ALLOWED_HEAVY_NULLCHECK = {"diagram_separator_lines"}
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
-    out = {}
-    for name, spec in load_catalog().items():
+    # Plan compilation is driver-side, single-threaded JVM work (~0.7 s
+    # per query × 382 queries ≈ 270 s measured round 13); Catalyst
+    # analysis is thread-safe and py4j gives each Python thread its own
+    # gateway connection, so compile the catalog's plans concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        name, spec = item
         qe = spec.fn(spark, sf_dir)._jdf.queryExecution()
-        out[name] = (qe.optimizedPlan().toString(), qe.executedPlan().toString())
-    return out
+        return name, (qe.optimizedPlan().toString(), qe.executedPlan().toString())
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(_one, load_catalog().items()))
 
 
 # BroadcastNestedLoopJoin is the CORRECT plan when one side is a
