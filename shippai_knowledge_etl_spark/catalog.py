@@ -751,6 +751,11 @@ COHORTS[13] = (
     "eval_meteor_frag",
     "behavior_attribution_position",
     "dedup_clusters",
+    # batch 3: heaviest-query fixes found by the zero-exchange sweep
+    "dedup_edit_distance",
+    "ext_textrank_keywords",
+    "ext_langid_scores",
+    "curation_code_switching",
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

@@ -1830,8 +1830,11 @@ def curation_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_score_lift trick), zero shuffles, whole-stage codegen.
     Integer hits and integer threshold compares only."""
     from shippai_knowledge_etl_spark.operators.textops import LANG_MARKERS
+    from shippai_knowledge_etl_spark.tables import scale_out
 
-    d = load(spark, sf_dir, "documents").select(
+    # scale_out: 25 marker-hit array passes per row on a single-split
+    # local scan ran on 1 of 32 cores (round 13; no-op on real layouts)
+    d = scale_out(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.when(

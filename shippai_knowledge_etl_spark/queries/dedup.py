@@ -532,30 +532,57 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, never a cross product; ``levenshtein`` is a JVM builtin
     (O(len^2) per pair — this stage is for SHORT texts; long-text
     near-dup goes through MinHash->Jaccard, where cost is linear in
-    shingles). Planted exact copies score edit_sim = 1.0."""
-    from shippai_knowledge_etl_spark.operators.textops import tokenize
+    shingles). Planted exact copies score edit_sim = 1.0.
 
-    df = documents_with_planted_dups(spark, sf_dir)
+    Round 13 (guide §1/§3.2 — measured 125 s median at sf0.1, the
+    heaviest query in the engine, previously unbenched):
+    - ``scale_out`` on the doc side: the broadcast join streamed the
+      single-split local scan, so EVERY pair's O(len²) levenshtein ran
+      on 1 of 32 cores;
+    - a LENGTH-DIFFERENCE prune before the DP: edit distance is
+      ≥ |len_a − len_b| (each unmatched character costs ≥1 edit), and
+      the final filter is monotone in the distance through the same
+      round(…, 6) expression, so pairs whose length gap alone already
+      fails the 0.8 cut are dropped WITHOUT evaluating levenshtein —
+      a pure lower-bound prune, no false negatives, result identical.
+    """
+    from shippai_knowledge_etl_spark.operators.textops import tokenize
+    from shippai_knowledge_etl_spark.tables import scale_out
+
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
     n_toks = F.size(tokenize(F.col("text")))
+    # lazy barrier: BOTH self-join sides read the one materialized
+    # (doc, text, block-key) frame instead of each re-running the
+    # planted-dup synthesis + tokenize (plan: 4 scans → 1)
     docs = df.select(
         "doc_id",
         "text",
         "source",
+        F.length("text").alias("len"),
         F.floor(n_toks / 8).alias("len_bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
-        F.greatest(
-            F.length(F.col("a.text")), F.length(F.col("b.text"))
-        ).alias("max_len"),
+    max_len = F.greatest(F.col("a.len"), F.col("b.len"))
+    lb_sim = 1.0 - F.abs(
+        F.col("a.len") - F.col("b.len")
+    ) / F.greatest(max_len, F.lit(1)).cast("double")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # upper bound on the final similarity: prune BEFORE the DP
+        .filter(F.round(lb_sim, 6) >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias(
+                "edit_dist"
+            ),
+            max_len.alias("max_len"),
+        )
     )
     sim = 1.0 - F.col("edit_dist") / F.greatest(F.col("max_len"), F.lit(1)).cast(
         "double"

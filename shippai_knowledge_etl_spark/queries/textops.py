@@ -82,7 +82,9 @@ _LANG_SCORE_SQL = " UNION ALL ".join(
     oracle=f"SELECT doc_id, lang, CAST(score AS INT) AS score FROM ({_LANG_SCORE_SQL})",
 )
 def ext_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # scale_out: 25 marker_hits array passes per row on a single-split
+    # local scan ran on 1 of 32 cores (round 13; no-op on real layouts)
+    d = scale_out(load(spark, sf_dir, "documents"))
     return textops.langid_scores(d, "doc_id", "text").select(
         "doc_id", "lang", F.col("score").cast("int")
     )
@@ -306,7 +308,17 @@ def ext_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = bi.select(F.col("tok").alias("src"), F.col("nxt").alias("dst")).unionAll(
         bi.select(F.col("nxt").alias("src"), F.col("tok").alias("dst"))
     )
-    nodes = ex.select(F.col("tok").alias("id")).distinct()
+    # persist, NOT localCheckpoint (round 13, both measured): ``nodes``
+    # is a corpus-sized computation (tokenize + explode + distinct)
+    # consumed by the count, the rank init, and every PageRank round's
+    # left join — unbarriered, each consumer re-ran the tokenize
+    # pipeline (7.2 s median at sf0.1). localCheckpoint made it WORSE
+    # (18.1 s): a checkpointed RDD reports UnknownPartitioning, so
+    # every round re-exchanged the node side that the distinct's
+    # hashpartitioning(id) used to satisfy for free. persist keeps the
+    # InMemoryRelation's output partitioning visible to the planner —
+    # no recompute AND no new exchange.
+    nodes = ex.select(F.col("tok").alias("id")).distinct().persist()
     n = nodes.count()
     ranks = pagerank(nodes, e0, n_iters=3, n_nodes=n)
     return (
