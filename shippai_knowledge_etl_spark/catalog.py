@@ -756,6 +756,14 @@ COHORTS[13] = (
     "ext_textrank_keywords",
     "ext_langid_scores",
     "curation_code_switching",
+    # batch 4: full-catalog timing sweep finds (near-dup cosine norms,
+    # per-partition merge_asof, minhash barriers)
+    "simsearch_near_dup",
+    "simsearch_near_dup_lsh",
+    "simsearch_align_bitext",
+    "j6_asof_merge_scale",
+    "dedup_semantic",
+    "dedup_minhash_verified",
 )
 
 # the CURRENT round's cohort — kept as a named alias so rotation

@@ -416,7 +416,16 @@ def verified_near_dup_pairs(
     Exact duplicates always collide on every band, so recall on them is
     1.0 (pytest-pinned).
     """
-    cand = minhash_candidate_pairs(df, id_col, text_col)
+    # Round-13 lazy barriers (guide §2.3): ``cand`` — the WHOLE
+    # 128-hash signature + banding pipeline — is consumed three times
+    # (both members selects + the verify join), and ``rows`` twice
+    # (both sides of the gram join); unbarriered, the plan re-ran the
+    # signature pipeline per consumer (22 parquet-scan leaves
+    # measured). Both frames are candidate-bounded: id pairs and
+    # member shingle rows.
+    cand = minhash_candidate_pairs(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     members = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -431,7 +440,7 @@ def verified_near_dup_pairs(
         F.col(id_col),
         F.size("sh").alias("n"),
         F.explode("sh").alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     a = rows.select(
         F.col(id_col).alias("id_a"), F.col("n").alias("n_a"), "g"
     )

@@ -357,20 +357,31 @@ def near_dup_pairs(
     """Embedding-cosine near-dup: all pairs within a bucket whose cosine
     meets the threshold. Bucketing bounds the pair space; the 100 TB
     form replaces the self-join with LSH banding over sign-projections."""
+    # Round 13 (guide §1.2 per-task work): cosine(a, b) evaluates
+    # THREE interpreted folds per pair (dot + both norms). The norms
+    # depend only on the vector, so compute each ONCE per row before
+    # the join and carry the scalar — dot(a,a) is the identical fold
+    # expression, so norm values (and therefore sim, the round(…,6)
+    # and the threshold cut) are bit-for-bit unchanged; only the
+    # per-pair work drops from 3 folds to 1.
     a = corpus.select(
         F.col(bucket_col).alias("bucket"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("nrm_a"),
     )
     b = corpus.select(
         F.col(bucket_col).alias("bucket_b"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("nrm_b"),
     )
     pairs = a.join(
         b, (a.bucket == b.bucket_b) & (a.id_a < b.id_b)
     )
-    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    sim = dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
@@ -550,8 +561,17 @@ def semantic_dedup(
     assigned, _ = kmeans_fit(
         corpus, n_clusters, n_iter, id_col=id_col, vec_col=vec_col
     )
-    with_vec = assigned.select(id_col, "cluster").join(
-        corpus.select(id_col, vec_col), id_col
+    # Round 13 (the dedup_semantic_int8 lazy-barrier idiom, guide
+    # §2.3): with_vec feeds THREE consumers — both sides of the
+    # within-bucket pair self-join and the final keep/drop select —
+    # and each re-ran the k-means assignment (broadcast argmin over
+    # the full corpus union) from the scan; measured 34 s median at
+    # sf0.1 with ~12 scan leaves. One materialization of the
+    # (id, cluster, vec) frame is strictly cheaper.
+    with_vec = (
+        assigned.select(id_col, "cluster")
+        .join(corpus.select(id_col, vec_col), id_col)
+        .localCheckpoint(eager=False)
     )
     pairs = near_dup_pairs(
         with_vec, threshold, bucket_col="cluster", id_col=id_col,

@@ -189,8 +189,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs from 128-permutation signatures in 16 bands
     of 8 (s-curve midpoint ≈ 0.71 Jaccard). Only signatures shuffle
     (~1 KB/doc); candidates verified downstream by
-    dedup_ngram_jaccard's exact pass."""
-    df = documents_with_planted_dups(spark, sf_dir)
+    dedup_ngram_jaccard's exact pass.
+
+    scale_out (round 13): the 128 seeded hashes per shingle row run in
+    the SCAN stage — a single-split local scan computed ~640 M
+    xxhash64 calls on 1 of 32 cores (7.6 s median; no-op on real
+    multi-split layouts)."""
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
     return dedup.minhash_candidate_pairs(df, "doc_id", "text")
 
 
@@ -202,8 +207,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup shape at 100 TB: candidate set sized by
-    the banding s-curve, exact Jaccard only where it matters."""
-    df = documents_with_planted_dups(spark, sf_dir)
+    the banding s-curve, exact Jaccard only where it matters.
+    scale_out: same single-task scan-stage hashing as dedup_minhash_lsh."""
+    df = scale_out(documents_with_planted_dups(spark, sf_dir))
     return dedup.verified_near_dup_pairs(df, "doc_id", "text", threshold=0.2)
 
 
